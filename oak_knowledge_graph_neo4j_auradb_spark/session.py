@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture: these confs are the local-mode stand-ins for the settings
+we would ship on a 1000-executor cluster reading 100 TB:
+
+* AQE on (runtime coalescing, skew-join splitting) — the reference hit
+  import timeouts on skewed batches instead (`HISTORY.md:357-363`).
+* Arrow enabled for every pandas/Arrow UDF stage (the reference is
+  row-at-a-time pandas `iterrows`; we are Arrow-vectorized end to end).
+* Shuffle partitions sized by env so the same code runs at local[8] and
+  local[32] for the two-cluster-size scaling evidence, and at thousands
+  of partitions on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oak-kg-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or 32.
+    ``shuffle_partitions`` defaults to ``2 * cpus`` locally; on a real
+    cluster this would be sized to keep post-shuffle partitions in the
+    100–500 MB range at the target data scale.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the reference's UNWIND batches were 1,000 rows
+        # (pipeline/auradb_loader.py:477); Arrow batches of 10k keep UDF
+        # overhead amortized while bounding per-batch memory.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
