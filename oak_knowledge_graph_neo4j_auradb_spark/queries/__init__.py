@@ -1,0 +1,18 @@
+"""Driver-facing query surface.
+
+Each submodule exports ``QUERIES`` (name → callable(spark, sf_dir) →
+DataFrame) and ``ORACLES`` (name → ANSI-SQL string DuckDB runs on the
+same parquet tables). Together they cover SURVEY.md §2's operator
+inventory plus the large-scale training-data operators (dedup families,
+similarity search, text analysis, multimodal plumbing).
+"""
+
+from __future__ import annotations
+
+from . import kg, relational, similarity, textops
+
+QUERIES = {}
+ORACLES = {}
+for _m in (relational, textops, similarity, kg):
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)

@@ -1,0 +1,598 @@
+"""Relational / query-surface operators (SURVEY.md §2.2-§2.8) expressed
+over the driver's TPC-H-ish tables.
+
+These re-express the reference's operator inventory — filters (P4/P5),
+multi-hop traversal joins (J6), composite-key joins (J1), first-seen
+dedup (A1), explode (J3/E2), aggregations incl. HAVING/top-k (A6, §2.7),
+union (§2.8), computed booleans (F8), template IDs (F2), regex
+normalization (F1/J2), type casts (§1.2) — as declarative DataFrame
+plans so Catalyst gets pushdown/pruning/broadcast for free.
+
+Every callable takes ``(spark, sf_dir)``; every aggregate/computed
+column is aliased identically in the DataFrame plan and the DuckDB
+oracle SQL (driver hash-compares by sorted column name).
+
+Scale notes (100 TB posture) are on each query; the common themes:
+dimension sides broadcast, aggregations are partial (map-side combine),
+first-seen dedup is a min-struct aggregate rather than a window so the
+shuffle carries distinct keys only, and all filters/projections sit
+directly on the scan so they push into the parquet/Iceberg reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import load, r4
+
+
+# --------------------------------------------------------------------------
+# q01 — aggregation pipeline (TPC-H Q1 shape; SURVEY §2.4 A6)
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy agg with partial (map-side) combine; only 6 of 11 lineitem
+    columns are read (column pruning into the scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — top-k (ORDER BY + LIMIT → TakeOrderedAndProject; SURVEY §2.7)
+# --------------------------------------------------------------------------
+def q02_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k never sorts globally: per-partition heaps + k-row merge on
+    the driver (TakeOrderedAndProject) — O(n) scan at any scale.
+    Deterministic tiebreak on the key."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", r4(F.col("o_totalprice")).alias("totalprice"))
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — multi-hop traversal join (Cypher pattern ≅ J6, 4 hops)
+# --------------------------------------------------------------------------
+def q03_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→customer→orders→lineitem: the graph-traversal shape
+    of the reference's query surface (oak_curriculum_graph_documentation.md
+    §6 pattern 6). region/nation are broadcast (no shuffle of the fact
+    side); the two big joins shuffle on their keys once each."""
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT r_name,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lineitems,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — predicate stack: equality + membership + CONTAINS (P4/P5/P9)
+# --------------------------------------------------------------------------
+def q04_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three predicates land in PushedFilters on the parquet scan."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 13)
+        & F.col("p_name").contains("a")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+Q04_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE p_type = 'ECONOMY' AND p_size IN (1, 5, 9, 13) AND p_name LIKE '%a%'
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — composite-key join (J1: the reference's multi-source merge)
+# --------------------------------------------------------------------------
+def q05_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a composite key (partkey, suppkey) against a derived
+    dimension — the reference's (unit_slug, programme_slug_by_year)
+    merge. The dim is aggregated *before* the join (dedup-before-join,
+    SURVEY §4) and broadcasts; AQE skew-join would split a hot key."""
+    li = load(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = li.join(
+        F.broadcast(dim), on=["l_partkey", "l_suppkey"], how="left"
+    ).filter(F.col("l_extendedprice") == F.col("min_price"))
+    return joined.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_min_lines"),
+        r4(F.sum("min_price")).alias("sum_min_price"),
+        F.max("n_lines").alias("max_group_lines"),
+    )
+
+
+Q05_SQL = """
+WITH dim AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT li.l_partkey,
+       COUNT(*) AS n_min_lines,
+       ROUND(SUM(dim.min_price), 4) AS sum_min_price,
+       MAX(dim.n_lines) AS max_group_lines
+FROM lineitem li
+LEFT JOIN dim ON li.l_partkey = dim.l_partkey AND li.l_suppkey = dim.l_suppkey
+WHERE li.l_extendedprice = dim.min_price
+GROUP BY li.l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — deterministic first-seen dedup (A1/A2: the engine's core trick)
+# --------------------------------------------------------------------------
+def q06_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First row per key under an explicit total order, as a min-struct
+    aggregate: map-side combine collapses duplicates before the
+    exchange, so the shuffle carries distinct keys — a row_number window
+    would shuffle every row (mapper.py module docstring)."""
+    c = load(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min(F.struct("c_custkey", "c_name")).alias("_w")
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("_w.c_custkey").alias("first_custkey"),
+        F.col("_w.c_name").alias("first_name"),
+    )
+
+
+Q06_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       MIN(c_custkey) AS first_custkey,
+       ARG_MIN(c_name, c_custkey) AS first_name
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — explode / flatten (J3/E2) + top-k tokens
+# --------------------------------------------------------------------------
+def q07_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split→explode→count: the reference's array explode before joins.
+    The count is partial-aggregated per partition before the shuffle."""
+    from .common import tokens
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+Q07_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — grouped HAVING (Cypher `WHERE count(..) < n`, P9)
+# --------------------------------------------------------------------------
+def q08_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS sum_price
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — union (SURVEY §2.8 implicit union / unionByName)
+# --------------------------------------------------------------------------
+def q09_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+        r4(F.col("c_acctbal")).alias("acctbal"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        r4(F.col("s_acctbal")).alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+Q09_SQL = """
+SELECT 'customer' AS kind, c_name AS name, ROUND(c_acctbal, 4) AS acctbal FROM customer
+UNION ALL
+SELECT 'supplier' AS kind, s_name AS name, ROUND(s_acctbal, 4) AS acctbal FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — anti join (loader MATCH-miss complement, J5) over broadcast keys
+# --------------------------------------------------------------------------
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders. The key set broadcasts; at 100 TB the
+    same plan runs as a shuffled left-anti with AQE."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return c.join(
+        F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — window rank top-n per group (query-surface `collect(...)[0..n]`)
+# --------------------------------------------------------------------------
+def q11_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", r4(F.col("o_totalprice")).alias("totalprice"), "rank")
+    )
+
+
+Q11_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+WHERE rank <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — count(DISTINCT) + sorted collect_set (A6)
+# --------------------------------------------------------------------------
+def q12_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`collect(DISTINCT x)` made deterministic via sort_array — the
+    Cypher list-collection aggregations of the query surface."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT n_name,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — synthetic template ID (F2) with null-guard
+# --------------------------------------------------------------------------
+def q13_synthetic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`"{a}-{b}"` template → None if any component is null
+    (data_cleaner.py:337-368 semantics)."""
+    c = load(spark, sf_dir, "customer")
+    synth = F.when(
+        F.col("c_mktsegment").isNull() | F.col("c_nationkey").isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(F.lower("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string"))
+    )
+    return c.select("c_custkey", synth.alias("synthetic_id"))
+
+
+Q13_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment IS NULL OR c_nationkey IS NULL THEN NULL
+            ELSE lower(c_mktsegment) || '-' || CAST(c_nationkey AS VARCHAR)
+       END AS synthetic_id
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — regex key normalization (F1/J2: `-<digits>` suffix semantics)
+# --------------------------------------------------------------------------
+def q14_regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.withColumn(
+            "brand_num",
+            F.regexp_extract("p_brand", r"^Brand#(\d+)$", 1).cast("long"),
+        )
+        .groupBy("brand_num")
+        .agg(F.count(F.lit(1)).alias("n_parts"), r4(F.avg("p_retailprice")).alias("avg_price"))
+    )
+
+
+Q14_SQL = """
+SELECT CAST(regexp_extract(p_brand, '^Brand#(\\d+)$', 1) AS BIGINT) AS brand_num,
+       COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — the reference's int(float(x)) cast chain (§1.2)
+# --------------------------------------------------------------------------
+def q15_cast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'104.0' → 104: string → double → long, the tolerant int cast the
+    reference needed for pandas-mangled CSV values
+    (schema_mapper.py:797-799)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_str = F.col("l_quantity").cast("string")
+    return (
+        li.select(qty_str.cast("double").cast("long").alias("qty_int"))
+        .groupBy("qty_int")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q15_SQL = """
+SELECT CAST(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS qty_int,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — string transforms (F4/F5: case/trim/prefix)
+# --------------------------------------------------------------------------
+def q16_string_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.upper(F.trim("s_name")).alias("upper_name"),
+        F.concat(F.lit("SUP:"), F.lower("s_name")).alias("prefixed"),
+    )
+
+
+Q16_SQL = """
+SELECT s_suppkey, upper(trim(s_name)) AS upper_name,
+       'SUP:' || lower(s_name) AS prefixed
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — empty-aware computed boolean (F8/P7) + JSON field access (F9)
+# --------------------------------------------------------------------------
+def q17_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object on the event props payload + the engine's
+    empty-value semantics ('', '{}', '[]' ⇒ empty)."""
+    e = load(spark, sf_dir, "events")
+    t = F.trim(F.col("props"))
+    is_empty = (
+        F.col("props").isNull() | (t == "") | t.rlike(r"^(\[\s*\]|\{\s*\})$")
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", is_empty.alias("props_empty"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("props_empty"), 1).otherwise(0)).alias("n_empty"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_k"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN props IS NULL OR trim(props) = ''
+                 OR regexp_matches(trim(props), '^(\\[\\s*\\]|\\{\\s*\\})$')
+            THEN 1 ELSE 0 END) AS n_empty,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — tumbling-window aggregation (streaming-shaped batch; SURVEY §2.9)
+# --------------------------------------------------------------------------
+def q18_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window per event type. The identical expression
+    runs under Structured Streaming (`streaming/jobs.py`) with a
+    watermark; here it is the batch twin the oracle can check."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — sessionization (gap-based; stateful-streaming twin)
+# --------------------------------------------------------------------------
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via lag + running sum — the batch
+    twin of `applyInPandasWithState` sessionization. One shuffle on
+    user_id; both windows reuse the same partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so the
+    # LTZ round-trip is exact and matches DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q19_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - LAG(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_topk_orders": q02_topk_orders,
+    "q03_region_rollup": q03_region_rollup,
+    "q04_filter_predicates": q04_filter_predicates,
+    "q05_composite_join": q05_composite_join,
+    "q06_first_seen_dedup": q06_first_seen_dedup,
+    "q07_token_explode": q07_token_explode,
+    "q08_having": q08_having,
+    "q09_union": q09_union,
+    "q10_anti_join": q10_anti_join,
+    "q11_window_topn": q11_window_topn,
+    "q12_collect_distinct": q12_collect_distinct,
+    "q13_synthetic_id": q13_synthetic_id,
+    "q14_regex_normalize": q14_regex_normalize,
+    "q15_cast_chain": q15_cast_chain,
+    "q16_string_transforms": q16_string_transforms,
+    "q17_json_props": q17_json_props,
+    "q18_tumbling_window": q18_tumbling_window,
+    "q19_sessionize": q19_sessionize,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_topk_orders": Q02_SQL,
+    "q03_region_rollup": Q03_SQL,
+    "q04_filter_predicates": Q04_SQL,
+    "q05_composite_join": Q05_SQL,
+    "q06_first_seen_dedup": Q06_SQL,
+    "q07_token_explode": Q07_SQL,
+    "q08_having": Q08_SQL,
+    "q09_union": Q09_SQL,
+    "q10_anti_join": Q10_SQL,
+    "q11_window_topn": Q11_SQL,
+    "q12_collect_distinct": Q12_SQL,
+    "q13_synthetic_id": Q13_SQL,
+    "q14_regex_normalize": Q14_SQL,
+    "q15_cast_chain": Q15_SQL,
+    "q16_string_transforms": Q16_SQL,
+    "q17_json_props": Q17_SQL,
+    "q18_tumbling_window": Q18_SQL,
+    "q19_sessionize": Q19_SQL,
+}
