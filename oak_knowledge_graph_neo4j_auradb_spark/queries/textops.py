@@ -1,3 +1,555 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Training-data text operators over the `documents` table: exact and
+near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), language ID,
+quality scoring, token statistics, document fingerprinting.
+
+Engine-parity design: every hash is md5-derived (engine-independent),
+every float is rounded at the output boundary, and each DataFrame plan
+has a DuckDB twin in this file.
+
+Scale design (100 TB posture):
+* All per-document feature extraction (tokens, shingles, signatures) is
+  a narrow projection — one scan stage, WholeStageCodegen, no Python.
+* Near-dup candidate generation is the LSH band trick: explode signature
+  bands → shuffle on (band, key) → per-bucket pairs. The only shuffle is
+  on the band key; exact Jaccard verification runs map-side on the
+  joined rows. Brute-force O(n²) never happens.
+* Hot buckets (a viral duplicate cluster) are bounded by the band hash
+  width; AQE skew-join splits any residual hot bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
+
+# --------------------------------------------------------------------------
+# shared feature expressions (Spark) and their DuckDB twins
+# --------------------------------------------------------------------------
+
+
+def shingles(tok: Column) -> Column:
+    """3-word shingles (whole text if < 3 tokens), distinct."""
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(tok) >= 3, tri).otherwise(F.array(F.array_join(tok, " ")))
+    )
+
+
+SHINGLES_SQL = """list_distinct(CASE WHEN len({t}) >= 3
+  THEN list_transform(generate_series(1, len({t})-2),
+                      i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])
+  ELSE [array_to_string({t}, ' ')] END)"""
+
+#: MinHash permutation parameters h_i(x) = (a_i * (x mod P) + b_i) mod P.
+#: P < 2^31 and a_i < 2^31 keep a_i * (x mod P) < 2^62 — no int64
+#: overflow in either engine.
+MINHASH_P = 1_000_000_007
+MINHASH_PERMS = (
+    (1215467041, 12345),
+    (824386243, 67890),
+    (530342041, 13579),
+    (966447217, 24680),
+    (711667523, 11223),
+    (340147331, 44556),
+    (255608161, 77889),
+    (896755559, 99001),
+)
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Each shingle hashed once: md5 → 60-bit int → mod P. Factoring
+    this out of the per-permutation lambdas keeps the expression tree
+    small (one md5 per shingle instead of 8 — the naive nesting made
+    codegen explode to ~160 s for 500 docs; this form runs in ~2 s)."""
+    return F.transform(sh, lambda s: md5long(s) % MINHASH_P)
+
+
+def minhash_sig(hx: Column) -> list[Column]:
+    """8-permutation MinHash signature over pre-hashed shingles
+    (:func:`shingle_hashes`)."""
+    out = []
+    for a, b in MINHASH_PERMS:
+        out.append(
+            F.array_min(
+                F.transform(hx, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+            )
+        )
+    return out
+
+
+def minhash_sig_sql(sh_expr: str) -> list[str]:
+    out = []
+    x = MD5LONG_SQL.format(x="s")
+    for a, b in MINHASH_PERMS:
+        out.append(
+            f"list_min(list_transform({sh_expr}, "
+            f"s -> ({a} * ({x} % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q20 — exact dedup groups (hash-groupBy; the baseline dedup)
+# --------------------------------------------------------------------------
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text hash groups with a deterministic canonical doc
+    (min doc_id = first-seen under the natural order). One partial-agg
+    shuffle on the 128-bit content hash — the standard exact-dedup plan
+    at any scale."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+Q20_SQL = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — token statistics (token counting for budget accounting)
+# --------------------------------------------------------------------------
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        r4(
+            F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(tok), F.lit(1))
+        ).alias("avg_token_len"),
+    )
+
+
+Q21_SQL = f"""
+SELECT doc_id, length(text) AS n_chars_actual,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       ROUND(list_sum(list_transform(t, x -> length(x)))
+             / greatest(len(t), 1), 4) AS avg_token_len
+FROM (SELECT doc_id, text, {TOKENS_SQL.format(x='text')} AS t FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — quality scoring (length / punct / digit / stopword ratios)
+# --------------------------------------------------------------------------
+_STOPWORDS = (
+    "the a and of to in is for on with as at by an be this that from or "
+    "it its are was"
+).split()
+
+
+def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + a composite score — the
+    filter stage every pretraining pipeline runs before tokenization.
+    Pure narrow projection: survives any scale unchanged."""
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.greatest(F.length("text"), F.lit(1))
+    ntok = F.greatest(F.size(tok), F.lit(1))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?'\"()-]", ""))
+    digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    stop = F.size(
+        F.filter(tok, lambda t: t.isin(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    sw_ratio = stop / ntok
+    score = (
+        F.lit(0.4) * (alpha / n)
+        + F.lit(0.3) * F.least(sw_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct / n * 10, F.lit(1.0)))
+        + F.lit(0.1) * (1 - F.least(digit / n * 10, F.lit(1.0)))
+    )
+    return d.select(
+        "doc_id",
+        r4(punct / n).alias("punct_ratio"),
+        r4(digit / n).alias("digit_ratio"),
+        r4(alpha / n).alias("alpha_ratio"),
+        r4(sw_ratio).alias("stopword_ratio"),
+        r4(score).alias("quality_score"),
+    )
+
+
+_SW_SQL = "[" + ",".join(f"'{s}'" for s in _STOPWORDS) + "]"
+Q22_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(length(text), 1) AS n,
+         greatest(len({TOKENS_SQL.format(x='text')}), 1) AS ntok,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         len(list_filter({TOKENS_SQL.format(x='text')},
+                         t -> list_contains({_SW_SQL}, t))) AS stop
+  FROM documents)
+SELECT doc_id,
+       ROUND(punct * 1.0 / n, 4) AS punct_ratio,
+       ROUND(digit * 1.0 / n, 4) AS digit_ratio,
+       ROUND(alpha * 1.0 / n, 4) AS alpha_ratio,
+       ROUND(stop * 1.0 / ntok, 4) AS stopword_ratio,
+       ROUND(0.4 * (alpha * 1.0 / n)
+             + 0.3 * least(stop * 5.0 / ntok, 1.0)
+             + 0.2 * (1 - least(punct * 10.0 / n, 1.0))
+             + 0.1 * (1 - least(digit * 10.0 / n, 1.0)), 4) AS quality_score
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — language ID (stopword-hit n-gram heuristic)
+# --------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "y", "es", "los", "que", "un"],
+    "fr": ["le", "la", "et", "est", "les", "une", "des"],
+}
+
+
+def q23_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scores + argmax prediction (deterministic
+    tiebreak: higher hits, then lexicographic lang code)."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.array_distinct(tokens(F.col("text")))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = F.size(
+            F.filter(tok, lambda t: t.isin(*[F.lit(m) for m in markers]))
+        )
+        scores.append((lang, hits))
+    # argmax via greatest-of-structs: (hits, reversed-lang) so the max
+    # struct is the winner with lexicographic-smallest lang on ties
+    best = F.greatest(
+        *[
+            F.struct(h.alias("h"), F.lit(-i).alias("ri"), F.lit(lang).alias("lang"))
+            for i, (lang, h) in enumerate(scores)
+        ]
+    )
+    sel = [F.col("doc_id"), F.col("lang").alias("lang_actual")]
+    for lang, h in scores:
+        sel.append(h.alias(f"hits_{lang}"))
+    sel.append(best["lang"].alias("lang_pred"))
+    return d.select(*sel)
+
+
+def _langid_sql() -> str:
+    t = TOKENS_SQL.format(x="text")
+    hit_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(
+            f"len(list_filter(list_distinct({t}), t -> list_contains({arr}, t)))"
+            f" AS hits_{lang}"
+        )
+    langs = sorted(_LANG_MARKERS)
+    structs = ", ".join(
+        f"{{'h': hits_{lang}, 'ri': {-i}, 'lang': '{lang}'}}"
+        for i, lang in enumerate(langs)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang AS lang_actual, {', '.join(hit_cols)}
+  FROM documents)
+SELECT doc_id, lang_actual, hits_de, hits_en, hits_es, hits_fr,
+       list_max([{structs}]).lang AS lang_pred
+FROM h
+"""
+
+
+Q23_SQL = _langid_sql()
+
+
+# --------------------------------------------------------------------------
+# q24 — MinHash signatures (the scale path to near-dedup)
+# --------------------------------------------------------------------------
+def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", shingle_hashes(shingles(tokens(F.col("text")))).alias("hx")
+    )
+    sig = minhash_sig(F.col("hx"))
+    return staged.select(
+        "doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(sig)]
+    )
+
+
+Q24_SQL = f"""
+SELECT doc_id, {', '.join(f'{s} AS mh{i}' for i, s in enumerate(minhash_sig_sql('sh')))}
+FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — MinHash + LSH near-dup pairs (band trick + exact verify)
+# --------------------------------------------------------------------------
+def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 bands × 2 rows over the 8-perm signature: docs sharing any band
+    key become candidates (shuffle on the band key only); candidates are
+    verified with exact shingle Jaccard ≥ 0.4. This is the linear-cost
+    near-dedup plan — the O(n²) comparison never materializes."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    staged = d.select("doc_id", sh.alias("sh")).withColumn(
+        "hx", shingle_hashes(F.col("sh"))
+    )
+    sig = minhash_sig(F.col("hx"))
+    feats = staged.select(
+        "doc_id",
+        "sh",
+        *[c.alias(f"mh{i}") for i, c in enumerate(sig)],
+    )
+    bands = feats.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        cand.select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+Q25_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, sh,
+         {', '.join(f'{s} AS mh{i}' for i, s in enumerate(minhash_sig_sql('sh')))}
+  FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+        FROM documents)
+), bands AS (
+  SELECT doc_id, sh, b.band,
+         CASE b.band WHEN 0 THEN mh0 || '_' || mh1
+                     WHEN 1 THEN mh2 || '_' || mh3
+                     WHEN 2 THEN mh4 || '_' || mh5
+                     ELSE mh6 || '_' || mh7 END AS key
+  FROM feats, (SELECT unnest([0,1,2,3]) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sh_a, sh_b)) * 1.0
+             / len(list_distinct(sh_a || sh_b)), 4) AS jaccard
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b)) * 1.0
+      / len(list_distinct(sh_a || sh_b)) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — SimHash (16-bit) per document
+# --------------------------------------------------------------------------
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct-token md5 hashes — bitwise majority
+    vote, computed as 16 aggregate expressions in one narrow projection
+    (no explode, no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    tok = F.array_distinct(tokens(F.col("text")))
+    h = F.transform(tok, lambda t: md5long(t))
+    bits = []
+    for bpos in range(16):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, bpos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            ),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
+    simhash = bits[0]
+    for bcol in bits[1:]:
+        simhash = simhash + bcol
+    return d.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    x = MD5LONG_SQL.format(x="t")
+    bit_terms = []
+    for bpos in range(16):
+        vote = (
+            f"list_sum(list_transform(tok, t -> CASE WHEN "
+            f"(({x} >> {bpos}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN {1 << bpos} ELSE 0 END")
+    return f"""
+SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
+FROM (SELECT doc_id, list_distinct({TOKENS_SQL.format(x='text')}) AS tok
+      FROM documents)
+"""
+
+
+Q26_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# q27 — blocked n-gram Jaccard near-dup (explode-join formulation)
+# --------------------------------------------------------------------------
+def q27_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard via the distributed formulation: explode
+    grams → self-join on gram within a (lang, source) block → count
+    shared grams per pair → Jaccard from per-doc gram counts. Unlike the
+    array-intersect form this never needs both full gram sets on one
+    row, so it scales to arbitrarily long documents; the block key
+    bounds the candidate space."""
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1))),
+            lambda i: F.substring(F.col("text"), i, 4),
+        )
+    )
+    g = d.select(
+        "doc_id", "lang", "source", grams.alias("g"), F.size(grams).alias("ng")
+    )
+    e = g.select(
+        "doc_id", "lang", "source", "ng", F.explode("g").alias("gram")
+    )
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("ng").alias("ng_a"), "gram",
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("ng").alias("ng_b"), "gram",
+    )
+    shared = (
+        a.join(b, on=["lang", "source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "ng_a", "ng_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("ng_a") + F.col("ng_b") - F.col("n_shared"))
+    return (
+        shared.select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+Q27_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 3, 1)),
+           i -> substr(text, i, 4))) AS grams
+  FROM documents
+), e AS (
+  SELECT doc_id, lang, source, len(grams) AS ng, unnest(grams) AS gram FROM g
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS ng_a, b.ng AS ng_b,
+         COUNT(*) AS n_shared
+  FROM e a JOIN e b
+    ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(n_shared * 1.0 / (ng_a + ng_b - n_shared), 4) AS jaccard
+FROM shared
+WHERE n_shared * 1.0 / (ng_a + ng_b - n_shared) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — document fingerprint (min-hash sketch + content hash)
+# --------------------------------------------------------------------------
+def q28_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact per-doc fingerprint: lexicographic min/max shingle hash
+    (a 2-value MinHash sketch) + shingle count + full content hash.
+    Equal fingerprints ⇒ near-certain duplicates; used as the cheap
+    pre-filter before LSH."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return d.select(
+        "doc_id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+        F.size(sh).alias("n_shingles"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+Q28_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(sh, s -> md5(s))) AS fp_min,
+       list_max(list_transform(sh, s -> md5(s))) AS fp_max,
+       len(sh) AS n_shingles,
+       md5(text) AS content_hash
+FROM (SELECT doc_id, text,
+             {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+      FROM documents)
+"""
+
+
+QUERIES = {
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_token_stats": q21_token_stats,
+    "q22_quality_score": q22_quality_score,
+    "q23_langid": q23_langid,
+    "q24_minhash_signature": q24_minhash_signature,
+    "q25_lsh_neardup_pairs": q25_lsh_neardup_pairs,
+    "q26_simhash": q26_simhash,
+    "q27_ngram_jaccard": q27_ngram_jaccard,
+    "q28_fingerprint": q28_fingerprint,
+}
+
+ORACLES = {
+    "q20_exact_dedup": Q20_SQL,
+    "q21_token_stats": Q21_SQL,
+    "q22_quality_score": Q22_SQL,
+    "q23_langid": Q23_SQL,
+    "q24_minhash_signature": Q24_SQL,
+    "q25_lsh_neardup_pairs": Q25_SQL,
+    "q26_simhash": Q26_SQL,
+    "q27_ngram_jaccard": Q27_SQL,
+    "q28_fingerprint": Q28_SQL,
+}
