@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Headline benchmark for the oak-kg PySpark engine.
+
+Runs the flagship KG-construction pipeline plus a representative query
+set at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "kg_docs_per_sec": ...}
+
+Each query is consumed with a noop sink so the full plan (including
+column-pruned branches) executes without driver-side collection cost.
+
+    python bench.py                 # headline run, one JSON line
+    python bench.py --scaling       # local[8] vs local[32] throughput +
+                                    # scaling efficiency (north_rule
+                                    # two-cluster-size evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline set — the KG pipeline end-to-end plus one representative of
+#: each operator family (join/agg/window/dedup/LSH/ANN)
+HEADLINE = [
+    "kg99_flagship",
+    "kg30_reconstruct_wide",
+    "kg34_has_lesson_triples",
+    "q01_pricing_summary",
+    "q05_composite_join",
+    "q11_window_topn",
+    "q20_exact_dedup",
+    "q25_lsh_neardup_pairs",
+    "q29_knn_bruteforce",
+    "q30_lsh_neardup",
+]
+
+
+def run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import n_docs_for
+    from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="oak-kg-bench",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        run_noop(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    n_docs = n_docs_for(sf_dir)
+    out = {
+        "metric": "kg-flagship+headline total wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "cpus": cpus,
+        "kg_docs": n_docs,
+        "kg_docs_per_sec": round(n_docs / timings["kg99_flagship"], 1),
+    }
+    spark.stop()
+    return out
+
+
+def scaling() -> None:
+    """North-rule two-cluster-size evidence: the same flagship job at
+    local[8] vs local[32]; efficiency = (T8/T32) / (32/8)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, __file__, "--json-only", "--flagship-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8 = results[8]["queries"]["kg99_flagship"]
+    t32 = results[32]["queries"]["kg99_flagship"]
+    speedup = t8 / t32
+    eff = speedup / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "kg flagship scaling local[8]→local[32]",
+                "sf": results[32]["sf"],
+                "t_local8_sec": t8,
+                "t_local32_sec": t32,
+                "docs_per_sec_local8": results[8]["kg_docs_per_sec"],
+                "docs_per_sec_local32": results[32]["kg_docs_per_sec"],
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        names = (
+            ["kg99_flagship"] if "--flagship-only" in sys.argv else HEADLINE
+        )
+        print(json.dumps(bench_once(SF_DIR, CPUS, names)))

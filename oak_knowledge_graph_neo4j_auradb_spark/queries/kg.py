@@ -1,3 +1,375 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""KG-construction query surface over the synthetic interleaved-document
+corpus (BASELINE.json input_hint).
+
+The corpus is generated deterministically per scale factor (seed=42,
+`sources/docgen.py`) and cached under ``/root/repo/_data_cache`` — the
+engine's only input is the ``documents(doc_id, spans[])`` table, exactly
+the input_hint shape. Each query below exercises one stage of the
+pipeline (reference lifecycle: hasura_extractor.py → data_cleaner.py →
+schema_mapper.py); the DuckDB oracle replays the same stage in ANSI-ish
+SQL over the *same parquet file*, so the driver's value-hash compare is a
+genuine independent re-derivation. Full-pipeline outputs (node/edge
+histograms, the flagship resolved-triple stream) are not reasonably
+SQL-expressible — they get rows-only driver checks here and exact
+golden-triple equality against the pure-Python reference oracle in
+`tests/test_golden_graph.py` (P/R = 1.0).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.reconstruct import media_assets, reconstruct_wide
+from ..sources.docgen import ensure_documents
+
+DOC_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_data_cache")
+
+#: docs per driver scale factor — 10× per step, matching the testdata ratios
+N_DOCS_BY_SF = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
+ORACLE_SF_NDOCS = 4000  # the driver's correctness gate runs at sf0.01
+
+
+def n_docs_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return N_DOCS_BY_SF.get(base, ORACLE_SF_NDOCS)
+
+
+def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input table: documents(doc_id, spans[]) at this scale factor."""
+    path = ensure_documents(DOC_CACHE, n_docs_for(sf_dir))
+    return spark.read.parquet(path)
+
+
+#: literal path the DuckDB oracle reads (driver compares at sf0.01 only);
+#: generated at import so the oracle file exists before either side runs
+ORACLE_DOCS = ensure_documents(DOC_CACHE, ORACLE_SF_NDOCS)
+
+# shared SQL fragments ------------------------------------------------------
+
+#: spans → (doc_id, kind, k, v, off): name before the first '=', value the
+#: remainder (media spans carry the value in media_ref)
+_KV_SQL = f"""
+  WITH sp AS (
+    SELECT doc_id, unnest(spans) AS s FROM '{ORACLE_DOCS}'
+  ), kv AS (
+    SELECT doc_id,
+           s.kind AS kind,
+           split_part(s.text, '=', 1) AS k,
+           CASE WHEN s.kind = 'media' THEN s.media_ref
+                ELSE substring(s.text, length(split_part(s.text, '=', 1)) + 2)
+           END AS v,
+           s."offset" AS off
+    FROM sp
+  )
+"""
+
+#: pivot helper — one wide row per doc from the kv stream
+def _piv(col: str) -> str:
+    return f"MAX(CASE WHEN k = '{col}' THEN v END)"
+
+
+def _wide_sql(cols: list[str], mv: str) -> str:
+    """kv → one row per doc of the requested columns, filtered to one MV,
+    with row_seq = the extraction order embedded in doc_id."""
+    sel = ",\n           ".join(f"{_piv(c)} AS {c}" for c in cols)
+    return f"""
+  wide AS (
+    SELECT doc_id,
+           CAST(substring(doc_id, 5) AS BIGINT) AS row_seq,
+           {sel}
+    FROM kv
+    GROUP BY doc_id
+    HAVING MAX(CASE WHEN k = '_mv' THEN v END) = '{mv}'
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# kg30 — stage S: span-sequence → wide-table reconstruction
+# (hasura_extractor.py:249-258; pure-Catalyst path, no shuffle)
+# --------------------------------------------------------------------------
+
+
+def kg30_reconstruct_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = reconstruct_wide(docs_df(spark, sf_dir), "primary")
+    return wide.select(
+        "doc_id",
+        F.col("lesson_slug"),
+        F.col("unit_slug"),
+        F.col("lesson_id").alias("lesson_id"),
+        F.col("order_in_unit").cast("long").alias("order_in_unit"),
+        F.col("programme_keystage_slug").alias("keystage_slug"),
+    )
+
+
+KG30_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["lesson_slug", "unit_slug", "lesson_id", "order_in_unit", "programme_keystage_slug"], "primary")}
+SELECT doc_id,
+       lesson_slug,
+       unit_slug,
+       CAST(lesson_id AS BIGINT) AS lesson_id,
+       CAST(CAST(order_in_unit AS DOUBLE) AS BIGINT) AS order_in_unit,
+       programme_keystage_slug AS keystage_slug
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# kg31 — the per-row invariant: span-sequence fingerprint on
+# (kind, text, media_ref, rank(offset)) (BASELINE.json input_hint)
+# --------------------------------------------------------------------------
+
+
+def kg31_span_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_df(spark, sf_dir)
+    # md5 (engine-portable, unlike xxhash64) over the ordered span tuples
+    seq = F.expr(
+        "array_join(transform(array_sort(spans, (l, r) -> CASE WHEN l.offset < r.offset"
+        " THEN -1 WHEN l.offset > r.offset THEN 1 ELSE 0 END),"
+        " s -> concat_ws(chr(31), s.kind, s.text, s.media_ref)), chr(30))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(seq).alias("fp"),
+    )
+
+
+KG31_SQL = f"""
+{_KV_SQL}
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_spans,
+       md5(string_agg(kind || chr(31) || (k || '=' ||
+             CASE WHEN kind = 'media' THEN '' ELSE v END) || chr(31) ||
+             CASE WHEN kind = 'media' THEN v ELSE '' END,
+           chr(30) ORDER BY off)) AS fp
+FROM kv
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# kg32 — multimodal span table: every media span as a typed asset row
+# (operators/reconstruct.py:media_assets; SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+
+def kg32_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_assets(docs_df(spark, sf_dir)).withColumnRenamed("order", "ord")
+
+
+KG32_SQL = f"""
+{_KV_SQL}
+SELECT doc_id, k AS field, v AS media_ref, off AS ord
+FROM kv WHERE kind = 'media'
+"""
+
+
+# --------------------------------------------------------------------------
+# kg33 — node extraction with first-seen dedup (schema_mapper.py:86,172-176):
+# Unit nodes' numeric properties, winner = lowest extraction order among
+# non-filtered rows (data_cleaner filter is_legacy=False runs first)
+# --------------------------------------------------------------------------
+
+
+def _wide(spark: SparkSession, sf_dir: str):
+    """One GraphBuild per (session, sf): the consolidated wide table is
+    persisted once and fanned out to all 25 extraction plans — without
+    this the doc-scan → reconstruct → join → clean prefix re-executes
+    per plan (≈40× redundant work at flagship scale)."""
+    from ..plans.pipeline import build_graph
+
+    key = (id(spark), os.path.normpath(sf_dir))
+    cached = _BUILDS.get(key)
+    if cached is None:
+        cached = build_graph(spark, docs_df(spark, sf_dir), persist_wide=True)
+        _BUILDS[key] = cached
+    return cached
+
+
+_BUILDS: dict = {}
+
+
+def kg33_unit_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    return gb.nodes["Unit"].select(
+        F.col("id"),
+        F.col("unitId").alias("unit_id"),
+        F.col("nullUnitVariantId").alias("null_unitvariant_id"),
+    )
+
+
+KG33_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unit_slug", "unit_id", "null_unitvariant_id"], "primary")}
+SELECT unit_slug AS id,
+       CAST(CAST(arg_min(unit_id, row_seq) AS DOUBLE) AS BIGINT) AS unit_id,
+       CAST(CAST(NULLIF(arg_min(COALESCE(null_unitvariant_id, chr(0)), row_seq), chr(0))
+            AS DOUBLE) AS BIGINT) AS null_unitvariant_id
+FROM wide
+WHERE is_legacy = 'False' AND unit_slug IS NOT NULL AND trim(unit_slug) <> ''
+GROUP BY unit_slug
+"""
+
+
+# --------------------------------------------------------------------------
+# kg34 — triple extraction: HAS_LESSON (Unitvariant)-[:HAS_LESSON]->(Lesson)
+# with typed edge property lessonOrder (schema_mapper.py:249-386; config
+# unitvariant_has_lesson, ...alpha.json:700-720)
+# --------------------------------------------------------------------------
+
+
+def kg34_has_lesson_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    t = gb.triples.filter(F.col("config_key") == "unitvariant_has_lesson")
+    return t.select(
+        F.col("subj"),
+        F.col("obj"),
+        F.element_at("props", "lessonOrder").cast("long").alias("lesson_order"),
+    )
+
+
+KG34_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unitvariant_id", "lesson_slug", "order_in_unit"], "primary")}
+SELECT DISTINCT
+       unitvariant_id AS subj,
+       lesson_slug AS obj,
+       CAST(CAST(order_in_unit AS DOUBLE) AS BIGINT) AS lesson_order
+FROM wide
+WHERE is_legacy = 'False'
+  AND unitvariant_id IS NOT NULL AND trim(unitvariant_id) <> ''
+  AND lesson_slug IS NOT NULL AND trim(lesson_slug) <> ''
+"""
+
+
+# --------------------------------------------------------------------------
+# kg35 — the full join + expand_list path: supplementary threads that
+# survive the composite join (unit_slug normalized, programme_slug_by_year
+# exploded both sides, hasura_extractor.py:100-258) expand into Thread
+# nodes (schema_mapper.py:633-787), dual JSON/py-literal dialect parsing
+# --------------------------------------------------------------------------
+
+
+def kg35_thread_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    return gb.nodes["Thread"].select(
+        F.col("id"),
+        F.col("threadId").alias("thread_id"),
+        F.col("threadTitle").alias("thread_title"),
+    )
+
+
+KG35_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unit_slug", "programme_slug_by_year"], "primary")},
+  prim_x AS (
+    SELECT unit_slug,
+           unnest(CASE WHEN programme_slug_by_year LIKE '[%'
+                       THEN json_transform(programme_slug_by_year, '["VARCHAR"]')
+                       ELSE [programme_slug_by_year] END) AS psby
+    FROM wide WHERE is_legacy = 'False'
+  ),
+  supw AS (
+    SELECT doc_id,
+           {_piv("unit_slug")} AS unit_slug,
+           {_piv("programme_slug_by_year")} AS psby_raw,
+           {_piv("threads")} AS threads
+    FROM kv GROUP BY doc_id
+    HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+  ),
+  sup_x AS (
+    SELECT COALESCE(NULLIF(regexp_extract(unit_slug, '^(.+)-[0-9]+$', 1), ''),
+                    unit_slug) AS unit_slug,
+           unnest(CASE WHEN psby_raw LIKE '[%'
+                       THEN json_transform(psby_raw, '["VARCHAR"]')
+                       ELSE [psby_raw] END) AS psby,
+           threads
+    FROM supw
+  ),
+  matched AS (
+    SELECT DISTINCT s.threads
+    FROM sup_x s JOIN prim_x p ON s.unit_slug = p.unit_slug AND s.psby = p.psby
+    WHERE s.threads IS NOT NULL AND s.threads LIKE '[%' AND s.threads <> '[]'
+  ),
+  items AS (
+    SELECT unnest(json_transform(replace(threads, chr(39), chr(34)),
+      '[{{"thread_slug":"VARCHAR","thread_id":"BIGINT","thread_title":"VARCHAR"}}]')) AS it
+    FROM matched
+  )
+SELECT DISTINCT it.thread_slug AS id,
+       it.thread_id AS thread_id,
+       it.thread_title AS thread_title
+FROM items
+WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''
+"""
+
+
+# --------------------------------------------------------------------------
+# full-pipeline surfaces (golden-tested vs the pure-Python reference
+# oracle in tests/test_golden_graph.py; rows-only driver check here)
+# --------------------------------------------------------------------------
+
+
+def kg36_node_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes per label (introspect_schema.py:43-98 A7)."""
+    gb = _wide(spark, sf_dir)
+    out = None
+    for label, df in gb.nodes.items():
+        d = df.select(F.lit(label).alias("label")).groupBy("label").count()
+        out = d if out is None else out.unionByName(d)
+    return out.withColumnRenamed("count", "n_nodes").orderBy("label")
+
+
+def kg37_edge_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved edges per (subj_label, pred, obj_label) pattern triple
+    (schema_introspection_output.txt:133-213)."""
+    gb = _wide(spark, sf_dir)
+    return (
+        gb.resolved.groupBy("subj_label", "pred", "obj_label")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("subj_label", "pred", "obj_label")
+    )
+
+
+def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline pipeline: documents → reconstruct → join → clean →
+    extract → resolve; returns the resolved (subj, pred, obj) stream."""
+    gb = _wide(spark, sf_dir)
+    return gb.resolved.select(
+        "config_key",
+        "pred",
+        "subj",
+        "obj",
+        "subj_label",
+        "obj_label",
+        F.to_json(F.col("props")).alias("props_json"),
+    )
+
+
+QUERIES = {
+    "kg30_reconstruct_wide": kg30_reconstruct_wide,
+    "kg31_span_fingerprint": kg31_span_fingerprint,
+    "kg32_media_assets": kg32_media_assets,
+    "kg33_unit_nodes": kg33_unit_nodes,
+    "kg34_has_lesson_triples": kg34_has_lesson_triples,
+    "kg35_thread_nodes": kg35_thread_nodes,
+    "kg36_node_histogram": kg36_node_histogram,
+    "kg37_edge_histogram": kg37_edge_histogram,
+    "kg99_flagship": kg_flagship,
+}
+
+ORACLES = {
+    "kg30_reconstruct_wide": KG30_SQL,
+    "kg31_span_fingerprint": KG31_SQL,
+    "kg32_media_assets": KG32_SQL,
+    "kg33_unit_nodes": KG33_SQL,
+    "kg34_has_lesson_triples": KG34_SQL,
+    "kg35_thread_nodes": KG35_SQL,
+    # kg36/kg37/kg99: full-pipeline, not SQL-expressible — golden-tested
+    # against the reference-semantics oracle in tests/test_golden_graph.py
+}
