@@ -86,6 +86,33 @@ def parse_dict_array_udf(s: pd.Series) -> pd.Series:
     return s.map(_parse_dict_array, na_action="ignore")
 
 
+def parsed_col_name(field: str) -> str:
+    return f"_parsed_{field}"
+
+
+def parsed_array(wide: DataFrame, field: str) -> Column:
+    """The dual-dialect parsed array for an expandable field. Prefers the
+    pipeline's precomputed ``_parsed_<field>`` column (one UDF evaluation
+    per row, persisted in the wide-table cache) over re-running the
+    Arrow round-trip in this stage."""
+    pc = parsed_col_name(field)
+    if pc in wide.columns:
+        return F.col(pc)
+    return parse_dict_array_udf(F.col(field))
+
+
+def with_parsed_arrays(wide: DataFrame, node_configs: dict[str, Any]) -> DataFrame:
+    """Materialize ``_parsed_<field>`` for every expand_list field —
+    called once before the wide-table persist so every downstream
+    consumer (triple melt, node dims, expanded nodes) reads the parsed
+    array from cache instead of paying its own UDF stage."""
+    for field in _expandable_fields(node_configs):
+        wide = wide.withColumn(
+            parsed_col_name(field), parse_dict_array_udf(F.col(field))
+        )
+    return wide
+
+
 # --------------------------------------------------------------------------
 # endpoint rendering — str(row[field]) as the reference mapper sees it
 # (schema_mapper.py:162,315,320 over the post-CSV-round-trip frame)
@@ -254,7 +281,7 @@ def _extract_expanded_node(
 
     exploded = wide.select(
         F.col("_ord"),
-        F.posexplode(parse_dict_array_udf(F.col(col))).alias("_pos", "_item"),
+        F.posexplode(parsed_array(wide, col)).alias("_pos", "_item"),
     )
     src = exploded.select(
         F.struct(F.col("_ord"), F.col("_pos")).alias("_ord2"),
@@ -346,8 +373,9 @@ def extract_triples_config(
 
     def arr_ids(field: str) -> Column:
         idk = expandable[field]["id_key"]
-        parsed = parse_dict_array_udf(F.col(field))
-        ids = F.transform(parsed, lambda it: F.element_at(it, idk))
+        ids = F.transform(
+            parsed_array(wide, field), lambda it: F.element_at(it, idk)
+        )
         return F.filter(
             ids, lambda v: v.isNotNull() & (F.trim(v) != "")
         )
@@ -452,7 +480,12 @@ def extract_triples(
     node_configs: dict[str, Any],
     run_ts: str,
 ) -> DataFrame:
-    """All relationship configs → one unioned canonical triple stream."""
+    """All relationship configs → one unioned canonical triple stream.
+
+    Per-config plans each carry their own dedup shuffle — correct but 12
+    exchanges. :func:`extract_triples_fused` produces the identical
+    stream with ONE exchange; this per-config form remains for targeted
+    single-config extraction (e.g. the kg34 driver query)."""
     dfs = [
         extract_triples_config(wide, key, cfg, node_configs, run_ts)
         for key, cfg in rel_configs.items()
@@ -460,6 +493,322 @@ def extract_triples(
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    return out
+
+
+# --------------------------------------------------------------------------
+# fused extraction — one shuffle for all configs
+# --------------------------------------------------------------------------
+#
+# The dedup key (config_key, subj, obj) is disjoint across configs, so the
+# 12 per-config aggregates can share a single hash aggregate: union the 12
+# projections over the cached wide table (narrow, cheap) into one uniform
+# schema, shuffle ONCE on (config_key, subj, obj). At 10^12 rows this
+# turns 12 full-table exchanges into 1. Property values are rendered to
+# their canonical strings BEFORE the aggregate — per-value cleaning is
+# deterministic, so it commutes with first-seen winner selection
+# (schema_mapper.py:308-338 applies _clean_value after dedup; same
+# result). Entries ride through min(struct(ord, entries)) untouched
+# because the order key is unique per input row.
+
+
+def _prop_entries_pre(
+    prop_cols: list, run_ts: str
+) -> Column:
+    """array<struct<k,v>> of canonically-rendered property values,
+    computed from the source columns directly (pre-aggregate)."""
+    entries = []
+    for pname, pcfg, hcol in prop_cols:
+        ptype = pcfg.get("type", "string")
+        rule = pcfg.get("computed")
+        if hcol is None:
+            val = F.lit(run_ts)
+        else:
+            raw = F.col(hcol)
+            src_dtype = column_dtype(hcol)
+            if rule:
+                if src_dtype == "string":
+                    empty = raw.isNull() | is_empty_str(raw)
+                else:
+                    empty = raw.isNull()
+                b = ~empty if rule == "is_not_null" else empty
+                if rule not in ("is_not_null", "is_null"):
+                    b = F.lit(None).cast("boolean")
+                val = _canonical_str(b, "boolean")
+            else:
+                val = _canonical_str(clean_typed_from(raw, src_dtype, ptype), ptype)
+        entries.append(F.struct(F.lit(pname).alias("k"), val.alias("v")))
+    if not entries:
+        return F.array().cast("array<struct<k:string,v:string>>")
+    return F.array(*entries)
+
+
+def extract_triples_fused(
+    wide: DataFrame,
+    rel_configs: dict[str, Any],
+    node_configs: dict[str, Any],
+    run_ts: str,
+) -> DataFrame:
+    """All relationship configs → canonical triple stream: ONE scan of
+    the wide table, ONE exchange.
+
+    Melt, don't union: a per-row array holds every config's candidate
+    triples (expanded endpoints contribute their per-row cross product
+    via nested ``transform``s), one ``explode`` flattens it, one
+    ``groupBy(config_key, subj, obj)`` dedups. A 12-branch union reads
+    the (cached) table 12× — 12 × partitions tasks and 12 scans; at
+    10^12 rows that is the difference between one pass and twelve."""
+    expandable = _expandable_fields(node_configs)
+
+    # Python UDFs cannot appear inside higher-order-function lambdas
+    # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF) — and every
+    # extra UDF stage pays an Arrow round-trip over the whole table.
+    # Materialize each expandable field's parsed ID array as a plain
+    # column first (reusing the pipeline's cached `_parsed_<field>`
+    # column when present, so the parse ran exactly once per row).
+    used_fields = set()
+    for cfg in rel_configs.values():
+        for fld in (cfg.get("start_csv_field"), cfg.get("end_csv_field")):
+            if fld in expandable:
+                used_fields.add(fld)
+    id_cols = {}
+    for fld in sorted(used_fields):
+        idk = expandable[fld]["id_key"]
+        ids = F.transform(parsed_array(wide, fld), lambda it: F.element_at(it, idk))
+        id_cols[fld] = f"_ids_{fld}"
+        wide = wide.withColumn(
+            id_cols[fld],
+            F.coalesce(
+                F.filter(ids, lambda v: v.isNotNull() & (F.trim(v) != "")),
+                F.array().cast("array<string>"),
+            ),
+        )
+
+    def arr_ids(field: str) -> Column:
+        return F.col(id_cols[field])
+
+    empty = F.array().cast(
+        "array<struct<config_key:string,pred:string,subj_label:string,"
+        "obj_label:string,s:string,e:string,spos:int,epos:int,"
+        "entries:array<struct<k:string,v:string>>>>"
+    )
+
+    def elem(ck, rtype, slbl, elbl, s, e, spos, epos, entries) -> Column:
+        return F.struct(
+            F.lit(ck).alias("config_key"),
+            F.lit(rtype).alias("pred"),
+            F.lit(slbl).alias("subj_label"),
+            F.lit(elbl).alias("obj_label"),
+            s.alias("s"),
+            e.alias("e"),
+            spos.cast("int").alias("spos"),
+            epos.cast("int").alias("epos"),
+            entries.alias("entries"),
+        )
+
+    config_arrays = []
+    for config_key, cfg in rel_configs.items():
+        rtype = cfg.get("relationship_type", config_key)
+        sf, ef = cfg.get("start_csv_field"), cfg.get("end_csv_field")
+        props: dict[str, Any] = cfg.get("properties", {})
+        s_arr, e_arr = sf in expandable, ef in expandable
+
+        prop_cols = []
+        for pname, pcfg in props.items():
+            hcol = pcfg.get("hasura_col")
+            if hcol and hcol in wide.columns:
+                prop_cols.append((pname, pcfg, hcol))
+            elif hcol == "current_timestamp":
+                prop_cols.append((pname, pcfg, None))
+        entries = _prop_entries_pre(prop_cols, run_ts)
+
+        if s_arr or e_arr:
+            s_ids = (
+                arr_ids(sf)
+                if s_arr
+                else F.when(
+                    F.trim(endpoint_str(sf)) != "", F.array(endpoint_str(sf))
+                ).otherwise(F.array().cast("array<string>"))
+            )
+            e_ids = (
+                arr_ids(ef)
+                if e_arr
+                else F.when(
+                    F.trim(endpoint_str(ef)) != "", F.array(endpoint_str(ef))
+                ).otherwise(F.array().cast("array<string>"))
+            )
+            # per-row cross product of the endpoint sets (nested
+            # higher-order transforms; schema_mapper.py:438-449)
+            arr = F.flatten(
+                F.transform(
+                    s_ids,
+                    lambda s, si: F.transform(
+                        e_ids,
+                        lambda e, ei: elem(
+                            config_key,
+                            rtype,
+                            cfg.get("start_node_type"),
+                            cfg.get("end_node_type"),
+                            s,
+                            e,
+                            si,
+                            ei,
+                            entries,
+                        ),
+                    ),
+                )
+            )
+        else:
+            s, e = endpoint_str(sf), endpoint_str(ef)
+            arr = F.when(
+                (F.trim(s) != "") & (F.trim(e) != ""),
+                F.array(
+                    elem(
+                        config_key,
+                        rtype,
+                        cfg.get("start_node_type"),
+                        cfg.get("end_node_type"),
+                        s,
+                        e,
+                        F.lit(0),
+                        F.lit(0),
+                        entries,
+                    )
+                ),
+            ).otherwise(empty)
+        config_arrays.append(arr)
+
+    melted = wide.select(
+        F.col("_ord"), F.explode(F.concat(*config_arrays)).alias("_el")
+    )
+    agg = melted.groupBy(
+        F.col("_el.config_key").alias("config_key"),
+        F.col("_el.s").alias("_s"),
+        F.col("_el.e").alias("_e"),
+    ).agg(
+        F.min(
+            F.struct(
+                F.struct(
+                    F.col("_ord").alias("o"),
+                    F.col("_el.spos").alias("_spos"),
+                    F.col("_el.epos").alias("_epos"),
+                ).alias("o2"),
+                F.col("_el.entries").alias("_entries"),
+            )
+        ).alias("_w"),
+        F.first("_el.pred").alias("pred"),
+        F.first("_el.subj_label").alias("subj_label"),
+        F.first("_el.obj_label").alias("obj_label"),
+    )
+    props_map = F.map_from_entries(
+        F.filter(F.col("_w._entries"), lambda e: e["v"].isNotNull())
+    )
+    return agg.select(
+        "config_key",
+        "pred",
+        F.col("_s").alias("subj"),
+        F.col("_e").alias("obj"),
+        "subj_label",
+        "obj_label",
+        props_map.alias("props"),
+    )
+
+
+def node_dims(
+    wide: DataFrame,
+    node_configs: dict[str, Any],
+    spark: SparkSession,
+) -> DataFrame:
+    """(label, nid) — the distinct node-ID dimension for endpoint
+    resolution: ONE scan, ONE exchange for all 13 labels.
+
+    Same melt shape as :func:`extract_triples_fused` — a per-row array of
+    (label, id_type, raw_id) candidates, exploded once, distinct once.
+    IDs are the dedup key, so no first-seen ordering is needed. Typed
+    cleaning (quote strip + unicode unescape, a pandas-UDF stage) runs
+    AFTER the distinct — over ~|distinct ids| rows instead of
+    13 × |table|; cleaning is per-value deterministic so
+    distinct→clean→distinct yields exactly extract_node's ID set."""
+    expandable = _expandable_fields(node_configs)
+    empty = F.array().cast(
+        "array<struct<label:string,t:string,raw:string>>"
+    )
+
+    arrays = []
+    statics = []
+    for label, cfg in node_configs.items():
+        idf = cfg.get("id_field", {})
+        id_type = idf.get("type", "string")
+        synthetic = idf.get("synthetic_value", "")
+        id_col = idf.get("hasura_col")
+
+        if idf.get("expand_list"):
+            idk = expandable[id_col]["id_key"]
+            parsed = parsed_array(wide, id_col)
+            pcol = f"_dimids_{id_col}"
+            wide = wide.withColumn(
+                pcol,
+                F.coalesce(
+                    F.filter(
+                        F.transform(parsed, lambda it: F.element_at(it, idk)),
+                        lambda v: v.isNotNull() & (F.trim(v) != ""),
+                    ),
+                    F.array().cast("array<string>"),
+                ),
+            )
+            arrays.append(
+                (label, id_type, pcol)  # expanded marker, resolved below
+            )
+        elif synthetic and not id_col and "{" not in str(synthetic):
+            statics.append((label, str(synthetic)))
+        else:
+            if synthetic and not id_col and "{" in str(synthetic):
+                id_col = idf.get("property_name", "id")
+            raw = endpoint_str(id_col)
+            arrays.append(
+                F.when(
+                    ~is_nullish_id(raw),
+                    F.array(
+                        F.struct(
+                            F.lit(label).alias("label"),
+                            F.lit(id_type).alias("t"),
+                            raw.alias("raw"),
+                        )
+                    ),
+                ).otherwise(empty)
+            )
+
+    resolved_arrays = []
+    for a in arrays:
+        if isinstance(a, tuple):
+            label, id_type, pcol = a
+            resolved_arrays.append(
+                F.transform(
+                    F.col(pcol),
+                    lambda v: F.struct(
+                        F.lit(label).alias("label"),
+                        F.lit(id_type).alias("t"),
+                        v.alias("raw"),
+                    ),
+                )
+            )
+        else:
+            resolved_arrays.append(a)
+    melted = wide.select(
+        F.explode(F.concat(*resolved_arrays)).alias("_el")
+    ).select(
+        F.col("_el.label").alias("label"),
+        F.col("_el.t").alias("_t"),
+        F.col("_el.raw").alias("_raw"),
+    )
+    distinct_raw = melted.distinct()
+    cleaned = F.when(
+        F.col("_t") == "int", clean_typed(F.col("_raw"), "int").cast("string")
+    ).otherwise(clean_typed(F.col("_raw"), "string"))
+    out = distinct_raw.select("label", cleaned.alias("nid")).distinct()
+    if statics:
+        st = spark.createDataFrame(statics, "label string, nid string")
+        out = out.unionByName(st)
     return out
 
 
@@ -489,6 +838,7 @@ def resolve_triples(
     triples: DataFrame,
     nodes: dict[str, DataFrame],
     node_configs: dict[str, Any],
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """Drop triples whose endpoints match no node — the loader's silent
     MATCH-miss behavior (pipeline/auradb_loader.py:296-309); equivalently
@@ -496,14 +846,18 @@ def resolve_triples(
     (scripts/validate_neo4j_import.py:315-319).
 
     The node-ID dimension is tiny relative to the triple stream, so both
-    semi-joins broadcast — no shuffle of the triples."""
-    dims = None
-    for lbl, df in nodes.items():
-        d = df.select(
-            F.lit(lbl).alias("label"), F.col("id").cast("string").alias("nid")
-        )
-        dims = d if dims is None else dims.unionByName(d)
-    dims = F.broadcast(dims.distinct())
+    semi-joins broadcast — no shuffle of the triples. Pass ``dims`` (from
+    :func:`node_dims`) to resolve in one fused exchange instead of 13
+    per-label dedup aggregates."""
+    if dims is None:
+        dims = None
+        for lbl, df in nodes.items():
+            d = df.select(
+                F.lit(lbl).alias("label"), F.col("id").cast("string").alias("nid")
+            )
+            dims = d if dims is None else dims.unionByName(d)
+        dims = dims.distinct()
+    dims = F.broadcast(dims)
 
     t = triples.withColumn(
         "subj_c",
