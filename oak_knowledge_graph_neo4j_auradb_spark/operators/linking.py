@@ -1,0 +1,75 @@
+"""Stage L — span-wise mention detection + candidate entity linking
+against a broadcast entity dictionary (BASELINE.json north_star).
+
+The reference links implicitly — every relationship endpoint is an exact
+column value (schema_mapper.py:315-320). At interleaved-document scale
+the prose spans themselves mention entities ("Builds on thread-014…"),
+so the engine adds an explicit two-step stage:
+
+1. **Mention detection** — regexp candidates over ``kind='text'`` spans.
+   Pure Catalyst (`regexp_extract_all` + explode): no Python in the
+   scan, patterns are per-entity-type config.
+2. **Candidate linking** — left join against the entity dictionary
+   (label, id). The dictionary is the node-ID dimension — orders of
+   magnitude smaller than the doc table — so it broadcasts; the
+   10^12-row mention stream never shuffles.
+
+Unlinked mentions survive with ``linked=false`` — they are the signal
+for dictionary gaps (the reference's silent MATCH-miss drops them,
+pipeline/auradb_loader.py:296-309; keeping them is the lineage-friendly
+variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default mention patterns per target node label
+MENTION_PATTERNS: dict[str, str] = {
+    "Unit": r"unit-[a-z]+-[0-9]{4}",
+    "Thread": r"thread-[0-9]{3}",
+}
+
+
+def extract_mentions(
+    docs: DataFrame, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """(doc_id, label, mention) — every pattern hit in every text span.
+
+    One scan: spans are exploded once, each pattern contributes an
+    extract-all array, concatenated and exploded together."""
+    patterns = patterns if patterns is not None else MENTION_PATTERNS
+    spans = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "text")
+    arrays = [
+        F.transform(
+            F.regexp_extract_all(F.col("s.text"), F.lit(rx), F.lit(0)),
+            lambda m: F.struct(F.lit(label).alias("label"), m.alias("mention")),
+        )
+        for label, rx in patterns.items()
+    ]
+    arr = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    return spans.select(
+        "doc_id", F.explode(arr).alias("_m")
+    ).select(
+        "doc_id",
+        F.col("_m.label").alias("label"),
+        F.col("_m.mention").alias("mention"),
+    )
+
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Left join mentions against the (label, nid) entity dictionary.
+
+    Adds ``linked`` (boolean). The dictionary side broadcasts — the
+    mention stream keeps its partitioning."""
+    d = F.broadcast(
+        dictionary.select(
+            "label", F.col("nid").alias("mention"), F.lit(True).alias("linked")
+        ).distinct()
+    )
+    return mentions.join(d, on=["label", "mention"], how="left").withColumn(
+        "linked", F.coalesce(F.col("linked"), F.lit(False))
+    )

@@ -1,0 +1,164 @@
+"""Stage G — checkpoint-resumable graph materialization with
+per-partition lineage + metrics tables (BASELINE.json north_rule).
+
+The reference writes per-label node CSVs and relationship CSVs in one
+shot (schema_mapper.py:236-246,373-385) and restarts from zero on any
+failure (HISTORY.md:357-363 — the 10K-row file-splitting workaround
+exists because imports died mid-way). Here every pipeline stage persists
+to its own columnar table under ``out_dir`` and a re-run skips any stage
+whose output is already committed (parquet ``_SUCCESS`` marker — the
+same idempotence Iceberg snapshot commits give in production):
+
+    out_dir/
+      wide/                 stage S+X+J+C checkpoint (the consolidated table)
+      triples/              stage M (partitioned by config_key)
+      resolved/             stage M+resolution
+      nodes/<label>/        stage G per-label typed node tables
+      lineage/              per-(stage, partition) row counts + key ranges
+      metrics/              per-stage row counts + durations
+
+Lineage rows carry (stage, partition_id, n_rows, min_key, max_key) — on
+a 1000-executor run these are the audit trail for which partition of
+which stage produced which keys, and the input for incremental
+re-validation (scripts/validate_neo4j_import.py:236-319 is the
+reference's after-the-fact equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import RUN_TS, GraphBuild, build_graph
+
+
+def _committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def partition_lineage(df: DataFrame, stage: str, key: str) -> DataFrame:
+    """(stage, partition_id, n_rows, min_key, max_key) for one stage."""
+    return (
+        df.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.col(key).cast("string").alias("_k"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+        )
+        .select(F.lit(stage).alias("stage"), "*")
+    )
+
+
+@dataclass
+class WriteReport:
+    out_dir: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def write_graph(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_ts: str = RUN_TS,
+    max_records_per_file: int = 1_000_000,
+) -> WriteReport:
+    """Materialize the full graph build under ``out_dir``, stage by
+    stage, resuming from any committed checkpoint.
+
+    ``max_records_per_file`` bounds output file size the way the
+    reference's 10K-row CSV split did (HISTORY.md:357-363) — but as a
+    writer option, not a bespoke splitter."""
+    report = WriteReport(out_dir=out_dir)
+    lineage_parts: list[DataFrame] = []
+    t_all = time.monotonic()
+
+    def emit(stage: str, df: DataFrame, path: str, key: str, partition_by=None):
+        full = os.path.join(out_dir, path)
+        if _committed(full):
+            report.stages_skipped.append(stage)
+            return spark.read.parquet(full)
+        t0 = time.monotonic()
+        w = df.write.mode("overwrite").option(
+            "maxRecordsPerFile", max_records_per_file
+        )
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(full)
+        out = spark.read.parquet(full)
+        report.stages_run.append(stage)
+        report.metrics[f"{stage}_rows"] = out.count()
+        report.metrics[f"{stage}_sec"] = round(time.monotonic() - t0, 3)
+        lineage_parts.append(partition_lineage(out, stage, key))
+        return out
+
+    gb: GraphBuild = build_graph(spark, docs, run_ts=run_ts)
+
+    wide = emit("wide", gb.wide, "wide", "doc_id")
+    # later stages read the *checkpointed* wide table — a resumed run
+    # never recomputes the reconstruction+join prefix
+    gb2 = _rebind(spark, gb, wide, run_ts)
+    emit("triples", gb2.triples, "triples", "subj", partition_by="config_key")
+    emit("resolved", gb2.resolved, "resolved", "subj", partition_by="config_key")
+    for label, ndf in gb2.nodes.items():
+        emit(f"nodes/{label}", ndf, f"nodes/{label}", "id")
+
+    # metrics + lineage tables (append a fresh snapshot per run)
+    report.metrics["total_sec"] = round(time.monotonic() - t_all, 3)
+    mrows = [(k, float(v)) for k, v in report.metrics.items()]
+    spark.createDataFrame(mrows, "metric string, value double").withColumn(
+        "run_ts", F.lit(run_ts)
+    ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+    if lineage_parts:
+        lin = lineage_parts[0]
+        for lp in lineage_parts[1:]:
+            lin = lin.unionByName(lp)
+        lin.withColumn("run_ts", F.lit(run_ts)).write.mode("append").parquet(
+            os.path.join(out_dir, "lineage")
+        )
+    gb.unpersist()
+    return report
+
+
+def _rebind(
+    spark: SparkSession, gb: GraphBuild, wide: DataFrame, run_ts: str
+) -> GraphBuild:
+    """Re-derive the extraction plans over the checkpointed wide table."""
+    from ..config.curriculum_schema import NODES, RELATIONSHIPS
+    from ..operators import mapper as mapper_op
+
+    triples = mapper_op.extract_triples_fused(wide, RELATIONSHIPS, NODES, run_ts)
+    dims = mapper_op.node_dims(wide, NODES, spark)
+    resolved = mapper_op.resolve_triples(triples, {}, NODES, dims=dims)
+    return GraphBuild(
+        wide=wide,
+        triples=triples,
+        resolved=resolved,
+        _node_args=(wide, NODES, run_ts, spark),
+    )
+
+
+def read_graph(spark: SparkSession, out_dir: str) -> dict[str, Any]:
+    """Load a materialized graph: nodes per label + edge tables."""
+    nodes_dir = os.path.join(out_dir, "nodes")
+    nodes = {
+        label: spark.read.parquet(os.path.join(nodes_dir, label))
+        for label in sorted(os.listdir(nodes_dir))
+    }
+    return {
+        "nodes": nodes,
+        "triples": spark.read.parquet(os.path.join(out_dir, "triples")),
+        "resolved": spark.read.parquet(os.path.join(out_dir, "resolved")),
+        "metrics": spark.read.parquet(os.path.join(out_dir, "metrics")),
+        "lineage": spark.read.parquet(os.path.join(out_dir, "lineage")),
+    }

@@ -9,10 +9,10 @@ similarity search, text analysis, multimodal plumbing).
 
 from __future__ import annotations
 
-from . import kg, relational, similarity, textops
+from . import graphops, kg, relational, similarity, textops
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, textops, similarity, kg):
+for _m in (relational, textops, similarity, kg, graphops):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,198 @@
+"""Graph-analytics query surface: connected-components canonicalization
+and mention linking (north_rule stages K and L).
+
+DuckDB oracles re-derive each result independently — the CC oracle is a
+recursive-CTE transitive closure (small graphs only; the Spark side is
+the scale path), the linking oracle re-extracts mentions with DuckDB's
+regexp engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.linking import extract_mentions, link_mentions
+from ..operators.mapper import node_dims
+from .common import load
+from .kg import _KV_SQL, _wide, docs_df
+
+# --------------------------------------------------------------------------
+# q32 — generic connected components over a lineitem-derived bipartite
+# graph (order ↔ part). Oracle: recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+
+
+def q32_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(e0, max_iter=30)
+
+
+Q32_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey % 50 = 0
+), edges AS (
+  SELECT src AS n, dst AS m FROM e0
+  UNION
+  SELECT dst AS n, src AS m FROM e0
+), reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+  UNION
+  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n
+)
+SELECT n AS id, min(m) AS canonical_id FROM reach GROUP BY n
+"""
+
+
+# --------------------------------------------------------------------------
+# kg38 — entity canonicalization over the co-mention similarity graph:
+# units and threads mentioned in the same document are similarity-linked;
+# connected components give each cluster one canonical id (north_rule
+# stage K over a real similarity-edge DataFrame).
+# --------------------------------------------------------------------------
+
+
+def kg38_comention_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(docs_df(spark, sf_dir))
+    units = m.filter(F.col("label") == "Unit").select(
+        "doc_id", F.col("mention").alias("src")
+    )
+    threads = m.filter(F.col("label") == "Thread").select(
+        "doc_id", F.col("mention").alias("dst")
+    )
+    edges = units.join(threads, on="doc_id").select("src", "dst").distinct()
+    return connected_components(edges, max_iter=30)
+
+
+KG38_SQL = (
+    _KV_SQL.replace("\n  WITH sp AS", "\nWITH RECURSIVE sp AS")
+    + """,
+um AS (
+  SELECT doc_id, unnest(regexp_extract_all(v, 'unit-[a-z]+-[0-9]{4}')) AS u
+  FROM kv WHERE kind = 'text'
+), tm AS (
+  SELECT doc_id, unnest(regexp_extract_all(v, 'thread-[0-9]{3}')) AS t
+  FROM kv WHERE kind = 'text'
+), e0 AS (
+  SELECT DISTINCT um.u AS src, tm.t AS dst FROM um JOIN tm USING (doc_id)
+), edges AS (
+  SELECT src AS n, dst AS m FROM e0
+  UNION
+  SELECT dst AS n, src AS m FROM e0
+), reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+  UNION
+  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n
+)
+SELECT n AS id, min(m) AS canonical_id FROM reach GROUP BY n
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# kg39 — mention detection + broadcast-dictionary linking: every unit /
+# thread mention in prose spans, flagged by whether the KG's entity
+# dictionary resolves it (north_rule stage L).
+# --------------------------------------------------------------------------
+
+
+def kg39_mention_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config.curriculum_schema import NODES
+
+    gb = _wide(spark, sf_dir)
+    m = extract_mentions(docs_df(spark, sf_dir))
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    return link_mentions(m, dims)
+
+
+def _kg39_sql() -> str:
+    from .kg import _wide_sql
+
+    wide = _wide_sql(
+        ["is_legacy", "unit_slug", "programme_slug_by_year"], "primary"
+    )
+    return f"""
+{_KV_SQL},
+{wide},
+mention AS (
+  SELECT doc_id, 'Unit' AS label,
+         unnest(regexp_extract_all(v, 'unit-[a-z]+-[0-9]{{4}}')) AS mention
+  FROM kv WHERE kind = 'text'
+  UNION ALL
+  SELECT doc_id, 'Thread' AS label,
+         unnest(regexp_extract_all(v, 'thread-[0-9]{{3}}')) AS mention
+  FROM kv WHERE kind = 'text'
+),
+unit_dict AS (
+  SELECT DISTINCT 'Unit' AS label, unit_slug AS nid FROM wide
+  WHERE is_legacy = 'False' AND unit_slug IS NOT NULL AND trim(unit_slug) <> ''
+),
+prim_x AS (
+  SELECT unit_slug,
+         unnest(CASE WHEN programme_slug_by_year LIKE '[%'
+                     THEN json_transform(programme_slug_by_year, '["VARCHAR"]')
+                     ELSE [programme_slug_by_year] END) AS psby
+  FROM wide WHERE is_legacy = 'False'
+),
+supw AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k = 'unit_slug' THEN v END) AS unit_slug,
+         MAX(CASE WHEN k = 'programme_slug_by_year' THEN v END) AS psby_raw,
+         MAX(CASE WHEN k = 'threads' THEN v END) AS threads
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+),
+sup_x AS (
+  SELECT COALESCE(NULLIF(regexp_extract(unit_slug, '^(.+)-[0-9]+$', 1), ''),
+                  unit_slug) AS unit_slug,
+         unnest(CASE WHEN psby_raw LIKE '[%'
+                     THEN json_transform(psby_raw, '["VARCHAR"]')
+                     ELSE [psby_raw] END) AS psby,
+         threads
+  FROM supw
+),
+matched AS (
+  SELECT DISTINCT s.threads
+  FROM sup_x s JOIN prim_x p ON s.unit_slug = p.unit_slug AND s.psby = p.psby
+  WHERE s.threads IS NOT NULL AND s.threads LIKE '[%' AND s.threads <> '[]'
+),
+thread_dict AS (
+  SELECT DISTINCT 'Thread' AS label, it.thread_slug AS nid
+  FROM (
+    SELECT unnest(json_transform(replace(threads, chr(39), chr(34)),
+      '[{{"thread_slug":"VARCHAR","thread_id":"BIGINT","thread_title":"VARCHAR"}}]')) AS it
+    FROM matched
+  )
+  WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''
+),
+dict AS (SELECT * FROM unit_dict UNION ALL SELECT * FROM thread_dict)
+SELECT m.doc_id, m.label, m.mention,
+       (d.nid IS NOT NULL) AS linked
+FROM mention m LEFT JOIN dict d ON m.label = d.label AND m.mention = d.nid
+"""
+
+
+QUERIES = {
+    "q32_connected_components": q32_connected_components,
+    "kg38_comention_components": kg38_comention_components,
+    "kg39_mention_links": kg39_mention_links,
+}
+
+ORACLES = {
+    "q32_connected_components": Q32_SQL,
+    "kg38_comention_components": KG38_SQL,
+    "kg39_mention_links": _kg39_sql(),
+}
