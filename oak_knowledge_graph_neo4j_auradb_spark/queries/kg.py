@@ -310,6 +310,51 @@ WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''
 
 
 # --------------------------------------------------------------------------
+# kg40/kg41 — multimodal plumbing: media spans → binary payloads →
+# Arrow-batched feature extraction / frame sampling
+# (operators/multimodal.py; decode stubbed deterministically — the
+# DuckDB twin re-derives the same features from the ref bytes)
+# --------------------------------------------------------------------------
+
+
+def kg40_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, fetch_payload
+
+    assets = media_assets(docs_df(spark, sf_dir))
+    return decode_media(fetch_payload(assets))
+
+
+KG40_SQL = f"""
+{_KV_SQL}
+SELECT doc_id, k AS field, v AS media_ref,
+       CAST(strlen(v) AS BIGINT) AS n_bytes,
+       md5(v) AS content_md5,
+       CAST(CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) % 1920 AS INT) AS width,
+       CAST(CAST('0x' || substr(md5(v), 9, 8) AS BIGINT) % 1080 AS INT) AS height
+FROM kv WHERE kind = 'media'
+"""
+
+
+def kg41_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import fetch_payload, sample_frames
+
+    assets = media_assets(docs_df(spark, sf_dir)).filter(
+        F.col("field") == "lesson_video_id"
+    )
+    return sample_frames(fetch_payload(assets), n_frames=3)
+
+
+KG41_SQL = f"""
+{_KV_SQL}
+SELECT doc_id, v AS media_ref,
+       CAST(f AS INT) AS frame_idx,
+       md5(v || CAST(f AS VARCHAR)) AS frame_md5
+FROM kv, range(3) AS t(f)
+WHERE kind = 'media' AND k = 'lesson_video_id'
+"""
+
+
+# --------------------------------------------------------------------------
 # full-pipeline surfaces (golden-tested vs the pure-Python reference
 # oracle in tests/test_golden_graph.py; rows-only driver check here)
 # --------------------------------------------------------------------------
@@ -358,6 +403,8 @@ QUERIES = {
     "kg33_unit_nodes": kg33_unit_nodes,
     "kg34_has_lesson_triples": kg34_has_lesson_triples,
     "kg35_thread_nodes": kg35_thread_nodes,
+    "kg40_media_features": kg40_media_features,
+    "kg41_frame_samples": kg41_frame_samples,
     "kg36_node_histogram": kg36_node_histogram,
     "kg37_edge_histogram": kg37_edge_histogram,
     "kg99_flagship": kg_flagship,
@@ -370,6 +417,8 @@ ORACLES = {
     "kg33_unit_nodes": KG33_SQL,
     "kg34_has_lesson_triples": KG34_SQL,
     "kg35_thread_nodes": KG35_SQL,
+    "kg40_media_features": KG40_SQL,
+    "kg41_frame_samples": KG41_SQL,
     # kg36/kg37/kg99: full-pipeline, not SQL-expressible — golden-tested
     # against the reference-semantics oracle in tests/test_golden_graph.py
 }

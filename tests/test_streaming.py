@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest: exactly-once incremental processing with
+checkpoint resume (streaming/ingest.py; SURVEY.md §2.9)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import (
+    make_universe,
+    universe_to_arrow,
+)
+from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+    stream_graph_updates,
+    stream_mentions,
+    windowed_event_counts,
+)
+
+
+def _write_docs(path: str, n: int, seed: int) -> None:
+    pq.write_table(universe_to_arrow(make_universe(n, seed=seed)), path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "docs_in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["in"])
+    return d
+
+
+def test_incremental_mentions_exactly_once(spark, dirs):
+    _write_docs(f"{dirs['in']}/part1.parquet", 100, seed=42)
+    stream_mentions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    n1 = spark.read.parquet(dirs["out"]).count()
+    assert n1 > 0
+
+    # second drain with no new files: nothing reprocessed
+    stream_mentions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    assert spark.read.parquet(dirs["out"]).count() == n1
+
+    # new file lands → only the delta is appended
+    _write_docs(f"{dirs['in']}/part2.parquet", 60, seed=7)
+    stream_mentions(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    n2 = spark.read.parquet(dirs["out"]).count()
+    assert n2 > n1
+
+    # batch equivalence: streaming total == batch extraction over all files
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.linking import (
+        extract_mentions,
+    )
+
+    batch = extract_mentions(spark.read.parquet(dirs["in"])).count()
+    assert n2 == batch
+
+
+def test_stream_graph_updates_foreachbatch(spark, dirs):
+    _write_docs(f"{dirs['in']}/part1.parquet", 120, seed=42)
+    stream_graph_updates(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    t = spark.read.parquet(f"{dirs['out']}/triples")
+    assert t.count() > 0
+    assert "batch_id" in t.columns
+    preds = {r["pred"] for r in t.select("pred").distinct().collect()}
+    assert "HAS_LESSON" in preds
+
+
+def test_windowed_event_counts(spark, tmp_path, sf_dir):
+    # stage the events table as a "stream" directory
+    ev_dir = str(tmp_path / "events_in")
+    os.makedirs(ev_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{ev_dir}/events.parquet")
+    agg = windowed_event_counts(spark, ev_dir, window="6 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("evcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT sum(n_events) AS n FROM evcounts"
+    ).first()["n"]
+    want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == want
