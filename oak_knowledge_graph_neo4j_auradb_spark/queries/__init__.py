@@ -9,10 +9,10 @@ similarity search, text analysis, multimodal plumbing).
 
 from __future__ import annotations
 
-from . import graphops, kg, relational, similarity, textops
+from . import curriculum, graphops, kg, relational, similarity, textops
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, textops, similarity, kg, graphops):
+for _m in (relational, textops, similarity, kg, graphops, curriculum):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,387 @@
+"""Graph-query layer (SURVEY.md §0 / M5): the reference's documented
+Cypher query surface (`oak_curriculum_graph_documentation.md` §5-6,
+lines 934-1275) re-expressed as DataFrame queries over the materialized
+node/edge tables.
+
+Each Cypher MATCH pattern maps to chained equi-joins over
+``resolved`` edge slices; Cypher aggregation clauses map to
+``groupBy().agg()``; ``count{(uv)-[:HAS_LESSON]->(:Lesson)}`` subqueries
+map to pre-aggregated edge counts joined back in. Small node dimensions
+broadcast automatically (session broadcast threshold).
+
+The DuckDB oracles re-derive every answer straight from the document
+pivot — a DIFFERENT derivation path than Spark's (documents → graph
+tables → join queries), so a hash match checks the whole
+construction+query stack, not just the last join.
+
+Deviation noted per the doc: Pattern 6's ``avg(size(...))`` averages
+over *paths* in Cypher (a lesson matched via two paths counts twice);
+both engines here average over distinct lessons — the well-defined
+variant (kg53 docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import r4
+from .kg import _KV_SQL, _wide, _wide_sql
+
+
+def _edges(gb, config_key: str, s: str, o: str) -> DataFrame:
+    """One edge slice with caller-chosen column names — slices of the
+    same resolved DataFrame self-join, so every slice gets fresh,
+    unambiguous column lineage via alias()."""
+    return (
+        gb.resolved.alias(f"e_{config_key}_{s}_{o}")
+        .filter(F.col("config_key") == config_key)
+        .select(F.col("subj").alias(s), F.col("obj").alias(o))
+    )
+
+
+# --------------------------------------------------------------------------
+# kg50 — Examples 3+4 (doc :989-1016): subject → offering → unit →
+# unitvariant → lesson, 4-hop traversal with predicate + ORDER BY + LIMIT
+# --------------------------------------------------------------------------
+
+
+def kg50_lessons_of_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo").filter(
+        F.col("subject") == "maths"
+    )
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit")
+    unit_uv = _edges(gb, "unit_has_unitvariant", "unit", "uv")
+    uv_lesson = _edges(gb, "unitvariant_has_lesson", "uv", "lesson")
+    lessons = gb.nodes["Lesson"].select(
+        F.col("id").alias("lesson"),
+        F.col("pupilLessonOutcome").alias("outcome"),
+    )
+    out = (
+        subj_uo.join(uo_unit, on="uo")
+        .join(unit_uv, on="unit")
+        .join(uv_lesson, on="uv")
+        .select("unit", "uv", "lesson")
+        .distinct()
+        .join(lessons, on="lesson")
+    )
+    return out.orderBy("lesson", "uv", "unit").limit(50).select(
+        "unit", "uv", "lesson", "outcome"
+    )
+
+
+KG50_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_subject_slug", "unit_slug", "unitvariant_id", "lesson_slug", "lesson_pupil_lesson_outcome"], "primary")},
+paths AS (
+  SELECT DISTINCT unit_slug AS unit, unitvariant_id AS uv,
+         lesson_slug AS lesson
+  FROM wide
+  WHERE is_legacy = 'False' AND programme_subject_slug = 'maths'
+),
+outcome AS (
+  SELECT lesson_slug AS lesson,
+         arg_min(COALESCE(lesson_pupil_lesson_outcome, chr(0)), row_seq) AS o
+  FROM wide WHERE is_legacy = 'False' AND lesson_slug IS NOT NULL
+  GROUP BY lesson_slug
+)
+SELECT p.unit, p.uv, p.lesson, NULLIF(o.o, chr(0)) AS outcome
+FROM paths p JOIN outcome o ON p.lesson = o.lesson
+ORDER BY p.lesson, p.uv, p.unit
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# kg51 — Pattern 1 (doc :1090-1103): year's curriculum per subject —
+# count(DISTINCT unit) + collect(DISTINCT ...)[0..3] sample
+# --------------------------------------------------------------------------
+
+
+def kg51_year_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    year_uo = _edges(gb, "year_has_offering", "year", "uo")
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo")
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit")
+    triple = (
+        year_uo.join(subj_uo, on="uo")
+        .join(uo_unit, on="uo")
+        .select("year", "subject", "unit")
+        .distinct()
+    )
+    return triple.groupBy("year", "subject").agg(
+        F.countDistinct("unit").alias("unit_count"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("unit")), 1, 3), "|"
+        ).alias("sample_units"),
+    )
+
+
+KG51_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_year_slug", "programme_subject_slug", "unit_slug"], "primary")},
+triple AS (
+  SELECT DISTINCT programme_year_slug AS year,
+         programme_subject_slug AS subject, unit_slug AS unit
+  FROM wide WHERE is_legacy = 'False'
+)
+SELECT year, subject,
+       CAST(count(DISTINCT unit) AS BIGINT) AS unit_count,
+       array_to_string(list_slice(list_sort(list(DISTINCT unit)), 1, 3), '|')
+         AS sample_units
+FROM triple GROUP BY year, subject
+"""
+
+
+# --------------------------------------------------------------------------
+# kg52 — Pattern 4 (doc :1155-1170): exam-board comparison with a
+# count{(uv)-[:HAS_LESSON]->(:Lesson)} subquery per variant
+# --------------------------------------------------------------------------
+
+
+def kg52_examboard_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    eb_prog = _edges(gb, "examboard_has_programme", "examboard", "prog")
+    prog_uv = _edges(gb, "programme_has_unitvariant", "prog", "uv")
+    lesson_counts = (
+        _edges(gb, "unitvariant_has_lesson", "uv", "lesson")
+        .groupBy("uv")
+        .agg(F.count("*").alias("lesson_count"))
+    )
+    return (
+        eb_prog.join(prog_uv, on="prog")
+        .select("examboard", "uv")
+        .distinct()
+        .join(lesson_counts, on="uv", how="left")
+        .select(
+            "examboard",
+            "uv",
+            F.coalesce("lesson_count", F.lit(0)).alias("lesson_count"),
+        )
+    )
+
+
+KG52_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_examboard_slug", "programme_slug_by_year", "unitvariant_id", "lesson_slug"], "primary")},
+base AS (SELECT * FROM wide WHERE is_legacy = 'False'),
+eb_uv AS (
+  SELECT DISTINCT programme_examboard_slug AS examboard,
+         unitvariant_id AS uv
+  FROM base WHERE programme_examboard_slug IS NOT NULL
+),
+lc AS (
+  SELECT unitvariant_id AS uv,
+         CAST(count(DISTINCT lesson_slug) AS BIGINT) AS lesson_count
+  FROM base GROUP BY unitvariant_id
+)
+SELECT e.examboard, e.uv, COALESCE(lc.lesson_count, 0) AS lesson_count
+FROM eb_uv e LEFT JOIN lc ON e.uv = lc.uv
+"""
+
+
+# --------------------------------------------------------------------------
+# kg53 — Pattern 6 (doc :1195-1210): curriculum coverage — units,
+# lessons, avg(size(keyLearningPoints)) per subject (distinct-lesson avg)
+# --------------------------------------------------------------------------
+
+
+def kg53_coverage_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo")
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit")
+    unit_uv = _edges(gb, "unit_has_unitvariant", "unit", "uv")
+    uv_lesson = _edges(gb, "unitvariant_has_lesson", "uv", "lesson")
+    klp = gb.nodes["Lesson"].select(
+        F.col("id").alias("lesson"),
+        F.size("keyLearningPoints").alias("klp_n"),
+    )
+    paths = (
+        subj_uo.join(uo_unit, on="uo")
+        .join(unit_uv, on="unit")
+        .join(uv_lesson, on="uv")
+        .select("subject", "unit", "lesson")
+        .distinct()
+    )
+    per_lesson = paths.select("subject", "unit", "lesson").join(klp, on="lesson")
+    return per_lesson.groupBy("subject").agg(
+        F.countDistinct("unit").alias("units"),
+        F.countDistinct("lesson").alias("lessons"),
+        r4(F.avg(F.col("klp_n"))).alias("avg_klp"),
+    )
+
+
+KG53_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_subject_slug", "unit_slug", "lesson_slug", "lesson_key_learning_points"], "primary")},
+base AS (SELECT * FROM wide WHERE is_legacy = 'False'),
+klp AS (
+  SELECT lesson_slug AS lesson,
+         CAST(len(json_transform(arg_min(lesson_key_learning_points, row_seq),
+                                 '["JSON"]')) AS INT) AS klp_n
+  FROM base WHERE lesson_slug IS NOT NULL GROUP BY lesson_slug
+),
+paths AS (
+  SELECT DISTINCT programme_subject_slug AS subject, unit_slug AS unit,
+         lesson_slug AS lesson
+  FROM base
+)
+SELECT p.subject,
+       CAST(count(DISTINCT p.unit) AS BIGINT) AS units,
+       CAST(count(DISTINCT p.lesson) AS BIGINT) AS lessons,
+       round(avg(k.klp_n), 4) AS avg_klp
+FROM paths p JOIN klp k ON p.lesson = k.lesson
+GROUP BY p.subject
+"""
+
+
+# --------------------------------------------------------------------------
+# kg54 — Pattern 7 (doc :1216-1230): content gaps — grouped count with a
+# post-aggregation HAVING predicate
+# --------------------------------------------------------------------------
+
+
+def kg54_content_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    year_uo = _edges(gb, "year_has_offering", "year", "uo")
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo")
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit")
+    triple = (
+        year_uo.join(subj_uo, on="uo")
+        .join(uo_unit, on="uo")
+        .select("year", "subject", "unit")
+        .distinct()
+    )
+    return (
+        triple.groupBy("year", "subject")
+        .agg(F.countDistinct("unit").alias("unit_count"))
+        .filter(F.col("unit_count") < 5)
+    )
+
+
+KG54_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_year_slug", "programme_subject_slug", "unit_slug"], "primary")},
+triple AS (
+  SELECT DISTINCT programme_year_slug AS year,
+         programme_subject_slug AS subject, unit_slug AS unit
+  FROM wide WHERE is_legacy = 'False'
+)
+SELECT year, subject, CAST(count(DISTINCT unit) AS BIGINT) AS unit_count
+FROM triple GROUP BY year, subject HAVING count(DISTINCT unit) < 5
+"""
+
+
+# --------------------------------------------------------------------------
+# kg55 — Pattern 8 (doc :1236-1252): lesson complexity —
+# size() arithmetic over three list properties of the Lesson node
+# --------------------------------------------------------------------------
+
+
+def kg55_lesson_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    lessons = gb.nodes["Lesson"]
+    kw = F.coalesce(F.size("keywords"), F.lit(0))
+    klp = F.coalesce(F.size("keyLearningPoints"), F.lit(0))
+    mis = F.coalesce(F.size("misconceptionsMistakes"), F.lit(0))
+    return lessons.select(
+        F.col("id").alias("lesson"),
+        kw.alias("kw_n"),
+        klp.alias("klp_n"),
+        mis.alias("mis_n"),
+        (kw + klp + mis).alias("complexity"),
+    )
+
+
+KG55_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "lesson_slug", "lesson_keywords", "lesson_key_learning_points", "lesson_misconceptions_and_common_mistakes"], "primary")},
+base AS (SELECT * FROM wide WHERE is_legacy = 'False'),
+props AS (
+  SELECT lesson_slug AS lesson,
+         arg_min(COALESCE(lesson_keywords, chr(0)), row_seq) AS kw,
+         arg_min(COALESCE(lesson_key_learning_points, chr(0)), row_seq) AS klp,
+         arg_min(COALESCE(lesson_misconceptions_and_common_mistakes, chr(0)),
+                 row_seq) AS mis
+  FROM base WHERE lesson_slug IS NOT NULL GROUP BY lesson_slug
+),
+sizes AS (
+  SELECT lesson,
+         CASE WHEN kw = chr(0) THEN 0 ELSE CAST(len(json_transform(
+           CASE WHEN kw LIKE '[''%' THEN replace(kw, chr(39), chr(34)) ELSE kw END,
+           '["JSON"]')) AS INT) END AS kw_n,
+         CASE WHEN klp = chr(0) THEN 0 ELSE
+           CAST(len(json_transform(klp, '["JSON"]')) AS INT) END AS klp_n,
+         CASE WHEN mis = chr(0) THEN 0 ELSE
+           CAST(len(json_transform(mis, '["JSON"]')) AS INT) END AS mis_n
+  FROM props
+)
+SELECT lesson, kw_n, klp_n, mis_n,
+       (kw_n + klp_n + mis_n) AS complexity
+FROM sizes
+"""
+
+
+# --------------------------------------------------------------------------
+# kg56 — Example 6 (doc :1046-1056): list-property predicate —
+# any(keyword IN lesson.keywords WHERE keyword CONTAINS 'x') + slice
+# --------------------------------------------------------------------------
+
+
+def kg56_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    lessons = gb.nodes["Lesson"]
+    return (
+        lessons.filter(
+            F.exists(F.col("keywords"), lambda k: k.contains("kw-english"))
+        )
+        .select(
+            F.col("id").alias("lesson"),
+            F.array_join(F.slice("keywords", 1, 2), "|").alias("sample_keywords"),
+        )
+    )
+
+
+KG56_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "lesson_slug", "lesson_keywords"], "primary")},
+props AS (
+  SELECT lesson_slug AS lesson,
+         arg_min(COALESCE(lesson_keywords, chr(0)), row_seq) AS kw
+  FROM wide WHERE is_legacy = 'False' AND lesson_slug IS NOT NULL
+  GROUP BY lesson_slug
+),
+parsed AS (
+  SELECT lesson,
+         json_transform(
+           CASE WHEN kw LIKE '[''%' THEN replace(kw, chr(39), chr(34)) ELSE kw END,
+           '["VARCHAR"]') AS kws
+  FROM props WHERE kw <> chr(0)
+)
+SELECT lesson,
+       array_to_string(list_slice(kws, 1, 2), '|') AS sample_keywords
+FROM parsed
+WHERE len(list_filter(kws, k -> k LIKE '%kw-english%')) > 0
+"""
+
+
+QUERIES = {
+    "kg50_lessons_of_subject": kg50_lessons_of_subject,
+    "kg51_year_curriculum": kg51_year_curriculum,
+    "kg52_examboard_comparison": kg52_examboard_comparison,
+    "kg53_coverage_analysis": kg53_coverage_analysis,
+    "kg54_content_gaps": kg54_content_gaps,
+    "kg55_lesson_complexity": kg55_lesson_complexity,
+    "kg56_keyword_search": kg56_keyword_search,
+}
+
+ORACLES = {
+    "kg50_lessons_of_subject": KG50_SQL,
+    "kg51_year_curriculum": KG51_SQL,
+    "kg52_examboard_comparison": KG52_SQL,
+    "kg53_coverage_analysis": KG53_SQL,
+    "kg54_content_gaps": KG54_SQL,
+    "kg55_lesson_complexity": KG55_SQL,
+    "kg56_keyword_search": KG56_SQL,
+}
