@@ -85,33 +85,73 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     return out
 
 
+#: corpus size for the two-cluster-size comparison — large enough that
+#: per-doc compute dominates fixed costs (plan build, codegen, worker
+#: spin-up), which is the regime a real N-vs-4N executor cluster runs in
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+
+
+def flagship_at(n_docs: int, cpus: int) -> dict:
+    """Time the flagship pipeline over an n_docs synthetic corpus."""
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.pipeline import build_graph
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import DOC_CACHE
+    from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
+    from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import (
+        ensure_documents,
+    )
+
+    path = ensure_documents(DOC_CACHE, n_docs)  # cached across runs
+    spark = get_spark(
+        app_name=f"oak-kg-scaling-{cpus}",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.read.parquet(path).count()  # warm JVM + file footers
+    t0 = time.monotonic()
+    gb = build_graph(spark, spark.read.parquet(path))
+    gb.resolved.write.mode("overwrite").format("noop").save()
+    dt = time.monotonic() - t0
+    out = {
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+    spark.stop()
+    return out
+
+
 def scaling() -> None:
-    """North-rule two-cluster-size evidence: the same flagship job at
-    local[8] vs local[32]; efficiency = (T8/T32) / (32/8)."""
+    """North-rule two-cluster-size evidence: the same flagship job over
+    the same input at local[8] vs local[32];
+    efficiency = (T8/T32) / (32/8)."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SCALING_DOCS=str(SCALING_DOCS),
+        )
         p = subprocess.run(
-            [sys.executable, __file__, "--json-only", "--flagship-only"],
+            [sys.executable, __file__, "--flagship-at-scale"],
             env=env,
             capture_output=True,
             text=True,
             check=True,
         )
         results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8 = results[8]["queries"]["kg99_flagship"]
-    t32 = results[32]["queries"]["kg99_flagship"]
+    t8, t32 = results[8]["sec"], results[32]["sec"]
     speedup = t8 / t32
     eff = speedup / (32 / 8)
     print(
         json.dumps(
             {
                 "metric": "kg flagship scaling local[8]→local[32]",
-                "sf": results[32]["sf"],
+                "n_docs": SCALING_DOCS,
                 "t_local8_sec": t8,
                 "t_local32_sec": t32,
-                "docs_per_sec_local8": results[8]["kg_docs_per_sec"],
-                "docs_per_sec_local32": results[32]["kg_docs_per_sec"],
+                "docs_per_sec_local8": results[8]["docs_per_sec"],
+                "docs_per_sec_local32": results[32]["docs_per_sec"],
                 "speedup": round(speedup, 3),
                 "scaling_efficiency": round(eff, 3),
             }
@@ -122,6 +162,8 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--flagship-at-scale" in sys.argv:
+        print(json.dumps(flagship_at(SCALING_DOCS, CPUS)))
     else:
         names = (
             ["kg99_flagship"] if "--flagship-only" in sys.argv else HEADLINE

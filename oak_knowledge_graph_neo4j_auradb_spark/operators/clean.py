@@ -66,18 +66,17 @@ def clean(df: DataFrame, filters: dict[str, Any], run_ts: str) -> DataFrame:
         if not c.startswith("_") and c != "doc_id" and column_dtype(c) == "string"
     ]
 
-    # dropna(how="all") over data columns (data_cleaner.py:84)
+    # dropna(how="all") over data columns (data_cleaner.py:84);
+    # SQL-string assembly — one py4j call instead of one per column
     data_cols = [c for c in df.columns if not c.startswith("_") and c != "doc_id"]
-    any_present = None
-    for c in data_cols:
-        p = F.col(c).isNotNull()
-        any_present = p if any_present is None else (any_present | p)
-    df = df.filter(any_present)
+    df = df.filter(
+        "NOT (" + " AND ".join(f"{c} IS NULL" for c in data_cols) + ")"
+    )
 
     # trim strings (data_cleaner.py:88-89)
-    df = df.select(
+    df = df.selectExpr(
         *[
-            F.trim(F.col(c)).alias(c) if c in string_cols else F.col(c)
+            f"trim({c}) AS {c}" if c in string_cols else c
             for c in df.columns
         ]
     )
@@ -103,15 +102,14 @@ def clean(df: DataFrame, filters: dict[str, Any], run_ts: str) -> DataFrame:
     df = df.withColumn("current_timestamp", F.lit(run_ts))
 
     # cleaned-CSV round trip: NA-token strings → null
-    na = sorted(NA_TOKENS)
-    df = df.select(
+    na_list = ", ".join(f"'{t}'" for t in sorted(NA_TOKENS))
+    df = df.selectExpr(
         *[
             (
-                F.when(F.col(c).isin(na), F.lit(None).cast("string"))
-                .otherwise(F.col(c))
-                .alias(c)
+                f"CASE WHEN {c} IN ({na_list}) THEN CAST(NULL AS STRING) "
+                f"ELSE {c} END AS {c}"
                 if (c in string_cols or _is_synthetic_col(c))
-                else F.col(c)
+                else c
             )
             for c in df.columns
         ]
