@@ -38,14 +38,43 @@ from pyspark.sql.types import ArrayType, StringType
 # empty / null-ish detection
 # ---------------------------------------------------------------------------
 
-# Matches a JSON/py-literal empty list or dict, allowing interior
-# whitespace — equivalent to the reference's "json.loads yields empty
-# list/dict" probe (schema_mapper.py:580-588), which succeeds iff the
-# payload is brackets around whitespace.
-_EMPTY_STRUCT_RE = r"^(\[\s*\]|\{\s*\})$"
+# Matches a JSON empty list or dict, allowing interior whitespace —
+# equivalent to the reference's "json.loads yields empty list/dict"
+# probe (schema_mapper.py:580-588), which succeeds iff the payload is
+# brackets around JSON whitespace (exactly space/tab/newline/CR — not
+# Java's wider \s).
+_EMPTY_STRUCT_RE = r"^(\[[ \t\n\r]*\]|\{[ \t\n\r]*\})$"
 
 #: string tokens the reference treats as a null ID (schema_mapper.py:168)
 NULLISH_ID_TOKENS = ("nan", "null", "none")
+
+#: the full character class Python ``str.strip()`` removes (Unicode
+#: whitespace property) — Java ``\s`` is ASCII-only and ``F.trim`` strips
+#: 0x20 only, so neither matches the reference's pandas/``.strip()``
+#: semantics on tabs, newlines, NBSP, … (SURVEY.md §7.4 risk 3)
+_PY_WS = (
+    "\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
+#: SQL-literal form (backslashes doubled for the SQL string parser)
+PYTRIM_SQL_CLASS = _PY_WS.replace("\\", "\\\\")
+
+
+def pytrim(col: Column) -> Column:
+    """``str.strip()``-faithful trim (all Unicode whitespace, both ends).
+
+    Stays in codegen (one regexp_replace); use wherever the reference
+    calls ``.strip()`` / pandas ``.str.strip()``.
+    """
+    return F.regexp_replace(col, f"^[{_PY_WS}]+|[{_PY_WS}]+$", "")
+
+
+def pytrim_sql(expr: str) -> str:
+    """SQL-string form of :func:`pytrim` for ``selectExpr`` assembly."""
+    return (
+        f"regexp_replace({expr}, "
+        f"'^[{PYTRIM_SQL_CLASS}]+|[{PYTRIM_SQL_CLASS}]+$', '')"
+    )
 
 
 def is_empty_str(col: Column) -> Column:
@@ -53,14 +82,14 @@ def is_empty_str(col: Column) -> Column:
 
     Null input → True (pd.isna branch of _clean_value, :792).
     """
-    t = F.trim(col)
+    t = pytrim(col)
     return col.isNull() | (t == "") | t.rlike(_EMPTY_STRUCT_RE)
 
 
 def is_nullish_id(col: Column) -> Column:
     """True iff a would-be node ID must skip the row
     (schema_mapper.py:156-170): null, empty, or 'nan'/'null'/'none'."""
-    t = F.trim(col)
+    t = pytrim(col)
     return (
         col.isNull()
         | (t == "")
@@ -76,14 +105,17 @@ def is_nullish_id(col: Column) -> Column:
 def strip_surrounding_quotes(col: Column) -> Column:
     """Strip ONE pair of surrounding quotes (schema_mapper.py:594-610).
 
-    Single-quote pair wins; a double-quote pair is only stripped when no
-    single-quote pair matched (mirrors the early-return order).
+    Positional ``substring`` checks, not a regex: ``^'.*'$`` silently
+    fails on values with embedded newlines (``.`` stops at ``\\n``)
+    where the reference's ``text[0]``/``text[-1]`` test strips them.
     """
-    return (
-        F.when(col.rlike("^'.*'$"), F.regexp_replace(col, "^'(.*)'$", "$1"))
-        .when(col.rlike('^".*"$'), F.regexp_replace(col, '^"(.*)"$', "$1"))
-        .otherwise(col)
-    )
+    first = F.substring(col, 1, 1)
+    last = col.substr(F.length(col), F.lit(1))
+    inner = col.substr(F.lit(2), F.length(col) - 2)
+    return F.when(
+        (F.length(col) >= 2) & (first == last) & first.isin("'", '"'),
+        inner,
+    ).otherwise(col)
 
 
 _UNICODE_ESC_RE = re.compile(r"\\u([0-9a-fA-F]{4})")
@@ -122,7 +154,7 @@ def clean_string(col: Column) -> Column:
     trim → strip one pair of surrounding quotes → unicode-unescape.
     Empty values (per :func:`is_empty_str`) become null = property omitted
     (schema_mapper.py:792-794,213-215)."""
-    cleaned = unicode_unescape(strip_surrounding_quotes(F.trim(col)))
+    cleaned = unicode_unescape(strip_surrounding_quotes(pytrim(col)))
     return F.when(is_empty_str(col), F.lit(None).cast("string")).otherwise(cleaned)
 
 
@@ -131,22 +163,45 @@ def clean_string(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+#: whitespace Python ``float()`` ignores at the edges — Unicode
+#: whitespace EXCEPT \x1c-\x1f (float() rejects those despite
+#: str.isspace() accepting them)
+_NUM_WS = (
+    "\\s\\u0085\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
+
+#: Python float-literal syntax (sign, decimal, exponent). Underscored
+#: literals ('1_0', PEP 515) and inf/nan tokens are deliberately
+#: excluded → null (unreachable in the curriculum value space).
+_PYFLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _pyfloat(col: Column) -> Column:
+    """``float(value)`` faithfully: Python's edge-whitespace set and
+    literal grammar, null where Python raises. Gating the cast on an
+    explicit grammar (rather than trusting the engine cast) matters
+    twice: Spark's string→double trims ALL ASCII ≤ 0x20 (accepts
+    '0\\x1c' — Python raises) and under ANSI an unguarded cast THROWS on
+    the first malformed value — one bad row in 100 TB kills the job."""
+    t = F.regexp_replace(col, f"^[{_NUM_WS}]+|[{_NUM_WS}]+$", "")
+    return F.when(t.rlike(_PYFLOAT_RE), t.try_cast("double"))
+
+
 def clean_int(col: Column) -> Column:
     """``int(float(value))`` — tolerates '104.0' (schema_mapper.py:797-799;
     bug history HISTORY.md:331). Truncation toward zero matches Python
-    ``int()``. Unparseable / empty → null (counted upstream as a metric
-    instead of the reference's string fallback)."""
+    ``int()``. Unparseable / empty / out-of-int64 → null (counted
+    upstream as a metric instead of the reference's string fallback)."""
     return (
         F.when(is_empty_str(col), F.lit(None))
-        .otherwise(F.trim(col).cast("double").cast("long"))
+        .otherwise(_pyfloat(col).try_cast("long"))
     )
 
 
 def clean_float(col: Column) -> Column:
     """float(value) (schema_mapper.py:800-801)."""
-    return F.when(is_empty_str(col), F.lit(None)).otherwise(
-        F.trim(col).cast("double")
-    )
+    return F.when(is_empty_str(col), F.lit(None)).otherwise(_pyfloat(col))
 
 
 #: the truthy token set, case-insensitive (schema_mapper.py:802-805)
@@ -156,13 +211,13 @@ BOOL_TRUE_TOKENS = ("true", "1", "yes", "on")
 def clean_boolean(col: Column) -> Column:
     """String → bool via the reference token set (schema_mapper.py:802-805)."""
     return F.when(is_empty_str(col), F.lit(None)).otherwise(
-        F.lower(F.trim(col)).isin(*BOOL_TRUE_TOKENS)
+        F.lower(pytrim(col)).isin(*BOOL_TRUE_TOKENS)
     )
 
 
 def clean_datetime(col: Column) -> Column:
     """datetime type is a trimmed string passthrough (schema_mapper.py:806-807)."""
-    return F.when(is_empty_str(col), F.lit(None)).otherwise(F.trim(col))
+    return F.when(is_empty_str(col), F.lit(None)).otherwise(pytrim(col))
 
 
 # ---------------------------------------------------------------------------
@@ -173,14 +228,16 @@ def clean_datetime(col: Column) -> Column:
 def _parse_list_value(v):
     if v is None:
         return None
-    s = v.strip() if isinstance(v, str) else v
-    if not isinstance(s, str) or not s:
+    if not isinstance(v, str) or not v.strip():
         return None
+    # parse the RAW value — the reference gives json.loads/literal_eval
+    # the unstripped string (schema_mapper.py:812,831), so exotic edge
+    # whitespace makes the parse FAIL into the single-item fallback
     try:
-        parsed = json.loads(s)
+        parsed = json.loads(v)
     except (json.JSONDecodeError, ValueError):
         try:
-            parsed = ast.literal_eval(s)
+            parsed = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             return [v.strip()]
     if not isinstance(parsed, list):
@@ -267,7 +324,7 @@ def synthetic_template(template: str) -> Column:
     for m in _TEMPLATE_FIELD_RE.finditer(template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        parts.append(F.trim(F.col(m.group(1))))
+        parts.append(pytrim(F.col(m.group(1))))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))

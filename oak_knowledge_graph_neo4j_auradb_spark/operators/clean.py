@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config.curriculum_schema import NODES, column_dtype
-from ..functions.scalars import synthetic_template
+from ..functions.scalars import pytrim, pytrim_sql, synthetic_template
 from ..oracle.pyoracle import NA_TOKENS
 
 import re
@@ -41,7 +41,7 @@ def _synthetic_id_col(template: str) -> Column:
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
         name = m.group(1)
-        c = F.trim(F.col(name).cast("string"))
+        c = pytrim(F.col(name).cast("string"))
         if column_dtype(name) == "string":
             c = F.coalesce(c, F.lit("nan"))
         else:
@@ -76,7 +76,7 @@ def clean(df: DataFrame, filters: dict[str, Any], run_ts: str) -> DataFrame:
     # trim strings (data_cleaner.py:88-89)
     df = df.selectExpr(
         *[
-            f"trim({c}) AS {c}" if c in string_cols else c
+            f"{pytrim_sql(c)} AS {c}" if c in string_cols else c
             for c in df.columns
         ]
     )

@@ -138,9 +138,9 @@ def clean_typed_from(col: Column, src_dtype: str, ptype: str) -> Column:
     if src_dtype == "string":
         return clean_typed(col, ptype)
     if ptype == "int":
-        return col.cast("long")
+        return col.try_cast("long")
     if ptype == "float":
-        return col.cast("double")
+        return col.try_cast("double")
     if ptype == "boolean":
         if src_dtype == "boolean":
             return col
@@ -830,7 +830,7 @@ def canonical_endpoint(col: Column, label_col: Column, node_configs: dict[str, A
         return col
     return F.when(
         label_col.isin(int_labels),
-        col.cast("double").cast("long").cast("string"),
+        col.try_cast("double").try_cast("long").cast("string"),
     ).otherwise(col)
 
 

@@ -111,9 +111,9 @@ def _key_hashes(docs: DataFrame, keys: list[str]) -> dict[str, int]:
 
 def _typed(col: Column, dtype: str) -> Column:
     if dtype == "long":
-        return col.cast("long")
+        return col.try_cast("long")
     if dtype == "double":
-        return col.cast("double")
+        return col.try_cast("double")
     if dtype == "boolean":
         return (
             F.when(F.lower(col) == "true", F.lit(True))
@@ -132,9 +132,9 @@ def row_seq(doc_id: Column) -> Column:
 
 def _typed_sql(inner: str, dtype: str) -> str:
     if dtype == "long":
-        return f"CAST({inner} AS BIGINT)"
+        return f"TRY_CAST({inner} AS BIGINT)"
     if dtype == "double":
-        return f"CAST({inner} AS DOUBLE)"
+        return f"TRY_CAST({inner} AS DOUBLE)"
     if dtype == "boolean":
         return (
             f"CASE WHEN lower({inner}) = 'true' THEN true "
@@ -156,6 +156,19 @@ def reconstruct_wide(
     if columns is None:
         columns = PRIMARY_COLUMNS if mv == "primary" else SUPPLEMENTARY_COLUMNS
     hashes = _key_hashes(docs, ["_mv", *columns])
+    # cheap MV pre-filter BEFORE the 61-entry map build: one array scan
+    # for the discriminator span, no sort/map allocation. Rows of the
+    # other MV (e.g. 94% of docs when reconstructing the supplementary
+    # table) never pay the pivot. The map-based filter below remains the
+    # semantic gate; this is a conservative superset (the `_mv` map entry
+    # can only arise from exactly such a span).
+    docs = docs.filter(
+        F.exists(
+            F.col("spans"),
+            lambda s: (s["text"] == f"_mv={mv}")
+            | ((s["text"] == "_mv=") & (s["media_ref"] == mv)),
+        )
+    )
     m = F.map_from_entries(F.expr(_KV_ENTRIES_HASHED))
     df = docs.select(
         F.col("doc_id"),

@@ -66,6 +66,9 @@ class GraphBuild:
 
     def unpersist(self) -> None:
         self.wide.unpersist()
+        self.resolved.unpersist()  # no-op unless a caller persisted it
+        if "dims" in self.extras:
+            self.extras["dims"].unpersist()
 
 
 def build_graph(
@@ -101,10 +104,15 @@ def build_graph(
         wide, rel_configs, node_configs, run_ts
     )
     dims = mapper_op.node_dims(wide, node_configs, spark)
+    # both endpoint semi-joins broadcast this dimension; without the
+    # persist each broadcast build re-runs the melt+distinct (the
+    # rename-divergent plans defeat Spark's exchange reuse)
+    dims = dims.persist(StorageLevel.MEMORY_AND_DISK)
     resolved = mapper_op.resolve_triples(triples, {}, node_configs, dims=dims)
     return GraphBuild(
         wide=wide,
         triples=triples,
         resolved=resolved,
         _node_args=(wide, node_configs, run_ts, spark),
+        extras={"dims": dims},
     )

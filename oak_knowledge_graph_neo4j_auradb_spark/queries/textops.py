@@ -308,20 +308,27 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key become candidates (shuffle on the band key only); candidates are
     verified with exact shingle Jaccard ≥ 0.4. This is the linear-cost
     near-dedup plan — the O(n²) comparison never materializes."""
+    from pyspark.storagelevel import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     sh = shingles(tokens(F.col("text")))
     staged = d.select("doc_id", sh.alias("sh")).withColumn(
         "hx", shingle_hashes(F.col("sh"))
     )
     sig = minhash_sig(F.col("hx"))
+    # The signature table is materialized ONCE (in production: written to
+    # its own table — the standard LSH pipeline shape); shingling + 8-perm
+    # MinHash is the CPU-dominant stage and must not re-run per consumer.
     feats = staged.select(
-        "doc_id",
-        "sh",
-        *[c.alias(f"mh{i}") for i, c in enumerate(sig)],
-    )
+        "doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(sig)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # band join carries ONLY (doc_id, band, key) — never the shingle
+    # arrays. Carrying the full shingle set through the candidate join
+    # shuffles every doc's payload 4× per side; at 100 TB the band
+    # exchange would be dominated by bytes no comparator ever reads.
+    # Shingles are joined back per *candidate pair* (candidates ≪ docs).
     bands = feats.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -335,18 +342,21 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", "bk.band", "bk.key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "key"
-    )
-    cand = (
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
         a.join(b, on=["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pairs.join(
+        feats.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        on="doc_a",
+    ).join(
+        feats.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        on="doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
