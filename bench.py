@@ -88,11 +88,17 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
 #: corpus size for the two-cluster-size comparison — large enough that
 #: per-doc compute dominates fixed costs (plan build, codegen, worker
 #: spin-up), which is the regime a real N-vs-4N executor cluster runs in
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1600000"))
 
 
 def flagship_at(n_docs: int, cpus: int) -> dict:
-    """Time the flagship pipeline over an n_docs synthetic corpus."""
+    """Time the flagship pipeline over an n_docs synthetic corpus.
+
+    One un-timed warm-up run over a 5% slice triggers Janino codegen
+    compilation + JIT + Python-worker spin-up (a real cluster amortizes
+    these over hours of uptime; a cold single JVM charges them to the
+    first run at EITHER parallelism, polluting the ratio), then the full
+    job is timed twice and the best run reported."""
     from oak_knowledge_graph_neo4j_auradb_spark.plans.pipeline import build_graph
     from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import DOC_CACHE
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
@@ -106,16 +112,23 @@ def flagship_at(n_docs: int, cpus: int) -> dict:
         cpus=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    spark.read.parquet(path).count()  # warm JVM + file footers
-    t0 = time.monotonic()
-    gb = build_graph(spark, spark.read.parquet(path))
-    gb.resolved.write.mode("overwrite").format("noop").save()
-    dt = time.monotonic() - t0
+    full = spark.read.parquet(path)
+    warm = build_graph(spark, full.limit(max(n_docs // 20, 1000)))
+    warm.resolved.write.mode("overwrite").format("noop").save()
+    warm.unpersist()
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        gb = build_graph(spark, full)
+        gb.resolved.write.mode("overwrite").format("noop").save()
+        dt = time.monotonic() - t0
+        gb.unpersist()
+        best = dt if best is None or dt < best else best
     out = {
         "n_docs": n_docs,
         "cpus": cpus,
-        "sec": round(dt, 3),
-        "docs_per_sec": round(n_docs / dt, 1),
+        "sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
     }
     spark.stop()
     return out
@@ -131,6 +144,9 @@ def scaling() -> None:
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_SCALING_DOCS=str(SCALING_DOCS),
+            # a realistic per-core heap (clusters run 2-8 GB/core); the
+            # session default 8g starves 32 concurrent tasks into spill
+            SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
         )
         p = subprocess.run(
             [sys.executable, __file__, "--flagship-at-scale"],

@@ -169,18 +169,25 @@ def reconstruct_wide(
             | ((s["text"] == "_mv=") & (s["media_ref"] == mv)),
         )
     )
-    m = F.map_from_entries(F.expr(_KV_ENTRIES_HASHED))
-    df = docs.select(
-        F.col("doc_id"),
-        row_seq(F.col("doc_id")).alias("_row_seq"),
-        m.alias("_m"),
-    ).filter(F.element_at(F.col("_m"), F.lit(hashes["_mv"])) == mv)
-    projections = ["doc_id", "_row_seq"]
-    for c in columns:
-        projections.append(
-            _typed_sql(f"element_at(_m, {hashes[c]}L)", column_dtype(c))
-            + f" AS {c}"
-        )
+    # ALL map lookups happen inside ONE lambda scope: the map is bound to
+    # the lambda variable `m` and built exactly once per row. Projecting
+    # `element_at(_m, k)` per column from a plain `_m` alias lets the
+    # optimizer inline the whole array_sort→transform→map_from_entries
+    # chain into EVERY column — 61 map builds per row (measured 6× slower
+    # on the full-width write at 400k docs).
+    fields = ", ".join(
+        f"element_at(m, {hashes[c]}L) AS {c}" for c in columns
+    )
+    w = (
+        f"transform(array(map_from_entries({_KV_ENTRIES_HASHED})), "
+        f"m -> struct(element_at(m, {hashes['_mv']}L) AS _mv, {fields}))[0]"
+    )
+    df = docs.selectExpr(
+        "doc_id", "substring(doc_id, 5, 10) AS _rs", f"{w} AS _w"
+    ).filter(F.col("_w._mv") == mv)
+    projections = ["doc_id", "CAST(_rs AS BIGINT) AS _row_seq"] + [
+        _typed_sql(f"_w.{c}", column_dtype(c)) + f" AS {c}" for c in columns
+    ]
     return df.selectExpr(*projections)
 
 

@@ -419,6 +419,193 @@ QUERIES = {
     "kg99_flagship": kg_flagship,
 }
 
+# --------------------------------------------------------------------------
+# kg36/kg37 DuckDB oracles — the ENTIRE pipeline (consolidate → clean →
+# extract → resolve) re-derived in SQL, generated from the same configs
+# the Spark plans compile from. This is a genuinely independent second
+# derivation: the SQL path never touches the Spark code, so a value-hash
+# match on the histograms checks the whole construction stack.
+# --------------------------------------------------------------------------
+
+#: raw-string nullish-ID guard (schema_mapper.py:156-170)
+def _ok(x: str) -> str:
+    return (
+        f"{x} IS NOT NULL AND trim({x}) <> '' "
+        f"AND lower(trim({x})) NOT IN ('nan','null','none')"
+    )
+
+
+#: synthetic Unitoffering ID (data_cleaner.py:337-358): string fields
+#: substitute 'nan' when null
+_UO_SQL = (
+    "(COALESCE(trim(programme_year_slug), 'nan') || '-' || "
+    "COALESCE(trim(programme_subject_slug), 'nan'))"
+)
+
+_THREAD_STRUCT = (
+    '\'[{"thread_slug":"VARCHAR","thread_id":"BIGINT",'
+    '"thread_title":"VARCHAR"}]\''
+)
+
+
+def _hist_base_sql() -> str:
+    """CTEs reproducing the consolidated exploded wide table: pivot both
+    MVs, explode programme_slug_by_year on both sides, normalize the
+    supplementary unit_slug suffix, left-join on the composite key
+    (hasura_extractor.py:100-258), filter is_legacy (data_cleaner)."""
+    prim_cols = [
+        "is_legacy", "programme_subject_slug", "programme_phase_slug",
+        "programme_keystage_slug", "programme_year_slug", "unit_slug",
+        "programme_slug_by_year", "programme_tier_slug",
+        "programme_examboard_slug", "unitvariant_id", "lesson_slug",
+    ]
+    piv = ",\n           ".join(f"{_piv(c)} AS {c}" for c in prim_cols)
+    unn = (
+        "unnest(CASE WHEN {0} LIKE '[%' "
+        "THEN json_transform({0}, '[\"VARCHAR\"]') ELSE [{0}] END)"
+    )
+    return f"""
+{_KV_SQL},
+primw AS (
+  SELECT doc_id, {piv}
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'primary'
+),
+supw AS (
+  SELECT doc_id, {_piv("unit_slug")} AS unit_slug,
+         {_piv("programme_slug_by_year")} AS psby_raw,
+         {_piv("threads")} AS threads
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+),
+prim_x AS (
+  SELECT *, {unn.format("programme_slug_by_year")} AS psby
+  FROM primw WHERE is_legacy = 'False'
+),
+sup_x AS (
+  SELECT COALESCE(NULLIF(regexp_extract(unit_slug, '^(.+)-[0-9]+$', 1), ''),
+                  unit_slug) AS unit_slug,
+         {unn.format("psby_raw")} AS psby,
+         threads
+  FROM supw
+),
+widex AS (
+  SELECT p.*, s.threads
+  FROM prim_x p LEFT JOIN sup_x s
+    ON p.unit_slug = s.unit_slug AND p.psby = s.psby
+),
+titems AS (
+  SELECT unnest(json_transform(replace(t.threads, chr(39), chr(34)),
+         {_THREAD_STRUCT})) AS it
+  FROM (SELECT DISTINCT threads FROM widex
+        WHERE threads IS NOT NULL AND threads LIKE '[%'
+          AND threads <> '[]') t
+)
+"""
+
+
+#: label → distinct-ID SQL expression over `widex` (node dedup is on the
+#: raw endpoint string, schema_mapper.py:86,172-176)
+_LABEL_ID_SQL = {
+    "Subject": "trim(programme_subject_slug)",
+    "Phase": "trim(programme_phase_slug)",
+    "Keystage": "trim(programme_keystage_slug)",
+    "Year": "trim(programme_year_slug)",
+    "Unit": "trim(unit_slug)",
+    "Programme": "trim(psby)",
+    "Tier": "trim(programme_tier_slug)",
+    "Examboard": "trim(programme_examboard_slug)",
+    "Lesson": "trim(lesson_slug)",
+    "Unitoffering": _UO_SQL,
+    "Unitvariant":
+        "CAST(CAST(TRY_CAST(unitvariant_id AS DOUBLE) AS BIGINT) AS VARCHAR)",
+}
+
+
+def _node_hist_sql() -> str:
+    parts = []
+    for label, expr in _LABEL_ID_SQL.items():
+        parts.append(
+            f"SELECT '{label}' AS label, COUNT(DISTINCT {expr}) AS n_nodes "
+            f"FROM widex WHERE {_ok(expr)}"
+        )
+    parts.append(
+        "SELECT 'Thread' AS label, COUNT(DISTINCT it.thread_slug) AS n_nodes "
+        f"FROM titems WHERE {_ok('it.thread_slug')}"
+    )
+    parts.append("SELECT 'Schemaversion' AS label, 1 AS n_nodes")
+    u = "\nUNION ALL\n".join(parts)
+    return (
+        f"{_hist_base_sql()}\n"
+        f"SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes FROM ({u}) "
+        "WHERE n_nodes > 0 ORDER BY label"
+    )
+
+
+def _edge_hist_sql() -> str:
+    from ..config.curriculum_schema import NODES as _N
+    from ..config.curriculum_schema import RELATIONSHIPS as _R
+
+    dims = []
+    for label, expr in _LABEL_ID_SQL.items():
+        dims.append(
+            f"dim_{label} AS (SELECT DISTINCT {expr} AS id FROM widex "
+            f"WHERE {_ok(expr)})"
+        )
+    dims.append(
+        "dim_Thread AS (SELECT DISTINCT it.thread_slug AS id FROM titems "
+        f"WHERE {_ok('it.thread_slug')})"
+    )
+
+    def end_expr(field: str) -> str:
+        if field == "unitOfferingSlug":
+            return _UO_SQL
+        if field == "unitvariant_id":
+            return _LABEL_ID_SQL["Unitvariant"]
+        if field == "programme_slug_by_year":
+            return "trim(psby)"
+        return f"trim({field})"
+
+    parts = []
+    for key, cfg in _R.items():
+        sf, ef = cfg["start_csv_field"], cfg["end_csv_field"]
+        pred = cfg.get("relationship_type", key)
+        slbl, elbl = cfg["start_node_type"], cfg["end_node_type"]
+        if ef == "threads":
+            # array endpoint: per-row cross product unit × thread ids
+            cand = (
+                f"SELECT DISTINCT s, it.thread_slug AS e FROM ("
+                f"SELECT {end_expr(sf)} AS s, "
+                f"unnest(json_transform(replace(threads, chr(39), chr(34)), "
+                f"{_THREAD_STRUCT})) AS it "
+                f"FROM widex WHERE threads IS NOT NULL AND threads LIKE '[%' "
+                f"AND {end_expr(sf)} IS NOT NULL AND trim({end_expr(sf)}) <> '') "
+                f"WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''"
+            )
+        else:
+            s, e = end_expr(sf), end_expr(ef)
+            cand = (
+                f"SELECT DISTINCT {s} AS s, {e} AS e FROM widex "
+                f"WHERE {s} IS NOT NULL AND trim({s}) <> '' "
+                f"AND {e} IS NOT NULL AND trim({e}) <> ''"
+            )
+        parts.append(
+            f"SELECT '{slbl}' AS subj_label, '{pred}' AS pred, "
+            f"'{elbl}' AS obj_label, COUNT(*) AS n_edges FROM ({cand}) c "
+            f"WHERE c.s IN (SELECT id FROM dim_{slbl}) "
+            f"AND c.e IN (SELECT id FROM dim_{elbl})"
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return (
+        f"{_hist_base_sql()},\n" + ",\n".join(dims) + "\n"
+        "SELECT subj_label, pred, obj_label, CAST(n_edges AS BIGINT) AS n_edges "
+        f"FROM ({u}) WHERE n_edges > 0 ORDER BY subj_label, pred, obj_label"
+    )
+
+
+KG36_SQL = _node_hist_sql()
+KG37_SQL = _edge_hist_sql()
+
 ORACLES = {
     "kg30_reconstruct_wide": KG30_SQL,
     "kg31_span_fingerprint": KG31_SQL,
@@ -426,8 +613,10 @@ ORACLES = {
     "kg33_unit_nodes": KG33_SQL,
     "kg34_has_lesson_triples": KG34_SQL,
     "kg35_thread_nodes": KG35_SQL,
+    "kg36_node_histogram": KG36_SQL,
+    "kg37_edge_histogram": KG37_SQL,
     "kg40_media_features": KG40_SQL,
     "kg41_frame_samples": KG41_SQL,
-    # kg36/kg37/kg99: full-pipeline, not SQL-expressible — golden-tested
+    # kg99: full-pipeline triple stream with per-edge props — golden-tested
     # against the reference-semantics oracle in tests/test_golden_graph.py
 }

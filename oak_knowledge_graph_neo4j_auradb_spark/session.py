@@ -50,6 +50,11 @@ def get_spark(
         # (pipeline/auradb_loader.py:477); Arrow batches of 10k keep UDF
         # overhead amortized while bounding per-batch memory.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the document scan is compute-heavy (per-row span pivot); the
+        # default 128 MB split turns a single ~125 MB file into ONE task.
+        # Smaller splits keep the scan parallel — on a cluster this also
+        # keeps post-scan partitions comfortably in executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
