@@ -845,10 +845,15 @@ def resolve_triples(
     the reference's own integrity validation
     (scripts/validate_neo4j_import.py:315-319).
 
-    The node-ID dimension is tiny relative to the triple stream, so both
-    semi-joins broadcast — no shuffle of the triples. Pass ``dims`` (from
-    :func:`node_dims`) to resolve in one fused exchange instead of 13
-    per-label dedup aggregates."""
+    No broadcast hint on the node-ID dimension: |dims| grows with the
+    corpus (distinct entities), so a forced broadcast means a serial,
+    data-proportional driver collect+hash-build per semi-join — measured
+    as the dominant non-scaling cost at 1.6M docs, and outright
+    impossible at 10^12. Left to AQE, the join runs as a shuffled
+    semi-join and is demoted to broadcast at runtime only when the
+    actual built size is small. Pass ``dims`` (from :func:`node_dims`)
+    to resolve in one fused exchange instead of 13 per-label dedup
+    aggregates."""
     if dims is None:
         dims = None
         for lbl, df in nodes.items():
@@ -857,7 +862,6 @@ def resolve_triples(
             )
             dims = d if dims is None else dims.unionByName(d)
         dims = dims.distinct()
-    dims = F.broadcast(dims)
 
     t = triples.withColumn(
         "subj_c",

@@ -81,8 +81,16 @@ _KV_ENTRIES = f"""
 #: 62-entry map comparing long shared-prefix names ("programme_…") — the
 #: dominant per-row cost at scale. int64 keys make every compare one
 #: machine word (measured ~2.5× on the 61-column projection).
+#:
+#: Deliberately UNSORTED spans: element order cannot influence the k→v
+#: map — field names are unique per doc, and a duplicate would make
+#: map_from_entries throw (spark.sql.mapKeyDedupPolicy=EXCEPTION), so
+#: sorting buys nothing here. Higher-order-function lambdas evaluate on
+#: the interpreted path (no codegen), so the per-element comparator was
+#: ~30% of the whole pivot. Order-sensitive consumers (media_assets,
+#: span_fingerprint) still sort.
 _KV_ENTRIES_HASHED = f"""
-    transform({_SORTED_SPANS}, s -> struct(
+    transform(spans, s -> struct(
         xxhash64(substring_index(s.text, '=', 1)) AS k,
         CASE WHEN s.kind = 'media' THEN s.media_ref
              ELSE substring(s.text, length(substring_index(s.text, '=', 1)) + 2)
