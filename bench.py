@@ -134,12 +134,27 @@ def flagship_at(n_docs: int, cpus: int) -> dict:
     return out
 
 
+#: parallelism ladder for --scaling. Each rung is pinned to exactly that
+#: many cores (taskset), modelling an N-core cluster honestly — an
+#: unpinned local[8] borrows the other 24 cores for GC / Python workers
+#: / shuffle IO and inflates the small-N baseline.
+SCALING_LADDER = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LADDER", "2,8,32").split(",")
+)
+
+
 def scaling() -> None:
     """North-rule two-cluster-size evidence: the same flagship job over
-    the same input at local[8] vs local[32];
-    efficiency = (T8/T32) / (32/8)."""
+    the same input at each ladder rung; efficiency between rungs N→M is
+    (T_N/T_M) / (M/N). The 2→8 ratio is the bandwidth-unsaturated
+    regime (what separate N vs 4N machines would see); 8→32 on this
+    single socket additionally measures the shared-memory-bandwidth
+    ceiling (≈8 cores saturate it for this allocation-heavy pivot)."""
+    import shutil
+
     results = {}
-    for cpus in (8, 32):
+    for cpus in SCALING_LADDER:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cpus),
@@ -148,31 +163,27 @@ def scaling() -> None:
             # session default 8g starves 32 concurrent tasks into spill
             SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"),
         )
+        cmd = [sys.executable, __file__, "--flagship-at-scale"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         p = subprocess.run(
-            [sys.executable, __file__, "--flagship-at-scale"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+            cmd, env=env, capture_output=True, text=True, check=True
         )
         results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    speedup = t8 / t32
-    eff = speedup / (32 / 8)
-    print(
-        json.dumps(
-            {
-                "metric": "kg flagship scaling local[8]→local[32]",
-                "n_docs": SCALING_DOCS,
-                "t_local8_sec": t8,
-                "t_local32_sec": t32,
-                "docs_per_sec_local8": results[8]["docs_per_sec"],
-                "docs_per_sec_local32": results[32]["docs_per_sec"],
-                "speedup": round(speedup, 3),
-                "scaling_efficiency": round(eff, 3),
-            }
+    out = {
+        "metric": "kg flagship scaling, core-pinned ladder "
+        + "→".join(f"local[{c}]" for c in SCALING_LADDER),
+        "n_docs": SCALING_DOCS,
+    }
+    for c in SCALING_LADDER:
+        out[f"t_local{c}_sec"] = results[c]["sec"]
+        out[f"docs_per_sec_local{c}"] = results[c]["docs_per_sec"]
+    for lo, hi in zip(SCALING_LADDER, SCALING_LADDER[1:]):
+        speedup = results[lo]["sec"] / results[hi]["sec"]
+        out[f"scaling_efficiency_{lo}to{hi}"] = round(
+            speedup / (hi / lo), 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

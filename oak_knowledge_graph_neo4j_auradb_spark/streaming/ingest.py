@@ -150,3 +150,69 @@ def windowed_event_counts(
             F.sum("value").alias("total_value"),
         )
     )
+
+
+def stream_first_seen_nodes(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "unit_slug",
+):
+    """Stateful incremental first-seen dedup via
+    ``applyInPandasWithState`` — the reference's in-memory ``seen_ids``
+    set (schema_mapper.py:86,172-176) as a distributed, checkpointed
+    streaming operator: each micro-batch emits only IDs never seen in
+    ANY prior batch, with the winning row chosen by the extraction-order
+    key ``_row_seq`` so output is deterministic under parallelism.
+
+    State is one row-seq watermark per entity ID, kept in the state
+    store (HDFS/RocksDB-backed on a cluster) and restored from
+    ``checkpoint_dir`` on restart — the dedup survives job restarts,
+    which the reference's process-local set cannot.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.reconstruct import reconstruct_wide
+
+    docs = stream_documents(spark, in_dir)
+    wide = reconstruct_wide(docs, "primary", columns=(id_col,))
+    ids = wide.select(
+        F.col(id_col).alias("id"), F.col("_row_seq").alias("row_seq")
+    ).filter(F.col("id").isNotNull())
+
+    out_schema = "id string, row_seq bigint"
+    state_schema = "seen boolean"
+
+    def dedup(key, pdfs, state: GroupState):
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf.loc[pdf["row_seq"].idxmin()]
+                if first is None or m["row_seq"] < first["row_seq"]:
+                    first = m
+        if first is None or state.exists:
+            return iter(())
+        state.update((True,))
+        return iter(
+            [pd.DataFrame({"id": [key[0]], "row_seq": [int(first["row_seq"])]})]
+        )
+
+    deduped = ids.groupBy("id").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

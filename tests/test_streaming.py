@@ -87,3 +87,31 @@ def test_windowed_event_counts(spark, tmp_path, sf_dir):
     ).first()["n"]
     want = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got == want
+
+
+def test_stateful_first_seen_dedup(spark, dirs):
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_first_seen_nodes,
+    )
+
+    _write_docs(f"{dirs['in']}/part1.parquet", 120, seed=42)
+    stream_first_seen_nodes(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    rows1 = spark.read.parquet(dirs["out"]).collect()
+    ids1 = [r["id"] for r in rows1]
+    assert len(ids1) == len(set(ids1)) > 0
+
+    # overlapping delivery: the same universe prefix plus new docs —
+    # state (restored from the checkpoint) suppresses every already-seen
+    # ID across micro-batches AND across restarted runs
+    _write_docs(f"{dirs['in']}/part2.parquet", 200, seed=42)
+    stream_first_seen_nodes(spark, dirs["in"], dirs["out"], dirs["ckpt"])
+    rows2 = spark.read.parquet(dirs["out"]).collect()
+    ids2 = [r["id"] for r in rows2]
+    assert len(ids2) == len(set(ids2))
+    assert set(ids1) <= set(ids2)
+
+    # first-seen winner is the minimal extraction-order key per ID
+    by_id = {}
+    for r in rows2:
+        assert r["id"] not in by_id
+        by_id[r["id"]] = r["row_seq"]
