@@ -172,8 +172,11 @@ _NUM_WS = (
 )
 
 #: Python float-literal syntax (sign, decimal, exponent). Underscored
-#: literals ('1_0', PEP 515) and inf/nan tokens are deliberately
-#: excluded → null (unreachable in the curriculum value space).
+#: literals ('1_0', PEP 515), inf/nan tokens, and non-ASCII Unicode
+#: decimal digits (``float('٣') == 3.0`` in Python; Java ``\d`` is
+#: ASCII-only) are deliberately excluded → null (unreachable in the
+#: curriculum value space; documented deviation, mirrored in
+#: tests/test_scalar_properties.py::_oracle_clean).
 _PYFLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 
 
@@ -209,9 +212,10 @@ BOOL_TRUE_TOKENS = ("true", "1", "yes", "on")
 
 
 def clean_boolean(col: Column) -> Column:
-    """String → bool via the reference token set (schema_mapper.py:802-805)."""
+    """String → bool via the reference token set (schema_mapper.py:802-805).
+    The RAW string is lowercased with no trim — ``'1 '`` is falsy."""
     return F.when(is_empty_str(col), F.lit(None)).otherwise(
-        F.lower(pytrim(col)).isin(*BOOL_TRUE_TOKENS)
+        F.lower(col).isin(*BOOL_TRUE_TOKENS)
     )
 
 

@@ -470,10 +470,11 @@ def q17_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q17_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN props IS NULL OR trim(props) = ''
+       CAST(SUM(CASE WHEN props IS NULL OR trim(props) = ''
                  OR regexp_matches(trim(props), '^(\\[\\s*\\]|\\{\\s*\\})$')
-            THEN 1 ELSE 0 END) AS n_empty,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
 FROM events GROUP BY event_type
 """
@@ -537,18 +538,24 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_SQL = """
 WITH g AS (
+  -- floor(epoch) truncates to whole seconds exactly as Spark's
+  -- timestamp→long cast does (floorDiv of micros); bare epoch() keeps
+  -- fractional seconds and can classify a gap straddling 1800 s
+  -- differently
   SELECT user_id, event_id, ts,
-         epoch(ts) - LAG(epoch(ts)) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ), s AS (
   SELECT user_id,
-         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER
            (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM g
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, MAX(session_id) AS n_sessions,
+       COUNT(*) AS n_events
 FROM s GROUP BY user_id
 """
 

@@ -107,12 +107,18 @@ def _oracle_clean(values, dtype):
         # type-unstable column).
         if dtype in ("int", "float") and isinstance(w, str):
             w = None
-        # documented deviations: PEP-515 underscored literals and
-        # inf/nan tokens parse in Python but are deliberately null here
+        # documented deviations: PEP-515 underscored literals, inf/nan
+        # tokens, and non-ASCII Unicode decimal digits (float('٣')==3.0)
+        # parse in Python but are deliberately null here (the engine's
+        # _PYFLOAT_RE grammar is ASCII-only)
         if (
             dtype in ("int", "float")
             and w is not None
-            and ("_" in v or any(t in v.lower() for t in ("inf", "nan")))
+            and (
+                "_" in v
+                or any(t in v.lower() for t in ("inf", "nan"))
+                or any(c.isdigit() and not c.isascii() for c in v)
+            )
         ):
             w = None
         # try_cast(double→long) yields null out of int64 range (the

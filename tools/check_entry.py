@@ -46,9 +46,41 @@ def canon_rows(cols, rows):
     return sorted(out)
 
 
+def canon_cell_strict(v):
+    """Type-preserving canon — mimics the driver's value hash, which
+    fetches both sides as pandas. A DuckDB HUGEINT aggregate surfaces as
+    float64 there ('3.0') while Spark's long is '3', so an uncast SUM
+    fails strict even though the tolerant compare passes."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        return "f:" + repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (list, tuple)) or (
+        type(v).__name__ == "ndarray"
+    ):
+        return "[" + ",".join(canon_cell_strict(x) for x in v) + "]"
+    return "s:" + str(v)
+
+
+def canon_pdf_strict(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(
+        tuple(canon_cell_strict(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
@@ -97,6 +129,15 @@ def main() -> int:
                 diff_a = [r for r in a if r not in set(b)][:3]
                 diff_b = [r for r in b if r not in set(a)][:3]
                 problems.append(f"values only-spark={diff_a} only-duck={diff_b}")
+        if not problems and strict:
+            a = canon_pdf_strict(sdf.toPandas())
+            b = canon_pdf_strict(con.sql(oracles[name]).df())
+            if a != b:
+                diff_a = [r for r in a if r not in set(b)][:2]
+                diff_b = [r for r in b if r not in set(a)][:2]
+                problems.append(
+                    f"STRICT only-spark={diff_a} only-duck={diff_b}"
+                )
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
