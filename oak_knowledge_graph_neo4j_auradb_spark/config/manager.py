@@ -44,6 +44,7 @@ __all__ = [
     "GraphConfig",
     "compile_config",
     "load_graph_config",
+    "validate_config_dict",
     "export_reference_dialect",
 ]
 
@@ -398,6 +399,15 @@ def load_graph_config(path: str) -> GraphConfig:
     p = Path(path)
     mgr = ConfigManager(str(p.parent))
     return compile_config(mgr.load_config(p.name))
+
+
+def validate_config_dict(config: dict[str, Any]) -> dict[str, Any]:
+    """Apply the full load pipeline (env substitution → validation →
+    legacy conversion) to an in-memory dict — same semantics as
+    :meth:`ConfigManager.load_config` minus the file read."""
+    config = _substitute_env_vars(config)
+    _validate_config(config)
+    return config
 
 
 # --------------------------------------------------------------------------

@@ -18,10 +18,10 @@ Scale shape (SURVEY.md §7.1):
   lesson-level side).
 * triple extraction is ONE fused exchange for all 12 configs
   (`operators/mapper.py:extract_triples_fused`); endpoint resolution
-  semi-joins against a ONE-exchange node-ID dimension
-  (`node_dims`) that broadcasts. Flagship total: 4 exchanges
-  (repartition, wide persist fan-in, fused triples, fused dims)
-  regardless of config count.
+  semi-joins against a ONE-exchange node-ID dimension (`node_dims`)
+  via AQE-planned shuffled semi-joins — no data-proportional driver
+  collect. Flagship total: 4 exchanges (repartition, wide persist
+  fan-in, fused triples, fused dims) regardless of config count.
 * per-label typed node tables (13 dedup aggregates) are built lazily —
   consumers that only need the resolved triple stream never pay their
   plan-construction or execution cost.
@@ -104,9 +104,11 @@ def build_graph(
         wide, rel_configs, node_configs, run_ts
     )
     dims = mapper_op.node_dims(wide, node_configs, spark)
-    # both endpoint semi-joins broadcast this dimension; without the
-    # persist each broadcast build re-runs the melt+distinct (the
-    # rename-divergent plans defeat Spark's exchange reuse)
+    # both endpoint semi-joins (AQE-planned shuffled joins; AQE may
+    # demote to broadcast at runtime if the dimension turns out tiny)
+    # consume this dimension; without the persist each semi-join
+    # re-runs the melt+distinct (the rename-divergent plans defeat
+    # Spark's exchange reuse)
     dims = dims.persist(StorageLevel.MEMORY_AND_DISK)
     resolved = mapper_op.resolve_triples(triples, {}, node_configs, dims=dims)
     return GraphBuild(
@@ -115,4 +117,42 @@ def build_graph(
         resolved=resolved,
         _node_args=(wide, node_configs, run_ts, spark),
         extras={"dims": dims},
+    )
+
+
+def build_graph_from_config(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: str | dict[str, Any],
+    run_ts: str = RUN_TS,
+    **kwargs: Any,
+) -> GraphBuild:
+    """Config-as-program entry: a reference-dialect JSON file (or an
+    already-loaded config dict) drives the whole build with no code
+    changes (reference README.md:10, config_manager.py:22-77). The
+    config is validated, env-substituted, legacy-converted, and
+    compiled to planner structures by ``config/manager.py``; a user's
+    modified JSON runs the engine directly:
+
+        gb = build_graph_from_config(spark, docs, "my_schema.json")
+    """
+    from ..config.manager import (
+        compile_config,
+        load_graph_config,
+        validate_config_dict,
+    )
+
+    gc = (
+        load_graph_config(config)
+        if isinstance(config, str)
+        else compile_config(validate_config_dict(dict(config)))
+    )
+    return build_graph(
+        spark,
+        docs,
+        run_ts=run_ts,
+        node_configs=gc.nodes,
+        rel_configs=gc.relationships,
+        filters=gc.filters,
+        **kwargs,
     )
