@@ -168,13 +168,19 @@ def reconstruct_wide(
     # for the discriminator span, no sort/map allocation. Rows of the
     # other MV (e.g. 94% of docs when reconstructing the supplementary
     # table) never pay the pivot. The map-based filter below remains the
-    # semantic gate; this is a conservative superset (the `_mv` map entry
-    # can only arise from exactly such a span).
+    # semantic gate; this is a conservative superset of every span shape
+    # that can yield map['_mv'] == mv: a field span carrying the exact
+    # text, or a media span whose key parses to '_mv' (text '_mv' or
+    # '_mv=…') with media_ref as the value.
     docs = docs.filter(
         F.exists(
             F.col("spans"),
             lambda s: (s["text"] == f"_mv={mv}")
-            | ((s["text"] == "_mv=") & (s["media_ref"] == mv)),
+            | (
+                (s["kind"] == "media")
+                & (s["media_ref"] == mv)
+                & s["text"].startswith("_mv")
+            ),
         )
     )
     # ALL map lookups happen inside ONE lambda scope: the map is bound to

@@ -113,6 +113,24 @@ def write_graph(
     for label, ndf in gb2.nodes.items():
         emit(f"nodes/{label}", ndf, f"nodes/{label}", "id")
 
+    # validation side-output: every row a mapping rule dropped, with
+    # (rule, reason, source ref) — validators.py:8-67 as a table
+    from ..config.curriculum_schema import NODES, RELATIONSHIPS
+    from ..operators.quarantine import quarantine, validation_summary
+
+    q = emit(
+        "quarantine",
+        quarantine(
+            gb2.wide, gb2.triples, NODES, RELATIONSHIPS, gb2.extras["dims"]
+        ),
+        "quarantine",
+        "rule",
+        partition_by="rule",
+    )
+    report.metrics.update(
+        validation_summary(q, int(report.metrics.get("wide_rows", 0)))
+    )
+
     # metrics + lineage tables (append a fresh snapshot per run)
     report.metrics["total_sec"] = round(time.monotonic() - t_all, 3)
     mrows = [(k, float(v)) for k, v in report.metrics.items()]
@@ -145,7 +163,108 @@ def _rebind(
         triples=triples,
         resolved=resolved,
         _node_args=(wide, NODES, run_ts, spark),
+        extras={"dims": dims},
     )
+
+
+# --------------------------------------------------------------------------
+# keyed MERGE upsert (auradb_loader.py:170-189 nodes, :295-310 rels)
+# --------------------------------------------------------------------------
+
+_MERGE_META = "_merge_meta.json"
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: str | list[str],
+    n_buckets: int = 64,
+    max_records_per_file: int = 1_000_000,
+) -> dict[str, Any]:
+    """Idempotent keyed MERGE into a bucket-partitioned parquet table —
+    the reference's Neo4j upsert semantics re-expressed as a columnar
+    merge (``MERGE (n {id: …}) SET n += {…}``, auradb_loader.py:170-189;
+    ``MERGE (start)-[r]->(end) SET r +=``, :295-310; Iceberg
+    ``MERGE INTO`` in production):
+
+    * key match → UPDATE, where a NULL incoming property preserves the
+      existing value (the reference drops NaN fields from the batch
+      record, so ``SET n +=`` never nulls a property; here that is
+      per-column ``coalesce(update, existing)``);
+    * no match → INSERT;
+    * existing rows never duplicate — re-running the same merge is a
+      no-op on content.
+
+    Scale contract: the table is hash-bucketed on the key
+    (``pmod(xxhash64(keys), n_buckets)``, pinned at table creation in a
+    ``_merge_meta.json`` sidecar). A merge only reads and rewrites the
+    buckets its update keys hash into — dynamic partition overwrite
+    leaves every untouched bucket's files exactly as they are, the
+    parquet analogue of an Iceberg MERGE snapshot commit. The only
+    driver-side collect is the touched-bucket id list (≤ n_buckets
+    ints, never data-proportional).
+    """
+    import json as _json
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    data_cols = [c for c in updates.columns if c not in key_list]
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_list]), F.lit(n_buckets)
+    ).cast("int")
+    upd = updates.dropDuplicates(key_list).withColumn("_bucket", bucket)
+
+    meta_path = os.path.join(path, _MERGE_META)
+    if not _committed(path):
+        (
+            upd.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+        with open(meta_path, "w") as f:
+            _json.dump({"keys": key_list, "n_buckets": n_buckets}, f)
+        return {"created": True, "buckets_rewritten": None}
+
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    if meta["keys"] != key_list or meta["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"merge_into({path}): table was created with keys="
+            f"{meta['keys']}, n_buckets={meta['n_buckets']} — merge keys "
+            f"and bucket count are pinned at creation"
+        )
+
+    touched = sorted(
+        r["_bucket"] for r in upd.select("_bucket").distinct().collect()
+    )
+    tgt = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+    u2 = upd.select(
+        *key_list,
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        F.col("_bucket").alias("__u_bucket"),
+    )
+    merged = tgt.join(u2, on=key_list, how="full_outer").select(
+        *key_list,
+        *[
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            for c in data_cols
+        ],
+        F.coalesce(F.col("__u_bucket"), F.col("_bucket")).alias("_bucket"),
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+    return {"created": False, "buckets_rewritten": len(touched)}
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge table without its physical bucket column."""
+    return spark.read.parquet(path).drop("_bucket")
 
 
 def read_graph(spark: SparkSession, out_dir: str) -> dict[str, Any]:

@@ -7,12 +7,17 @@ Three tiers:
   query set against the corpus: at 100 TB the corpus side never shuffles;
   the per-row JVM `zip_with`/`aggregate` dot product stays inside
   WholeStageCodegen (no Python).
-* q30 — LSH-bucketed near-dup (the scale path). 8 deterministic
-  hyperplanes → 256 buckets → shuffle corpus once on bucket id →
-  candidate pairs only within buckets (~1/256 of the cross product),
-  exact cosine re-check on candidates. This is the standard
-  sign-random-projection LSH (Charikar 2002); planes are integer-rational
-  so Spark and DuckDB compute bit-identical signatures.
+* q30 — banded LSH near-dup (the scale path). N_BANDS independent bands
+  of BITS_PER_BAND sign-random-projection planes (Charikar 2002) →
+  per-band signatures → candidate pairs collide in ANY band (the
+  MinHash band trick applied to SRP). Bucket cardinality is
+  2^BITS_PER_BAND per band and the bit width is a parameter: growing
+  the corpus 100× means raising BITS_PER_BAND so expected bucket
+  occupancy stays bounded — candidate pairs scale ~N²·bands/2^bits,
+  and join parallelism scales with bucket count, not a fixed 256.
+  Planes are integer-rational so Spark and DuckDB compute bit-identical
+  signatures; only (band, signature, id) flows through the candidate
+  shuffle — vectors are joined back per surviving pair.
 * q31 — IVF-style coarse quantization: per-label centroids (tiny,
   broadcast) → nearest-centroid assignment. The centroid table is the
   IVF index; probing = broadcast join instead of full scan.
@@ -30,7 +35,13 @@ from pyspark.sql.window import Window
 from .common import load, r4
 
 DIM = 64
-N_PLANES = 8
+#: banded SRP-LSH geometry: N_BANDS × BITS_PER_BAND planes. 8-bit bands
+#: (256 buckets each) are sized for the sandbox corpus (~10³ vectors →
+#: expected bucket occupancy ~4); at 10⁹ vectors raise BITS_PER_BAND to
+#: ~24 so occupancy — and with it candidate-pair count ~N²·bands/2^bits
+#: — stays bounded. Both are plumbed through q30 as parameters.
+N_BANDS = 4
+BITS_PER_BAND = 8
 K = 5
 N_QUERY = 10  # query set: vec_id < 10
 
@@ -151,30 +162,71 @@ def _plane_dot(v: Column, b: int) -> Column:
     )
 
 
-def lsh_bucket(v: Column) -> Column:
-    bits = [
-        F.when(_plane_dot(v, b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(N_PLANES)
+def band_signature(v: Column, band: int, bits: int = BITS_PER_BAND) -> Column:
+    """The band's BITS_PER_BAND sign bits packed into an int. Plane
+    (band*bits + j) keeps every band's planes distinct while staying in
+    the integer-rational family both engines evaluate identically."""
+    terms = [
+        F.when(_plane_dot(v, band * bits + j) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        for j in range(bits)
     ]
-    out = bits[0]
-    for bc in bits[1:]:
-        out = out + bc
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
     return out
 
 
-def q30_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _vec(load(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", lsh_bucket(F.col("v"))
+def q30_lsh_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+) -> DataFrame:
+    """Banded SRP-LSH near-dup: candidates collide in ANY band.
+
+    Only (band, sig, vec_id) rows flow through the candidate shuffle —
+    a 12-byte stream regardless of embedding width; full vectors are
+    joined back per distinct surviving pair for the exact cosine
+    re-check. Candidate-pair volume ≈ N²·bands/2^bits: both knobs are
+    parameters, so bucket cardinality grows with the corpus instead of
+    pinning at a fixed 256."""
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id",
+        *[
+            band_signature(F.col("v"), b, bits).alias(f"sig{b}")
+            for b in range(n_bands)
+        ],
     )
-    a = e.select("bucket", F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
-    b = e.select("bucket", F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
-    # shuffle once on bucket id; pairs only within buckets (the 1/2^8
-    # candidate reduction that makes this survive 100× scale)
-    cand = a.join(b, on="bucket").filter(F.col("id1") < F.col("id2"))
+    keys = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", F.col("k.band").alias("band"), F.col("k.sig").alias("sig"))
+    a = keys.select("band", "sig", F.col("vec_id").alias("id1"))
+    b = keys.select("band", "sig", F.col("vec_id").alias("id2"))
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()  # a pair colliding in several bands scores once
+    )
+    v1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
     return (
-        cand.select(
-            "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("sim")
-        )
+        cand.join(v1, on="id1")
+        .join(v2, on="id2")
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("sim"))
         .filter(F.col("sim") > 0.2)
         .select("id1", "id2", r4(F.col("sim")).alias("sim"))
     )
@@ -183,24 +235,44 @@ def q30_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB list_transform's lambda index i is 1-based; Spark's is 0-based
 _PLANE_SQL = (
     f"list_sum(list_transform(v, (x, i) -> x * "
-    f"((({{b}} * {_PA} + (i - 1) * {_PB} + 1) % {_PM}) / {_PM}.0 - 0.5)))"
+    f"((({{p}} * {_PA} + (i - 1) * {_PB} + 1) % {_PM}) / {_PM}.0 - 0.5)))"
 )
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_PLANE_SQL.format(b=b)} > 0 THEN {1 << b} ELSE 0 END)"
-    for b in range(N_PLANES)
+
+
+def _band_sig_sql(band: int, bits: int = BITS_PER_BAND) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_PLANE_SQL.format(p=band * bits + j)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+
+
+_SIG_COLS = ", ".join(
+    f"{_band_sig_sql(b)} AS sig{b}" for b in range(N_BANDS)
+)
+# UNION (not UNION ALL) dedups pairs colliding in several bands —
+# the twin of Spark's .distinct()
+_CAND_UNION = "\n  UNION\n".join(
+    f"  SELECT a.vec_id AS id1, b.vec_id AS id2\n"
+    f"  FROM hashed a JOIN hashed b "
+    f"ON a.sig{b} = b.sig{b} AND a.vec_id < b.vec_id"
+    for b in range(N_BANDS)
 )
 
 Q30_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), hashed AS (
-  SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e
+  SELECT vec_id, {_SIG_COLS} FROM e
 ), cand AS (
-  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         {_cos_sql('a.v', 'b.v')} AS sim
-  FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+{_CAND_UNION}
+), scored AS (
+  SELECT cand.id1, cand.id2, {_cos_sql('ea.v', 'eb.v')} AS sim
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id1
+  JOIN e eb ON eb.vec_id = cand.id2
 )
-SELECT id1, id2, round(sim, 4) AS sim FROM cand WHERE sim > 0.2
+SELECT id1, id2, round(sim, 4) AS sim FROM scored WHERE sim > 0.2
 """
 
 

@@ -303,6 +303,13 @@ FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
 # --------------------------------------------------------------------------
 # q25 — MinHash + LSH near-dup pairs (band trick + exact verify)
 # --------------------------------------------------------------------------
+#: the previous invocation's persisted MinHash feature table — released
+#: on the next call (the returned DF is lazy, so unpersisting inside
+#: q25 itself would force recomputation before the caller collects).
+#: Callers wanting immediate release can pop+unpersist it themselves.
+_Q25_FEATS_CACHE: list[DataFrame] = []
+
+
 def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4 bands × 2 rows over the 8-perm signature: docs sharing any band
     key become candidates (shuffle on the band key only); candidates are
@@ -310,6 +317,8 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup plan — the O(n²) comparison never materializes."""
     from pyspark.storagelevel import StorageLevel
 
+    while _Q25_FEATS_CACHE:
+        _Q25_FEATS_CACHE.pop().unpersist()
     d = load(spark, sf_dir, "documents")
     sh = shingles(tokens(F.col("text")))
     staged = d.select("doc_id", sh.alias("sh")).withColumn(
@@ -322,6 +331,7 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = staged.select(
         "doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(sig)]
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _Q25_FEATS_CACHE.append(feats)
     # band join carries ONLY (doc_id, band, key) — never the shingle
     # arrays. Carrying the full shingle set through the candidate join
     # shuffles every doc's payload 4× per side; at 100 TB the band
@@ -443,13 +453,26 @@ Q26_SQL = _simhash_sql()
 # --------------------------------------------------------------------------
 # q27 — blocked n-gram Jaccard near-dup (explode-join formulation)
 # --------------------------------------------------------------------------
+#: document-frequency cutoff: a gram appearing in more than this many
+#: docs within a (lang, source) block is stopword-like — it contributes
+#: no discriminative signal and is exactly the hot key that makes the
+#: self-join quadratic. With the cutoff, the worst-case pair fan-out per
+#: gram is bounded at DF_MAX² regardless of corpus size (vs N²).
+DF_MAX = 100
+
+
 def q27_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard via the distributed formulation: explode
-    grams → self-join on gram within a (lang, source) block → count
-    shared grams per pair → Jaccard from per-doc gram counts. Unlike the
-    array-intersect form this never needs both full gram sets on one
-    row, so it scales to arbitrarily long documents; the block key
-    bounds the candidate space."""
+    grams → prune high-document-frequency grams → self-join on gram
+    within a (lang, source) block → count shared grams per pair →
+    Jaccard over the pruned vocabulary. Unlike the array-intersect form
+    this never needs both full gram sets on one row, so it scales to
+    arbitrarily long documents.
+
+    Scale shape: the hot-gram exclusion list (df > DF_MAX) is tiny by
+    construction — it is removed with a broadcast anti-join, so no
+    single gram key can fan out more than DF_MAX² pairs in the
+    candidate join."""
     d = load(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.transform(
@@ -457,34 +480,43 @@ def q27_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(F.col("text"), i, 4),
         )
     )
-    g = d.select(
-        "doc_id", "lang", "source", grams.alias("g"), F.size(grams).alias("ng")
+    e = d.select("doc_id", "lang", "source", grams.alias("g")).select(
+        "doc_id", "lang", "source", F.explode("g").alias("gram")
     )
-    e = g.select(
-        "doc_id", "lang", "source", "ng", F.explode("g").alias("gram")
+    hot = (
+        e.groupBy("lang", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_MAX)
+        .select("lang", "source", "gram")
     )
-    a = e.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source",
-        F.col("ng").alias("ng_a"), "gram",
+    kept = e.join(
+        F.broadcast(hot), on=["lang", "source", "gram"], how="left_anti"
     )
-    b = e.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source",
-        F.col("ng").alias("ng_b"), "gram",
-    )
+    # per-doc pruned-vocabulary size (grams are distinct per doc)
+    ng = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "lang", "source", "gram")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "lang", "source", "gram")
     shared = (
         a.join(b, on=["lang", "source", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "ng_a", "ng_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairs = shared.join(
+        ng.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a")),
+        on="doc_a",
+    ).join(
+        ng.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b")),
+        on="doc_b",
     )
     jac = F.col("n_shared") / (F.col("ng_a") + F.col("ng_b") - F.col("n_shared"))
     return (
-        shared.select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", r4(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
 
 
-Q27_SQL = """
+Q27_SQL = f"""
 WITH g AS (
   SELECT doc_id, lang, source,
          list_distinct(list_transform(
@@ -492,19 +524,28 @@ WITH g AS (
            i -> substr(text, i, 4))) AS grams
   FROM documents
 ), e AS (
-  SELECT doc_id, lang, source, len(grams) AS ng, unnest(grams) AS gram FROM g
+  SELECT doc_id, lang, source, unnest(grams) AS gram FROM g
+), dfreq AS (
+  SELECT lang, source, gram, COUNT(*) AS df FROM e GROUP BY 1, 2, 3
+), kept AS (
+  SELECT e.doc_id, e.lang, e.source, e.gram
+  FROM e JOIN dfreq USING (lang, source, gram)
+  WHERE dfreq.df <= {DF_MAX}
+), ng AS (
+  SELECT doc_id, COUNT(*) AS ng FROM kept GROUP BY doc_id
 ), shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS ng_a, b.ng AS ng_b,
-         COUNT(*) AS n_shared
-  FROM e a JOIN e b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b
     ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
    AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(n_shared * 1.0 / (ng_a + ng_b - n_shared), 4) AS jaccard
+       ROUND(n_shared * 1.0 / (na.ng + nb.ng - n_shared), 4) AS jaccard
 FROM shared
-WHERE n_shared * 1.0 / (ng_a + ng_b - n_shared) >= 0.6
+JOIN ng na ON na.doc_id = shared.doc_a
+JOIN ng nb ON nb.doc_id = shared.doc_b
+WHERE n_shared * 1.0 / (na.ng + nb.ng - n_shared) >= 0.6
 """
 
 
