@@ -55,6 +55,8 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import n_docs_for
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
 
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import clear_builds
+
     spark = get_spark(
         app_name="oak-kg-bench",
         cpus=cpus,
@@ -62,6 +64,22 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     )
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # untimed warm-up: run every headline plan SHAPE at the smallest
+    # scale factor. Janino codegen compilation, JIT and Python-worker
+    # spin-up are per-plan-shape fixed costs a long-lived cluster
+    # amortizes over hours; a cold single-JVM run charges them to the
+    # first execution of each shape (measured 12-85 s session variance
+    # for the same job). Paying them on a tiny input makes a cold
+    # driver run reproduce the warm steady-state number.
+    warm_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        run_noop(QUERIES[name](spark, warm_dir))
+    # drop the warm-up's memoized GraphBuild so the timed flagship
+    # rebuilds from scratch and its cache blocks don't hold memory
+    clear_builds()
 
     timings: dict[str, float] = {}
     for name in names:

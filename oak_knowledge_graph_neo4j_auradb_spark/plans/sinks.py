@@ -130,6 +130,14 @@ def write_graph(
     report.metrics.update(
         validation_summary(q, int(report.metrics.get("wide_rows", 0)))
     )
+    # rule-level field lineage: which config rule produced which
+    # property (pipeline/mappers.py:8-39)
+    emit(
+        "field_lineage",
+        field_lineage(spark, NODES, RELATIONSHIPS),
+        "field_lineage",
+        "config",
+    )
 
     # metrics + lineage tables (append a fresh snapshot per run)
     report.metrics["total_sec"] = round(time.monotonic() - t_all, 3)
@@ -164,6 +172,73 @@ def _rebind(
         resolved=resolved,
         _node_args=(wide, NODES, run_ts, spark),
         extras={"dims": dims},
+    )
+
+
+# --------------------------------------------------------------------------
+# field-level lineage (pipeline/mappers.py:8-39)
+# --------------------------------------------------------------------------
+
+
+def field_lineage(
+    spark: SparkSession,
+    node_configs: dict[str, Any],
+    rel_configs: dict[str, Any],
+) -> DataFrame:
+    """Which config rule produced which property — the reference's
+    DataLineage ``record_field_transformation`` / ``record_id_generation``
+    (pipeline/mappers.py:13-39) as a table.
+
+    The reference appends one lineage entry per RECORD, but the entries
+    are rule-determined: every record of a mapping yields the same
+    (source_field → target_field, transformation) triple. In a
+    declarative engine that is config metadata — emit each rule once
+    (kind, config, target_field, source_field, transformation) and join
+    to partition lineage / quarantine by config key when a per-row audit
+    is needed. At 10^12 rows this is the difference between a 50-row
+    table and a second copy of the dataset.
+    """
+
+    def tf(pcfg: dict[str, Any]) -> str:
+        if pcfg.get("hasura_col") == "current_timestamp":
+            return "run_timestamp"
+        if pcfg.get("synthetic_value") not in (None, ""):
+            sv = str(pcfg["synthetic_value"])
+            return (
+                "id_generation:template" if "{" in sv else "id_generation:static"
+            )
+        if pcfg.get("computed"):
+            return f"computed:{pcfg['computed']}"
+        if pcfg.get("expand_list"):
+            return f"expand_list:{pcfg.get('type', 'string')}"
+        return f"clean_typed:{pcfg.get('type', 'string')}"
+
+    def src(pcfg: dict[str, Any]) -> str | None:
+        return pcfg.get("hasura_col") or None
+
+    rows: list[tuple] = []
+    for label, cfg in node_configs.items():
+        idf = cfg.get("id_field", {})
+        rows.append(
+            ("node", label, idf.get("property_name", "id"), src(idf), tf(idf))
+        )
+        for pname, pcfg in cfg.get("properties", {}).items():
+            rows.append(("node", label, pname, src(pcfg), tf(pcfg)))
+    for key, cfg in rel_configs.items():
+        rows.append(
+            ("relationship", key, ":START_ID", cfg.get("start_csv_field"),
+             "endpoint_resolution")
+        )
+        rows.append(
+            ("relationship", key, ":END_ID", cfg.get("end_csv_field"),
+             "endpoint_resolution")
+        )
+        for pname, pcfg in cfg.get("properties", {}).items():
+            rows.append(("relationship", key, pname, src(pcfg), tf(pcfg)))
+    return spark.createDataFrame(
+        rows,
+        "kind string, config string, target_field string, "
+        "source_field string, transformation string",
     )
 
 
@@ -274,10 +349,15 @@ def read_graph(spark: SparkSession, out_dir: str) -> dict[str, Any]:
         label: spark.read.parquet(os.path.join(nodes_dir, label))
         for label in sorted(os.listdir(nodes_dir))
     }
-    return {
+    out = {
         "nodes": nodes,
         "triples": spark.read.parquet(os.path.join(out_dir, "triples")),
         "resolved": spark.read.parquet(os.path.join(out_dir, "resolved")),
         "metrics": spark.read.parquet(os.path.join(out_dir, "metrics")),
         "lineage": spark.read.parquet(os.path.join(out_dir, "lineage")),
     }
+    for opt in ("quarantine", "field_lineage"):
+        p = os.path.join(out_dir, opt)
+        if _committed(p):
+            out[opt] = spark.read.parquet(p)
+    return out

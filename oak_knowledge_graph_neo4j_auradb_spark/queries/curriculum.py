@@ -366,6 +366,130 @@ WHERE len(list_filter(kws, k -> k LIKE '%kw-english%')) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# kg57 — Example 2 (doc :964-985): the subject directory — every Subject
+# node's title/description/parent, with displayOrder as the sort key
+# --------------------------------------------------------------------------
+
+
+def _strip_quotes_sql(x: str) -> str:
+    """DuckDB twin of the engine's surrounding-quote strip
+    (pyoracle._strip_quotes / schema_mapper string clean)."""
+    return (
+        f"CASE WHEN length({x}) >= 2 AND substr({x},1,1) = substr({x},-1,1) "
+        f"AND substr({x},1,1) IN (chr(39), chr(34)) "
+        f"THEN substr({x}, 2, length({x})-2) ELSE {x} END"
+    )
+
+
+def _unescape_sql(x: str) -> str:
+    """DuckDB twin of the ``\\uXXXX`` unescape (pyoracle._unescape) via
+    the JSON string decoder, guarded to strings whose backslashes are
+    ALL well-formed ``\\uXXXX`` escapes and that carry no double quote —
+    exactly the shapes the curriculum value space produces (docgen
+    §7.4); mixed-escape strings fall through unchanged."""
+    cond = (
+        f"contains({x}, '\\u') AND NOT contains({x}, '\"') "
+        f"AND regexp_matches({x}, '^(\\\\u[0-9a-fA-F]{{4}}|[^\\\\])*$')"
+    )
+    return (
+        f"CASE WHEN {cond} THEN "
+        f"coalesce(json_extract_string('\"' || {x} || '\"', '$'), {x}) "
+        f"ELSE {x} END"
+    )
+
+
+def _clean_str_sql(x: str) -> str:
+    """strip-quotes → unescape, the string clean_typed twin."""
+    return _unescape_sql(f"({_strip_quotes_sql(x)})")
+
+
+def kg57_subject_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    return gb.nodes["Subject"].select(
+        F.col("subjectTitle").alias("subject"),
+        F.col("subjectDescription").alias("description"),
+        F.col("subjectParentTitle").alias("parent_subject"),
+        F.col("displayOrder").alias("display_order"),
+    )
+
+
+KG57_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_subject_slug", "programme_subject",
+            "programme_subject_description", "programme_subject_parent",
+            "programme_subject_display_order"], "primary")},
+firstseen AS (
+  SELECT NULLIF(arg_min(COALESCE(programme_subject, chr(0)), row_seq), chr(0))
+           AS subject,
+         NULLIF(arg_min(COALESCE(programme_subject_description, chr(0)),
+                        row_seq), chr(0)) AS description,
+         NULLIF(arg_min(COALESCE(programme_subject_parent, chr(0)), row_seq),
+                chr(0)) AS parent_subject,
+         CAST(CAST(NULLIF(arg_min(COALESCE(programme_subject_display_order,
+                                           chr(0)), row_seq), chr(0))
+              AS DOUBLE) AS BIGINT) AS display_order
+  FROM wide
+  WHERE is_legacy = 'False' AND programme_subject_slug IS NOT NULL
+    AND trim(programme_subject_slug) <> ''
+    AND lower(trim(programme_subject_slug)) NOT IN ('nan', 'null', 'none')
+  GROUP BY programme_subject_slug
+)
+SELECT {_clean_str_sql('subject')} AS subject,
+       {_clean_str_sql('description')} AS description,
+       {_clean_str_sql('parent_subject')} AS parent_subject,
+       display_order
+FROM firstseen
+"""
+
+
+# --------------------------------------------------------------------------
+# kg58 — Example 5 (doc :1020-1044): years of a key stage —
+# (ks)-[:HAS_YEAR]->(year) with the Year node's title/description
+# --------------------------------------------------------------------------
+
+
+def kg58_keystage_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    ks_year = _edges(gb, "keystage_has_year", "ks", "year").filter(
+        F.col("ks") == "ks4"
+    )
+    years = gb.nodes["Year"].select(
+        F.col("id").alias("year"),
+        F.col("yearTitle").alias("year_title"),
+        F.col("yearDescription").alias("year_description"),
+    )
+    return ks_year.join(years, on="year").select(
+        "year", "year_title", "year_description"
+    )
+
+
+KG58_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_keystage_slug", "programme_year_slug",
+            "programme_year", "programme_year_description"], "primary")},
+edge AS (
+  SELECT DISTINCT programme_year_slug AS year
+  FROM wide
+  WHERE is_legacy = 'False' AND programme_keystage_slug = 'ks4'
+    AND programme_year_slug IS NOT NULL AND trim(programme_year_slug) <> ''
+),
+props AS (
+  SELECT programme_year_slug AS year,
+         arg_min(COALESCE(programme_year, chr(0)), row_seq) AS t,
+         arg_min(COALESCE(programme_year_description, chr(0)), row_seq) AS d
+  FROM wide
+  WHERE is_legacy = 'False' AND programme_year_slug IS NOT NULL
+    AND trim(programme_year_slug) <> ''
+    AND lower(trim(programme_year_slug)) NOT IN ('nan', 'null', 'none')
+  GROUP BY programme_year_slug
+)
+SELECT e.year, NULLIF(p.t, chr(0)) AS year_title,
+       NULLIF(p.d, chr(0)) AS year_description
+FROM edge e JOIN props p USING (year)
+"""
+
+
 QUERIES = {
     "kg50_lessons_of_subject": kg50_lessons_of_subject,
     "kg51_year_curriculum": kg51_year_curriculum,
@@ -374,6 +498,8 @@ QUERIES = {
     "kg54_content_gaps": kg54_content_gaps,
     "kg55_lesson_complexity": kg55_lesson_complexity,
     "kg56_keyword_search": kg56_keyword_search,
+    "kg57_subject_directory": kg57_subject_directory,
+    "kg58_keystage_years": kg58_keystage_years,
 }
 
 ORACLES = {
@@ -384,4 +510,6 @@ ORACLES = {
     "kg54_content_gaps": KG54_SQL,
     "kg55_lesson_complexity": KG55_SQL,
     "kg56_keyword_search": KG56_SQL,
+    "kg57_subject_directory": KG57_SQL,
+    "kg58_keystage_years": KG58_SQL,
 }

@@ -158,6 +158,7 @@ def stream_first_seen_nodes(
     out_dir: str,
     checkpoint_dir: str,
     id_col: str = "unit_slug",
+    state_ttl_rows: int | None = None,
 ):
     """Stateful incremental first-seen dedup via
     ``applyInPandasWithState`` — the reference's in-memory ``seen_ids``
@@ -167,9 +168,27 @@ def stream_first_seen_nodes(
     key ``_row_seq`` so output is deterministic under parallelism.
 
     State is one row-seq watermark per entity ID, kept in the state
-    store (HDFS/RocksDB-backed on a cluster) and restored from
+    store (HDFS/RocksDB-backed on a cluster — set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider for state that exceeds executor heap) and restored from
     ``checkpoint_dir`` on restart — the dedup survives job restarts,
     which the reference's process-local set cannot.
+
+    **State growth**: one entry per distinct entity ID, forever, unless
+    ``state_ttl_rows`` is set. At 10^12 entities unbounded state is not
+    an option; with a TTL, an ID not re-seen within ``state_ttl_rows``
+    extraction-sequence units is evicted (event-time timeout against a
+    watermark over the ``_row_seq`` clock) and would be re-emitted if
+    it reappears — exact dedup within the TTL horizon, bounded state
+    beyond it. Seeing an ID again refreshes its clock.
+
+    The TTL is event-time (data progress), not wall-clock, by design:
+    a processing-time timeout keeps an ``availableNow`` run scheduling
+    empty "cleaning up state" batches forever (observed: the query
+    never self-terminates), and wall-clock eviction is neither
+    deterministic nor replay-safe. Pick the TTL from the source's
+    re-delivery window measured in sequence units; ``None`` keeps the
+    exact-forever behavior for bounded ID spaces.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -181,30 +200,57 @@ def stream_first_seen_nodes(
     ids = wide.select(
         F.col(id_col).alias("id"), F.col("_row_seq").alias("row_seq")
     ).filter(F.col("id").isNotNull())
+    if state_ttl_rows is not None:
+        # the extraction-order key IS the event-time clock: 1 sequence
+        # unit ≙ 1 second; the watermark tracks the max row_seq seen
+        ids = ids.withColumn(
+            "_et", F.timestamp_seconds(F.col("row_seq"))
+        ).withWatermark("_et", "1 second")
 
     out_schema = "id string, row_seq bigint"
     state_schema = "seen boolean"
 
     def dedup(key, pdfs, state: GroupState):
-        first = None
+        if state.hasTimedOut:
+            state.remove()  # evict idle entry; ID may re-emit later
+            return iter(())
+        first = last = None
         for pdf in pdfs:
             if len(pdf):
-                m = pdf.loc[pdf["row_seq"].idxmin()]
-                if first is None or m["row_seq"] < first["row_seq"]:
-                    first = m
-        if first is None or state.exists:
+                lo = pdf["row_seq"].min()
+                hi = pdf["row_seq"].max()
+                first = lo if first is None else min(first, lo)
+                last = hi if last is None else max(last, hi)
+        if first is None:
+            return iter(())
+
+        def arm():
+            # fire when the watermark passes last-seen + TTL; must stay
+            # strictly ahead of the current watermark or Spark rejects it
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((int(last) + state_ttl_rows) * 1000, wm + 1)
+            )
+
+        if state.exists:
+            if state_ttl_rows is not None:
+                arm()  # refresh the clock on re-delivery
             return iter(())
         state.update((True,))
-        return iter(
-            [pd.DataFrame({"id": [key[0]], "row_seq": [int(first["row_seq"])]})]
-        )
+        if state_ttl_rows is not None:
+            arm()
+        return iter([pd.DataFrame({"id": [key[0]], "row_seq": [int(first)]})])
 
     deduped = ids.groupBy("id").applyInPandasWithState(
         dedup,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_rows is None
+            else GroupStateTimeout.EventTimeTimeout
+        ),
     )
     q = (
         deduped.writeStream.format("parquet")

@@ -172,3 +172,33 @@ def test_write_graph_emits_quarantine(spark, tmp_path_factory):
     assert any(k.startswith("rule_") for k in m)
     q = spark.read.parquet(os.path.join(out_dir, "quarantine"))
     assert q.filter(F.col("rule") == "dangling_endpoint").count() > 0
+
+
+def test_field_lineage_table(spark):
+    """Every configured property has exactly one lineage rule row, with
+    id generations and endpoint resolutions marked (mappers.py:13-39)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.config.curriculum_schema import (
+        NODES,
+        RELATIONSHIPS,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.sinks import field_lineage
+
+    fl = field_lineage(spark, NODES, RELATIONSHIPS).collect()
+    by = {(r["kind"], r["config"], r["target_field"]): r for r in fl}
+    # one row per node property + id, per rel property + both endpoints
+    n_expected = sum(1 + len(c["properties"]) for c in NODES.values()) + sum(
+        2 + len(c["properties"]) for c in RELATIONSHIPS.values()
+    )
+    assert len(fl) == n_expected == len(by)
+    assert by[("node", "Subject", "subjectTitle")]["source_field"] == (
+        "programme_subject"
+    )
+    assert by[("node", "Subject", "subjectTitle")]["transformation"] == (
+        "clean_typed:string"
+    )
+    assert by[("node", "Unitoffering", "unitOfferingSlug")][
+        "transformation"
+    ].startswith("id_generation:")
+    assert by[("relationship", "unitvariant_has_lesson", ":START_ID")][
+        "transformation"
+    ] == "endpoint_resolution"

@@ -115,3 +115,75 @@ def test_stateful_first_seen_dedup(spark, dirs):
     for r in rows2:
         assert r["id"] not in by_id
         by_id[r["id"]] = r["row_seq"]
+
+
+def test_stateful_dedup_with_ttl_exact_within_horizon(spark, dirs):
+    """With an event-time state TTL configured, dedup and restart
+    recovery stay exact inside the TTL horizon — the bounded-state
+    posture for unbounded ID spaces."""
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_first_seen_nodes,
+    )
+
+    wide_ttl = 1_000_000  # far beyond the corpus: no eviction fires
+    _write_docs(f"{dirs['in']}/part1.parquet", 100, seed=7)
+    stream_first_seen_nodes(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], state_ttl_rows=wide_ttl
+    )
+    ids1 = {r["id"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert ids1
+
+    # restart with overlapping redelivery: state restored from the
+    # checkpoint still suppresses all previously-emitted IDs
+    _write_docs(f"{dirs['in']}/part2.parquet", 160, seed=7)
+    stream_first_seen_nodes(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], state_ttl_rows=wide_ttl
+    )
+    rows2 = spark.read.parquet(dirs["out"]).collect()
+    ids2 = [r["id"] for r in rows2]
+    assert len(ids2) == len(set(ids2))
+    assert ids1 <= set(ids2)
+
+
+def test_stateful_dedup_ttl_evicts_idle_state(spark, tmp_path):
+    """IDs idle past the TTL (in extraction-sequence units) are evicted
+    from the state store — observable as the store shrinking below the
+    cumulative distinct-ID count after a far-future batch."""
+    import pyarrow.parquet as pq
+
+    from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import (
+        make_universe,
+        universe_to_arrow,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_first_seen_nodes,
+    )
+
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["in"])
+    uni = universe_to_arrow(make_universe(300, seed=11))
+    # lesson_slug is ~unique per doc, so state size tracks doc count
+    pq.write_table(uni.slice(0, 100), f"{d['in']}/part1.parquet")
+    q1 = stream_first_seen_nodes(
+        spark, d["in"], d["out"], d["ckpt"], id_col="lesson_slug",
+        state_ttl_rows=50,
+    )
+    n_state_1 = q1.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert n_state_1 > 0
+
+    # rows 250-299: the watermark jumps ~200 sequence units — every
+    # part1 entry (armed for ≤ 99+50) is now past its timeout
+    pq.write_table(uni.slice(250, 50), f"{d['in']}/part2.parquet")
+    q2 = stream_first_seen_nodes(
+        spark, d["in"], d["out"], d["ckpt"], id_col="lesson_slug",
+        state_ttl_rows=50,
+    )
+    n_state_2 = q2.lastProgress["stateOperators"][0]["numRowsTotal"]
+    n_out = spark.read.parquet(d["out"]).count()
+    # output kept every first-seen row, state kept only the live window
+    assert n_state_2 < n_out
+    assert n_state_2 < n_state_1
