@@ -381,7 +381,10 @@ WHERE kind = 'media' AND k = 'lesson_video_id'
 
 
 def kg36_node_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nodes per label (introspect_schema.py:43-98 A7).
+    """Nodes per label (introspect_schema.py:43-98 A7; this is also
+    documented Cypher Example 1, oak_curriculum_graph_documentation.md
+    :936-957 — `CALL db.labels() … RETURN label, count` — modulo sort
+    order, which the driver compares order-insensitively).
 
     Counts over the fused node-ID dimension (ONE scan of the persisted
     melt, already distinct per (label, nid) — node_dims' ID set equals

@@ -221,12 +221,25 @@ def q30_lsh_neardup(
         .select("id1", "id2")
         .distinct()  # a pair colliding in several bands scores once
     )
-    v1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
-    v2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    # norms are per-VECTOR, not per-pair: compute once on the join-back
+    # dimension instead of re-folding both operands inside every
+    # candidate's cosine (measured ~25% off the whole query). Same
+    # expression tree as cosine() — dot/(n1*n2) — so values (and the
+    # DuckDB twin) are bit-identical.
+    withn = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
+    v1 = withn.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    v2 = withn.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("n").alias("n2"),
+    )
+    sim = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         cand.join(v1, on="id1")
         .join(v2, on="id2")
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("sim"))
+        .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") > 0.2)
         .select("id1", "id2", r4(F.col("sim")).alias("sim"))
     )
@@ -344,14 +357,126 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q33 — IVF-probed ANN top-k: search only the query's nearest cell
+# --------------------------------------------------------------------------
+
+
+def q33_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF search path q31's assignment enables: each query probes
+    ONLY the corpus vectors assigned to its own nearest-centroid cell
+    (nprobe=1), exact cosine inside the cell, top-k per query.
+
+    Scale shape: the (vec_id, cell, sim) assignment stream is narrow —
+    vectors are never carried through the assignment window; the corpus
+    shuffles once on vec_id (to attach cells) and once on cell (the
+    probe join against the broadcast query set). At 10⁹ vectors with
+    √N cells the probe scans ~√N candidates per query instead of N."""
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("m")))
+            ).alias("ent")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(ent, e -> e.m)").alias("cv"),
+        )
+    )
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_label", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c_label").asc()
+    )
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cell"))
+    )
+    cells = e.select("vec_id", "v").join(assign, on="vec_id")
+    q = F.broadcast(
+        cells.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+        )
+    )
+    cand = (
+        cells.join(q, on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank", r4(F.col("sim")).alias("sim"))
+    )
+
+
+Q33_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), expl AS (
+  SELECT label, unnest(v) AS x,
+         unnest(range(0, {DIM})) AS d
+  FROM e
+), cm AS (
+  SELECT label, d, sum(x) / count(x) AS m FROM expl GROUP BY label, d
+), cent AS (
+  SELECT label AS c_label, list(m ORDER BY d) AS cv FROM cm GROUP BY label
+), asims AS (
+  SELECT e.vec_id, c.c_label, {_cos_sql('e.v', 'c.cv')} AS sim
+  FROM e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, c_label ASC) AS rn
+    FROM asims) WHERE rn = 1
+), cells AS (
+  SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM cells
+  WHERE vec_id < {N_QUERY}
+), cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.v')} AS sim
+  FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(sim, 4) AS sim
+FROM ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "q29_knn_bruteforce": q29_knn_bruteforce,
     "q30_lsh_neardup": q30_lsh_neardup,
     "q31_ivf_assign": q31_ivf_assign,
+    "q33_ivf_probe_knn": q33_ivf_probe_knn,
 }
 
 ORACLES = {
     "q29_knn_bruteforce": Q29_SQL,
     "q30_lsh_neardup": Q30_SQL,
     "q31_ivf_assign": Q31_SQL,
+    "q33_ivf_probe_knn": Q33_SQL,
 }

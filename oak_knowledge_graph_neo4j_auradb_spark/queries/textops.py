@@ -30,16 +30,35 @@ from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
 
 
 def shingles(tok: Column) -> Column:
-    """3-word shingles (whole text if < 3 tokens), distinct."""
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tok, i), F.element_at(tok, i + 1), F.element_at(tok, i + 2)
+    """3-word shingles (whole text if < 3 tokens), distinct.
+
+    The token array is BOUND to a lambda variable via the
+    ``transform(array(x), t -> …)[0]`` trick: referencing the raw
+    ``tok`` expression from every ``element_at`` lets Catalyst inline
+    the whole split+filter into each of the 3 lookups × every shingle
+    position — O(tokens²) re-tokenization, measured 10.5 s vs 0.4 s for
+    the bound form on 5k docs (the same alias-inlining pitfall as the
+    wide pivot, operators/reconstruct.py)."""
+
+    def tri(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+
+    return F.transform(
+        F.array(tok),
+        lambda t: F.array_distinct(
+            F.when(F.size(t) >= 3, tri(t)).otherwise(
+                F.array(F.array_join(t, " "))
+            )
         ),
-    )
-    return F.array_distinct(
-        F.when(F.size(tok) >= 3, tri).otherwise(F.array(F.array_join(tok, " ")))
-    )
+    )[0]
 
 
 SHINGLES_SQL = """list_distinct(CASE WHEN len({t}) >= 3
@@ -73,7 +92,9 @@ def shingle_hashes(sh: Column) -> Column:
 
 def minhash_sig(hx: Column) -> list[Column]:
     """8-permutation MinHash signature over pre-hashed shingles
-    (:func:`shingle_hashes`)."""
+    (:func:`shingle_hashes`). Prefer :func:`minhash_struct` when ``hx``
+    is an expression rather than a materialized column — 8 references
+    to an expensive alias invite projection-collapse re-inlining."""
     out = []
     for a, b in MINHASH_PERMS:
         out.append(
@@ -82,6 +103,28 @@ def minhash_sig(hx: Column) -> list[Column]:
             )
         )
     return out
+
+
+def minhash_struct(hx: Column) -> Column:
+    """All 8 permutation minima inside ONE lambda binding of the hash
+    array (``struct(mh0..mh7)``): projecting 8 :func:`minhash_sig`
+    columns off an ``hx`` expression lets projection collapse inline
+    the shingle-hashing chain 8× (the alias-inlining pitfall,
+    cf. :func:`shingles`); binding it to a lambda variable evaluates it
+    exactly once per row."""
+    return F.transform(
+        F.array(hx),
+        lambda h: F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        h, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+                    )
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_PERMS)
+            ]
+        ),
+    )[0]
 
 
 def minhash_sig_sql(sh_expr: str) -> list[str]:
@@ -284,12 +327,9 @@ Q23_SQL = _langid_sql()
 # --------------------------------------------------------------------------
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id", shingle_hashes(shingles(tokens(F.col("text")))).alias("hx")
-    )
-    sig = minhash_sig(F.col("hx"))
-    return staged.select(
-        "doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(sig)]
+    hx = shingle_hashes(shingles(tokens(F.col("text"))))
+    return d.select("doc_id", minhash_struct(hx).alias("m")).select(
+        "doc_id", "m.*"
     )
 
 
@@ -324,13 +364,14 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select("doc_id", sh.alias("sh")).withColumn(
         "hx", shingle_hashes(F.col("sh"))
     )
-    sig = minhash_sig(F.col("hx"))
     # The signature table is materialized ONCE (in production: written to
     # its own table — the standard LSH pipeline shape); shingling + 8-perm
     # MinHash is the CPU-dominant stage and must not re-run per consumer.
-    feats = staged.select(
-        "doc_id", "sh", *[c.alias(f"mh{i}") for i, c in enumerate(sig)]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = (
+        staged.select("doc_id", "sh", minhash_struct(F.col("hx")).alias("m"))
+        .select("doc_id", "sh", "m.*")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _Q25_FEATS_CACHE.append(feats)
     # band join carries ONLY (doc_id, band, key) — never the shingle
     # arrays. Carrying the full shingle set through the candidate join
@@ -414,20 +455,28 @@ def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = F.array_distinct(tokens(F.col("text")))
     h = F.transform(tok, lambda t: md5long(t))
-    bits = []
-    for bpos in range(16):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, bpos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            ),
-        )
-        bits.append(F.when(vote > 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
-    simhash = bits[0]
-    for bcol in bits[1:]:
-        simhash = simhash + bcol
+
+    # all 16 votes inside ONE lambda binding of the hash array —
+    # referencing `h` from each vote would re-inline the
+    # tokenize+distinct+md5 chain 16× per row (cf. shingles())
+    def sim_of(hh: Column) -> Column:
+        bits = []
+        for bpos in range(16):
+            vote = F.aggregate(
+                hh,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(
+                    F.shiftright(x, bpos).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            bits.append(F.when(vote > 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    simhash = F.transform(F.array(h), sim_of)[0]
     return d.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
