@@ -34,7 +34,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -125,6 +127,39 @@ def decode_media(with_payload: DataFrame, stub: bool = True) -> DataFrame:
             yield out
 
     return with_payload.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def embed_media(with_payload: DataFrame) -> DataFrame:
+    """Binary payloads → EMBED_DIM-dim embedding vectors (Arrow-batched).
+
+    Production: a vision/audio encoder over the decoded media. Sandbox:
+    a deterministic hash embedding — md5(payload) gives 16 bytes, dim d
+    = byte_d/255 - 0.5 — so the vectors (and every downstream ANN /
+    near-dup stage) are exactly reproducible by the DuckDB oracle from
+    the same ref bytes. The Spark-side contract (Arrow batch in,
+    array<double> column out, one row per asset) is the real one."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_ref"]].copy()
+            out["embedding"] = pdf["payload"].map(
+                lambda p: [
+                    b / 255.0 - 0.5 for b in hashlib.md5(p).digest()[:EMBED_DIM]
+                ]
+            )
+            yield out
+
+    return with_payload.mapInPandas(gen, EMBED_SCHEMA)
 
 
 def sample_frames(with_payload: DataFrame, n_frames: int = 3) -> DataFrame:

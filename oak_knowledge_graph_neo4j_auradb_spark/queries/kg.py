@@ -374,6 +374,115 @@ WHERE kind = 'media' AND k = 'lesson_video_id'
 """
 
 
+def kg42_media_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → ANN integration: distinct media assets → Arrow
+    embedding stage (`operators/multimodal.py:embed_media`) → banded
+    SRP-LSH near-dup over the embedding column (2 bands × 8 bits,
+    16-dim) → exact cosine on candidates. The full image-dedup path a
+    training pipeline runs, with the encoder stubbed deterministically
+    so the DuckDB twin re-derives identical vectors from the ref bytes."""
+    from ..operators.multimodal import EMBED_DIM, embed_media, fetch_payload
+    from .similarity import band_signature, dot, norm
+
+    n_bands, bits = 2, 12
+    refs = (
+        media_assets(docs_df(spark, sf_dir))
+        .select("media_ref")
+        .distinct()
+        .select(
+            F.col("media_ref").alias("doc_id"),
+            F.lit("").alias("field"),
+            "media_ref",
+        )
+    )
+    emb = embed_media(fetch_payload(refs))
+    sigs = emb.select(
+        "media_ref",
+        *[
+            band_signature(F.col("embedding"), b, bits, EMBED_DIM).alias(
+                f"sig{b}"
+            )
+            for b in range(n_bands)
+        ],
+    )
+    keys = sigs.select(
+        "media_ref",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("k"),
+    ).select("media_ref", F.col("k.band").alias("band"), F.col("k.sig").alias("sig"))
+    a = keys.select("band", "sig", F.col("media_ref").alias("ref1"))
+    b = keys.select("band", "sig", F.col("media_ref").alias("ref2"))
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("ref1") < F.col("ref2"))
+        .select("ref1", "ref2")
+        .distinct()
+    )
+    withn = emb.select(
+        "media_ref", "embedding", norm(F.col("embedding")).alias("n")
+    )
+    v1 = withn.select(
+        F.col("media_ref").alias("ref1"),
+        F.col("embedding").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    v2 = withn.select(
+        F.col("media_ref").alias("ref2"),
+        F.col("embedding").alias("v2"),
+        F.col("n").alias("n2"),
+    )
+    sim = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cand.join(v1, on="ref1")
+        .join(v2, on="ref2")
+        .select("ref1", "ref2", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.75)
+        .select("ref1", "ref2", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _kg42_sql() -> str:
+    from .similarity import _band_sig_sql, _cos_sql
+
+    sig_cols = ", ".join(
+        f"{_band_sig_sql(b, bits=12)} AS sig{b}" for b in range(2)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.media_ref AS ref1, b.media_ref AS ref2\n"
+        f"  FROM hashed a JOIN hashed b "
+        f"ON a.sig{b} = b.sig{b} AND a.media_ref < b.media_ref"
+        for b in range(2)
+    )
+    embed = (
+        "list_transform(generate_series(0, 15), i -> "
+        "CAST(CAST('0x' || substr(md5(media_ref), i*2+1, 2) AS INT) AS DOUBLE)"
+        " / 255.0 - 0.5)"
+    )
+    return f"""
+{_KV_SQL},
+refs AS (SELECT DISTINCT v AS media_ref FROM kv WHERE kind = 'media'),
+e AS (SELECT media_ref, {embed} AS v FROM refs),
+hashed AS (SELECT media_ref, {sig_cols} FROM e),
+cand AS (
+{cand_union}
+), scored AS (
+  SELECT cand.ref1, cand.ref2, {_cos_sql('ea.v', 'eb.v')} AS sim
+  FROM cand
+  JOIN e ea ON ea.media_ref = cand.ref1
+  JOIN e eb ON eb.media_ref = cand.ref2
+)
+SELECT ref1, ref2, round(sim, 4) AS sim FROM scored WHERE sim >= 0.75
+"""
+
+
 # --------------------------------------------------------------------------
 # full-pipeline surfaces (golden-tested vs the pure-Python reference
 # oracle in tests/test_golden_graph.py; rows-only driver check here)
@@ -434,6 +543,7 @@ QUERIES = {
     "kg35_thread_nodes": kg35_thread_nodes,
     "kg40_media_features": kg40_media_features,
     "kg41_frame_samples": kg41_frame_samples,
+    "kg42_media_embedding_neardup": kg42_media_embedding_neardup,
     "kg36_node_histogram": kg36_node_histogram,
     "kg37_edge_histogram": kg37_edge_histogram,
     "kg99_flagship": kg_flagship,
@@ -637,6 +747,7 @@ ORACLES = {
     "kg37_edge_histogram": KG37_SQL,
     "kg40_media_features": KG40_SQL,
     "kg41_frame_samples": KG41_SQL,
+    "kg42_media_embedding_neardup": _kg42_sql(),
     # kg99: full-pipeline triple stream with per-edge props — golden-tested
     # against the reference-semantics oracle in tests/test_golden_graph.py
 }

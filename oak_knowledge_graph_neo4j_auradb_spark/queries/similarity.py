@@ -149,11 +149,11 @@ FROM ranked WHERE rank <= {K}
 _PA, _PB, _PM = 1009, 9176, 2003
 
 
-def _plane_dot(v: Column, b: int) -> Column:
+def _plane_dot(v: Column, b: int, dim: int = DIM) -> Column:
     return F.aggregate(
         F.zip_with(
             v,
-            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda x, d: x
             * (((F.lit(b) * _PA + d * _PB + 1) % _PM) / F.lit(float(_PM)) - 0.5),
         ),
@@ -162,12 +162,14 @@ def _plane_dot(v: Column, b: int) -> Column:
     )
 
 
-def band_signature(v: Column, band: int, bits: int = BITS_PER_BAND) -> Column:
+def band_signature(
+    v: Column, band: int, bits: int = BITS_PER_BAND, dim: int = DIM
+) -> Column:
     """The band's BITS_PER_BAND sign bits packed into an int. Plane
     (band*bits + j) keeps every band's planes distinct while staying in
     the integer-rational family both engines evaluate identically."""
     terms = [
-        F.when(_plane_dot(v, band * bits + j) > 0, F.lit(1 << j)).otherwise(
+        F.when(_plane_dot(v, band * bits + j, dim) > 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         )
         for j in range(bits)

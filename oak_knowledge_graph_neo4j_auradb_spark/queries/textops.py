@@ -630,6 +630,50 @@ FROM (SELECT doc_id, text,
 """
 
 
+# --------------------------------------------------------------------------
+# q34 — BPE-style token counting (pretraining budget estimation)
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the ASCII classes
+#: both regex engines (Java in Spark, RE2 in DuckDB) treat identically:
+#: contraction suffixes, space-prefixed letter runs, digit runs,
+#: punctuation runs, residual whitespace.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def q34_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting — the budget estimate every
+    pretraining pipeline needs before the real BPE merge table is
+    applied (the merge step only splits pre-tokens further, so this is
+    a deterministic lower bound). regexp-based, whole-stage codegen,
+    no Python; narrow projection that survives any scale unchanged."""
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        r4(
+            F.size(pieces)
+            / F.greatest(F.size(ws), F.lit(1)).cast("double")
+        ).alias("bpe_per_word"),
+    )
+
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal quoting
+
+Q34_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       ROUND(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1)::DOUBLE,
+             4) AS bpe_per_word
+FROM documents
+"""
+
+
 QUERIES = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
@@ -640,6 +684,7 @@ QUERIES = {
     "q26_simhash": q26_simhash,
     "q27_ngram_jaccard": q27_ngram_jaccard,
     "q28_fingerprint": q28_fingerprint,
+    "q34_bpe_token_count": q34_bpe_token_count,
 }
 
 ORACLES = {
@@ -652,4 +697,5 @@ ORACLES = {
     "q26_simhash": Q26_SQL,
     "q27_ngram_jaccard": Q27_SQL,
     "q28_fingerprint": Q28_SQL,
+    "q34_bpe_token_count": Q34_SQL,
 }

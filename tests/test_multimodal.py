@@ -54,3 +54,21 @@ def test_frame_sampling_expands_rows(assets):
     one = frames.filter("frame_idx = 1").first()
     want = hashlib.md5(one["media_ref"].encode() + b"1").hexdigest()
     assert one["frame_md5"] == want
+
+
+def test_embed_media_deterministic(assets):
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        EMBED_DIM,
+        embed_media,
+    )
+
+    emb = embed_media(fetch_payload(assets))
+    row = emb.first()
+    v = row["embedding"]
+    assert len(v) == EMBED_DIM
+    assert all(-0.5 <= x <= 0.5 for x in v)
+    digest = hashlib.md5(row["media_ref"].encode()).digest()
+    assert v == [b / 255.0 - 0.5 for b in digest[:EMBED_DIM]]
+    # same ref -> identical embedding on re-run (pure function of bytes)
+    again = embed_media(fetch_payload(assets)).first()
+    assert again["embedding"] == v or again["media_ref"] != row["media_ref"]
