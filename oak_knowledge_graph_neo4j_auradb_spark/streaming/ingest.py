@@ -125,6 +125,49 @@ def stream_graph_updates(
     return q
 
 
+def stream_merge_nodes(
+    spark: SparkSession,
+    in_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    label: str = "Unit",
+    run_ts: str = "2026-01-01T00:00:00",
+):
+    """Streaming upsert: each micro-batch of new documents runs node
+    extraction and MERGEs the label's node table in place
+    (``foreachBatch`` → ``plans/sinks.merge_into``) — the streaming
+    twin of the reference's UNWIND-MERGE loader
+    (auradb_loader.py:170-189), with the same semantics: re-delivered
+    entities UPDATE (null-skip property merge) instead of duplicating,
+    new entities INSERT, and a replayed micro-batch (checkpoint
+    recovery re-runs the last batch) is idempotent because the MERGE
+    itself is. Only the buckets touched by the batch's keys are
+    rewritten — a delivery of 10^6 docs against a 10^12-entity table
+    rewrites a bounded slice, not the table."""
+    from ..plans.pipeline import build_graph
+    from ..plans.sinks import merge_into
+
+    docs = stream_documents(spark, in_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gb = build_graph(
+            spark, batch_df, run_ts=run_ts, repartition_docs=False
+        )
+        merge_into(spark, table_path, gb.nodes[label], "id")
+        gb.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(
     spark: SparkSession,
     in_dir: str,

@@ -202,3 +202,46 @@ def test_field_lineage_table(spark):
     assert by[("relationship", "unitvariant_has_lesson", ":START_ID")][
         "transformation"
     ] == "endpoint_resolution"
+
+
+def test_merge_property_random_sequences(spark, tmp_path):
+    """Property: any sequence of merges equals the dict-model fold
+    (key -> row; per-column non-null update wins, null preserves)."""
+    import random
+
+    rng = random.Random(7)
+    tbl = str(tmp_path / "prop_tbl")
+    model: dict[int, dict] = {}
+    for step in range(4):
+        n = rng.randint(1, 8)
+        batch = []
+        for _ in range(n):
+            k = rng.randint(0, 9)
+            name = rng.choice([None, f"n{rng.randint(0, 99)}"])
+            v = rng.choice([None, rng.randint(0, 999)])
+            batch.append((k, name, v))
+        # model fold: batch is deduped per key (arbitrary winner is fine
+        # for the test — make batches key-unique to stay deterministic)
+        uniq = {}
+        for k, name, v in batch:
+            uniq[k] = (k, name, v)
+        for k, (_, name, v) in uniq.items():
+            cur = model.get(k, {"name": None, "v": None})
+            model[k] = {
+                "name": name if name is not None else cur["name"],
+                "v": v if v is not None else cur["v"],
+            }
+        df = spark.createDataFrame(
+            list(uniq.values()), "id long, name string, v long"
+        )
+        from oak_knowledge_graph_neo4j_auradb_spark.plans.sinks import (
+            merge_into,
+            read_merged,
+        )
+
+        merge_into(spark, tbl, df, "id", n_buckets=4)
+        got = {
+            r["id"]: {"name": r["name"], "v": r["v"]}
+            for r in read_merged(spark, tbl).collect()
+        }
+        assert got == model, f"step {step}: {got} != {model}"

@@ -187,3 +187,27 @@ def test_stateful_dedup_ttl_evicts_idle_state(spark, tmp_path):
     # output kept every first-seen row, state kept only the live window
     assert n_state_2 < n_out
     assert n_state_2 < n_state_1
+
+
+def test_stream_merge_nodes_upserts(spark, dirs, tmp_path):
+    """foreachBatch + merge_into: re-delivered entities update in place
+    across micro-batches and restarted runs — never duplicate."""
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.sinks import read_merged
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_merge_nodes,
+    )
+
+    tbl = str(tmp_path / "unit_nodes")
+    _write_docs(f"{dirs['in']}/part1.parquet", 120, seed=42)
+    stream_merge_nodes(spark, dirs["in"], tbl, dirs["ckpt"])
+    t1 = read_merged(spark, tbl)
+    n1 = t1.count()
+    assert n1 == t1.select("id").distinct().count() > 0
+
+    # overlapping redelivery (same universe prefix + new docs): merged
+    # table stays unique per id and only grows by the genuinely-new ids
+    _write_docs(f"{dirs['in']}/part2.parquet", 200, seed=42)
+    stream_merge_nodes(spark, dirs["in"], tbl, dirs["ckpt"])
+    t2 = read_merged(spark, tbl)
+    n2 = t2.count()
+    assert n2 == t2.select("id").distinct().count() >= n1
