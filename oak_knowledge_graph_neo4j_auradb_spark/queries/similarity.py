@@ -95,18 +95,25 @@ def _cos_sql(l: str, r: str) -> str:
 
 def q29_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
+    # per-vector norms computed ONCE per side — inside cosine() the
+    # corpus norm would be re-folded once per query and the query norm
+    # once per corpus row; same expression tree, bit-identical values
+    en = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
     q = F.broadcast(
-        e.filter(F.col("vec_id") < N_QUERY).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        en.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
         )
     )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
     sims = (
-        e.crossJoin(q)
+        en.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("sim"),
+            sim.alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -401,21 +408,25 @@ def q33_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cell"))
     )
-    cells = e.select("vec_id", "v").join(assign, on="vec_id")
+    cells = e.select(
+        "vec_id", "v", norm(F.col("v")).alias("n")
+    ).join(assign, on="vec_id")
     q = F.broadcast(
         cells.filter(F.col("vec_id") < N_QUERY).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
             "cell",
         )
     )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
     cand = (
         cells.join(q, on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("sim"),
+            sim.alias("sim"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(
