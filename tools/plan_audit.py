@@ -1,0 +1,107 @@
+"""Plan audit: capture the physical-plan properties that matter at
+100 TB for a sample of headline queries, and assert the invariants.
+
+For each audited query this prints (and appends to PLAN_AUDIT.md):
+* whether filters reach the parquet scan (``PushedFilters``),
+* whether the scan is column-pruned (``ReadSchema`` width),
+* the number of exchanges (shuffles) in the plan,
+* whether Python appears in the hot path (ArrowEvalPython /
+  BatchEvalPython operators — only the deliberately-Arrow stages may),
+* WholeStageCodegen coverage.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+AUDIT = [
+    # (name, max_exchanges, python_stages_allowed)
+    ("q01_pricing_summary", 1, 0),
+    ("q05_composite_join", 3, 0),
+    ("q20_exact_dedup", 1, 0),
+    ("q25_lsh_neardup_pairs", 6, 0),
+    ("q29_knn_bruteforce", 2, 0),
+    ("q30_lsh_neardup", 6, 0),
+    ("kg30_reconstruct_wide", 0, 0),
+    ("kg40_media_features", 0, 2),  # Arrow mapInPandas stages by design
+]
+
+
+def audit_one(spark, name, fn, sf_dir, max_ex, py_allowed):
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted mode prints each operator twice (numbered tree, then a
+    # detail section); count operators in the tree section only.
+    tree = plan.split("\n\n")[0]
+    n_exchanges = len(re.findall(r"\bExchange\b", tree))
+    n_python = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", tree))
+    n_rowpython = len(re.findall(r"BatchEvalPython", tree))
+    # formatted mode tags operators with "[codegen id : N]" rather than
+    # printing WholeStageCodegen wrapper nodes; count distinct spans.
+    n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schema = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    scan_cols = min((len(s.split(",")) for s in read_schema), default=0)
+    checks = []
+    checks.append(("exchanges", n_exchanges, n_exchanges <= max_ex))
+    checks.append(("python_stages", n_python, n_python <= py_allowed))
+    checks.append(("rowwise_python", n_rowpython, n_rowpython == 0))
+    checks.append(("codegen_spans", n_codegen, n_codegen >= 1))
+    ok = all(c[2] for c in checks)
+    return {
+        "name": name,
+        "ok": ok,
+        "checks": checks,
+        "pushed_filters": [p for p in pushed if p][:2],
+        "min_scan_cols": scan_cols,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+    from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
+
+    # AQE wraps the tree in AdaptiveSparkPlan(isFinalPlan=false), which
+    # suppresses [codegen id] annotations until execution; audit the
+    # static plan with AQE off so codegen coverage is visible.
+    spark = get_spark(
+        "plan-audit",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    lines = ["# PLAN_AUDIT — physical-plan invariants (auto-generated)", ""]
+    n_fail = 0
+    for name, max_ex, py_allowed in AUDIT:
+        r = audit_one(spark, name, QUERIES[name], sf_dir, max_ex, py_allowed)
+        status = "PASS" if r["ok"] else "FAIL"
+        n_fail += 0 if r["ok"] else 1
+        detail = ", ".join(f"{k}={v}{'' if okk else '!'}" for k, v, okk in r["checks"])
+        lines.append(
+            f"- **{name}**: {status} — {detail}; min scan width "
+            f"{r['min_scan_cols']} cols"
+            + (
+                f"; pushed: {r['pushed_filters']}"
+                if r["pushed_filters"]
+                else ""
+            )
+        )
+        print(lines[-1])
+    with open("PLAN_AUDIT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("ALL PASS" if n_fail == 0 else f"{n_fail} FAILURES")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
