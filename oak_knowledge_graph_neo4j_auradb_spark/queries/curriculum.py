@@ -490,6 +490,337 @@ FROM edge e JOIN props p USING (year)
 """
 
 
+# --------------------------------------------------------------------------
+# kg59 — Pattern 2 (doc :1110-1131): navigate the unit hierarchy —
+# subject → offering → unit → variant → lesson with a unit predicate,
+# count(lesson) + collect(...)[0..3] per variant, and the variant's
+# optionTitle node property joined back in. (The doc's sample collects
+# lesson titles; ids are collected here — same clause shape, and the
+# title property surface is covered by kg63.)
+# --------------------------------------------------------------------------
+
+
+def kg59_unit_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo").filter(
+        F.col("subject") == "maths"
+    )
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit").filter(
+        F.col("unit").startswith("unit-maths-00")
+    )
+    unit_uv = _edges(gb, "unit_has_unitvariant", "unit", "uv")
+    uv_lesson = _edges(gb, "unitvariant_has_lesson", "uv", "lesson")
+    variants = gb.nodes["Unitvariant"].select(
+        F.col("id").alias("uv"), F.col("optionTitle").alias("variant_option")
+    )
+    paths = (
+        subj_uo.join(uo_unit, on="uo")
+        .join(unit_uv, on="unit")
+        .join(uv_lesson, on="uv")
+        .select("subject", "unit", "uv", "lesson")
+        .distinct()
+    )
+    return (
+        paths.groupBy("subject", "unit", "uv")
+        .agg(
+            F.countDistinct("lesson").alias("lesson_count"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("lesson")), 1, 3), "|"
+            ).alias("sample_lessons"),
+        )
+        .join(variants, on="uv", how="left")
+        .select(
+            "subject", "unit", "uv", "variant_option",
+            "lesson_count", "sample_lessons",
+        )
+    )
+
+
+KG59_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "programme_subject_slug", "unit_slug", "unitvariant_id", "lesson_slug", "programme_optionality"], "primary")},
+base AS (SELECT * FROM wide WHERE is_legacy = 'False'),
+paths AS (
+  SELECT DISTINCT programme_subject_slug AS subject, unit_slug AS unit,
+         unitvariant_id AS uv, lesson_slug AS lesson
+  FROM base
+  WHERE programme_subject_slug = 'maths' AND unit_slug LIKE 'unit-maths-00%'
+),
+vopt AS (
+  SELECT unitvariant_id AS uv,
+         NULLIF(arg_min(COALESCE(programme_optionality, chr(0)), row_seq),
+                chr(0)) AS variant_option
+  FROM base WHERE unitvariant_id IS NOT NULL
+  GROUP BY unitvariant_id
+),
+agg AS (
+  SELECT subject, unit, uv,
+         CAST(count(DISTINCT lesson) AS BIGINT) AS lesson_count,
+         array_to_string(list_slice(list_sort(list(DISTINCT lesson)), 1, 3),
+                         '|') AS sample_lessons
+  FROM paths GROUP BY subject, unit, uv
+)
+SELECT a.subject, a.unit, a.uv, v.variant_option, a.lesson_count,
+       a.sample_lessons
+FROM agg a LEFT JOIN vopt v ON a.uv = v.uv
+"""
+
+
+# --------------------------------------------------------------------------
+# kg60 — Pattern 3 (doc :1133-1149): prerequisites for a unit — the
+# Unit node's list-typed priorKnowledge plus whyThisWhyNow rationale
+# --------------------------------------------------------------------------
+
+
+def kg60_unit_prerequisites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    return gb.nodes["Unit"].select(
+        F.col("id").alias("unit"),
+        F.col("unitTitle").alias("unit_title"),
+        F.array_join(F.col("priorKnowledge"), "|").alias("prerequisites"),
+        F.col("whyThisWhyNow").alias("rationale"),
+    )
+
+
+KG60_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unit_slug", "unit_title", "unit_prior_knowledge_requirements", "unit_why_this_why_now"], "primary")},
+props AS (
+  SELECT unit_slug AS unit,
+         NULLIF(arg_min(COALESCE(unit_title, chr(0)), row_seq), chr(0)) AS t,
+         arg_min(COALESCE(unit_prior_knowledge_requirements, chr(0)),
+                 row_seq) AS pk,
+         NULLIF(arg_min(COALESCE(unit_why_this_why_now, chr(0)), row_seq),
+                chr(0)) AS why
+  FROM wide
+  WHERE is_legacy = 'False' AND unit_slug IS NOT NULL
+    AND trim(unit_slug) <> ''
+    AND lower(trim(unit_slug)) NOT IN ('nan', 'null', 'none')
+  GROUP BY unit_slug
+)
+SELECT unit,
+       {_clean_str_sql('t')} AS unit_title,
+       CASE WHEN pk = chr(0) THEN NULL
+            WHEN pk NOT LIKE '[%' THEN pk
+            ELSE array_to_string(list_filter(
+                   json_transform(pk, '["VARCHAR"]'), x -> x <> ''), '|')
+       END AS prerequisites,
+       why AS rationale
+FROM props
+"""
+
+
+# --------------------------------------------------------------------------
+# kg61 — Pattern 5 (doc :1173-1190): thematic connections — threads
+# whose title matches a substring, with their distinct related units
+# (unit ids collected; title predicate on the Thread node property),
+# ORDER BY unitCount DESC LIMIT 5 with a deterministic id tie-break
+# --------------------------------------------------------------------------
+
+
+def kg61_thematic_connections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    unit_thread = _edges(gb, "unit_has_thread", "unit", "thread")
+    titles = (
+        gb.nodes["Thread"]
+        .select(F.col("id").alias("thread"), F.col("threadTitle").alias("theme"))
+        .filter(F.col("theme").contains("1"))
+    )
+    return (
+        unit_thread.join(titles, on="thread")
+        .groupBy("thread", "theme")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("unit")), "|").alias(
+                "related_units"
+            ),
+            F.countDistinct("unit").alias("unit_count"),
+        )
+        .orderBy(F.desc("unit_count"), "thread")
+        .limit(5)
+    )
+
+
+#: the supplementary-side CTE chain shared by the thread-edge oracles —
+#: (unit, thread) pairs that survive the composite join, with per-pair
+#: thread title (titles are functionally dependent on the slug)
+_THREAD_PAIRS_SQL = """
+prim_x AS (
+  SELECT unit_slug,
+         unnest(CASE WHEN programme_slug_by_year LIKE '[%'
+                     THEN json_transform(programme_slug_by_year, '["VARCHAR"]')
+                     ELSE [programme_slug_by_year] END) AS psby
+  FROM wide WHERE is_legacy = 'False'
+),
+supw AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k = 'unit_slug' THEN v END) AS unit_slug,
+         MAX(CASE WHEN k = 'programme_slug_by_year' THEN v END) AS psby_raw,
+         MAX(CASE WHEN k = 'threads' THEN v END) AS threads
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+),
+sup_x AS (
+  SELECT COALESCE(NULLIF(regexp_extract(unit_slug, '^(.+)-[0-9]+$', 1), ''),
+                  unit_slug) AS unit_slug,
+         unnest(CASE WHEN psby_raw LIKE '[%'
+                     THEN json_transform(psby_raw, '["VARCHAR"]')
+                     ELSE [psby_raw] END) AS psby,
+         threads
+  FROM supw
+),
+matched AS (
+  SELECT DISTINCT p.unit_slug AS unit, s.threads AS threads
+  FROM sup_x s JOIN prim_x p ON s.unit_slug = p.unit_slug AND s.psby = p.psby
+  WHERE s.threads IS NOT NULL AND s.threads LIKE '[%' AND s.threads <> '[]'
+),
+items AS (
+  SELECT unit, unnest(json_transform(replace(threads, chr(39), chr(34)),
+    '[{"thread_slug":"VARCHAR","thread_id":"BIGINT","thread_title":"VARCHAR"}]'))
+    AS it
+  FROM matched
+),
+pairs AS (
+  SELECT DISTINCT unit, it.thread_slug AS thread, it.thread_title AS title
+  FROM items
+  WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''
+)
+"""
+
+
+KG61_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unit_slug", "programme_slug_by_year"], "primary")},
+{_THREAD_PAIRS_SQL}
+SELECT thread, title AS theme,
+       array_to_string(list_sort(list(DISTINCT unit)), '|') AS related_units,
+       CAST(count(DISTINCT unit) AS BIGINT) AS unit_count
+FROM pairs WHERE title LIKE '%1%'
+GROUP BY thread, title
+ORDER BY unit_count DESC, thread
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# kg62 — Pattern 9 (doc :1257-1275): cross-curricular opportunities —
+# threads spanning >1 subject via thread ← unit ← offering ← subject,
+# WITH collect(DISTINCT subject) + size() filter, top-10 by span
+# --------------------------------------------------------------------------
+
+
+def kg62_cross_curricular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    unit_thread = _edges(gb, "unit_has_thread", "unit", "thread")
+    uo_unit = _edges(gb, "offering_has_unit", "uo", "unit")
+    subj_uo = _edges(gb, "subject_has_offering", "subject", "uo")
+    triple = (
+        unit_thread.join(uo_unit, on="unit")
+        .join(subj_uo, on="uo")
+        .select("thread", "subject")
+        .distinct()
+    )
+    return (
+        triple.groupBy("thread")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("subject")), "|").alias(
+                "subjects"
+            ),
+            F.countDistinct("subject").alias("subject_count"),
+        )
+        .filter(F.col("subject_count") > 1)
+        .orderBy(F.desc("subject_count"), "thread")
+        .limit(10)
+    )
+
+
+KG62_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "unit_slug", "programme_slug_by_year", "programme_subject_slug"], "primary")},
+{_THREAD_PAIRS_SQL},
+us AS (
+  SELECT DISTINCT unit_slug AS unit, programme_subject_slug AS subject
+  FROM wide WHERE is_legacy = 'False'
+),
+ts AS (
+  SELECT DISTINCT p.thread, u.subject
+  FROM pairs p JOIN us u ON p.unit = u.unit
+)
+SELECT thread,
+       array_to_string(list_sort(list(DISTINCT subject)), '|') AS subjects,
+       CAST(count(DISTINCT subject) AS BIGINT) AS subject_count
+FROM ts GROUP BY thread HAVING count(DISTINCT subject) > 1
+ORDER BY subject_count DESC, thread
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# kg63 — Example 7 (doc :1069-1085): complete lesson details — the
+# Lesson node's full property surface (title with quote-strip/unescape
+# clean, outcome, keywords list, and the three object-list sizes) for a
+# deterministic slug subset standing in for the doc's pinned slug
+# --------------------------------------------------------------------------
+
+
+def kg63_lesson_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    return (
+        gb.nodes["Lesson"]
+        .filter(F.col("id").endswith("00"))
+        .select(
+            F.col("id").alias("lesson"),
+            F.col("lessonTitle").alias("title"),
+            F.col("pupilLessonOutcome").alias("outcome"),
+            F.array_join(F.col("keywords"), "|").alias("keywords"),
+            F.coalesce(F.size("keyLearningPoints"), F.lit(0)).alias("klp_n"),
+            F.coalesce(F.size("misconceptionsMistakes"), F.lit(0)).alias(
+                "mis_n"
+            ),
+            F.coalesce(F.size("equipmentResources"), F.lit(0)).alias(
+                "equip_n"
+            ),
+        )
+    )
+
+
+KG63_SQL = f"""
+{_KV_SQL},
+{_wide_sql(["is_legacy", "lesson_slug", "lesson_title", "lesson_pupil_lesson_outcome", "lesson_keywords", "lesson_key_learning_points", "lesson_misconceptions_and_common_mistakes", "lesson_equipment_and_resources"], "primary")},
+props AS (
+  SELECT lesson_slug AS lesson,
+         NULLIF(arg_min(COALESCE(lesson_title, chr(0)), row_seq), chr(0)) AS t,
+         NULLIF(arg_min(COALESCE(lesson_pupil_lesson_outcome, chr(0)),
+                        row_seq), chr(0)) AS o,
+         arg_min(COALESCE(lesson_keywords, chr(0)), row_seq) AS kw,
+         arg_min(COALESCE(lesson_key_learning_points, chr(0)), row_seq) AS klp,
+         arg_min(COALESCE(lesson_misconceptions_and_common_mistakes, chr(0)),
+                 row_seq) AS mis,
+         arg_min(COALESCE(lesson_equipment_and_resources, chr(0)), row_seq)
+           AS eq
+  FROM wide
+  WHERE is_legacy = 'False' AND lesson_slug IS NOT NULL
+    AND trim(lesson_slug) <> ''
+    AND lower(trim(lesson_slug)) NOT IN ('nan', 'null', 'none')
+  GROUP BY lesson_slug
+)
+SELECT lesson,
+       {_clean_str_sql('t')} AS title,
+       o AS outcome,
+       CASE WHEN kw = chr(0) THEN NULL
+            ELSE array_to_string(list_filter(json_transform(
+                   CASE WHEN kw LIKE '[''%' THEN replace(kw, chr(39), chr(34))
+                        ELSE kw END, '["VARCHAR"]'), x -> x <> ''), '|')
+       END AS keywords,
+       CASE WHEN klp = chr(0) THEN 0
+            ELSE CAST(len(json_transform(klp, '["JSON"]')) AS INT) END AS klp_n,
+       CASE WHEN mis = chr(0) THEN 0
+            ELSE CAST(len(json_transform(mis, '["JSON"]')) AS INT) END AS mis_n,
+       CASE WHEN eq = chr(0) THEN 0
+            ELSE CAST(len(json_transform(eq, '["JSON"]')) AS INT) END AS equip_n
+FROM props WHERE lesson LIKE '%00'
+"""
+
+
 QUERIES = {
     "kg50_lessons_of_subject": kg50_lessons_of_subject,
     "kg51_year_curriculum": kg51_year_curriculum,
@@ -500,6 +831,11 @@ QUERIES = {
     "kg56_keyword_search": kg56_keyword_search,
     "kg57_subject_directory": kg57_subject_directory,
     "kg58_keystage_years": kg58_keystage_years,
+    "kg59_unit_hierarchy": kg59_unit_hierarchy,
+    "kg60_unit_prerequisites": kg60_unit_prerequisites,
+    "kg61_thematic_connections": kg61_thematic_connections,
+    "kg62_cross_curricular": kg62_cross_curricular,
+    "kg63_lesson_details": kg63_lesson_details,
 }
 
 ORACLES = {
@@ -512,4 +848,9 @@ ORACLES = {
     "kg56_keyword_search": KG56_SQL,
     "kg57_subject_directory": KG57_SQL,
     "kg58_keystage_years": KG58_SQL,
+    "kg59_unit_hierarchy": KG59_SQL,
+    "kg60_unit_prerequisites": KG60_SQL,
+    "kg61_thematic_connections": KG61_SQL,
+    "kg62_cross_curricular": KG62_SQL,
+    "kg63_lesson_details": KG63_SQL,
 }
