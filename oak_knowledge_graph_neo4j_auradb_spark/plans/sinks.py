@@ -287,7 +287,15 @@ def merge_into(
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in key_list]), F.lit(n_buckets)
     ).cast("int")
-    upd = updates.dropDuplicates(key_list).withColumn("_bucket", bucket)
+    # Eagerly pin the update set: the touched-bucket collect and the
+    # merge join must see identical rows — a nondeterministic source
+    # (limit/sample) re-evaluated differently would let dynamic
+    # partition overwrite replace an un-read bucket with drifted rows.
+    upd = (
+        updates.dropDuplicates(key_list)
+        .withColumn("_bucket", bucket)
+        .localCheckpoint(eager=True)
+    )
 
     meta_path = os.path.join(path, _MERGE_META)
     if not _committed(path):
