@@ -1,0 +1,112 @@
+"""Driver-facing STREAMING queries — Structured Streaming runs whose
+final state is deterministic and batch-equivalent, so each carries a
+full DuckDB oracle (value-hash check) instead of the weaker rows-only
+streaming check.
+
+Determinism posture: both queries run ``availableNow`` over a static
+input with a fresh checkpoint, so the stream drains completely before
+the callable returns.
+
+* q35 aggregates in ``complete`` output mode — every window is emitted
+  in the final trigger regardless of watermark progress, which makes
+  the result EXACTLY the batch group-by (the watermark only bounds
+  state eviction mid-stream; with complete output it never drops rows).
+* q36's stateful first-seen dedup emits each ID exactly once with its
+  minimum extraction-sequence key, which equals the batch
+  ``min(_row_seq) GROUP BY id`` — the reference's in-memory ``seen_ids``
+  set (schema_mapper.py:86,172-176) as a restartable streaming operator.
+
+Production posture: the memory/temp-parquet sinks here are the sandbox
+harness; a cluster run points the same plans at Kafka sources and
+snapshot-table sinks (plans/snapshots.py) via foreachBatch, as
+streaming/ingest.py's merge path already does.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import stream_first_seen_nodes, windowed_event_counts
+from .common import r4
+
+_SEQ = itertools.count()
+
+
+def q35_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window event aggregation as a drained
+    stream: hourly (window, event_type) counts + value sums over the
+    events table (streaming/ingest.py:windowed_event_counts)."""
+    agg = windowed_event_counts(
+        spark, f"{sf_dir}/events.parquet", window="1 hour", watermark="2 hours"
+    )
+    out = agg.select(
+        F.col("window.start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        r4(F.col("total_value")).alias("sum_value"),
+    )
+    name = f"q35_mem_{next(_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+Q35_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q36_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming first-seen dedup (applyInPandasWithState)
+    drained over the kg documents corpus: one row per distinct
+    unit_slug with the minimum extraction-sequence key."""
+    from ..sources.docgen import ensure_documents
+    from .kg import DOC_CACHE, n_docs_for
+
+    work = tempfile.mkdtemp(prefix="q36_")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    in_path = ensure_documents(DOC_CACHE, n_docs_for(sf_dir))
+    stream_first_seen_nodes(spark, in_path, out_dir, ckpt, id_col="unit_slug")
+    return spark.read.parquet(out_dir).select(
+        "id", F.col("row_seq").cast("long").alias("row_seq")
+    )
+
+
+def _q36_sql() -> str:
+    from .kg import _KV_SQL, _wide_sql
+
+    return f"""
+{_KV_SQL},
+{_wide_sql(["unit_slug"], "primary")}
+SELECT unit_slug AS id, CAST(min(row_seq) AS BIGINT) AS row_seq
+FROM wide WHERE unit_slug IS NOT NULL
+GROUP BY unit_slug
+"""
+
+
+QUERIES = {
+    "q35_stream_windowed_counts": q35_stream_windowed_counts,
+    "q36_stream_first_seen": q36_stream_first_seen,
+}
+
+ORACLES = {
+    "q35_stream_windowed_counts": Q35_SQL,
+    "q36_stream_first_seen": _q36_sql(),
+}
