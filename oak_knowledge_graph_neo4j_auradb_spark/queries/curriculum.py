@@ -601,6 +601,10 @@ props AS (
 SELECT unit,
        {_clean_str_sql('t')} AS unit_title,
        CASE WHEN pk = chr(0) THEN NULL
+            -- empty markers ('', '[]', '{{}}') are omitted properties
+            -- (reference _is_empty_value, schema_mapper.py:573-592)
+            WHEN trim(pk) = '' OR regexp_matches(trim(pk),
+                 '^(\\[[ \t\n\r]*\\]|\\{{[ \t\n\r]*\\}})$') THEN NULL
             WHEN pk NOT LIKE '[%' THEN pk
             ELSE array_to_string(list_filter(
                    json_transform(pk, '["VARCHAR"]'), x -> x <> ''), '|')

@@ -36,13 +36,33 @@ from .common import r4
 
 _SEQ = itertools.count()
 
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's streaming file source requires a DIRECTORY; the driver's
+    testdata tables are single parquet files. Present a file as a
+    one-file directory via a cached symlink — zero copy, and the normal
+    (directory) case passes straight through."""
+    if os.path.isdir(path):
+        return path
+    d = _STREAM_DIRS.get(path)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="streamdir_")
+        os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+        _STREAM_DIRS[path] = d
+    return d
+
 
 def q35_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window event aggregation as a drained
     stream: hourly (window, event_type) counts + value sums over the
     events table (streaming/ingest.py:windowed_event_counts)."""
     agg = windowed_event_counts(
-        spark, f"{sf_dir}/events.parquet", window="1 hour", watermark="2 hours"
+        spark,
+        _as_stream_dir(f"{sf_dir}/events.parquet"),
+        window="1 hour",
+        watermark="2 hours",
     )
     out = agg.select(
         F.col("window.start").cast("long").alias("window_start"),
@@ -82,7 +102,7 @@ def q36_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="q36_")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
-    in_path = ensure_documents(DOC_CACHE, n_docs_for(sf_dir))
+    in_path = _as_stream_dir(ensure_documents(DOC_CACHE, n_docs_for(sf_dir)))
     stream_first_seen_nodes(spark, in_path, out_dir, ckpt, id_col="unit_slug")
     return spark.read.parquet(out_dir).select(
         "id", F.col("row_seq").cast("long").alias("row_seq")
