@@ -185,14 +185,161 @@ FROM mention m LEFT JOIN dict d ON m.label = d.label AND m.mention = d.nid
 """
 
 
+# --------------------------------------------------------------------------
+# kg64 — out-degree distribution of the resolved curriculum graph, per
+# relationship type (documented "Analysis Queries" family,
+# oak_curriculum_graph_documentation.md:1193+). Oracle shares kg37's
+# independently-derived `edges` union, so a value match re-checks the
+# whole construction stack at per-node granularity.
+# --------------------------------------------------------------------------
+
+
+def kg64_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    deg = gb.resolved.groupBy("pred", "subj").agg(
+        F.count("*").alias("outdeg")
+    )
+    return (
+        deg.groupBy("pred", "outdeg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select("pred", F.col("outdeg").cast("long").alias("outdeg"), "n_nodes")
+    )
+
+
+def _kg64_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+deg AS (
+  SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY pred, subj
+)
+SELECT pred, outdeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY pred, outdeg
+"""
+
+
+# --------------------------------------------------------------------------
+# kg65 — PageRank over the resolved curriculum graph: fixed 8 iterations,
+# damping 0.85, dangling mass redistributed uniformly (the full classic
+# formulation, not the no-dangling shortcut). Spark side is the standard
+# Pregel-on-DataFrames shape; the oracle is the same recurrence unrolled
+# into one CTE pair per iteration over kg37's independent `edges` union.
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 8
+_PR_D = 0.85
+
+
+def kg65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale posture: `base` (vertex, outdeg) and `edges` are each
+    repartitioned ON THE JOIN KEY once and persisted, so every
+    iteration's contribution join and rank rebuild reuse the same
+    partitioning — per iteration the only new exchange is the
+    groupBy(obj) combine. Lineage is cut every round with an eager
+    localCheckpoint (components.py does the same); the dangling-mass
+    scalar stays a lazy broadcast 1-row aggregate, never a driver
+    collect."""
+    gb = _wide(spark, sf_dir)
+    edges = (
+        gb.resolved.select("subj", "obj")
+        .distinct()
+        .repartition("subj")
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("subj").alias("id"))
+        .union(edges.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("subj").agg(F.count("*").alias("outdeg"))
+    base = (
+        verts.join(outdeg, verts.id == outdeg.subj, "left")
+        .select("id", "outdeg")
+        .repartition("id")
+        .persist()
+    )
+    n = base.count()
+    ranks = base.select("id", "outdeg", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        dang = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contrib = (
+            edges.join(
+                ranks.select(F.col("id").alias("_sid"), "rank", "outdeg"),
+                edges.subj == F.col("_sid"),
+            )
+            .groupBy(F.col("obj").alias("_cid"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            base.join(contrib, base.id == F.col("_cid"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                base.id,
+                base.outdeg,
+                (
+                    F.lit((1.0 - _PR_D) / n)
+                    + _PR_D * (F.coalesce("c", F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("id", F.round("rank", 8).alias("rank"))
+    edges.unpersist()
+    base.unpersist()
+    return out
+
+
+def _kg65_sql(iters: int = _PR_ITERS, d: float = _PR_D) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS MATERIALIZED (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+deg AS MATERIALIZED (SELECT subj AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        FROM e GROUP BY subj),
+r0 AS MATERIALIZED (SELECT id, (SELECT 1.0/n FROM nn) AS r FROM verts)"""
+    ]
+    dd = f"CAST({d} AS DOUBLE)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(
+            f"""
+d{k} AS (SELECT COALESCE(SUM(r), 0) AS m FROM r{p}
+         WHERE id NOT IN (SELECT id FROM deg)),
+c{k} AS (SELECT e.obj AS id, SUM(p.r / deg.outdeg) AS c
+         FROM e JOIN r{p} p ON e.subj = p.id JOIN deg ON deg.id = p.id
+         GROUP BY e.obj),
+r{k} AS MATERIALIZED (SELECT v.id,
+                (SELECT (1 - {dd})/n FROM nn)
+                + {dd} * (COALESCE(c.c, 0)
+                          + (SELECT m FROM d{k}) / (SELECT n FROM nn)) AS r
+         FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f"\nSELECT id, round(r, 8) AS rank FROM r{iters}"
+    )
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
+    "kg64_degree_distribution": kg64_degree_distribution,
+    "kg65_pagerank": kg65_pagerank,
 }
 
 ORACLES = {
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),
+    "kg64_degree_distribution": _kg64_sql(),
+    "kg65_pagerank": _kg65_sql(),
 }

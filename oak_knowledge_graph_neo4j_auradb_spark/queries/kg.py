@@ -672,8 +672,13 @@ def _node_hist_sql() -> str:
     )
 
 
-def _edge_hist_sql() -> str:
-    from ..config.curriculum_schema import NODES as _N
+def _edges_union_sql() -> str:
+    """The full resolved edge set re-derived in SQL: CTE preamble +
+    ``edges`` = UNION ALL over every relationship config of its
+    distinct, endpoint-resolved (subj_label, pred, obj_label, subj, obj)
+    rows. Shared by the kg37 histogram oracle and the graph-analytics
+    oracles (degree distribution, PageRank) so all three check the SAME
+    independent derivation of the graph."""
     from ..config.curriculum_schema import RELATIONSHIPS as _R
 
     dims = []
@@ -721,15 +726,24 @@ def _edge_hist_sql() -> str:
             )
         parts.append(
             f"SELECT '{slbl}' AS subj_label, '{pred}' AS pred, "
-            f"'{elbl}' AS obj_label, COUNT(*) AS n_edges FROM ({cand}) c "
+            f"'{elbl}' AS obj_label, c.s AS subj, c.e AS obj FROM ({cand}) c "
             f"WHERE c.s IN (SELECT id FROM dim_{slbl}) "
             f"AND c.e IN (SELECT id FROM dim_{elbl})"
         )
     u = "\nUNION ALL\n".join(parts)
     return (
-        f"{_hist_base_sql()},\n" + ",\n".join(dims) + "\n"
-        "SELECT subj_label, pred, obj_label, CAST(n_edges AS BIGINT) AS n_edges "
-        f"FROM ({u}) WHERE n_edges > 0 ORDER BY subj_label, pred, obj_label"
+        f"{_hist_base_sql()},\n" + ",\n".join(dims) + ",\n"
+        f"edges AS (\n{u}\n)"
+    )
+
+
+def _edge_hist_sql() -> str:
+    return (
+        f"{_edges_union_sql()}\n"
+        "SELECT subj_label, pred, obj_label, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges "
+        "FROM edges GROUP BY subj_label, pred, obj_label "
+        "ORDER BY subj_label, pred, obj_label"
     )
 
 

@@ -560,6 +560,40 @@ FROM s GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q37 — exact grouped percentiles: Spark's `percentile` (exact, linear
+# interpolation at p*(n-1)) ≡ DuckDB `quantile_cont`. The Catalyst
+# ObjectHashAggregate path — exact quantiles shuffle one buffer per
+# group, not the full column; the approximate scale path is
+# `percentile_approx` (KLL-like sketch, mergeable map-side).
+# --------------------------------------------------------------------------
+
+
+def q37_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+        )
+    )
+
+
+Q37_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -580,6 +614,7 @@ QUERIES = {
     "q17_json_props": q17_json_props,
     "q18_tumbling_window": q18_tumbling_window,
     "q19_sessionize": q19_sessionize,
+    "q37_group_percentiles": q37_group_percentiles,
 }
 
 ORACLES = {
@@ -602,4 +637,5 @@ ORACLES = {
     "q17_json_props": Q17_SQL,
     "q18_tumbling_window": Q18_SQL,
     "q19_sessionize": Q19_SQL,
+    "q37_group_percentiles": Q37_SQL,
 }

@@ -1,0 +1,64 @@
+"""Graph-analytics invariants for kg64 (degree distribution) and kg65
+(PageRank) beyond the DuckDB value-hash oracle: probability-mass
+conservation, degree bookkeeping, and rank ordering sanity.
+
+PageRank with uniform dangling-mass redistribution conserves total mass
+exactly (up to float error) — the property the no-dangling shortcut
+variant would fail, so it pins WHICH formulation is implemented."""
+
+import pyspark.sql.functions as F
+
+from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+    kg64_degree_distribution,
+    kg65_pagerank,
+)
+from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import _wide
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    ranks = kg65_pagerank(spark, sf_dir)
+    row = ranks.agg(
+        F.sum("rank").alias("total"), F.count("*").alias("n")
+    ).collect()[0]
+    assert row["n"] > 0
+    assert abs(row["total"] - 1.0) < 1e-4, row["total"]
+
+
+def test_pagerank_follows_edge_direction(spark, sf_dir):
+    """Rank flows along edges: every node with at least one in-edge must
+    outrank every zero-in-degree node (sources sit at the uniform floor
+    (1-d)/n + d*dangling/n; any incoming contribution strictly exceeds
+    it). In this graph Subject/Phase/Tier are pure sources and
+    Unitvariant is the deepest sink — checked explicitly."""
+    gb = _wide(spark, sf_dir)
+    ranks = kg65_pagerank(spark, sf_dir).persist()
+    indeg = gb.resolved.groupBy(F.col("obj").alias("id")).agg(
+        F.count("*").alias("indeg")
+    )
+    with_in = ranks.join(indeg, "id", "left_semi")
+    no_in = ranks.join(indeg, "id", "left_anti")
+    min_with = with_in.agg(F.min("rank")).collect()[0][0]
+    max_without = no_in.agg(F.max("rank")).collect()[0][0]
+    assert min_with > max_without, (min_with, max_without)
+
+    uv_ids = gb.nodes["Unitvariant"].select(
+        F.col("id").cast("string").alias("id")
+    )
+    uv_avg = (
+        ranks.join(uv_ids, "id", "left_semi").agg(F.avg("rank")).collect()[0][0]
+    )
+    assert uv_avg > max_without
+    ranks.unpersist()
+
+
+def test_degree_distribution_counts(spark, sf_dir):
+    gb = _wide(spark, sf_dir)
+    dist = kg64_degree_distribution(spark, sf_dir)
+    # sum over the distribution of outdeg * n_nodes per pred == edges per pred
+    recon = (
+        dist.groupBy("pred")
+        .agg(F.sum(F.col("outdeg") * F.col("n_nodes")).alias("n_edges"))
+    )
+    actual = gb.resolved.groupBy("pred").agg(F.count("*").alias("n_edges"))
+    diff = recon.exceptAll(actual)
+    assert diff.count() == 0, diff.collect()
