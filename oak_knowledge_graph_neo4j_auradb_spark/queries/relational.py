@@ -594,6 +594,147 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q38 — as-of join: for every order, the latest event of the same user
+# at-or-before the order date. Spark lacks a native as-of join; the
+# scalable formulation is union-then-window: tag both sides, sort each
+# user's timeline once, and carry event attributes forward with
+# last_value(ignoreNulls). ONE shuffle on the join key (vs the naive
+# inequality join's per-key explosion); windows reuse the exchange.
+# The DuckDB twin uses its native ASOF LEFT JOIN, so this checks our
+# union-window algorithm against an independent as-of implementation.
+# Ties (same user, same ts) are pre-collapsed to max event_id on both
+# sides so the match is deterministic.
+# --------------------------------------------------------------------------
+
+
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    evd = (
+        ev.groupBy(F.col("user_id").alias("uid"), "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select(
+            "uid",
+            "ts",
+            F.lit(0).alias("side"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+            F.col("ts").alias("ets"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+        )
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("ets"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        evd.unionByName(right)
+        .select(
+            "side",
+            "o_orderkey",
+            F.last("event_id", ignorenulls=True).over(w).alias("ev_id"),
+            F.last("ets", ignorenulls=True).over(w).alias("ev_ts"),
+            r4(F.last("value", ignorenulls=True).over(w)).alias("ev_value"),
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+Q38_SQL = """
+WITH evd AS (
+  SELECT user_id AS uid, ts,
+         MAX(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
+)
+SELECT o.o_orderkey,
+       e.event_id AS ev_id,
+       e.ts AS ev_ts,
+       ROUND(e.value, 4) AS ev_value
+FROM orders o
+ASOF LEFT JOIN evd e
+  ON o.o_custkey = e.uid AND o.o_orderdate >= e.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — ROLLUP subtotals (grouping-sets family; SURVEY §2.4 notes the
+# reference has none — engine addition). Spark plans a single Expand +
+# hash aggregate: one shuffle carries all three grouping levels.
+# grouping_id() and DuckDB GROUPING(a, b) use the same bit order
+# (leftmost column = most significant bit).
+# --------------------------------------------------------------------------
+
+
+def q39_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q39_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — top-k per group with ranking + lag (window-function family).
+# Deterministic tie-break on o_orderkey. Spark: one shuffle on the
+# partition key; row_number and lag share the same window frame, so a
+# single sort serves both.
+# --------------------------------------------------------------------------
+
+
+def q40_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            r4(F.col("o_totalprice")).alias("price"),
+            r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+Q40_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         ROUND(o_totalprice, 4) AS price,
+         ROUND(LAG(o_totalprice) OVER w, 4) AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -615,6 +756,9 @@ QUERIES = {
     "q18_tumbling_window": q18_tumbling_window,
     "q19_sessionize": q19_sessionize,
     "q37_group_percentiles": q37_group_percentiles,
+    "q38_asof_join": q38_asof_join,
+    "q39_rollup_totals": q39_rollup_totals,
+    "q40_topk_per_group": q40_topk_per_group,
 }
 
 ORACLES = {
@@ -638,4 +782,7 @@ ORACLES = {
     "q18_tumbling_window": Q18_SQL,
     "q19_sessionize": Q19_SQL,
     "q37_group_percentiles": Q37_SQL,
+    "q38_asof_join": Q38_SQL,
+    "q39_rollup_totals": Q39_SQL,
+    "q40_topk_per_group": Q40_SQL,
 }

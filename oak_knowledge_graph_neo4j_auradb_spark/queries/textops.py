@@ -674,6 +674,106 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q41 — TF-IDF top keyword per document. Corpus-statistics join shape:
+# term frequencies aggregate per (doc, term) map-side; document
+# frequencies are a second partial agg over distinct (doc, term); idf
+# joins back BROADCAST (the term dictionary is tiny relative to the
+# corpus — vocabulary grows ~O(corpus^0.5), Heaps' law). One wide
+# shuffle total at any scale; top-1 per doc is a min-struct aggregate,
+# not a window, so the final shuffle carries one row per (doc, term).
+# --------------------------------------------------------------------------
+
+
+def q41_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; one cheap count-star job (metadata-sized)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select("term", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf")).alias("score"),
+    )
+    # top-1 per doc, deterministic: max struct of (score, reversed-term)
+    # won't tie-break lexicographically-smallest term, so use a struct
+    # of (score, negated rank) — simplest exact form: min over
+    # (-score, term), which orders by score desc then term asc.
+    best = (
+        scored.groupBy("doc_id")
+        .agg(F.min(F.struct(F.negate(F.col("score")).alias("ns"), "term")).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.term").alias("term"),
+            r4(-F.col("b.ns")).alias("score"),
+        )
+    )
+    return best
+
+
+Q41_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(*)) AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS score
+  FROM tf JOIN idf ON tf.term = idf.term
+)
+SELECT doc_id, term, ROUND(score, 4) AS score FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — deterministic hash sampling: reproducible corpus subsets
+# without a random seed dependency (md5 of the key is identical across
+# engines, runs, and cluster sizes — the property `rand(seed)` does NOT
+# have under repartitioning). Filter sits on the scan; the aggregate is
+# partial. Rate here = 0x28/0x100 = 15.6%.
+# --------------------------------------------------------------------------
+
+
+def q42_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.filter(bucket < "28")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+Q42_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
@@ -685,6 +785,8 @@ QUERIES = {
     "q27_ngram_jaccard": q27_ngram_jaccard,
     "q28_fingerprint": q28_fingerprint,
     "q34_bpe_token_count": q34_bpe_token_count,
+    "q41_tfidf_keywords": q41_tfidf_keywords,
+    "q42_hash_sample": q42_hash_sample,
 }
 
 ORACLES = {
@@ -698,4 +800,6 @@ ORACLES = {
     "q27_ngram_jaccard": Q27_SQL,
     "q28_fingerprint": Q28_SQL,
     "q34_bpe_token_count": Q34_SQL,
+    "q41_tfidf_keywords": Q41_SQL,
+    "q42_hash_sample": Q42_SQL,
 }
