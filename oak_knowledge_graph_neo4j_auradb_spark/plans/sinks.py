@@ -72,13 +72,36 @@ def write_graph(
     out_dir: str,
     run_ts: str = RUN_TS,
     max_records_per_file: int = 1_000_000,
+    config: str | dict | None = None,
 ) -> WriteReport:
     """Materialize the full graph build under ``out_dir``, stage by
     stage, resuming from any committed checkpoint.
 
     ``max_records_per_file`` bounds output file size the way the
     reference's 10K-row CSV split did (HISTORY.md:357-363) — but as a
-    writer option, not a bespoke splitter."""
+    writer option, not a bespoke splitter.
+
+    ``config`` (a reference-dialect JSON path or dict) routes through
+    the config-as-program loader, so one JSON drives extraction AND
+    materialization with no code changes (reference README.md:10)."""
+    if config is not None:
+        from ..config.manager import (
+            compile_config,
+            load_graph_config,
+            validate_config_dict,
+        )
+
+        gc = (
+            load_graph_config(config)
+            if isinstance(config, str)
+            else compile_config(validate_config_dict(dict(config)))
+        )
+        node_cfgs, rel_cfgs, filters = gc.nodes, gc.relationships, gc.filters
+    else:
+        from ..config.curriculum_schema import FILTERS, NODES, RELATIONSHIPS
+
+        node_cfgs, rel_cfgs, filters = NODES, RELATIONSHIPS, FILTERS
+
     report = WriteReport(out_dir=out_dir)
     lineage_parts: list[DataFrame] = []
     t_all = time.monotonic()
@@ -102,12 +125,19 @@ def write_graph(
         lineage_parts.append(partition_lineage(out, stage, key))
         return out
 
-    gb: GraphBuild = build_graph(spark, docs, run_ts=run_ts)
+    gb: GraphBuild = build_graph(
+        spark,
+        docs,
+        run_ts=run_ts,
+        node_configs=node_cfgs,
+        rel_configs=rel_cfgs,
+        filters=filters,
+    )
 
     wide = emit("wide", gb.wide, "wide", "doc_id")
     # later stages read the *checkpointed* wide table — a resumed run
     # never recomputes the reconstruction+join prefix
-    gb2 = _rebind(spark, gb, wide, run_ts)
+    gb2 = _rebind(spark, gb, wide, run_ts, node_cfgs, rel_cfgs)
     emit("triples", gb2.triples, "triples", "subj", partition_by="config_key")
     emit("resolved", gb2.resolved, "resolved", "subj", partition_by="config_key")
     for label, ndf in gb2.nodes.items():
@@ -115,13 +145,12 @@ def write_graph(
 
     # validation side-output: every row a mapping rule dropped, with
     # (rule, reason, source ref) — validators.py:8-67 as a table
-    from ..config.curriculum_schema import NODES, RELATIONSHIPS
     from ..operators.quarantine import quarantine, validation_summary
 
     q = emit(
         "quarantine",
         quarantine(
-            gb2.wide, gb2.triples, NODES, RELATIONSHIPS, gb2.extras["dims"]
+            gb2.wide, gb2.triples, node_cfgs, rel_cfgs, gb2.extras["dims"]
         ),
         "quarantine",
         "rule",
@@ -134,7 +163,7 @@ def write_graph(
     # property (pipeline/mappers.py:8-39)
     emit(
         "field_lineage",
-        field_lineage(spark, NODES, RELATIONSHIPS),
+        field_lineage(spark, node_cfgs, rel_cfgs),
         "field_lineage",
         "config",
     )
@@ -157,20 +186,30 @@ def write_graph(
 
 
 def _rebind(
-    spark: SparkSession, gb: GraphBuild, wide: DataFrame, run_ts: str
+    spark: SparkSession,
+    gb: GraphBuild,
+    wide: DataFrame,
+    run_ts: str,
+    node_cfgs=None,
+    rel_cfgs=None,
 ) -> GraphBuild:
     """Re-derive the extraction plans over the checkpointed wide table."""
-    from ..config.curriculum_schema import NODES, RELATIONSHIPS
     from ..operators import mapper as mapper_op
 
-    triples = mapper_op.extract_triples_fused(wide, RELATIONSHIPS, NODES, run_ts)
-    dims = mapper_op.node_dims(wide, NODES, spark)
-    resolved = mapper_op.resolve_triples(triples, {}, NODES, dims=dims)
+    if node_cfgs is None or rel_cfgs is None:
+        from ..config.curriculum_schema import NODES, RELATIONSHIPS
+
+        node_cfgs = NODES if node_cfgs is None else node_cfgs
+        rel_cfgs = RELATIONSHIPS if rel_cfgs is None else rel_cfgs
+
+    triples = mapper_op.extract_triples_fused(wide, rel_cfgs, node_cfgs, run_ts)
+    dims = mapper_op.node_dims(wide, node_cfgs, spark)
+    resolved = mapper_op.resolve_triples(triples, {}, node_cfgs, dims=dims)
     return GraphBuild(
         wide=wide,
         triples=triples,
         resolved=resolved,
-        _node_args=(wide, NODES, run_ts, spark),
+        _node_args=(wide, node_cfgs, run_ts, spark),
         extras={"dims": dims},
     )
 

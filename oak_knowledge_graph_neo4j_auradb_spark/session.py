@@ -40,7 +40,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    builder = _tune(builder, shuffle_partitions)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _tune(builder, shuffle_partitions: int):
+    """Engine tuning shared by the local factory and spark-submit jobs."""
+    return (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -55,10 +66,37 @@ def get_spark(
         # Smaller splits keep the scan parallel — on a cluster this also
         # keeps post-scan partitions comfortably in executor memory.
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+
+
+def get_cluster_spark(
+    app_name: str = "oak-kg-spark-job",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Session factory for ``spark-submit`` jobs (north_rule deploy path:
+    ``spark-submit --py-files`` on a multi-executor cluster).
+
+    Master, executor count, and memory come from the submit command /
+    cluster manager — this factory applies only the engine's SQL/Arrow
+    tuning. ``shuffle_partitions`` defaults to ``$SPARK_GRAFT_SHUFFLE``
+    or 2× the default parallelism once the session is up; on a real
+    cluster set it so post-shuffle partitions land in the 100–500 MB
+    range at the target scale (e.g. ~200k partitions at 100 TB).
+    """
+    if shuffle_partitions is None:
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env) if env else 0
+    builder = _tune(SparkSession.builder.appName(app_name), shuffle_partitions or 8)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if not shuffle_partitions:
+        # size to the cluster we actually got
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2 * spark.sparkContext.defaultParallelism, 8)),
+        )
+    return spark

@@ -8,6 +8,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: end-to-end subprocess tests (spark-submit)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(

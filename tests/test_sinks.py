@@ -63,3 +63,32 @@ def test_resume_recomputes_only_missing_stage(spark, out):
     assert "wide" in report3.stages_skipped
     g = read_graph(spark, out_dir)
     assert g["resolved"].count() == first.metrics["resolved_rows"]
+
+
+def test_config_routed_write_matches_default(spark, out, tmp_path):
+    """write_graph(config=<reference-dialect JSON>) — one JSON drives
+    extraction AND materialization; result identical to the built-in
+    schema it round-trips."""
+    import json
+
+    from oak_knowledge_graph_neo4j_auradb_spark.config.curriculum_schema import (
+        FILTERS,
+        JOIN_STRATEGY,
+        NODES,
+        RELATIONSHIPS,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.config.manager import (
+        export_reference_dialect,
+    )
+
+    docs, _, first = out
+    cfg_path = str(tmp_path / "schema.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            export_reference_dialect(NODES, RELATIONSHIPS, JOIN_STRATEGY, FILTERS),
+            f,
+        )
+    out2 = str(tmp_path / "graph_cfg")
+    report = write_graph(spark, docs, out2, config=cfg_path)
+    assert report.metrics["resolved_rows"] == first.metrics["resolved_rows"]
+    assert report.metrics["triples_rows"] == first.metrics["triples_rows"]
