@@ -29,6 +29,11 @@ AUDIT = [
     ("q30_lsh_neardup", 6, 0),
     ("kg30_reconstruct_wide", 0, 0),
     ("kg40_media_features", 0, 2),  # Arrow mapInPandas stages by design
+    ("q38_asof_join", 3, 0),  # dedup agg + one window shuffle on the key
+    ("q39_rollup_totals", 1, 0),  # Expand feeds ONE partial+final agg
+    ("q40_topk_per_group", 1, 0),  # row_number and lag share one sort
+    ("q41_tfidf_keywords", 4, 0),  # tf agg, df agg, broadcast idf, top-1 agg
+    ("q42_hash_sample", 1, 0),  # md5 filter on the scan, partial agg
 ]
 
 
