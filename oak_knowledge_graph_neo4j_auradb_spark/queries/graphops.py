@@ -328,12 +328,147 @@ r{k} AS MATERIALIZED (SELECT v.id,
     )
 
 
+# --------------------------------------------------------------------------
+# kg66 — BFS depth: minimum hop distance of every reachable node from
+# the graph's source nodes (nodes with no in-edge — Phase/Subject/Tier/
+# Examboard in the curriculum hierarchy). The Spark side is a frontier
+# loop: per round ONE join frontier⋈edges + an anti-join against the
+# settled set; first visit = minimum depth by BFS order, so no
+# per-round min-aggregate is needed. Rounds are bounded by graph depth
+# (~7 here), each round localCheckpoints to cut lineage, and the empty
+# check is limit(1)-guarded. The DuckDB twin is a WITH RECURSIVE
+# unfolding over the independently-derived `edges` union — checking an
+# iterative DataFrame algorithm against a recursive-SQL engine.
+# --------------------------------------------------------------------------
+
+_BFS_MAX_DEPTH = 20
+
+
+def kg66_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    roots = (
+        e.select("subj")
+        .distinct()
+        .join(e.select(F.col("obj").alias("subj")).distinct(), "subj", "left_anti")
+        .select(F.col("subj").alias("id"))
+    )
+    dist = roots.select("id", F.lit(0).cast("long").alias("depth")).localCheckpoint()
+    frontier = dist.select("id")
+    for d in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            e.join(frontier, e.subj == frontier.id)
+            .select(F.col("obj").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.select("id", F.lit(d).cast("long").alias("depth"))
+        ).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return dist
+
+
+def _kg66_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+roots AS (SELECT DISTINCT subj AS id FROM e
+          WHERE subj NOT IN (SELECT obj FROM e)),
+bfs AS (
+  SELECT id, 0 AS depth FROM roots
+  UNION
+  SELECT e.obj, b.depth + 1 FROM e JOIN bfs b ON e.subj = b.id
+  WHERE b.depth < {_BFS_MAX_DEPTH}
+)
+SELECT id, CAST(MIN(depth) AS BIGINT) AS depth FROM bfs GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# kg67 — orphan-node detection per label: the reference's post-import
+# integrity check (scripts/validate_neo4j_import.py:236-319 counts
+# nodes with no relationships). A node is an orphan when its (label,
+# id) appears at neither end of any resolved edge. Spark: the node set
+# comes from gb.nodes (13 extraction plans), endpoints from the
+# resolved triple stream — one union + one anti-join + one count agg,
+# a single pass regardless of label count. The oracle re-derives node
+# sets from the per-label distinct-ID SQL and endpoints from the edges
+# union, so a value match cross-checks node extraction AND edge
+# resolution against each other.
+# --------------------------------------------------------------------------
+
+
+def kg67_orphan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    nodes_all = None
+    for label, df in gb.nodes.items():
+        part = df.select(
+            F.lit(label).alias("label"), F.col("id").cast("string").alias("id")
+        )
+        nodes_all = part if nodes_all is None else nodes_all.unionByName(part)
+    endp = (
+        gb.resolved.select(
+            F.col("subj_label").alias("label"), F.col("subj").alias("id")
+        )
+        .unionByName(
+            gb.resolved.select(
+                F.col("obj_label").alias("label"), F.col("obj").alias("id")
+            )
+        )
+        .distinct()
+    )
+    return (
+        nodes_all.join(endp, ["label", "id"], "left_anti")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+def _kg67_sql() -> str:
+    from .kg import _LABEL_ID_SQL, _edges_union_sql, _ok
+
+    parts = [
+        f"SELECT '{label}' AS label, {expr} AS id FROM widex WHERE {_ok(expr)}"
+        for label, expr in _LABEL_ID_SQL.items()
+    ]
+    parts.append(
+        "SELECT 'Thread' AS label, it.thread_slug AS id FROM titems "
+        f"WHERE {_ok('it.thread_slug')}"
+    )
+    parts.append("SELECT 'Schemaversion' AS label, 'v0.1.0-alpha' AS id")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+{_edges_union_sql()},
+nodes_all AS (SELECT DISTINCT label, id FROM ({u})),
+endp AS (
+  SELECT subj_label AS label, subj AS id FROM edges
+  UNION
+  SELECT obj_label, obj FROM edges
+)
+SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM nodes_all n
+WHERE NOT EXISTS (SELECT 1 FROM endp e
+                  WHERE e.label = n.label AND e.id = n.id)
+GROUP BY n.label
+"""
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
+    "kg66_bfs_depth": kg66_bfs_depth,
+    "kg67_orphan_nodes": kg67_orphan_nodes,
 }
 
 ORACLES = {
@@ -342,4 +477,6 @@ ORACLES = {
     "kg39_mention_links": _kg39_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
+    "kg66_bfs_depth": _kg66_sql(),
+    "kg67_orphan_nodes": _kg67_sql(),
 }

@@ -735,6 +735,57 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
+# sets; SURVEY §2.8 notes the reference has union only — engine
+# addition completes the family). Each set op plans as an aggregate or
+# left-anti join over pre-aggregated distinct keys: the shuffle carries
+# distinct keys only, never the fact rows.
+# --------------------------------------------------------------------------
+
+
+def q43_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    a = orders.filter(F.col("o_totalprice") > 100_000).select(
+        F.col("o_custkey").alias("uid")
+    ).distinct()
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid")
+    ).distinct()
+    rows = [
+        a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("intersect").alias("setop"), "n"
+        ),
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("except").alias("setop"), "n"
+        ),
+        a.union(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("union").alias("setop"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+Q43_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS uid FROM orders
+           WHERE o_totalprice > 100000),
+     b AS (SELECT DISTINCT user_id AS uid FROM events
+           WHERE event_type = 'click')
+SELECT 'intersect' AS setop, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT uid FROM a INTERSECT SELECT uid FROM b)
+UNION ALL
+SELECT 'except', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT uid FROM a EXCEPT SELECT uid FROM b)
+UNION ALL
+SELECT 'union', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT uid FROM a UNION SELECT uid FROM b)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
@@ -759,6 +810,7 @@ QUERIES = {
     "q38_asof_join": q38_asof_join,
     "q39_rollup_totals": q39_rollup_totals,
     "q40_topk_per_group": q40_topk_per_group,
+    "q43_set_ops": q43_set_ops,
 }
 
 ORACLES = {
@@ -785,4 +837,5 @@ ORACLES = {
     "q38_asof_join": Q38_SQL,
     "q39_rollup_totals": Q39_SQL,
     "q40_topk_per_group": Q40_SQL,
+    "q43_set_ops": Q43_SQL,
 }

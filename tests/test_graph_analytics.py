@@ -62,3 +62,41 @@ def test_degree_distribution_counts(spark, sf_dir):
     actual = gb.resolved.groupBy("pred").agg(F.count("*").alias("n_edges"))
     diff = recon.exceptAll(actual)
     assert diff.count() == 0, diff.collect()
+
+
+def test_bfs_depth_invariants(spark, sf_dir):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        kg66_bfs_depth,
+    )
+
+    gb = _wide(spark, sf_dir)
+    dist = kg66_bfs_depth(spark, sf_dir).persist()
+    # every node at depth d>0 has an in-edge from a node at depth d-1
+    e = gb.resolved.select("subj", "obj").distinct()
+    parent = (
+        dist.filter(F.col("depth") > 0)
+        .join(e, dist.id == e.obj)
+        .join(
+            dist.select(F.col("id").alias("pid"), F.col("depth").alias("pd")),
+            F.col("subj") == F.col("pid"),
+        )
+        .groupBy("id", "depth")
+        .agg(F.min("pd").alias("min_parent_depth"))
+    )
+    bad = parent.filter(F.col("min_parent_depth") != F.col("depth") - 1)
+    assert bad.count() == 0, bad.limit(5).collect()
+    # depth-0 set is exactly the zero-in-degree node set
+    roots = dist.filter("depth = 0")
+    with_in = roots.join(e.select(F.col("obj").alias("id")).distinct(), "id", "left_semi")
+    assert with_in.count() == 0
+    assert dist.agg(F.max("depth")).collect()[0][0] <= 8
+    dist.unpersist()
+
+
+def test_orphans_only_schemaversion(spark, sf_dir):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        kg67_orphan_nodes,
+    )
+
+    rows = kg67_orphan_nodes(spark, sf_dir).collect()
+    assert {(r["label"], r["n_orphans"]) for r in rows} == {("Schemaversion", 1)}
