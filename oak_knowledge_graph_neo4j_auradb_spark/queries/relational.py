@@ -736,6 +736,48 @@ SELECT * FROM (
 
 
 # --------------------------------------------------------------------------
+# q44 — approximate distinct counting (HyperLogLog++; SURVEY §2.4 notes
+# the reference has no approx-distinct — engine addition). The sketch
+# is MERGEABLE: map-side partial sketches combine at reduce, so the
+# shuffle carries fixed-size sketch bytes per group instead of the
+# distinct-key set — the scale path when countDistinct's exact
+# expansion won't fit. HLL++ is deterministic for given data (no RNG),
+# so the error-bound CLAIM is oracle-checkable: the query emits the
+# exact count plus a boolean "estimate within 3%", and the DuckDB twin
+# asserts exact + TRUE. A hash match certifies the sketch's accuracy
+# contract, not a lucky value.
+# --------------------------------------------------------------------------
+
+
+def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                <= 0.03
+            ).alias("within_3pct"),
+        )
+    )
+
+
+Q44_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_3pct
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -811,6 +853,7 @@ QUERIES = {
     "q39_rollup_totals": q39_rollup_totals,
     "q40_topk_per_group": q40_topk_per_group,
     "q43_set_ops": q43_set_ops,
+    "q44_approx_distinct": q44_approx_distinct,
 }
 
 ORACLES = {
@@ -838,4 +881,5 @@ ORACLES = {
     "q39_rollup_totals": Q39_SQL,
     "q40_topk_per_group": Q40_SQL,
     "q43_set_ops": Q43_SQL,
+    "q44_approx_distinct": Q44_SQL,
 }
