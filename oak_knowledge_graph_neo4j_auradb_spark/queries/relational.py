@@ -778,6 +778,81 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# q45 — quantile sketch (percentile_approx, a KLL-style mergeable
+# sketch): the scale path q37's exact percentile can't take (exact
+# shuffles every group's value buffer; the sketch is fixed-size and
+# combines map-side). Same oracle trick as q44: the sketch is
+# deterministic for given data, so emit the EXACT median plus a boolean
+# "sketch within 1% of exact", and the twin asserts exact + TRUE — a
+# hash match certifies the accuracy contract.
+# --------------------------------------------------------------------------
+
+
+def q45_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("_exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("_approx"),
+        )
+        .select(
+            "l_linestatus",
+            r4(F.col("_exact")).alias("p50_exact"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                / F.col("_exact")
+                <= 0.01
+            ).alias("within_1pct"),
+        )
+    )
+
+
+Q45_SQL = """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+       TRUE AS within_1pct
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q46 — pivot (long → wide): order counts per status × priority.
+# Spark's `pivot` with an EXPLICIT value list compiles to conditional
+# aggregation in ONE pass / one shuffle — the same shape the oracle
+# spells out. (Without the list Spark runs an extra distinct job to
+# discover columns — always pin the list at scale.)
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q46_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{i + 1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return piv.select(*cols)
+
+
+Q46_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -854,6 +929,8 @@ QUERIES = {
     "q40_topk_per_group": q40_topk_per_group,
     "q43_set_ops": q43_set_ops,
     "q44_approx_distinct": q44_approx_distinct,
+    "q45_quantile_sketch": q45_quantile_sketch,
+    "q46_pivot": q46_pivot,
 }
 
 ORACLES = {
@@ -882,4 +959,6 @@ ORACLES = {
     "q40_topk_per_group": Q40_SQL,
     "q43_set_ops": Q43_SQL,
     "q44_approx_distinct": Q44_SQL,
+    "q45_quantile_sketch": Q45_SQL,
+    "q46_pivot": Q46_SQL,
 }
