@@ -853,6 +853,135 @@ FROM orders GROUP BY o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# q47 — anti-join (NOT EXISTS): customers with no orders, counted per
+# nation. left_anti plans as a broadcast/shuffled hash anti-join over
+# distinct keys — the orders side is pre-aggregated to its key set by
+# the join itself; no fact-row fan-out. Oracle is the NOT EXISTS form
+# DuckDB decorrelates to the same shape.
+# --------------------------------------------------------------------------
+
+
+def q47_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (every customer has *some* order
+    in this corpus, so the unfiltered anti-join would be a trivial
+    0-row check); the filter sits below the anti-join and pushes into
+    the orders scan."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = cust.join(urgent, "c_custkey", "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q47_SQL = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — correlated scalar subquery, decorrelated: orders priced above
+# 2× their customer's average. The idiomatic Spark plan is the manual
+# decorrelation — ONE aggregate over orders + ONE join back — exactly
+# what an optimizer turns the correlated form into (the oracle uses the
+# same decorrelated CTE). The threshold predicate is evaluated in EXACT
+# decimal arithmetic (`price * n > 2 * sum`) because double AVG is
+# summation-order-dependent — the two engines disagree in the 4th
+# decimal on some groups, which would flip boundary rows. The reported
+# average is likewise exact fixed-point: avg in 1e-4 units via the
+# integer half-up division (2a + b) div (2b) — double division ties
+# (e.g. sum/8 landing exactly on .xxxx5) round differently in Java's
+# BigDecimal-of-shortest-string vs DuckDB's true-binary rounding.
+# --------------------------------------------------------------------------
+
+
+def q48_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    cagg = orders.groupBy("o_custkey").agg(
+        F.sum(dec).alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    avg_e4 = F.expr(
+        "(2 * CAST(tot * 100 AS BIGINT) * 100 + n) DIV (2 * n)"
+    )
+    return (
+        orders.join(cagg, "o_custkey")
+        .filter(dec * F.col("n") > 2 * F.col("tot"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            r4(F.col("o_totalprice")).alias("price"),
+            avg_e4.alias("cust_avg_e4"),
+        )
+    )
+
+
+Q48_SQL = """
+WITH cagg AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       ROUND(o.o_totalprice, 4) AS price,
+       (2 * CAST(c.tot * 100 AS BIGINT) * 100 + c.n) // (2 * c.n)
+           AS cust_avg_e4
+FROM orders o JOIN cagg c ON o.o_custkey = c.o_custkey
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * c.n > 2 * c.tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q49 — date/time function family (SURVEY §2.6 notes the reference has
+# no date arithmetic — engine addition): truncation to month, parts
+# (year/quarter/day-of-week), and an interval shift. Sessions run in
+# UTC (session.py pins spark.sql.session.timeZone) so both engines
+# truncate the same wall clock. Spark dayofweek is 1=Sunday; DuckDB
+# dayofweek is 0=Sunday — the oracle maps dow+1 to align.
+# --------------------------------------------------------------------------
+
+
+def q49_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("month", "ts").alias("month"),
+            F.quarter("ts").cast("long").alias("qtr"),
+            F.dayofweek("ts").cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias(
+                "max_ts_plus_90m"
+            ),
+        )
+    )
+
+
+Q49_SQL = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       CAST(quarter(ts) AS BIGINT) AS qtr,
+       CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(ts + INTERVAL 90 MINUTE) AS max_ts_plus_90m
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -931,6 +1060,9 @@ QUERIES = {
     "q44_approx_distinct": q44_approx_distinct,
     "q45_quantile_sketch": q45_quantile_sketch,
     "q46_pivot": q46_pivot,
+    "q47_customers_without_orders": q47_customers_without_orders,
+    "q48_above_customer_avg": q48_above_customer_avg,
+    "q49_datetime_family": q49_datetime_family,
 }
 
 ORACLES = {
@@ -961,4 +1093,7 @@ ORACLES = {
     "q44_approx_distinct": Q44_SQL,
     "q45_quantile_sketch": Q45_SQL,
     "q46_pivot": Q46_SQL,
+    "q47_customers_without_orders": Q47_SQL,
+    "q48_above_customer_avg": Q48_SQL,
+    "q49_datetime_family": Q49_SQL,
 }
