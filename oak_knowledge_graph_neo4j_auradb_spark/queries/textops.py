@@ -774,6 +774,130 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q50 — near-dup CLUSTER dedup: the operator a training pipeline
+# actually runs. q25's LSH pairs are only the edge stream — transitive
+# duplicates (A~B, B~C but A!~C) must collapse into ONE cluster with
+# ONE kept representative, or the dedup either under-removes or keeps
+# two "canonicals" that are near-dups of each other. Pipeline:
+# LSH candidate pairs → connected components (operators/components.py,
+# the same salted min-label propagation stage K uses) → per cluster
+# keep the longest doc (tie-break min doc_id) and account the chars
+# removed. Every cluster here has ≥ 2 members by construction (only
+# docs with a near-dup edge enter the component graph).
+# Oracle: the q25 pair SQL verbatim as a subquery, a recursive-CTE
+# transitive closure (small-graph oracle for the iterative Spark
+# algorithm, as in q32/kg66), and a min-list argmax for the keeper.
+# --------------------------------------------------------------------------
+
+
+def q50_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = q25_lsh_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=20)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = comp.join(d, comp.id == d.doc_id).select(
+        F.col("canonical_id").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    # keeper = min over (-n_chars, doc_id): longest doc, then smallest id
+    keep = F.min(
+        F.struct((-F.col("n_chars")).alias("nn"), F.col("doc_id").alias("d"))
+    )
+    return member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        keep["d"].alias("keep_doc"),
+        (F.sum("n_chars") + keep["nn"]).cast("long").alias("chars_removed"),
+    )
+
+
+Q50_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({Q25_SQL})
+), edges AS (
+  SELECT doc_a AS n, doc_b AS m FROM pairs
+  UNION
+  SELECT doc_b AS n, doc_a AS m FROM pairs
+), reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+  UNION
+  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n
+), comp AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+), member AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       (min([-n_chars, doc_id]))[2] AS keep_doc,
+       CAST(SUM(n_chars) + (min([-n_chars, doc_id]))[1] AS BIGINT)
+           AS chars_removed
+FROM member GROUP BY cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q53 — blocked fuzzy matching (edit-distance near-dup over short
+# strings — entity-name dedup, the string analogue of q25). All-pairs
+# levenshtein is O(n²·len²) and never runs: candidates are generated
+# inside BLOCKS (here p_brand; in entity resolution: a cheap canopy
+# key), with a length prefilter |len(a)-len(b)| ≤ k — a lower bound on
+# edit distance — applied as a join predicate so the expensive
+# levenshtein only evaluates on survivors. Per-block pair fan-out is
+# bounded by the block size the blocking key guarantees; a skewed
+# block is an AQE skew-join split. Both engines implement classic
+# Levenshtein (unit costs), so the oracle is the same expression.
+# --------------------------------------------------------------------------
+
+_FUZZY_K = 2
+
+
+def q53_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, on="brand").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_K
+        )
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.select(
+            "brand",
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 1) & (F.col("edit_dist") <= _FUZZY_K))
+    )
+
+
+Q53_SQL = f"""
+SELECT a.p_brand AS brand,
+       a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(len(a.p_name) - len(b.p_name)) <= {_FUZZY_K}
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_K}
+"""
+
+
 QUERIES = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
@@ -787,6 +911,8 @@ QUERIES = {
     "q34_bpe_token_count": q34_bpe_token_count,
     "q41_tfidf_keywords": q41_tfidf_keywords,
     "q42_hash_sample": q42_hash_sample,
+    "q50_neardup_clusters": q50_neardup_clusters,
+    "q53_fuzzy_name_pairs": q53_fuzzy_name_pairs,
 }
 
 ORACLES = {
@@ -802,4 +928,6 @@ ORACLES = {
     "q34_bpe_token_count": Q34_SQL,
     "q41_tfidf_keywords": Q41_SQL,
     "q42_hash_sample": Q42_SQL,
+    "q50_neardup_clusters": Q50_SQL,
+    "q53_fuzzy_name_pairs": Q53_SQL,
 }
