@@ -16,7 +16,7 @@ from ..operators.components import connected_components
 from ..operators.linking import extract_mentions, link_mentions
 from ..operators.mapper import node_dims
 from .common import load
-from .kg import _KV_SQL, _wide, docs_df
+from .kg import _KV_SQL, ORACLE_DOCS, _wide, docs_df
 
 # --------------------------------------------------------------------------
 # q32 — generic connected components over a lineitem-derived bipartite
@@ -461,6 +461,149 @@ GROUP BY n.label
 """
 
 
+# --------------------------------------------------------------------------
+# q51 — per-node triangle counting over the part co-occurrence graph
+# (parts appearing in the same order are linked; the same shape as a
+# doc co-citation or entity co-mention graph). The naive wedge join
+# explodes quadratically at hub nodes — sum(deg²) — so the Spark side
+# uses the standard degree-ordered orientation: every undirected edge
+# is directed from its lower-(degree, id) endpoint to the higher one,
+# which bounds every node's OUT-degree by O(sqrt(|E|)) and makes the
+# wedge join sum(outdeg²) = O(|E|^1.5) worst-case — the plan that
+# survives a hub-skewed graph at 100×. Each triangle {x,y,z} is then
+# generated exactly once (as a wedge at its smallest-key vertex), no
+# dedup pass needed. The oracle is the naive a<b<c three-way self-join
+# — same triangles derived a completely different way.
+# --------------------------------------------------------------------------
+
+
+def q51_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the lower (deg, id) endpoint to the higher;
+    # keep the dst's total-order key so the wedge pair below can be
+    # ordered by the SAME relation the orientation used.
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+        )
+        .persist()
+    )
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("dst_key").alias("kb"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("dst_key").alias("kc"),
+    )
+    wedges = w1.join(w2, "a").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    out = nodes.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    oriented.unpersist()
+    return out
+
+
+Q51_SQL = """
+WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part
+"""
+
+
+# --------------------------------------------------------------------------
+# kg68 — span kind-transition matrix: bigram counts of span kinds in
+# OFFSET order across the interleaved documents (text→media, media→
+# field, …). This is the query that breaks if span ordering is ever
+# lost — the per-row span-sequence invariant (kind, text, media_ref,
+# order) the north_rule pins, aggregated corpus-wide. Spark side stays
+# entirely inside the array: array_sort by offset + an index-zip
+# transform produce the bigrams WITHOUT exploding to a per-span table
+# or shuffling per doc_id — the only exchange is the final 9-cell
+# groupBy. The oracle derives the same matrix the opposite way:
+# unnest to rows, window LEAD over (doc_id ORDER BY offset).
+# --------------------------------------------------------------------------
+
+
+def kg68_span_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_df(spark, sf_dir)
+    sorted_spans = F.expr(
+        "array_sort(spans, (l, r) -> CASE WHEN l.offset < r.offset THEN -1 "
+        "WHEN l.offset > r.offset THEN 1 ELSE 0 END)"
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(sp) - 1), "
+        "i -> struct(sp[i-1].kind AS a, sp[i].kind AS b))"
+    )
+    return (
+        d.select("doc_id", sorted_spans.alias("sp"))
+        .filter(F.size("sp") >= 2)
+        .select(F.explode(pairs).alias("t"))
+        .groupBy(
+            F.col("t.a").alias("kind_from"), F.col("t.b").alias("kind_to")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+def _kg68_sql() -> str:
+    return f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM '{ORACLE_DOCS}'
+), seq AS (
+  SELECT doc_id, s.kind AS kind,
+         LEAD(s.kind) OVER (PARTITION BY doc_id ORDER BY s."offset") AS nxt
+  FROM sp
+)
+SELECT kind AS kind_from, nxt AS kind_to,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE nxt IS NOT NULL GROUP BY kind, nxt
+"""
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -469,6 +612,8 @@ QUERIES = {
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
     "kg67_orphan_nodes": kg67_orphan_nodes,
+    "q51_triangle_counts": q51_triangle_counts,
+    "kg68_span_transitions": kg68_span_transitions,
 }
 
 ORACLES = {
@@ -479,4 +624,6 @@ ORACLES = {
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),
     "kg67_orphan_nodes": _kg67_sql(),
+    "q51_triangle_counts": Q51_SQL,
+    "kg68_span_transitions": _kg68_sql(),
 }

@@ -898,6 +898,56 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q52 — stratified deterministic sampling: keep ~10% of documents PER
+# (lang, source) stratum, not 10% overall — the sampler a training mix
+# actually needs (uniform sampling starves small languages). Selection
+# is by md5(doc_id) rank inside the stratum, so it is reproducible
+# across runs/engines and needs no RNG state. The quota is computed in
+# INTEGER arithmetic (10*rank <= n+9 ⟺ rank <= ceil(n/10)) because
+# DuckDB parses `0.1` as DECIMAL while Spark uses DOUBLE — a float
+# quota can round differently at exact multiples. One window over one
+# shuffle on the stratum key; at scale the rank/count windows share
+# the same partitioning so Catalyst plans a single exchange.
+# --------------------------------------------------------------------------
+
+
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    key = F.md5(F.col("doc_id").cast("string"))
+    strat = Window.partitionBy("lang", "source")
+    rn = F.row_number().over(strat.orderBy(key.asc(), F.col("doc_id").asc()))
+    n = F.count(F.lit(1)).over(strat)
+    return (
+        d.select(
+            "lang",
+            "source",
+            "doc_id",
+            rn.cast("long").alias("sample_rank"),
+            n.alias("_n"),
+        )
+        .filter(F.lit(10) * F.col("sample_rank") <= F.col("_n") + F.lit(9))
+        .drop("_n")
+    )
+
+
+Q52_SQL = """
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS sample_rank,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
+SELECT lang, source, doc_id, sample_rank
+FROM ranked WHERE 10 * sample_rank <= n + 9
+"""
+
+
 QUERIES = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
@@ -912,6 +962,7 @@ QUERIES = {
     "q41_tfidf_keywords": q41_tfidf_keywords,
     "q42_hash_sample": q42_hash_sample,
     "q50_neardup_clusters": q50_neardup_clusters,
+    "q52_stratified_sample": q52_stratified_sample,
     "q53_fuzzy_name_pairs": q53_fuzzy_name_pairs,
 }
 
@@ -929,5 +980,6 @@ ORACLES = {
     "q41_tfidf_keywords": Q41_SQL,
     "q42_hash_sample": Q42_SQL,
     "q50_neardup_clusters": Q50_SQL,
+    "q52_stratified_sample": Q52_SQL,
     "q53_fuzzy_name_pairs": Q53_SQL,
 }
