@@ -34,6 +34,12 @@ AUDIT = [
     ("q40_topk_per_group", 1, 0),  # row_number and lag share one sort
     ("q41_tfidf_keywords", 4, 0),  # tf agg, df agg, broadcast idf, top-1 agg
     ("q42_hash_sample", 1, 0),  # md5 filter on the scan, partial agg
+    # co-occur edges (2) + distinct (1) + two deg joins (4) + wedge/closing
+    # joins (2) + final count agg (1); degree orientation bounds the wedge
+    ("q51_triangle_counts", 10, 0),
+    ("q52_stratified_sample", 1, 0),  # count + row_number share ONE window shuffle
+    ("q53_fuzzy_name_pairs", 2, 0),  # broadcast self-join here; shuffle-on-brand at scale
+    ("kg68_span_transitions", 1, 0),  # array-native bigrams; only the 9-cell agg shuffles
 ]
 
 
