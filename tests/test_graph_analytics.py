@@ -100,3 +100,34 @@ def test_orphans_only_schemaversion(spark, sf_dir):
 
     rows = kg67_orphan_nodes(spark, sf_dir).collect()
     assert {(r["label"], r["n_orphans"]) for r in rows} == {("Schemaversion", 1)}
+
+
+def test_triangle_counts_handcrafted(spark):
+    """K4 plus a pendant: every K4 vertex sits in C(3,2)=3 triangles,
+    the pendant in none — checks the degree-ordered orientation counts
+    each triangle exactly once (a double-count would report 6)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)],
+        "u long, v long",
+    )
+    got = {r["n"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_handcrafted(spark):
+    """K4 with a pendant chain 4-5-6: at k=3 the chain peels in two
+    cascading rounds (6 first, then 5), and 4's core degree drops from
+    4 to 3 — peeling must recompute degrees AFTER each removal, which a
+    single-pass degree filter would get wrong (it would keep 5)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "u long, v long",
+    )
+    got = {r["n"]: r["core_deg"] for r in kcore(edges, k=3, rounds=5).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
