@@ -654,6 +654,98 @@ GROUP BY part
 
 
 # --------------------------------------------------------------------------
+# q55 — link prediction by Adamic-Adar score: for every non-adjacent
+# node pair with ≥ 2 common neighbors, score = Σ_w 1/ln(deg(w)) over
+# common neighbors w (rare shared neighbors count more). The wedge
+# enumeration is quadratic in neighbor degree — sum(deg²) — so the
+# graph is sparsified up front (parts ≡ 0 mod 5: ~1/25 of the edges)
+# and at production scale the same op runs after a max-degree cap or
+# on the degree-ordered orientation like q51. Scores are rounded to 6
+# decimals on BOTH engines: the sum's addition order differs between
+# Spark partial aggregation and DuckDB, so bit-exact equality is not
+# defined — 6 decimals is far coarser than the ~1e-15 reordering
+# noise. deg(w)=1 nodes cannot appear as common neighbors (a wedge
+# needs two incident edges), so ln(deg) is never 0 in a scored row.
+# --------------------------------------------------------------------------
+
+_AA_MOD = 5
+
+
+def q55_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % _AA_MOD == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), on="o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+        .persist()
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    wa = adj.join(deg, "w")
+    pairs = (
+        wa.alias("x")
+        .join(wa.alias("y"), on="w")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("c"),
+            (F.lit(1.0) / F.log(F.col("x.d"))).alias("contrib"),
+        )
+    )
+    cand = pairs.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    out = (
+        cand.groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum("contrib"), 6).alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    e.unpersist()
+    return out
+
+
+Q55_SQL = f"""
+WITH pr AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {_AA_MOD} = 0
+), e AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM pr x JOIN pr y ON x.o = y.o AND x.p < y.p
+), adj AS (
+  SELECT u AS w, v AS n FROM e UNION ALL SELECT v AS w, u AS n FROM e
+), deg AS (
+  SELECT w, COUNT(*) AS d FROM adj GROUP BY w
+), pairs AS (
+  SELECT x.n AS a, y.n AS c,
+         CAST(1 AS DOUBLE) / ln(deg.d) AS contrib
+  FROM adj x
+  JOIN adj y ON x.w = y.w AND x.n < y.n
+  JOIN deg ON deg.w = x.w
+)
+SELECT a, c, CAST(COUNT(*) AS BIGINT) AS n_common,
+       round(SUM(contrib), 6) AS aa_score
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = p.a AND e.v = p.c)
+GROUP BY a, c
+HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
 # kg68 — span kind-transition matrix: bigram counts of span kinds in
 # OFFSET order across the interleaved documents (text→media, media→
 # field, …). This is the query that breaks if span ordering is ever
@@ -713,6 +805,7 @@ QUERIES = {
     "kg67_orphan_nodes": kg67_orphan_nodes,
     "q51_triangle_counts": q51_triangle_counts,
     "q54_kcore": q54_kcore,
+    "q55_link_prediction": q55_link_prediction,
     "kg68_span_transitions": kg68_span_transitions,
 }
 
@@ -726,5 +819,6 @@ ORACLES = {
     "kg67_orphan_nodes": _kg67_sql(),
     "q51_triangle_counts": Q51_SQL,
     "q54_kcore": _q54_sql(),
+    "q55_link_prediction": Q55_SQL,
     "kg68_span_transitions": _kg68_sql(),
 }
