@@ -982,6 +982,110 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# q56 — CUBE grouping sets (completes q39's ROLLUP into the full
+# family): all four (returnflag, linestatus) subtotal combinations in
+# ONE pass — a single Expand (4 replicas per row, map-side) feeding one
+# partial+final aggregate, not four scans. grouping_id disambiguates
+# a NULL data value from a NULL subtotal marker; Spark's bit order
+# matches DuckDB's GROUPING(a, b) (q39 established the convention).
+# --------------------------------------------------------------------------
+
+
+def q56_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q56_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q57 — rank-to-distribution window family (ntile / percent_rank /
+# cume_dist): quartile assignment and relative standing per order
+# within its priority class. The ORDER BY carries an explicit unique
+# tie-break (totalprice, orderkey) because ntile over a tied prefix is
+# engine-order-dependent — without it the two engines may split ties
+# into different buckets. All three functions share ONE window sort:
+# one shuffle on the partition key, one sort, three projections.
+# --------------------------------------------------------------------------
+
+
+def q57_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+Q57_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q58 — bivariate statistics family (corr / covar_samp / stddev_samp):
+# quantity-price relationship per return flag. Both engines maintain
+# Welford-style running moments merged across partials; the MERGE
+# ORDER differs (32 Spark partitions vs DuckDB's morsel order), so
+# results agree only to numerical-analysis error, not bit-exactly.
+# Rounding is sized to the error bound, not a fixed 6dp: corr is
+# dimensionless (error ~1e-12) → 6dp; stddev/covar carry the data's
+# magnitude (~1e4/~1e2 with merge error up to ~1e-4) → 2dp, margin
+# ~50× over the worst-case bound.
+# --------------------------------------------------------------------------
+
+
+def q58_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(q, p), 6).alias("qp_corr"),
+        F.round(F.covar_samp(q, p), 2).alias("qp_covar"),
+        F.round(F.stddev_samp(q), 2).alias("qty_stddev"),
+    )
+
+
+Q58_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(CAST(l_quantity AS DOUBLE),
+                  CAST(l_extendedprice AS DOUBLE)), 6) AS qp_corr,
+       ROUND(COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)), 2) AS qp_covar,
+       ROUND(STDDEV_SAMP(CAST(l_quantity AS DOUBLE)), 2) AS qty_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -1063,6 +1167,9 @@ QUERIES = {
     "q47_customers_without_orders": q47_customers_without_orders,
     "q48_above_customer_avg": q48_above_customer_avg,
     "q49_datetime_family": q49_datetime_family,
+    "q56_cube_totals": q56_cube_totals,
+    "q57_rank_family": q57_rank_family,
+    "q58_stats_family": q58_stats_family,
 }
 
 ORACLES = {
@@ -1096,4 +1203,7 @@ ORACLES = {
     "q47_customers_without_orders": Q47_SQL,
     "q48_above_customer_avg": Q48_SQL,
     "q49_datetime_family": Q49_SQL,
+    "q56_cube_totals": Q56_SQL,
+    "q57_rank_family": Q57_SQL,
+    "q58_stats_family": Q58_SQL,
 }
