@@ -1086,6 +1086,37 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# q59 — ordered string aggregation (LISTAGG): the distinct market
+# segments of each nation's customers as one comma-joined string.
+# collect_set's element order is partition-arrival order — never
+# comparable across engines or cluster sizes — so the deterministic
+# form is collect_set → array_sort → array_join, all JVM-side. The
+# oracle is DuckDB's native string_agg(DISTINCT … ORDER BY …); Spark's
+# own listagg can't take both DISTINCT and ORDER BY, hence the
+# array composition.
+# --------------------------------------------------------------------------
+
+
+def q59_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+
+
+Q59_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+           AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -1170,6 +1201,7 @@ QUERIES = {
     "q56_cube_totals": q56_cube_totals,
     "q57_rank_family": q57_rank_family,
     "q58_stats_family": q58_stats_family,
+    "q59_string_agg": q59_string_agg,
 }
 
 ORACLES = {
@@ -1206,4 +1238,5 @@ ORACLES = {
     "q56_cube_totals": Q56_SQL,
     "q57_rank_family": Q57_SQL,
     "q58_stats_family": Q58_SQL,
+    "q59_string_agg": Q59_SQL,
 }
