@@ -28,8 +28,13 @@ engines so the driver's value-hash compare holds exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
 from .common import load, r4
@@ -187,6 +192,59 @@ def band_signature(
     return out
 
 
+# Arrow-batched fast paths for q30's two hot loops. Spark's HOF lambdas
+# (F.aggregate / zip_with) are INTERPRETED per element — measured ~2.7 ms
+# per 32-plane signature row — so the 650K-candidate re-check and the
+# signature sweep dominate the query. These pandas UDFs compute the SAME
+# IEEE-754 operation sequence (a strict left fold over the dimension
+# axis: one elementwise multiply + one add per step, vectorized across
+# ROWS, sequential across DIMS), so every double is bit-identical to the
+# HOF form and to the DuckDB twin — a np.dot/matmul would NOT be (pairwise
+# summation reorders the adds and can flip a sign bit near 0).
+
+
+def _seq_dot_np(a, b):
+    acc = np.zeros(len(a))
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+# DataType objects (not strings): string return types are parsed at
+# decoration time and demand a live SparkSession at module import
+@pandas_udf(DoubleType())
+def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(_seq_dot_np(np.stack(a.to_numpy()), np.stack(b.to_numpy())))
+
+
+def _band_sigs_pd(n_bands: int, bits: int, dim: int = DIM):
+    """pandas UDF: v -> array of N_BANDS packed band signatures."""
+    planes = np.array(
+        [
+            [
+                ((p * _PA + d * _PB + 1) % _PM) / float(_PM) - 0.5
+                for d in range(dim)
+            ]
+            for p in range(n_bands * bits)
+        ]
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (rows, dim)
+        acc = np.zeros((mat.shape[0], planes.shape[0]))
+        for d in range(dim):
+            acc = acc + mat[:, d : d + 1] * planes[None, :, d]
+        pos = acc > 0
+        sigs = np.zeros((mat.shape[0], n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            for j in range(bits):
+                sigs[:, b] += pos[:, b * bits + j].astype(np.int64) << j
+        return pd.Series(list(sigs))
+
+    return f
+
+
 def q30_lsh_neardup(
     spark: SparkSession,
     sf_dir: str,
@@ -202,26 +260,17 @@ def q30_lsh_neardup(
     parameters, so bucket cardinality grows with the corpus instead of
     pinning at a fixed 256."""
     e = _vec(load(spark, sf_dir, "embeddings"))
+    # The signature and norm tables each feed both sides of a self-join;
+    # the STATIC plan shows their Arrow stages twice, but AQE exchange
+    # reuse dedups them at runtime — persisting instead was measured
+    # SLOWER (4.0s vs 2.8s at sf0.1: materialization barrier + store
+    # round-trip on tiny tables).
     sigs = e.select(
-        "vec_id",
-        *[
-            band_signature(F.col("v"), b, bits).alias(f"sig{b}")
-            for b in range(n_bands)
-        ],
+        "vec_id", _band_sigs_pd(n_bands, bits)(F.col("v")).alias("s")
     )
     keys = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("k"),
-    ).select("vec_id", F.col("k.band").alias("band"), F.col("k.sig").alias("sig"))
+        "vec_id", F.posexplode("s").alias("band", "sig")
+    )
     a = keys.select("band", "sig", F.col("vec_id").alias("id1"))
     b = keys.select("band", "sig", F.col("vec_id").alias("id2"))
     cand = (
@@ -235,7 +284,9 @@ def q30_lsh_neardup(
     # candidate's cosine (measured ~25% off the whole query). Same
     # expression tree as cosine() — dot/(n1*n2) — so values (and the
     # DuckDB twin) are bit-identical.
-    withn = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
+    withn = e.select(
+        "vec_id", "v", F.sqrt(dot_seq(F.col("v"), F.col("v"))).alias("n")
+    )
     v1 = withn.select(
         F.col("vec_id").alias("id1"), F.col("v").alias("v1"),
         F.col("n").alias("n1"),
@@ -244,7 +295,7 @@ def q30_lsh_neardup(
         F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
         F.col("n").alias("n2"),
     )
-    sim = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    sim = dot_seq(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         cand.join(v1, on="id1")
         .join(v2, on="id2")
