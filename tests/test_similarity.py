@@ -1,0 +1,55 @@
+"""Bit-exactness contract of q30's Arrow fast path.
+
+`dot_seq` and `_band_sigs_pd` exist purely as faster evaluations of the
+HOF forms (`dot`, `band_signature`); the DuckDB oracle twin assumes a
+strict left fold over the dimension axis, so the pandas implementations
+must reproduce the SAME IEEE-754 operation sequence — equality here must
+hold to the last bit (==), not approximately. A np.dot/matmul rewrite
+would fail this test on sign-boundary vectors."""
+
+import pyspark.sql.functions as F
+
+from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+    BITS_PER_BAND,
+    N_BANDS,
+    _band_sigs_pd,
+    band_signature,
+    dot,
+    dot_seq,
+)
+
+
+def _vectors(spark, n=64, dim=16):
+    # deterministic, scale-varied components incl. near-cancelling pairs
+    # (the case where summation order changes the double result)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            "CASE WHEN d % 2 = 0 THEN 1.0 / (id + d + 1) * 1e8 "
+            "ELSE -1.0 / (id + d + 2) * 1e8 END + d * 1e-7)"
+        ).alias("v"),
+    )
+
+
+def test_dot_seq_bit_exact(spark):
+    df = _vectors(spark).withColumn("w", F.reverse("v"))
+    rows = df.select(
+        dot(F.col("v"), F.col("w")).alias("hof"),
+        dot_seq(F.col("v"), F.col("w")).alias("arrow"),
+    ).collect()
+    assert rows and all(r["hof"] == r["arrow"] for r in rows)
+
+
+def test_band_sigs_bit_exact(spark):
+    df = _vectors(spark, dim=64)
+    rows = df.select(
+        F.array(
+            *[
+                band_signature(F.col("v"), b).cast("long")
+                for b in range(N_BANDS)
+            ]
+        ).alias("hof"),
+        _band_sigs_pd(N_BANDS, BITS_PER_BAND)(F.col("v")).alias("arrow"),
+    ).collect()
+    assert rows and all(r["hof"] == r["arrow"] for r in rows)
