@@ -1117,6 +1117,96 @@ FROM customer GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# q60 — sliding (hopping) windows in batch: 10-minute windows every
+# 5 minutes, so each event lands in exactly width/slide = 2 windows.
+# Spark's F.window(slide < width) plans this as a generator (one
+# Expand-like replicate per overlapping window) feeding ONE aggregate —
+# events are never self-joined. The oracle derives the same assignment
+# arithmetically: unnest the event's two epoch-grid window starts.
+# Timestamps are compared as UTC-naive (session pins UTC; the oracle
+# strips DuckDB's timestamptz).
+# --------------------------------------------------------------------------
+
+
+def q60_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
+Q60_SQL = """
+WITH grid AS (
+  SELECT event_type,
+         unnest([
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+                AS TIMESTAMP),
+           CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
+                AS TIMESTAMP)
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM grid GROUP BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q61 — native session windows (gap-based): Spark's session_window
+# merges a user's events whenever consecutive gaps stay under 30
+# minutes; window.end is last-event + gap by definition. The oracle
+# re-derives sessions the classic SQL way — lag → gap flag → running
+# sum as session id — so a value match cross-checks Spark's built-in
+# session operator against the manual derivation (the same pair q19
+# checks in the other direction). One shuffle on user_id; the
+# sessionization itself is a sort-merge within partitions.
+# --------------------------------------------------------------------------
+
+
+def q61_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+Q61_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -1202,6 +1292,8 @@ QUERIES = {
     "q57_rank_family": q57_rank_family,
     "q58_stats_family": q58_stats_family,
     "q59_string_agg": q59_string_agg,
+    "q60_sliding_windows": q60_sliding_windows,
+    "q61_session_windows": q61_session_windows,
 }
 
 ORACLES = {
@@ -1239,4 +1331,6 @@ ORACLES = {
     "q57_rank_family": Q57_SQL,
     "q58_stats_family": Q58_SQL,
     "q59_string_agg": Q59_SQL,
+    "q60_sliding_windows": Q60_SQL,
+    "q61_session_windows": Q61_SQL,
 }
