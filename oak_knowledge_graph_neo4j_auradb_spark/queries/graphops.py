@@ -746,6 +746,104 @@ HAVING COUNT(*) >= 2
 
 
 # --------------------------------------------------------------------------
+# q62 — weighted shortest paths (multi-source Bellman-Ford): min-cost
+# distance from a source set over the sparsified co-occurrence graph,
+# deterministic integer weights w = 1 + (u+v) mod 7. Both engines run
+# the SAME fixed round count (8 relaxations), so results are exactly
+# equal whether or not all shortest paths have converged — kg66's BFS
+# contract generalized to weighted edges, and integer weights make
+# every path cost exact (no float summation-order concern). Spark side:
+# per round ONE join frontier-candidates + min-combine, lineage cut
+# with localCheckpoint (components.py / q54 pattern). The oracle
+# unrolls the relaxation recurrence d_k(v) = min(d_{k-1}(v),
+# min_{(u,v)∈E} d_{k-1}(u) + w) into one CTE pair per round.
+# --------------------------------------------------------------------------
+
+_SP_MOD = 4  # sparsifier: parts ≡ 0 mod 4 participate (~1/16 of edges)
+_SP_SRC = 100  # sources: parts ≡ 0 mod 100
+_SP_ROUNDS = 8
+
+
+def q62_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % _SP_MOD == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e0 = (
+        li.alias("x")
+        .join(li.alias("y"), on="o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    w = (F.lit(1) + (F.col("u") + F.col("v")) % 7).cast("long").alias("w")
+    edges = (
+        e0.select("u", "v", w)
+        .unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), w))
+        .localCheckpoint()
+    )
+    dist = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .filter(F.col("id") % _SP_SRC == 0)
+        .select("id", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    for _ in range(_SP_ROUNDS):
+        cand = (
+            edges.join(dist, edges.u == dist.id)
+            .select(F.col("v").alias("id"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("id").alias("part"), F.col("d").alias("dist"))
+
+
+def _q62_sql(rounds: int = _SP_ROUNDS) -> str:
+    steps = [
+        f"""li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_partkey % {_SP_MOD} = 0
+), e0 AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+), edges AS MATERIALIZED (
+  SELECT u, v, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0
+  UNION ALL
+  SELECT v AS u, u AS v, CAST(1 + (u + v) % 7 AS BIGINT) AS w FROM e0
+), d0 AS (
+  SELECT id, CAST(0 AS BIGINT) AS d
+  FROM (SELECT u AS id FROM edges UNION SELECT v FROM edges)
+  WHERE id % {_SP_SRC} = 0
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(
+            f"""
+d{k} AS MATERIALIZED (
+  SELECT id, MIN(d) AS d FROM (
+    SELECT id, d FROM d{p}
+    UNION ALL
+    SELECT e.v AS id, d{p}.d + e.w AS d
+    FROM edges e JOIN d{p} ON e.u = d{p}.id
+  ) GROUP BY id
+)"""
+        )
+    return (
+        "WITH " + ",".join(steps)
+        + f"\nSELECT id AS part, d AS dist FROM d{rounds}"
+    )
+
+
+# --------------------------------------------------------------------------
 # kg68 — span kind-transition matrix: bigram counts of span kinds in
 # OFFSET order across the interleaved documents (text→media, media→
 # field, …). This is the query that breaks if span ordering is ever
@@ -806,6 +904,7 @@ QUERIES = {
     "q51_triangle_counts": q51_triangle_counts,
     "q54_kcore": q54_kcore,
     "q55_link_prediction": q55_link_prediction,
+    "q62_shortest_paths": q62_shortest_paths,
     "kg68_span_transitions": kg68_span_transitions,
 }
 
@@ -820,5 +919,6 @@ ORACLES = {
     "q51_triangle_counts": Q51_SQL,
     "q54_kcore": _q54_sql(),
     "q55_link_prediction": Q55_SQL,
+    "q62_shortest_paths": _q62_sql(),
     "kg68_span_transitions": _kg68_sql(),
 }
