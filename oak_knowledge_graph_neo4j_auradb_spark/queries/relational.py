@@ -1207,6 +1207,125 @@ FROM sess GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# q63 — schemaless JSON-path extraction (get_json_object): pull a field
+# out of the events.props JSON string WITHOUT declaring a schema — the
+# exploratory complement to q17's from_json (which needs the struct
+# up front). The path extraction runs inside codegen per row; at scale
+# the right move is extracting once into a materialized column rather
+# than re-parsing per consumer, which is exactly what this projection
+# feeds. Oracle: DuckDB's ->> path operator.
+# --------------------------------------------------------------------------
+
+
+def q63_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
+Q63_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT)
+           AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q64 — array set-function family (intersect / except / contains):
+# per-nation segment sets compared against a fixed reference set.
+# Spark's array_intersect/array_except preserve first-array encounter
+# order, which is NOT portable across engines — so the query emits set
+# CARDINALITIES and a membership bool, which are order-free, and keeps
+# the portable ordered rendering (array_join∘array_sort) for the one
+# array column it returns. All array ops run inside codegen on the
+# already-aggregated (25-row) side — zero extra shuffles beyond q59's.
+# --------------------------------------------------------------------------
+
+_REF_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+
+
+def q64_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    ref = F.array(*[F.lit(s) for s in _REF_SEGMENTS])
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(segs.alias("segs"))
+        .select(
+            "c_nationkey",
+            F.size(F.array_intersect("segs", ref)).cast("long").alias("n_common"),
+            F.size(F.array_except("segs", ref)).cast("long").alias("n_extra"),
+            F.array_contains("segs", "HOUSEHOLD").alias("has_household"),
+            F.array_join("segs", ",").alias("segments"),
+        )
+    )
+
+
+Q64_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey,
+         list_sort(list_distinct(list(c_mktsegment))) AS segs
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       CAST(len(list_intersect(segs,
+            {list(_REF_SEGMENTS)!r})) AS BIGINT) AS n_common,
+       CAST(len(list_filter(segs,
+            s -> NOT list_contains({list(_REF_SEGMENTS)!r}, s)))
+            AS BIGINT) AS n_extra,
+       list_contains(segs, 'HOUSEHOLD') AS has_household,
+       array_to_string(segs, ',') AS segments
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q65 — conditional aggregation family (count_if / filtered avg /
+# bool_or): one pass, every conditional folded into the same partial
+# aggregate — the idiom that replaces N filtered subqueries with one
+# scan. Oracle uses SQL-standard FILTER clauses.
+# --------------------------------------------------------------------------
+
+
+def q65_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(disc > 0.05).cast("long").alias("n_high_disc"),
+        r4(F.avg(F.when(disc > 0.05, F.col("l_extendedprice")))).alias(
+            "avg_price_high_disc"
+        ),
+        F.bool_or(F.col("l_quantity") >= 50).alias("any_bulk"),
+        F.every(disc >= 0).alias("all_nonneg_disc"),
+    )
+
+
+Q65_SQL = """
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+           AS n_high_disc,
+       ROUND(AVG(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+           AS avg_price_high_disc,
+       bool_or(l_quantity >= 50) AS any_bulk,
+       bool_and(l_discount >= 0) AS all_nonneg_disc
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -1294,6 +1413,9 @@ QUERIES = {
     "q59_string_agg": q59_string_agg,
     "q60_sliding_windows": q60_sliding_windows,
     "q61_session_windows": q61_session_windows,
+    "q63_json_path": q63_json_path,
+    "q64_array_functions": q64_array_functions,
+    "q65_conditional_agg": q65_conditional_agg,
 }
 
 ORACLES = {
@@ -1333,4 +1455,7 @@ ORACLES = {
     "q59_string_agg": Q59_SQL,
     "q60_sliding_windows": Q60_SQL,
     "q61_session_windows": Q61_SQL,
+    "q63_json_path": Q63_SQL,
+    "q64_array_functions": Q64_SQL,
+    "q65_conditional_agg": Q65_SQL,
 }
