@@ -3,9 +3,9 @@ final state is deterministic and batch-equivalent, so each carries a
 full DuckDB oracle (value-hash check) instead of the weaker rows-only
 streaming check.
 
-Determinism posture: both queries run ``availableNow`` over a static
-input with a fresh checkpoint, so the stream drains completely before
-the callable returns.
+Determinism posture: every query here runs ``availableNow`` over a
+static input with a fresh checkpoint, so the stream drains completely
+before the callable returns.
 
 * q35 aggregates in ``complete`` output mode — every window is emitted
   in the final trigger regardless of watermark progress, which makes
@@ -121,12 +121,62 @@ GROUP BY unit_slug
 """
 
 
+def q66_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming dimension
+    join: the event stream joins a STATIC customer table (planned as a
+    broadcast per micro-batch; the static side needs no watermark or
+    state, unlike stream-stream joins), then aggregates per nation in
+    complete mode so the drained result is exactly the batch join+agg.
+    At production scale the static side is a slowly-changing dimension
+    refreshed per trigger — same plan, Kafka source."""
+    ev = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_nationkey"
+        )
+    )
+    agg = (
+        ev.join(cust, "user_id")
+        .groupBy("c_nationkey", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+    )
+    name = f"q66_mem_{next(_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+Q66_SQL = """
+SELECT c.c_nationkey, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
+    "q66_stream_static_join": q66_stream_static_join,
 }
 
 ORACLES = {
     "q35_stream_windowed_counts": Q35_SQL,
     "q36_stream_first_seen": _q36_sql(),
+    "q66_stream_static_join": Q66_SQL,
 }
