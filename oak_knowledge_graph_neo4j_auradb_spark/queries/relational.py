@@ -1326,6 +1326,38 @@ FROM lineitem GROUP BY l_linestatus
 
 
 # --------------------------------------------------------------------------
+# q67 — skew-safe count-distinct (explicit two-phase): event_type has
+# 5 values over the whole corpus — the textbook hot key. A naive
+# count(DISTINCT user_id) GROUP BY event_type shuffles EVERY row of a
+# hot type to one reducer, which holds the full distinct set in memory:
+# the straggler/OOM that kills the job at 10^12 rows. The two-phase
+# form shuffles on the COMPOSITE key (event_type, user_id) first —
+# uniform by construction, partial-agg combines duplicates map-side —
+# then counts per type over the already-distinct stream, where each
+# reducer row is one distinct value, not one input row. Same trick the
+# flagship uses for hot curriculum units (north-star's salted keys);
+# for an algebraic agg Spark's partial aggregation already does this,
+# but count-distinct needs it spelled out. Oracle: the naive form —
+# semantically identical, catastrophically different at scale.
+# --------------------------------------------------------------------------
+
+
+def q67_skew_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    phase1 = ev.select("event_type", "user_id").distinct()
+    return phase1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+Q67_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q43 — set operations (INTERSECT / EXCEPT / UNION over distinct key
 # sets; SURVEY §2.8 notes the reference has union only — engine
 # addition completes the family). Each set op plans as an aggregate or
@@ -1416,6 +1448,7 @@ QUERIES = {
     "q63_json_path": q63_json_path,
     "q64_array_functions": q64_array_functions,
     "q65_conditional_agg": q65_conditional_agg,
+    "q67_skew_distinct": q67_skew_distinct,
 }
 
 ORACLES = {
@@ -1458,4 +1491,5 @@ ORACLES = {
     "q63_json_path": Q63_SQL,
     "q64_array_functions": Q64_SQL,
     "q65_conditional_agg": Q65_SQL,
+    "q67_skew_distinct": Q67_SQL,
 }
