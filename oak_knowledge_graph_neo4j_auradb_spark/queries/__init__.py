@@ -9,10 +9,28 @@ similarity search, text analysis, multimodal plumbing).
 
 from __future__ import annotations
 
-from . import curriculum, graphops, kg, relational, similarity, streamq, textops
+from . import (
+    curriculum,
+    graphops,
+    kg,
+    pipelineops,
+    relational,
+    similarity,
+    streamq,
+    textops,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, textops, similarity, kg, graphops, curriculum, streamq):
+for _m in (
+    relational,
+    textops,
+    similarity,
+    kg,
+    graphops,
+    curriculum,
+    streamq,
+    pipelineops,
+):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -893,6 +893,152 @@ FROM seq WHERE nxt IS NOT NULL GROUP BY kind, nxt
 """
 
 
+# --------------------------------------------------------------------------
+# q68 — label-propagation communities (synchronous LPA, fixed rounds).
+# Complements connected components (q32) and PageRank (kg65) as the
+# third canonicalization primitive the north_rule's stage-K family
+# needs: where CC merges anything reachable, LPA splits dense regions
+# into majority-vote communities. Deterministic variant: every round,
+# each node adopts the most frequent label among its neighbours, ties
+# broken by MIN label — so a fixed round count gives bit-identical
+# results on any engine. Spark runs the rounds as hash-join + count +
+# row_number plans with a localCheckpoint per round to cut lineage (the
+# same posture as kcore/Bellman-Ford); at cluster scale each round is
+# one shuffle on the node key and AQE handles hot labels. The oracle
+# unrolls the identical recurrence as per-round CTEs.
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def label_propagation(e0: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous deterministic LPA over undirected edges (src, dst):
+    initial label = own id; each round every node adopts the most
+    frequent neighbour label, ties broken by MIN label. Returns
+    (id, community)."""
+    from pyspark.sql import Window
+
+    edges = (
+        e0.select(F.col("src").alias("n"), F.col("dst").alias("m"))
+        .unionAll(e0.select(F.col("dst").alias("n"), F.col("src").alias("m")))
+        .localCheckpoint()
+    )
+    lab = edges.select("n").distinct().select("n", F.col("n").alias("lab"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        cnt = (
+            edges.join(lab.select(F.col("n").alias("m"), "lab"), on="m")
+            .groupBy("n", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+            .localCheckpoint()
+        )
+    return lab.select(F.col("n").alias("id"), F.col("lab").alias("community"))
+
+
+def q68_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(e0)
+
+
+def _q68_sql(rounds: int = _LPA_ROUNDS) -> str:
+    steps = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey % 50 = 0
+), edges AS MATERIALIZED (
+  SELECT src AS n, dst AS m FROM e0
+  UNION ALL
+  SELECT dst AS n, src AS m FROM e0
+), l0 AS (SELECT DISTINCT n, n AS lab FROM edges)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(
+            f"""
+c{r} AS (SELECT e.n AS n, l.lab AS lab, COUNT(*) AS c
+         FROM edges e JOIN l{p} l ON e.m = l.n GROUP BY 1, 2),
+l{r} AS MATERIALIZED (
+  SELECT n, lab FROM (
+    SELECT n, lab,
+           ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+    FROM c{r}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",".join(steps)
+        + f"\nSELECT n AS id, lab AS community FROM l{rounds}"
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — neighbourhood Jaccard similarity: for part pairs co-occurring in
+# at least one order, |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)|.
+# The entity-resolution scoring primitive behind the similarity-edge
+# DataFrame stage-K consumes: candidate pairs come from the co-order
+# self-join (never all-pairs — blocking by shared order), degrees join
+# back from a one-pass aggregate. At scale the self-join shuffles on the
+# order key (bounded fan-out per order) and degrees broadcast-join if
+# the part dimension is small, else AQE shuffles.
+# --------------------------------------------------------------------------
+
+
+def q69_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        li.alias("a")
+        .join(li.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(deg.select(F.col("p").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("c") / (F.col("du") + F.col("dv") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+Q69_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey % 50 = 0
+), deg AS (SELECT p, COUNT(*) AS d FROM op GROUP BY p),
+com AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT u, v,
+       ROUND(CAST(c AS DOUBLE) / (du.d + dv.d - c), 6) AS jaccard
+FROM com JOIN deg du ON com.u = du.p JOIN deg dv ON com.v = dv.p
+"""
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -906,6 +1052,8 @@ QUERIES = {
     "q55_link_prediction": q55_link_prediction,
     "q62_shortest_paths": q62_shortest_paths,
     "kg68_span_transitions": kg68_span_transitions,
+    "q68_label_propagation": q68_label_propagation,
+    "q69_neighbor_jaccard": q69_neighbor_jaccard,
 }
 
 ORACLES = {
@@ -921,4 +1069,6 @@ ORACLES = {
     "q55_link_prediction": Q55_SQL,
     "q62_shortest_paths": _q62_sql(),
     "kg68_span_transitions": _kg68_sql(),
+    "q68_label_propagation": _q68_sql(),
+    "q69_neighbor_jaccard": Q69_SQL,
 }

@@ -1,0 +1,538 @@
+"""Training-data pipeline operators, batch 3: corpus hygiene and
+feature-preparation stages a 100-TB LLM-data pipeline runs between raw
+ingest and training-shard write.
+
+Covers: block-level boilerplate removal (q70), offset-based sequence
+packing (q71), pattern scrubbing/redaction (q72), z-score outlier
+detection (q73), int8 embedding quantization (q74), ordered funnel
+analysis (q75), bigram collocation mining (q76), novelty anti-join
+dedup against a seen-corpus (q77), min-max feature scaling (q78).
+
+Every query has a DuckDB oracle twin; float outputs are rounded to a
+shared decimal rendering (see ``common.r4``) and quantization avoids
+decimal rounding entirely (raw IEEE ``floor`` — both engines compute
+bit-identical doubles from the same float32 inputs).
+
+Scale notes per query are inline; the common posture: tokenization and
+array work stay inside Catalyst (no explode unless a corpus-wide
+aggregate needs rows), every groupBy is a partial-agg shuffle on a
+well-distributed key, and anti-joins/lookups lean on AQE rather than
+driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
+
+# --------------------------------------------------------------------------
+# q70 — block-level boilerplate removal. Web-crawl pipelines drop
+# repeated spans (nav bars, cookie banners) that recur across many
+# documents. Granularity here: consecutive 3-token blocks; a block
+# string seen in > DF_K distinct documents is boilerplate. Spark plan:
+# tokens→blocks entirely inside the array (one transform, no per-token
+# explode), one explode to block rows, document-frequency as a partial
+# agg on the block hash, then a join back marks drops — two shuffles
+# total, both on well-distributed hash keys. At 100 TB the df table is
+# orders smaller than the corpus (distinct blocks) and the join is
+# AQE-broadcastable per partition.
+# --------------------------------------------------------------------------
+
+_BLOCK = 3
+_DF_K = 20
+
+
+def q70_block_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    )
+    blocks = d.filter(F.size("t") > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {_BLOCK}.0) AS INT) - 1), "
+                f"b -> concat_ws(' ', slice(t, b * {_BLOCK} + 1, {_BLOCK})))"
+            )
+        ).alias("blk"),
+    )
+    df = (
+        blocks.groupBy("blk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > _DF_K)
+        .select("blk", F.lit(True).alias("boiler"))
+    )
+    return (
+        blocks.join(df, on="blk", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("blocks"),
+            F.count_if(F.col("boiler").isNull()).cast("long").alias("kept"),
+        )
+    )
+
+
+Q70_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), blk AS (
+  SELECT doc_id, lang, b, string_agg(tok, ' ' ORDER BY i) AS blk
+  FROM (
+    SELECT doc_id, lang, u.tok AS tok, u.i AS i,
+           CAST(floor((u.i - 1) / {_BLOCK}) AS INT) AS b
+    FROM (
+      SELECT doc_id, lang,
+             unnest(list_transform(t, (x, i) -> {{'tok': x, 'i': i}})) AS u
+      FROM tok WHERE len(t) > 0
+    )
+  ) GROUP BY doc_id, lang, b
+), df AS (
+  SELECT blk FROM (
+    SELECT blk, COUNT(DISTINCT doc_id) AS df FROM blk GROUP BY blk
+  ) WHERE df > {_DF_K}
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS blocks,
+       CAST(COUNT(*) FILTER (WHERE blk.blk NOT IN (SELECT blk FROM df))
+            AS BIGINT) AS kept
+FROM blk GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q71 — offset-based sequence packing: documents are laid out
+# back-to-back in deterministic (lang, doc_id) order and cut into
+# fixed-token-budget bins (bin = floor(start_offset / budget)) — the
+# streaming-pack layout used to build fixed-length training shards
+# (documents may straddle a boundary; the tokenizer's EOD handles it).
+# One window cumsum per lang partition, one groupBy — and at cluster
+# scale the window partitions by lang, so packing parallelizes per
+# shard-group with no global sort.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q71_pack_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("tok_n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("tok_n").over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("tok_n")) / _PACK_BUDGET).cast("long"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok_n").cast("long").alias("toks"),
+        )
+    )
+
+
+Q71_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({TOKENS_SQL.format(x='text')}) AS tok_n
+  FROM documents
+), c AS (
+  SELECT lang, tok_n,
+         SUM(tok_n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT lang, CAST(floor((cum - tok_n) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_n) AS BIGINT) AS toks
+FROM c GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q72 — pattern scrubbing / redaction: count sensitive-pattern matches
+# (digit runs stand in for phone/ID patterns in the synthetic corpus)
+# and measure the redacted payload. The regex runs JVM-side
+# (regexp_count / regexp_replace inside whole-stage codegen); the only
+# shuffle is the final per-type partial agg. At 100 TB this is the
+# cheapest possible shape: scan → map → one small agg.
+# --------------------------------------------------------------------------
+
+
+def q72_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    red = F.regexp_replace(F.col("props"), "[0-9]+", "#")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.regexp_count(F.col("props"), F.lit("[0-9]+")))
+            .cast("long")
+            .alias("n_matches"),
+            F.sum(F.length(red)).cast("long").alias("redacted_chars"),
+        )
+    )
+
+
+Q72_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS n_matches,
+       CAST(SUM(len(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT)
+         AS redacted_chars
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q73 — z-score outlier detection on document length per language: the
+# quality-filter stage that drops statistical outliers before training.
+# Two-pass (agg stats, join back) rather than a window — at 100 TB the
+# per-lang stats table is tiny and broadcast, so the corpus is scanned
+# twice but never shuffled on a skewed key.
+# --------------------------------------------------------------------------
+
+
+def q73_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    stats = d.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"), F.stddev_pop("n_chars").alias("sd")
+    )
+    z = F.col("n_chars").cast("double") - F.col("mu")
+    return (
+        d.join(F.broadcast(stats), on="lang")
+        .withColumn("is_out", F.abs(z) > 2 * F.col("sd"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("is_out")).cast("long").alias("n_outliers"),
+            F.min(F.when(F.col("is_out"), F.col("n_chars"))).alias("out_min"),
+            F.max(F.when(F.col("is_out"), F.col("n_chars"))).alias("out_max"),
+            r4(F.first("mu")).alias("mu"),
+            r4(F.first("sd")).alias("sd"),
+        )
+    )
+
+
+Q73_SQL = """
+WITH s AS (
+  SELECT lang, AVG(n_chars) AS mu, STDDEV_POP(n_chars) AS sd
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE abs(d.n_chars - s.mu) > 2 * s.sd)
+            AS BIGINT) AS n_outliers,
+       MIN(d.n_chars) FILTER (WHERE abs(d.n_chars - s.mu) > 2 * s.sd)
+         AS out_min,
+       MAX(d.n_chars) FILTER (WHERE abs(d.n_chars - s.mu) > 2 * s.sd)
+         AS out_max,
+       ROUND(ANY_VALUE(s.mu), 4) AS mu,
+       ROUND(ANY_VALUE(s.sd), 4) AS sd
+FROM documents d JOIN s ON d.lang = s.lang
+GROUP BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q74 — int8 embedding quantization: per-vector affine quantization to
+# [0, 255] (the storage-compression step before writing an ANN index or
+# training shard). Narrow scan of (vec_id, embedding), all math inside
+# one Catalyst projection — transform + aggregate fold, zero shuffles,
+# zero Python. Determinism: NO decimal rounding inside the quantizer —
+# (x−mn)/rng is the same IEEE double in both engines (float32 inputs
+# cast exactly), so floor() agrees bit-for-bit; only the *reported*
+# scale is display-rounded.
+# --------------------------------------------------------------------------
+
+
+def q74_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    quants = F.expr(
+        "transform(embedding, x -> least(255, CAST(floor("
+        "(CAST(x AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE)) /"
+        " (CAST(array_max(embedding) AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE))"
+        " * 256) AS BIGINT)))"
+    )
+    return (
+        e.filter(mx > mn)
+        .select(
+            "vec_id",
+            F.aggregate(
+                quants, F.lit(0).cast("long"), lambda acc, q: acc + q
+            ).alias("qsum"),
+            F.round((mx - mn) / 255, 6).alias("scale"),
+        )
+    )
+
+
+Q74_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding, x ->
+         least(255, CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256)
+                         AS BIGINT)))) AS BIGINT) AS qsum,
+       ROUND((mx - mn) / 255, 6) AS scale
+FROM e WHERE mx > mn
+"""
+
+
+# --------------------------------------------------------------------------
+# q75 — ordered funnel: users who signed up, then viewed, then
+# purchased — each stage's timestamp strictly after the previous
+# stage's first occurrence. Three sequential-min aggregations (stage
+# k+1 aggregates only events after the user's stage-k time); each is a
+# partial agg on user_id. At scale the three shuffles share the
+# user_id partitioning, so AQE reuses the exchange.
+# --------------------------------------------------------------------------
+
+
+def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"),
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s_sec"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, on="user_id")
+        .filter(F.col("sec") > F.col("s_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("v_sec"), F.first("s_sec").alias("s_sec"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, on="user_id")
+        .filter(F.col("sec") > F.col("v_sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p_sec"), F.first("s_sec").alias("s_sec"))
+    )
+    return (
+        s.select(F.lit("signup").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.lit(None).cast("double").alias("avg_secs_to_here"))
+        .unionByName(
+            v.select(F.lit("view_after_signup").alias("stage"),
+                     (F.col("v_sec") - F.col("s_sec")).alias("dt"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 r4(F.avg("dt")).alias("avg_secs_to_here"))
+        )
+        .unionByName(
+            p.select(F.lit("purchase_after_view").alias("stage"),
+                     (F.col("p_sec") - F.col("s_sec")).alias("dt"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 r4(F.avg("dt")).alias("avg_secs_to_here"))
+        )
+    )
+
+
+Q75_SQL = """
+WITH ev AS (
+  -- floor(epoch) truncates to whole seconds exactly like Spark's
+  -- timestamp→long cast (bare CAST would round-half-even sub-second
+  -- fractions the other way — the q19 lesson)
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+), s AS (
+  SELECT user_id, MIN(sec) AS s_sec FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT ev.user_id, MIN(ev.sec) AS v_sec, ANY_VALUE(s.s_sec) AS s_sec
+  FROM ev JOIN s ON ev.user_id = s.user_id
+  WHERE ev.event_type = 'view' AND ev.sec > s.s_sec
+  GROUP BY ev.user_id
+), p AS (
+  SELECT ev.user_id, MIN(ev.sec) AS p_sec, ANY_VALUE(v.s_sec) AS s_sec
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  WHERE ev.event_type = 'purchase' AND ev.sec > v.v_sec
+  GROUP BY ev.user_id
+)
+SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_secs_to_here FROM s
+UNION ALL
+SELECT 'view_after_signup', CAST(COUNT(*) AS BIGINT),
+       ROUND(AVG(v_sec - s_sec), 4) FROM v
+UNION ALL
+SELECT 'purchase_after_view', CAST(COUNT(*) AS BIGINT),
+       ROUND(AVG(p_sec - s_sec), 4) FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# q76 — bigram collocation mining: top-5 bigrams per language by
+# (count desc, bigram asc) — the n-gram frequency table a tokenizer-
+# training / contamination-check stage builds. Bigrams are formed
+# inside the token array (indexed transform, no self-join), exploded
+# once, counted with a partial agg, ranked with one per-lang window.
+# --------------------------------------------------------------------------
+
+_TOPK_BIGRAM = 5
+
+
+def q76_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("t")
+    )
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    cnt = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK_BIGRAM)
+        .select("lang", "bigram", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+Q76_SQL = f"""
+WITH tok AS (
+  SELECT lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), bg AS (
+  SELECT lang, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+    ELSE list_transform(t[1:len(t) - 1], (x, i) -> x || ' ' || t[i + 1])
+    END) AS bigram
+  FROM tok
+), cnt AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, bigram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, bigram) AS rank
+  FROM cnt
+) WHERE rank <= {_TOPK_BIGRAM}
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — novelty anti-join dedup: keep only documents whose content hash
+# is NOT present in an already-seen corpus (here: the doc_id%3==0
+# slice stands in for the previous crawl). The incremental-ingest
+# primitive: new shard LEFT ANTI JOIN seen-hash table on content hash.
+# At 100 TB the seen-hash table is a compact Bloom/real table; Spark's
+# shuffled anti-join with AQE (or a broadcast when the seen side is
+# small) is exactly the right physical plan — never a driver collect.
+# --------------------------------------------------------------------------
+
+
+def q77_novelty_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", md5long(F.col("text")).alias("h")
+    )
+    seen = d.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
+    return (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .join(seen, on="h", how="left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_novel"),
+            F.min("doc_id").alias("first_novel_doc"),
+        )
+    )
+
+
+Q77_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, {MD5LONG_SQL.format(x='text')} AS h FROM documents
+), seen AS (SELECT DISTINCT h FROM d WHERE doc_id % 3 = 0)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_novel,
+       MIN(doc_id) AS first_novel_doc
+FROM d
+WHERE doc_id % 3 <> 0 AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = d.h)
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q78 — min-max feature scaling: normalize a numeric feature to [0, 1]
+# per group (the feature-prep step before quality-classifier training).
+# Stats aggregate is tiny → broadcast back; corpus scanned twice, never
+# shuffled on the full key.
+# --------------------------------------------------------------------------
+
+
+def q78_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    scaled = (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    return (
+        li.join(F.broadcast(stats), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r4(F.avg(scaled)).alias("avg_scaled"),
+            r4(F.first("mn")).alias("mn"),
+            r4(F.first("mx")).alias("mx"),
+        )
+    )
+
+
+Q78_SQL = """
+WITH s AS (
+  SELECT l_returnflag, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG((li.l_extendedprice - s.mn) / (s.mx - s.mn)), 4)
+         AS avg_scaled,
+       ROUND(ANY_VALUE(s.mn), 4) AS mn,
+       ROUND(ANY_VALUE(s.mx), 4) AS mx
+FROM lineitem li JOIN s ON li.l_returnflag = s.l_returnflag
+GROUP BY li.l_returnflag
+"""
+
+
+QUERIES = {
+    "q70_block_boilerplate": q70_block_boilerplate,
+    "q71_pack_offset": q71_pack_offset,
+    "q72_pattern_scrub": q72_pattern_scrub,
+    "q73_zscore_outliers": q73_zscore_outliers,
+    "q74_int8_quantize": q74_int8_quantize,
+    "q75_funnel": q75_funnel,
+    "q76_bigram_topk": q76_bigram_topk,
+    "q77_novelty_antijoin": q77_novelty_antijoin,
+    "q78_minmax_scale": q78_minmax_scale,
+}
+
+ORACLES = {
+    "q70_block_boilerplate": Q70_SQL,
+    "q71_pack_offset": Q71_SQL,
+    "q72_pattern_scrub": Q72_SQL,
+    "q73_zscore_outliers": Q73_SQL,
+    "q74_int8_quantize": Q74_SQL,
+    "q75_funnel": Q75_SQL,
+    "q76_bigram_topk": Q76_SQL,
+    "q77_novelty_antijoin": Q77_SQL,
+    "q78_minmax_scale": Q78_SQL,
+}
