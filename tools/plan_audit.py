@@ -42,6 +42,17 @@ AUDIT = [
     ("q52_stratified_sample", 1, 0),  # count + row_number share ONE window shuffle
     ("q53_fuzzy_name_pairs", 2, 0),  # broadcast self-join here; shuffle-on-brand at scale
     ("kg68_span_transitions", 1, 0),  # array-native bigrams; only the 9-cell agg shuffles
+    ("q68_label_propagation", 1, 0),  # rounds are checkpointed; final plan is a scan
+    ("q69_neighbor_jaccard", 4, 0),  # blocked self-join + deg joins, never all-pairs
+    ("q70_block_boilerplate", 3, 0),  # block df + join-back + lang agg
+    ("q71_pack_offset", 2, 0),  # one window shuffle per lang + one agg
+    ("q72_pattern_scrub", 1, 0),  # regex JVM-side; single partial agg
+    ("q73_zscore_outliers", 2, 0),  # stats agg + broadcast back + lang agg
+    ("q74_int8_quantize", 0, 0),  # pure projection, zero shuffles
+    ("q75_funnel", 6, 0),  # three sequential-min aggs share user_id partitioning
+    ("q76_bigram_topk", 2, 0),  # array-native bigrams; count agg + per-lang window
+    ("q77_novelty_antijoin", 2, 0),  # shuffled anti-join (AQE may demote to broadcast)
+    ("q78_minmax_scale", 2, 0),  # stats agg + broadcast back + group agg
 ]
 
 
