@@ -513,6 +513,252 @@ GROUP BY li.l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — benchmark decontamination: flag training documents sharing any
+# 5-token shingle with a held-out benchmark set (here: the doc_id%97
+# slice). The eval-contamination sweep every serious pretraining corpus
+# runs. Spark plan: shingles form inside the token array (indexed
+# transform), the benchmark side collapses to DISTINCT grams (tiny vs
+# corpus), and the flag is one left-semi join on the gram string —
+# at 100 TB the benchmark gram set broadcasts and the corpus never
+# shuffles; here AQE decides.
+# --------------------------------------------------------------------------
+
+_DECON_N = 5
+_DECON_MOD = 97
+
+
+def _shingles(col: str = "t", n: int = _DECON_N) -> "F.Column":
+    return F.expr(
+        f"transform(slice({col}, 1, greatest(size({col}) - {n - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', slice({col}, i + 1, {n})))"
+    )
+
+
+def q79_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    )
+    grams = d.select(
+        "doc_id", "lang", F.explode(_shingles()).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    contaminated = (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(bench, on="gram", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(
+            contaminated.select("doc_id", F.lit(True).alias("hit")),
+            on="doc_id",
+            how="left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.count_if(F.col("hit")).cast("long").alias("n_contaminated"),
+        )
+    )
+
+
+Q79_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(
+    CASE WHEN len(t) < {_DECON_N} THEN []::VARCHAR[]
+    ELSE list_transform(t[1:len(t) - {_DECON_N - 1}],
+                        (x, i) -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))
+    END) AS gram
+  FROM tok
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {_DECON_MOD} <> 0 AND gram IN (SELECT gram FROM bench)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits))
+            AS BIGINT) AS n_contaminated
+FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q80 — unigram-LM negative log-likelihood scoring (the KenLM-style
+# perplexity-filter analog): corpus unigram probabilities, then each
+# document scores avg −ln p(token). Two-pass: the unigram table is a
+# partial agg over tokens (small — vocab-sized), joined back to the
+# exploded corpus; per-lang rollup. At 100 TB the unigram table
+# broadcasts and the corpus shuffles once on doc_id for the per-doc avg
+# (here the groupBy doc_id is that shuffle).
+# --------------------------------------------------------------------------
+
+
+def q80_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    uni = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("tot"))
+    scored = (
+        d.join(F.broadcast(uni), on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            (-F.log(F.col("c") / F.col("tot"))).alias("nll"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll").alias("doc_nll"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.avg("doc_nll")).alias("avg_nll"),
+        r4(F.min("doc_nll")).alias("min_nll"),
+        r4(F.max("doc_nll")).alias("max_nll"),
+    )
+
+
+Q80_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOKENS_SQL.format(x='text')}) AS tok
+  FROM documents
+), uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT SUM(c) AS tot FROM uni),
+doc AS (
+  SELECT t.doc_id, t.lang,
+         AVG(-ln(CAST(u.c AS DOUBLE) / tot.tot)) AS doc_nll
+  FROM tok t JOIN uni u ON t.tok = u.tok CROSS JOIN tot
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 4) AS avg_nll,
+       ROUND(MIN(doc_nll), 4) AS min_nll,
+       ROUND(MAX(doc_nll), 4) AS max_nll
+FROM doc GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q81 — model-based quality scoring: a fixed-weight logistic model over
+# cheap lexical features (stopword ratio, mean token length,
+# log-length) — the shape of a fastText/classifier quality-filter
+# stage with the model weights baked in. Single projection + one agg;
+# the real-model variant swaps the linear expression for a broadcast
+# weight vector or an Arrow-UDF inference call, same plan.
+# --------------------------------------------------------------------------
+
+_QW = {"b": -2.0, "stop": 3.0, "wlen": 0.2, "loglen": 0.15}
+
+
+def q81_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    stop = F.size(
+        F.filter(F.col("t"), lambda x: x.isin("the", "a", "and", "of", "to"))
+    ) / F.size("t")
+    wlen = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.size("t")
+    z = (
+        F.lit(_QW["b"])
+        + _QW["stop"] * stop
+        + _QW["wlen"] * wlen
+        + _QW["loglen"] * F.log(F.lit(1.0) + F.size("t"))
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return d.select("lang", score.alias("s")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.avg("s")).alias("avg_score"),
+        F.count_if(F.col("s") > 0.5).cast("long").alias("n_keep"),
+    )
+
+
+Q81_SQL = f"""
+WITH d AS (
+  SELECT lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), f AS (
+  SELECT lang,
+         CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to')))
+              AS DOUBLE) / len(t) AS stop,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           / len(t) AS wlen,
+         ln(1.0 + len(t)) AS loglen
+  FROM d WHERE len(t) > 0
+), s AS (
+  SELECT lang, 1.0 / (1.0 + exp(-({_QW['b']} + {_QW['stop']} * stop +
+         {_QW['wlen']} * wlen + {_QW['loglen']} * loglen))) AS s
+  FROM f
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s), 4) AS avg_score,
+       CAST(COUNT(*) FILTER (WHERE s > 0.5) AS BIGINT) AS n_keep
+FROM s GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q82 — within-document repetition ratio (Gopher-style quality rule):
+# 1 − distinct_bigrams/total_bigrams per document; documents above the
+# repetition threshold are the drop set. All array-native (transform +
+# array_distinct), zero Python, one final agg. The threshold compare
+# runs on an exact integer ratio, so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+_REP_THRESH = 0.5
+
+
+def q82_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("t")
+    )
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    rep = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    return (
+        d.filter(F.size("t") >= 2)
+        .select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r4(F.avg("rep")).alias("avg_rep"),
+            F.count_if(F.col("rep") > _REP_THRESH).cast("long").alias("n_drop"),
+        )
+    )
+
+
+Q82_SQL = f"""
+WITH d AS (
+  SELECT lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), b AS (
+  SELECT lang,
+         list_transform(t[1:len(t) - 1], (x, i) -> x || ' ' || t[i + 1]) AS bg
+  FROM d WHERE len(t) >= 2
+), r AS (
+  SELECT lang,
+         1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS rep
+  FROM b
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(rep), 4) AS avg_rep,
+       CAST(COUNT(*) FILTER (WHERE rep > {_REP_THRESH}) AS BIGINT) AS n_drop
+FROM r GROUP BY lang
+"""
+
+
 QUERIES = {
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
@@ -523,6 +769,10 @@ QUERIES = {
     "q76_bigram_topk": q76_bigram_topk,
     "q77_novelty_antijoin": q77_novelty_antijoin,
     "q78_minmax_scale": q78_minmax_scale,
+    "q79_decontaminate": q79_decontaminate,
+    "q80_unigram_logprob": q80_unigram_logprob,
+    "q81_quality_model": q81_quality_model,
+    "q82_repetition_ratio": q82_repetition_ratio,
 }
 
 ORACLES = {
@@ -535,4 +785,8 @@ ORACLES = {
     "q76_bigram_topk": Q76_SQL,
     "q77_novelty_antijoin": Q77_SQL,
     "q78_minmax_scale": Q78_SQL,
+    "q79_decontaminate": Q79_SQL,
+    "q80_unigram_logprob": Q80_SQL,
+    "q81_quality_model": Q81_SQL,
+    "q82_repetition_ratio": Q82_SQL,
 }

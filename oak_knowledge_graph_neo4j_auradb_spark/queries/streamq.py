@@ -169,14 +169,61 @@ GROUP BY 1, 2
 """
 
 
+def q83_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with Spark's built-in ``dropDuplicates``
+    state store (vs q36's custom applyInPandasWithState first-seen):
+    the document stream dedups on (lang, content-hash) and the drained
+    append-mode output — exactly the batch DISTINCT because state never
+    evicts without a watermark — is batch-aggregated per lang. The
+    production variant bounds state with
+    ``dropDuplicatesWithinWatermark`` once the source carries event
+    time; for a drained availableNow run over static input the
+    unbounded form is the deterministic choice."""
+    from .common import md5long
+
+    d = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .parquet(_as_stream_dir(f"{sf_dir}/documents.parquet"))
+        .select("lang", md5long(F.col("text")).alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    name = f"q83_mem_{next(_SEQ)}"
+    q = (
+        d.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
+
+
+Q83_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM (SELECT DISTINCT lang,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
     "q66_stream_static_join": q66_stream_static_join,
+    "q83_stream_dedup": q83_stream_dedup,
 }
 
 ORACLES = {
     "q35_stream_windowed_counts": Q35_SQL,
     "q36_stream_first_seen": _q36_sql(),
     "q66_stream_static_join": Q66_SQL,
+    "q83_stream_dedup": Q83_SQL,
 }

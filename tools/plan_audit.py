@@ -53,6 +53,10 @@ AUDIT = [
     ("q76_bigram_topk", 2, 0),  # array-native bigrams; count agg + per-lang window
     ("q77_novelty_antijoin", 2, 0),  # shuffled anti-join (AQE may demote to broadcast)
     ("q78_minmax_scale", 2, 0),  # stats agg + broadcast back + group agg
+    ("q79_decontaminate", 3, 0),  # gram semi-join; bench side distinct is tiny
+    ("q80_unigram_logprob", 4, 0),  # vocab agg broadcasts back; doc_id agg + lang agg
+    ("q81_quality_model", 1, 0),  # array-native features; single agg
+    ("q82_repetition_ratio", 1, 0),  # array-native bigram distinct; single agg
 ]
 
 
