@@ -531,11 +531,145 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+# --------------------------------------------------------------------------
+# q84 — k-means Lloyd iterations: the centroid-LEARNING loop the IVF
+# family (q31/q33, fixed label-derived centroids) doesn't exercise.
+# Deterministic posture: k=4 seeded from vec_id<4, TWO fixed update
+# rounds, squared-euclidean assignment with (dist asc, centroid asc)
+# tie-break, centroid components rounded to 6dp after each mean (so the
+# two engines' different float-summation orders can't leak into the
+# next round's argmin). Spark plan per round: broadcast centroids ×
+# corpus (k·dim doubles — always broadcastable), one posexplode agg for
+# the update (k·dim result rows). The oracle unrolls both rounds as
+# CTEs. At 10⁹ vectors this is exactly the distributed k-means plan
+# you'd run: corpus never shuffles for assignment, only the tiny
+# (cluster, dim) partial-agg does.
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 2
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist_sql(l: str, r: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({l}, {r}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def q84_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("c"), F.col("v").alias("cv")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d2 = e.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "v", "c", _sqdist(F.col("v"), F.col("cv")).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("c").asc()
+        )
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "c", "d2")
+        )
+
+    for _ in range(_KM_ROUNDS):
+        a = assign(cent)
+        cent = (
+            a.select("c", F.posexplode("v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ).alias("ent")
+            )
+            .select("c", F.expr("transform(ent, e -> e.m)").alias("cv"))
+        )
+    final = assign(cent)
+    return (
+        final.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r4(F.sum("d2")).alias("inertia"),
+        )
+        .join(
+            cent.select(
+                "c",
+                r4(
+                    F.aggregate(
+                        F.col("cv"), F.lit(0.0), lambda acc, x: acc + x
+                    )
+                ).alias("cent_sum"),
+            ),
+            on="c",
+        )
+        .select(F.col("c").alias("cluster"), "n", "inertia", "cent_sum")
+    )
+
+
+def _q84_sql(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
+    steps = [
+        f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS c, v AS cv FROM e WHERE vec_id < {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(
+            f"""
+a{r} AS (
+  SELECT vec_id, v, c FROM (
+    SELECT e.vec_id, e.v, c{p}.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.v', f'c{p}.cv')} ASC, c{p}.c ASC) AS rn
+    FROM e CROSS JOIN c{p}) WHERE rn = 1),
+c{r} AS MATERIALIZED (
+  SELECT c, list(m ORDER BY d) AS cv FROM (
+    SELECT c, d, round(avg(x), 6) AS m FROM (
+      SELECT c, unnest(v) AS x, unnest(range(0, {DIM})) AS d FROM a{r})
+    GROUP BY c, d) GROUP BY c)"""
+        )
+    return (
+        "WITH " + ",".join(steps)
+        + f""",
+af AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT e.vec_id, c{rounds}.c,
+           {_sqdist_sql('e.v', f'c{rounds}.cv')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.v', f'c{rounds}.cv')} ASC,
+                      c{rounds}.c ASC) AS rn
+    FROM e CROSS JOIN c{rounds}) WHERE rn = 1)
+SELECT af.c AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(af.d2), 4) AS inertia,
+       ROUND(ANY_VALUE(cs.s), 4) AS cent_sum
+FROM af JOIN (SELECT c, list_sum(cv) AS s FROM c{rounds}) cs
+  ON af.c = cs.c
+GROUP BY af.c
+"""
+    )
+
+
 QUERIES = {
     "q29_knn_bruteforce": q29_knn_bruteforce,
     "q30_lsh_neardup": q30_lsh_neardup,
     "q31_ivf_assign": q31_ivf_assign,
     "q33_ivf_probe_knn": q33_ivf_probe_knn,
+    "q84_kmeans": q84_kmeans,
 }
 
 ORACLES = {
@@ -543,4 +677,5 @@ ORACLES = {
     "q30_lsh_neardup": Q30_SQL,
     "q31_ivf_assign": Q31_SQL,
     "q33_ivf_probe_knn": Q33_SQL,
+    "q84_kmeans": _q84_sql(),
 }

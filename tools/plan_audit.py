@@ -57,6 +57,8 @@ AUDIT = [
     ("q80_unigram_logprob", 4, 0),  # vocab agg broadcasts back; doc_id agg + lang agg
     ("q81_quality_model", 1, 0),  # array-native features; single agg
     ("q82_repetition_ratio", 1, 0),  # array-native bigram distinct; single agg
+    # 3 assignment windows (vec_id) + 2 centroid update aggs (2 each) + final
+    ("q84_kmeans", 10, 0),
 ]
 
 
