@@ -1039,6 +1039,107 @@ FROM com JOIN deg du ON com.u = du.p JOIN deg dv ON com.v = dv.p
 """
 
 
+# --------------------------------------------------------------------------
+# kg69 — HITS hubs/authorities over the resolved curriculum edge set
+# (the directed companion to kg65's PageRank: aggregation hubs like
+# keystages score as hubs, terminal content like unitvariants as
+# authorities). Deterministic posture mirrors kg65: fixed 3 rounds,
+# max-normalization, 6dp rounding after every normalize so engine float
+# order can't leak across rounds. Per round: two partial-agg joins over
+# the persisted edge table (same partitioning reused), max as a lazy
+# broadcast 1-row agg — never a driver collect; localCheckpoint cuts
+# lineage.
+# --------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+
+
+def kg69_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    edges = (
+        gb.resolved.select("subj", "obj").distinct().repartition("subj").persist()
+    )
+    verts = (
+        edges.select(F.col("subj").alias("id"))
+        .union(edges.select(F.col("obj").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = verts.select("id", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            edges.join(h.select(F.col("id").alias("subj"), "h"), "subj")
+            .groupBy("obj")
+            .agg(F.sum("h").alias("s"))
+        )
+        amax = araw.agg(F.max("s").alias("_mx"))
+        a = (
+            verts.join(araw.select(F.col("obj").alias("id"), "s"), "id", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "id",
+                F.round(F.coalesce("s", F.lit(0.0)) / F.col("_mx"), 6).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            edges.join(a.select(F.col("id").alias("obj"), "a"), "obj")
+            .groupBy("subj")
+            .agg(F.sum("a").alias("s"))
+        )
+        hmax = hraw.agg(F.max("s").alias("_mx"))
+        h = (
+            verts.join(hraw.select(F.col("subj").alias("id"), "s"), "id", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "id",
+                F.round(F.coalesce("s", F.lit(0.0)) / F.col("_mx"), 6).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        h.join(a.select("id", "a"), "id")
+        .select("id", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )
+    edges.unpersist()
+    return out
+
+
+def _kg69_sql(rounds: int = _HITS_ROUNDS) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS MATERIALIZED (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM verts)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(
+            f"""
+ar{k} AS (SELECT e.obj AS id, SUM(h.h) AS s
+          FROM e JOIN h{p} h ON e.subj = h.id GROUP BY e.obj),
+a{k} AS MATERIALIZED (
+  SELECT v.id, round(COALESCE(ar.s, 0) / (SELECT MAX(s) FROM ar{k}), 6) AS a
+  FROM verts v LEFT JOIN ar{k} ar ON ar.id = v.id),
+hr{k} AS (SELECT e.subj AS id, SUM(a.a) AS s
+          FROM e JOIN a{k} a ON e.obj = a.id GROUP BY e.subj),
+h{k} AS MATERIALIZED (
+  SELECT v.id, round(COALESCE(hr.s, 0) / (SELECT MAX(s) FROM hr{k}), 6) AS h
+  FROM verts v LEFT JOIN hr{k} hr ON hr.id = v.id)"""
+        )
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f"""
+SELECT h.id, h.h AS hub, a.a AS auth
+FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id
+"""
+    )
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -1054,6 +1155,7 @@ QUERIES = {
     "kg68_span_transitions": kg68_span_transitions,
     "q68_label_propagation": q68_label_propagation,
     "q69_neighbor_jaccard": q69_neighbor_jaccard,
+    "kg69_hits": kg69_hits,
 }
 
 ORACLES = {
@@ -1071,4 +1173,5 @@ ORACLES = {
     "kg68_span_transitions": _kg68_sql(),
     "q68_label_propagation": _q68_sql(),
     "q69_neighbor_jaccard": Q69_SQL,
+    "kg69_hits": _kg69_sql(),
 }

@@ -759,6 +759,120 @@ FROM r GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q85 — out-of-vocabulary rate against a learned top-K vocabulary: the
+# tokenizer-coverage check run before committing a vocab. Vocab = top
+# 1000 corpus tokens by (count desc, token asc); per-lang OOV rate =
+# exploded-token anti-join. The vocab is bounded (K rows) so at any
+# scale it broadcasts; the corpus explodes once and aggregates once.
+# --------------------------------------------------------------------------
+
+#: sized below the synthetic corpus's ~31 distinct tokens so the OOV
+#: tail is non-empty; a production vocab would be 32k–256k
+_VOCAB_K = 15
+
+
+def q85_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("tok")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.select("tok", F.lit(True).alias("iv"))),
+            on="tok",
+            how="left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("iv").isNull()).cast("long").alias("n_oov"),
+            r4(F.count_if(F.col("iv").isNull()) / F.count(F.lit(1))).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+Q85_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= {_VOCAB_K}
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+            AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                  AS DOUBLE) / COUNT(*), 4) AS oov_rate
+FROM toks GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q86 — cross-partition (here: cross-language) duplicate detection:
+# documents whose leading-5-token fingerprint appears under more than
+# one language — the "same document filed under two shards" audit an
+# incremental-dedup pass runs before choosing a canonical shard (the
+# prefix fingerprint is the cheap first-stage key; exact-hash dedup is
+# q20/q77 and is empty on this corpus by construction). One partial agg
+# on the fingerprint, one semi-join back.
+# --------------------------------------------------------------------------
+
+
+def q86_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tokens(F.col("text"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", t.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "lang", md5long(F.concat_ws(" ", F.slice("t", 1, 5))).alias("h")
+        )
+    )
+    multi = (
+        d.groupBy("h")
+        .agg(F.count_distinct("lang").alias("nl"))
+        .filter(F.col("nl") > 1)
+        .select("h")
+    )
+    return (
+        d.join(multi, on="h", how="left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_crosslang"),
+            F.count_distinct("h").cast("long").alias("n_fingerprints"),
+        )
+    )
+
+
+Q86_SQL = f"""
+WITH tok AS (
+  SELECT lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), d AS (
+  SELECT lang,
+         {MD5LONG_SQL.format(x="array_to_string(t[1:5], ' ')")} AS h
+  FROM tok WHERE len(t) >= 5
+), multi AS (
+  SELECT h FROM d GROUP BY h HAVING COUNT(DISTINCT lang) > 1
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_crosslang,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_fingerprints
+FROM d WHERE h IN (SELECT h FROM multi)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
@@ -773,6 +887,8 @@ QUERIES = {
     "q80_unigram_logprob": q80_unigram_logprob,
     "q81_quality_model": q81_quality_model,
     "q82_repetition_ratio": q82_repetition_ratio,
+    "q85_oov_rate": q85_oov_rate,
+    "q86_crosslang_dups": q86_crosslang_dups,
 }
 
 ORACLES = {
@@ -789,4 +905,6 @@ ORACLES = {
     "q80_unigram_logprob": Q80_SQL,
     "q81_quality_model": Q81_SQL,
     "q82_repetition_ratio": Q82_SQL,
+    "q85_oov_rate": Q85_SQL,
+    "q86_crosslang_dups": Q86_SQL,
 }

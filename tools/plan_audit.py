@@ -59,6 +59,8 @@ AUDIT = [
     ("q82_repetition_ratio", 1, 0),  # array-native bigram distinct; single agg
     # 3 assignment windows (vec_id) + 2 centroid update aggs (2 each) + final
     ("q84_kmeans", 10, 0),
+    ("q85_oov_rate", 5, 0),  # vocab top-K (global window) broadcasts back
+    ("q86_crosslang_dups", 4, 0),  # fingerprint agg + semi-join back
 ]
 
 
