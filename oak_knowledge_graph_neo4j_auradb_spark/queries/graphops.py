@@ -1140,6 +1140,92 @@ FROM h{rounds} h JOIN a{rounds} a ON h.id = a.id
     )
 
 
+# --------------------------------------------------------------------------
+# kg70 — neighborhood feature extraction (GNN feature-prep pattern):
+# per node of the resolved curriculum graph, out-degree, in-degree,
+# mean out-degree of out-neighbors, and distinct 2-hop successor count.
+# Two self-joins on the persisted edge table + partial aggs — the
+# standard message-passing-as-join shape; at scale both joins shuffle
+# on the shared endpoint key and AQE handles hub skew (keystage/year
+# hubs are exactly the hot keys the north_rule calls out).
+# --------------------------------------------------------------------------
+
+
+def kg70_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    # eager localCheckpoint, not persist: all four feature joins reuse
+    # the materialized edge table without pinning cache blocks for the
+    # session lifetime (the q25-cache lesson)
+    e = gb.resolved.select("subj", "obj").distinct().localCheckpoint()
+    outdeg = e.groupBy("subj").agg(F.count(F.lit(1)).alias("outdeg"))
+    indeg = e.groupBy("obj").agg(F.count(F.lit(1)).alias("indeg"))
+    nbr_out = (
+        e.join(outdeg.withColumnRenamed("subj", "obj"), on="obj", how="left")
+        .groupBy("subj")
+        .agg(
+            F.round(F.avg(F.coalesce("outdeg", F.lit(0))), 6).alias(
+                "avg_nbr_outdeg"
+            )
+        )
+    )
+    hop2 = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.obj") == F.col("b.subj"))
+        .select(F.col("a.subj").alias("subj"), F.col("b.obj").alias("o2"))
+        .groupBy("subj")
+        .agg(F.count_distinct("o2").alias("n_2hop"))
+    )
+    verts = (
+        e.select(F.col("subj").alias("id"))
+        .union(e.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    out = (
+        verts.join(outdeg.withColumnRenamed("subj", "id"), "id", "left")
+        .join(indeg.withColumnRenamed("obj", "id"), "id", "left")
+        .join(nbr_out.withColumnRenamed("subj", "id"), "id", "left")
+        .join(hop2.withColumnRenamed("subj", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce("avg_nbr_outdeg", F.lit(0.0)).alias("avg_nbr_outdeg"),
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+        )
+    )
+    return out
+
+
+def _kg70_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return (
+        _edges_union_sql()
+        + """,
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+od AS (SELECT subj, COUNT(*) AS outdeg FROM e GROUP BY subj),
+idg AS (SELECT obj, COUNT(*) AS indeg FROM e GROUP BY obj),
+nbo AS (
+  SELECT e.subj, round(AVG(COALESCE(od.outdeg, 0)), 6) AS avg_nbr_outdeg
+  FROM e LEFT JOIN od ON e.obj = od.subj GROUP BY e.subj),
+h2 AS (
+  SELECT a.subj, COUNT(DISTINCT b.obj) AS n_2hop
+  FROM e a JOIN e b ON a.obj = b.subj GROUP BY a.subj)
+SELECT v.id,
+       CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(COALESCE(idg.indeg, 0) AS BIGINT) AS indeg,
+       COALESCE(nbo.avg_nbr_outdeg, 0.0) AS avg_nbr_outdeg,
+       CAST(COALESCE(h2.n_2hop, 0) AS BIGINT) AS n_2hop
+FROM verts v
+LEFT JOIN od ON v.id = od.subj
+LEFT JOIN idg ON v.id = idg.obj
+LEFT JOIN nbo ON v.id = nbo.subj
+LEFT JOIN h2 ON v.id = h2.subj
+"""
+    )
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -1156,6 +1242,7 @@ QUERIES = {
     "q68_label_propagation": q68_label_propagation,
     "q69_neighbor_jaccard": q69_neighbor_jaccard,
     "kg69_hits": kg69_hits,
+    "kg70_neighbor_features": kg70_neighbor_features,
 }
 
 ORACLES = {
@@ -1174,4 +1261,5 @@ ORACLES = {
     "q68_label_propagation": _q68_sql(),
     "q69_neighbor_jaccard": Q69_SQL,
     "kg69_hits": _kg69_sql(),
+    "kg70_neighbor_features": _kg70_sql(),
 }

@@ -1,0 +1,56 @@
+"""Invariants for the HITS / k-means / neighborhood-feature operators
+beyond the DuckDB value-hash oracle: normalization bounds, mass
+bookkeeping, and monotone inertia."""
+
+import pyspark.sql.functions as F
+
+from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+    kg69_hits,
+    kg70_neighbor_features,
+)
+from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import _wide
+from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+    _KM_K,
+    q84_kmeans,
+)
+
+
+def test_hits_normalized(spark, sf_dir):
+    h = kg69_hits(spark, sf_dir).persist()
+    row = h.agg(
+        F.max("hub").alias("mh"),
+        F.max("auth").alias("ma"),
+        F.min("hub").alias("nh"),
+        F.min("auth").alias("na"),
+    ).collect()[0]
+    # max-normalization pins the top score to exactly 1.0 on each side
+    assert row["mh"] == 1.0 and row["ma"] == 1.0
+    assert row["nh"] >= 0.0 and row["na"] >= 0.0
+    # pure sources have auth 0, pure sinks have hub 0 — both exist here
+    assert h.filter(F.col("auth") == 0.0).count() > 0
+    assert h.filter(F.col("hub") == 0.0).count() > 0
+    h.unpersist()
+
+
+def test_kmeans_partition(spark, sf_dir):
+    out = q84_kmeans(spark, sf_dir).collect()
+    assert 1 <= len(out) <= _KM_K
+    total = sum(r["n"] for r in out)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == n_vecs
+    assert all(r["inertia"] >= 0 for r in out)
+
+
+def test_neighbor_features_bookkeeping(spark, sf_dir):
+    gb = _wide(spark, sf_dir)
+    n_edges = gb.resolved.select("subj", "obj").distinct().count()
+    f = kg70_neighbor_features(spark, sf_dir).persist()
+    row = f.agg(
+        F.sum("outdeg").alias("so"), F.sum("indeg").alias("si")
+    ).collect()[0]
+    # every distinct edge contributes one out-degree and one in-degree
+    assert row["so"] == n_edges and row["si"] == n_edges
+    # 2-hop counts only exist where some out-neighbor itself has edges
+    bad = f.filter((F.col("outdeg") == 0) & (F.col("n_2hop") > 0)).count()
+    assert bad == 0
+    f.unpersist()
