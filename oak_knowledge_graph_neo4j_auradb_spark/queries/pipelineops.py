@@ -873,6 +873,155 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q87 — deterministic importance sampling by model score: keep a
+# document iff hash-uniform(doc_id) < quality score — the
+# quality-weighted downsampling step (higher-scoring docs survive with
+# higher probability), reproducible across runs/engines because the
+# "random" draw is the md5 of the id. Zero shuffles before the final
+# agg; the filter runs inside the scan's codegen span.
+# --------------------------------------------------------------------------
+
+_HASH_DENOM = float(1 << 60)  # md5long yields 60-bit non-negative ints
+
+
+def q87_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    stop = F.size(
+        F.filter(F.col("t"), lambda x: x.isin("the", "a", "and", "of", "to"))
+    ) / F.size("t")
+    score = 1.0 / (1.0 + F.exp(-(F.lit(-2.0) + 6.0 * stop)))
+    u = md5long(F.col("doc_id").cast("string")) / F.lit(_HASH_DENOM)
+    return (
+        d.select("lang", score.alias("s"), u.alias("u"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("u") < F.col("s")).cast("long").alias("n_kept"),
+            r4(F.avg(F.when(F.col("u") < F.col("s"), F.col("s")))).alias(
+                "avg_kept_score"
+            ),
+        )
+    )
+
+
+Q87_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), s AS (
+  SELECT lang,
+         1.0 / (1.0 + exp(-(-2.0 + 6.0 *
+           (CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to')))
+                 AS DOUBLE) / len(t))))) AS s,
+         {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')}
+           / {_HASH_DENOM} AS u
+  FROM d WHERE len(t) > 0
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE u < s) AS BIGINT) AS n_kept,
+       ROUND(AVG(s) FILTER (WHERE u < s), 4) AS avg_kept_score
+FROM s GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q88 — corpus-mix rebalancing weights: per (lang, source) shard, the
+# sampling multiplier that moves the observed mix to a uniform target
+# (weight = target_share / observed_share) — the domain-mixing stage
+# that decides how often each shard is drawn during training. Two tiny
+# aggregates; the shard table is dimension-sized at any corpus scale.
+# --------------------------------------------------------------------------
+
+
+def q88_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("lang", "source")
+    shard = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # totals derive from the (tiny) shard table as a lazy broadcast
+    # 1-row agg — no driver-side count, no second corpus scan
+    g = shard.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_n_shards")
+    )
+    return shard.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        r4(
+            (F.col("_tot").cast("double") / F.col("_n_shards")) / F.col("n")
+        ).alias("weight"),
+    )
+
+
+Q88_SQL = """
+WITH shard AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), g AS (
+  SELECT SUM(n) AS tot, COUNT(*) AS n_shards FROM shard
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+       ROUND((CAST(tot AS DOUBLE) / n_shards) / n, 4) AS weight
+FROM shard CROSS JOIN g
+"""
+
+
+# --------------------------------------------------------------------------
+# q89 — sliding-window rate anomaly detection: per (event_type, hour),
+# flag hours whose event count exceeds 2× the trailing 3-hour mean —
+# the ingest-monitoring rule a production feed runs. One agg to the
+# hourly grid, one window over it (the windowed table is
+# hours × types — tiny at any corpus scale, so the window never sees
+# raw data).
+# --------------------------------------------------------------------------
+
+
+def q89_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp_ltz"))
+        .cast("long")
+        .alias("hour_sec"),
+    )
+    hourly = ev.groupBy("event_type", "hour_sec").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_sec")
+        .rowsBetween(-3, -1)
+    )
+    return (
+        hourly.withColumn("trail", F.avg("n").over(w))
+        .filter(F.col("trail").isNotNull())
+        .select(
+            "event_type",
+            "hour_sec",
+            F.col("n").cast("long").alias("n"),
+            r4(F.col("trail")).alias("trailing_mean"),
+            (F.col("n") > 2 * F.col("trail")).alias("is_anomaly"),
+        )
+    )
+
+
+Q89_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_sec,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, hour_sec, n,
+         AVG(n) OVER (PARTITION BY event_type ORDER BY hour_sec
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail
+  FROM hourly
+)
+SELECT event_type, hour_sec, CAST(n AS BIGINT) AS n,
+       ROUND(trail, 4) AS trailing_mean,
+       n > 2 * trail AS is_anomaly
+FROM t WHERE trail IS NOT NULL
+"""
+
+
 QUERIES = {
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
@@ -889,6 +1038,9 @@ QUERIES = {
     "q82_repetition_ratio": q82_repetition_ratio,
     "q85_oov_rate": q85_oov_rate,
     "q86_crosslang_dups": q86_crosslang_dups,
+    "q87_importance_sample": q87_importance_sample,
+    "q88_mix_weights": q88_mix_weights,
+    "q89_rate_anomaly": q89_rate_anomaly,
 }
 
 ORACLES = {
@@ -907,4 +1059,7 @@ ORACLES = {
     "q82_repetition_ratio": Q82_SQL,
     "q85_oov_rate": Q85_SQL,
     "q86_crosslang_dups": Q86_SQL,
+    "q87_importance_sample": Q87_SQL,
+    "q88_mix_weights": Q88_SQL,
+    "q89_rate_anomaly": Q89_SQL,
 }

@@ -61,6 +61,9 @@ AUDIT = [
     ("q84_kmeans", 10, 0),
     ("q85_oov_rate", 5, 0),  # vocab top-K (global window) broadcasts back
     ("q86_crosslang_dups", 4, 0),  # fingerprint agg + semi-join back
+    ("q87_importance_sample", 1, 0),  # hash draw + score in the scan's span
+    ("q88_mix_weights", 2, 0),  # shard agg; totals via lazy broadcast 1-row agg
+    ("q89_rate_anomaly", 2, 0),  # hourly grid agg + window over the tiny grid
 ]
 
 
