@@ -953,7 +953,8 @@ def q68_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e0)
 
 
-def _q68_sql(rounds: int = _LPA_ROUNDS) -> str:
+def _lpa_cte(rounds: int = _LPA_ROUNDS) -> str:
+    """The LPA recurrence as a WITH-body (shared by q68 and q91)."""
     steps = [
         """e0 AS MATERIALIZED (
   SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
@@ -977,8 +978,12 @@ l{r} AS MATERIALIZED (
            ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
     FROM c{r}) WHERE rn = 1)"""
         )
+    return "WITH " + ",".join(steps)
+
+
+def _q68_sql(rounds: int = _LPA_ROUNDS) -> str:
     return (
-        "WITH " + ",".join(steps)
+        _lpa_cte(rounds)
         + f"\nSELECT n AS id, lab AS community FROM l{rounds}"
     )
 
@@ -1037,6 +1042,95 @@ SELECT u, v,
        ROUND(CAST(c AS DOUBLE) / (du.d + dv.d - c), 6) AS jaccard
 FROM com JOIN deg du ON com.u = du.p JOIN deg dv ON com.v = dv.p
 """
+
+
+# --------------------------------------------------------------------------
+# q91 — modularity of the LPA communities (the quantitative companion
+# to q68: did the propagation find real structure?). Per community c:
+# contribution = e_c/m − (Σdeg_c / 2m)², where e_c = edges inside c and
+# m = total undirected edges. Pure integer bookkeeping until the final
+# division, so both engines agree exactly; 6dp display rounding. At
+# scale: two joins of the edge list against the (node→community) map —
+# the same shuffle key as every LPA round, so the exchange is reused.
+# --------------------------------------------------------------------------
+
+
+def q91_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = label_propagation(e0).withColumnRenamed("id", "n")
+    edges_sym = e0.select(F.col("src").alias("n")).unionAll(
+        e0.select(F.col("dst").alias("n"))
+    )
+    deg_sum = (
+        edges_sym.join(lab, on="n")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    internal = (
+        e0.join(lab.select(F.col("n").alias("src"), F.col("community").alias("cs")), "src")
+        .join(lab.select(F.col("n").alias("dst"), F.col("community").alias("cd")), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal"))
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("_m"))
+    sizes = lab.groupBy("community").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        sizes.join(deg_sum, "community")
+        .join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("internal", F.lit(0)).cast("long").alias("internal_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.round(
+                F.coalesce("internal", F.lit(0)) / F.col("_m")
+                - F.pow(F.col("deg_sum") / (2.0 * F.col("_m")), 2),
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
+def _q91_sql(rounds: int = _LPA_ROUNDS) -> str:
+    return (
+        _lpa_cte(rounds)
+        + f""",
+lab AS (SELECT n, lab AS community FROM l{rounds}),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e0),
+sizes AS (SELECT community, COUNT(*) AS n_nodes FROM lab GROUP BY 1),
+ds AS (
+  SELECT l.community, COUNT(*) AS deg_sum
+  FROM (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0) s
+  JOIN lab l ON s.n = l.n GROUP BY 1),
+intr AS (
+  SELECT a.community, COUNT(*) AS internal
+  FROM e0
+  JOIN lab a ON e0.src = a.n
+  JOIN lab b ON e0.dst = b.n AND a.community = b.community
+  GROUP BY 1)
+SELECT sizes.community,
+       CAST(sizes.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(intr.internal, 0) AS BIGINT) AS internal_edges,
+       CAST(ds.deg_sum AS BIGINT) AS deg_sum,
+       ROUND(COALESCE(intr.internal, 0) / mm.m
+             - POW(ds.deg_sum / (2.0 * mm.m), 2), 6) AS contribution
+FROM sizes
+JOIN ds ON sizes.community = ds.community
+LEFT JOIN intr ON sizes.community = intr.community
+CROSS JOIN mm
+"""
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1243,6 +1337,7 @@ QUERIES = {
     "q69_neighbor_jaccard": q69_neighbor_jaccard,
     "kg69_hits": kg69_hits,
     "kg70_neighbor_features": kg70_neighbor_features,
+    "q91_modularity": q91_modularity,
 }
 
 ORACLES = {
@@ -1262,4 +1357,5 @@ ORACLES = {
     "q69_neighbor_jaccard": Q69_SQL,
     "kg69_hits": _kg69_sql(),
     "kg70_neighbor_features": _kg70_sql(),
+    "q91_modularity": _q91_sql(),
 }

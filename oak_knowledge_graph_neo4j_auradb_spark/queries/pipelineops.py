@@ -874,6 +874,65 @@ GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# q90 — SCD2 interval construction (gaps-and-islands): collapse each
+# user's event stream into validity intervals of consecutive equal
+# event_type — the slowly-changing-dimension versioning step a
+# warehouse ingest runs on attribute streams. Island id = the classic
+# rn_all − rn_per_type difference; total order pinned by (ts,
+# event_id) so ties can't reorder across engines. One window shuffle
+# on user_id, one partial agg on the island key.
+# --------------------------------------------------------------------------
+
+
+def q90_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"),
+        )
+    )
+    w_all = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "sec", "event_id"
+    )
+    return (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("sec").alias("valid_from"),
+            F.max("sec").alias("valid_to"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+    )
+
+
+Q90_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events WHERE user_id % 10 = 0
+), g AS (
+  SELECT user_id, event_type, sec,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY sec, event_id) AS grp
+  FROM ev
+)
+SELECT user_id, event_type,
+       MIN(sec) AS valid_from, MAX(sec) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, event_type, grp
+"""
+
+
+# --------------------------------------------------------------------------
 # q87 — deterministic importance sampling by model score: keep a
 # document iff hash-uniform(doc_id) < quality score — the
 # quality-weighted downsampling step (higher-scoring docs survive with
@@ -1038,6 +1097,7 @@ QUERIES = {
     "q82_repetition_ratio": q82_repetition_ratio,
     "q85_oov_rate": q85_oov_rate,
     "q86_crosslang_dups": q86_crosslang_dups,
+    "q90_scd2_intervals": q90_scd2_intervals,
     "q87_importance_sample": q87_importance_sample,
     "q88_mix_weights": q88_mix_weights,
     "q89_rate_anomaly": q89_rate_anomaly,
@@ -1059,6 +1119,7 @@ ORACLES = {
     "q82_repetition_ratio": Q82_SQL,
     "q85_oov_rate": Q85_SQL,
     "q86_crosslang_dups": Q86_SQL,
+    "q90_scd2_intervals": Q90_SQL,
     "q87_importance_sample": Q87_SQL,
     "q88_mix_weights": Q88_SQL,
     "q89_rate_anomaly": Q89_SQL,

@@ -214,11 +214,45 @@ GROUP BY lang
 """
 
 
+def q92_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MERGE drained to a final table: each
+    micro-batch extracts Unit nodes and upserts them into a keyed table
+    (foreachBatch → plans/sinks.merge_into — the reference's
+    UNWIND-MERGE loader as a streaming sink, auradb_loader.py:170-189).
+    The drained table's ID SET equals the batch build exactly
+    (re-deliveries UPDATE instead of duplicate), which is what the
+    oracle checks — set semantics are delivery-order-independent, so
+    the comparison is deterministic however the source files batch."""
+    from ..sources.docgen import ensure_documents
+    from ..streaming.ingest import stream_merge_nodes
+    from .kg import DOC_CACHE, n_docs_for
+
+    work = tempfile.mkdtemp(prefix="q92_")
+    table = os.path.join(work, "units")
+    ckpt = os.path.join(work, "ckpt")
+    in_path = _as_stream_dir(ensure_documents(DOC_CACHE, n_docs_for(sf_dir)))
+    stream_merge_nodes(spark, in_path, table, ckpt, label="Unit")
+    t = spark.read.parquet(table)
+    return t.select(F.col("id").cast("string").alias("id")).orderBy("id")
+
+
+def _q92_sql() -> str:
+    from .kg import _KV_SQL, _wide_sql
+
+    return f"""
+{_KV_SQL},
+{_wide_sql(["unit_slug"], "primary")}
+SELECT DISTINCT unit_slug AS id
+FROM wide WHERE unit_slug IS NOT NULL
+"""
+
+
 QUERIES = {
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
     "q66_stream_static_join": q66_stream_static_join,
     "q83_stream_dedup": q83_stream_dedup,
+    "q92_stream_merge": q92_stream_merge,
 }
 
 ORACLES = {
@@ -226,4 +260,5 @@ ORACLES = {
     "q36_stream_first_seen": _q36_sql(),
     "q66_stream_static_join": Q66_SQL,
     "q83_stream_dedup": Q83_SQL,
+    "q92_stream_merge": _q92_sql(),
 }

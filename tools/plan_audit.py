@@ -64,6 +64,8 @@ AUDIT = [
     ("q87_importance_sample", 1, 0),  # hash draw + score in the scan's span
     ("q88_mix_weights", 2, 0),  # shard agg; totals via lazy broadcast 1-row agg
     ("q89_rate_anomaly", 2, 0),  # hourly grid agg + window over the tiny grid
+    ("q90_scd2_intervals", 1, 0),  # two windows share the user_id sort + island agg
+    ("q91_modularity", 6, 0),  # LPA rounds checkpointed; deg/internal joins remain
 ]
 
 
