@@ -1081,6 +1081,167 @@ FROM t WHERE trail IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q93 — last-touch attribution: each purchase is attributed to the
+# user's most recent STRICTLY PRIOR click within a 7-day lookback —
+# the marketing-attribution / event-linkage primitive. One window per
+# user carries the running last-click time (rows-frame ending at the
+# previous row, so same-timestamp ties can't self-attribute); total
+# order pinned by (sec, event_id). Single shuffle on user_id.
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_SEC = 7 * 86400
+
+
+def q93_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("sec"))
+    ).over(w)
+    p = ev.withColumn("lc", last_click).filter(
+        F.col("event_type") == "purchase"
+    )
+    attributed = F.col("lc").isNotNull() & (
+        F.col("sec") - F.col("lc") <= _ATTR_WINDOW_SEC
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count_if(attributed).cast("long").alias("n_attributed"),
+        r4(F.avg(F.when(attributed, F.col("sec") - F.col("lc")))).alias(
+            "avg_gap_sec"
+        ),
+    )
+
+
+Q93_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), p AS (
+  SELECT event_type, sec,
+         MAX(CASE WHEN event_type = 'click' THEN sec END)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+  FROM ev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) FILTER (WHERE lc IS NOT NULL
+                             AND sec - lc <= {_ATTR_WINDOW_SEC})
+            AS BIGINT) AS n_attributed,
+       ROUND(AVG(sec - lc) FILTER (WHERE lc IS NOT NULL
+                                   AND sec - lc <= {_ATTR_WINDOW_SEC}), 4)
+         AS avg_gap_sec
+FROM p WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# q94 — retention cohorts: users grouped by first-signup week, counted
+# as retained in each subsequent activity week — the cohort matrix.
+# First-touch is a partial agg, the matrix one distinct-count agg over
+# the (cohort, offset) grid; the user×week table is the only shuffle.
+# --------------------------------------------------------------------------
+
+_WEEK = 7 * 86400
+
+
+def q94_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("timestamp_ltz").cast("long") / _WEEK)
+        .cast("long")
+        .alias("week"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("w0"))
+    )
+    return (
+        ev.join(cohort, on="user_id")
+        .filter(F.col("week") >= F.col("w0"))
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("week") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+Q94_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // {_WEEK} AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS w0 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT c.w0 AS cohort_week, e.week - c.w0 AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+WHERE e.week >= c.w0
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q95 — rolling 7-day unique users per day (the DAU/WAU overlap
+# metric). Sliding distinct counts don't compose in a window frame, so
+# the plan is day-grid × trailing-range join over the DISTINCT
+# (day, user) table — which is already orders smaller than the raw
+# stream; the range join fans out ≤7× before the final distinct-count
+# agg. (The approximate alternative at extreme scale is per-day HLL
+# sketch union — q44 demonstrates the sketch machinery.)
+# --------------------------------------------------------------------------
+
+
+def q95_rolling_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            (F.col("ts").cast("timestamp_ltz").cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        days.join(
+            du,
+            (F.col("day") <= F.col("d")) & (F.col("day") > F.col("d") - 7),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .select(F.col("d").alias("day"), "wau")
+    )
+
+
+Q95_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day AS d FROM du)
+SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM days JOIN du ON du.day <= days.d AND du.day > days.d - 7
+GROUP BY d
+"""
+
+
 QUERIES = {
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
@@ -1098,6 +1259,9 @@ QUERIES = {
     "q85_oov_rate": q85_oov_rate,
     "q86_crosslang_dups": q86_crosslang_dups,
     "q90_scd2_intervals": q90_scd2_intervals,
+    "q93_attribution": q93_attribution,
+    "q94_retention_cohorts": q94_retention_cohorts,
+    "q95_rolling_uniques": q95_rolling_uniques,
     "q87_importance_sample": q87_importance_sample,
     "q88_mix_weights": q88_mix_weights,
     "q89_rate_anomaly": q89_rate_anomaly,
@@ -1120,6 +1284,9 @@ ORACLES = {
     "q85_oov_rate": Q85_SQL,
     "q86_crosslang_dups": Q86_SQL,
     "q90_scd2_intervals": Q90_SQL,
+    "q93_attribution": Q93_SQL,
+    "q94_retention_cohorts": Q94_SQL,
+    "q95_rolling_uniques": Q95_SQL,
     "q87_importance_sample": Q87_SQL,
     "q88_mix_weights": Q88_SQL,
     "q89_rate_anomaly": Q89_SQL,

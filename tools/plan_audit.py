@@ -66,6 +66,9 @@ AUDIT = [
     ("q89_rate_anomaly", 2, 0),  # hourly grid agg + window over the tiny grid
     ("q90_scd2_intervals", 1, 0),  # two windows share the user_id sort + island agg
     ("q91_modularity", 6, 0),  # LPA rounds checkpointed; deg/internal joins remain
+    ("q93_attribution", 2, 0),  # one user_id window + the final 1-row agg
+    ("q94_retention_cohorts", 3, 0),  # first-touch agg + matrix distinct-count
+    ("q95_rolling_uniques", 4, 0),  # distinct day-grid range join, fan-out ≤ 7
 ]
 
 
