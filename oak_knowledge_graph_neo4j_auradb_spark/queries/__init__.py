@@ -18,6 +18,7 @@ from . import (
     similarity,
     streamq,
     textops,
+    tpch,
 )
 
 QUERIES = {}
@@ -31,6 +32,7 @@ for _m in (
     curriculum,
     streamq,
     pipelineops,
+    tpch,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -69,6 +69,12 @@ AUDIT = [
     ("q93_attribution", 2, 0),  # one user_id window + the final 1-row agg
     ("q94_retention_cohorts", 3, 0),  # first-touch agg + matrix distinct-count
     ("q95_rolling_uniques", 4, 0),  # distinct day-grid range join, fan-out ≤ 7
+    ("tpch_q3", 1, 0),
+    ("tpch_q5", 1, 0),
+    ("tpch_q10", 1, 0),
+    ("tpch_q13", 2, 0),
+    ("tpch_q14", 1, 0),  # broadcast part dim; single agg
+    ("tpch_q18", 1, 0),
 ]
 
 
