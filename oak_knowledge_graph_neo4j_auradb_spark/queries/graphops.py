@@ -1134,6 +1134,123 @@ CROSS JOIN mm
 
 
 # --------------------------------------------------------------------------
+# kg71 — PERSONALIZED PageRank: teleportation restricted to a seed set
+# (the keystage nodes) instead of uniform — "importance relative to
+# keystages", the recommendation/expansion primitive (seed a query's
+# entities, rank the graph around them). Same plan posture as kg65
+# (repartitioned+persisted base/edges reused every round, lazy
+# broadcast dangling-mass scalar, per-round localCheckpoint); only the
+# teleport vector changes: (1−d)·1_S/|S| + d·dang/|S| lands on seeds
+# only. Seeds that are curriculum hubs make the mass concentrate
+# downstream of keystages — kg65's uniform variant is the control.
+# --------------------------------------------------------------------------
+
+
+def kg71_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    edges = (
+        gb.resolved.select("subj", "obj")
+        .distinct()
+        .repartition("subj")
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("subj").alias("id"))
+        .union(edges.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("subj").agg(F.count("*").alias("outdeg"))
+    is_seed = F.col("id").startswith("ks")
+    base = (
+        verts.join(outdeg, verts.id == outdeg.subj, "left")
+        .select("id", "outdeg", is_seed.alias("seed"))
+        .repartition("id")
+        .persist()
+    )
+    n_seed = base.filter("seed").count()
+    ranks = base.select(
+        "id",
+        "outdeg",
+        "seed",
+        F.when(F.col("seed"), 1.0 / n_seed).otherwise(0.0).alias("rank"),
+    )
+    for _ in range(_PR_ITERS):
+        dang = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contrib = (
+            edges.join(
+                ranks.select(F.col("id").alias("_sid"), "rank", "outdeg"),
+                edges.subj == F.col("_sid"),
+            )
+            .groupBy(F.col("obj").alias("_cid"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        teleport = F.when(
+            F.col("seed"),
+            (1.0 - _PR_D) / n_seed + _PR_D * F.col("_dm") / n_seed,
+        ).otherwise(0.0)
+        ranks = (
+            base.join(contrib, base.id == F.col("_cid"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                base.id,
+                base.outdeg,
+                base.seed,
+                (
+                    teleport + _PR_D * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select("id", F.round("rank", 8).alias("rank"))
+    edges.unpersist()
+    base.unpersist()
+    return out
+
+
+def _kg71_sql(iters: int = _PR_ITERS, d: float = _PR_D) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS MATERIALIZED (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+seeds AS MATERIALIZED (SELECT id FROM verts WHERE id LIKE 'ks%'),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+deg AS MATERIALIZED (SELECT subj AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        FROM e GROUP BY subj),
+r0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id IN (SELECT id FROM seeds)
+                  THEN (SELECT 1.0/k FROM ns) ELSE 0.0 END AS r
+  FROM verts)"""
+    ]
+    dd = f"CAST({d} AS DOUBLE)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(
+            f"""
+d{k} AS (SELECT COALESCE(SUM(r), 0) AS m FROM r{p}
+         WHERE id NOT IN (SELECT id FROM deg)),
+c{k} AS (SELECT e.obj AS id, SUM(p.r / deg.outdeg) AS c
+         FROM e JOIN r{p} p ON e.subj = p.id JOIN deg ON deg.id = p.id
+         GROUP BY e.obj),
+r{k} AS MATERIALIZED (SELECT v.id,
+        CASE WHEN v.id IN (SELECT id FROM seeds)
+             THEN (1 - {dd}) / (SELECT k FROM ns)
+                  + {dd} * (SELECT m FROM d{k}) / (SELECT k FROM ns)
+             ELSE 0.0 END
+        + {dd} * COALESCE(c.c, 0) AS r
+        FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f"\nSELECT id, round(r, 8) AS rank FROM r{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
 # kg69 — HITS hubs/authorities over the resolved curriculum edge set
 # (the directed companion to kg65's PageRank: aggregation hubs like
 # keystages score as hubs, terminal content like unitvariants as
@@ -1337,6 +1454,7 @@ QUERIES = {
     "q69_neighbor_jaccard": q69_neighbor_jaccard,
     "kg69_hits": kg69_hits,
     "kg70_neighbor_features": kg70_neighbor_features,
+    "kg71_personalized_pagerank": kg71_personalized_pagerank,
     "q91_modularity": q91_modularity,
 }
 
@@ -1357,5 +1475,6 @@ ORACLES = {
     "q69_neighbor_jaccard": Q69_SQL,
     "kg69_hits": _kg69_sql(),
     "kg70_neighbor_features": _kg70_sql(),
+    "kg71_personalized_pagerank": _kg71_sql(),
     "q91_modularity": _q91_sql(),
 }

@@ -1242,6 +1242,120 @@ GROUP BY d
 """
 
 
+# --------------------------------------------------------------------------
+# q96 — behavioral sequence mining: the top-10 event-type trigrams
+# across all user streams (total order per user pinned by (ts,
+# event_id)) — the session-pattern discovery op. Two LEADs share one
+# user_id window sort, then one count agg and one global top-k window
+# over the tiny (≤ |types|³) trigram table.
+# --------------------------------------------------------------------------
+
+
+def q96_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    tri = (
+        ev.withColumn("b", F.lead("event_type", 1).over(w))
+        .withColumn("c", F.lead("event_type", 2).over(w))
+        .filter(F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "b", "c").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wr = Window.orderBy(F.desc("cnt"), F.asc("trigram"))
+    return (
+        tri.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("trigram", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+Q96_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), tri AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER w || '>' ||
+         LEAD(event_type, 2) OVER w AS trigram
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), cnt AS (
+  SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tri WHERE trigram IS NOT NULL GROUP BY trigram
+)
+SELECT trigram, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT trigram, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, trigram) AS rank
+  FROM cnt
+) WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q97 — token-distribution entropy per document (vocabulary-richness
+# quality signal; degenerate low-entropy docs are the repetition/spam
+# tail q82's bigram ratio also catches, measured information-
+# theoretically here). Explode → per-(doc, token) partial agg →
+# per-doc entropy fold → per-lang rollup; the (doc, token) shuffle is
+# the only data-proportional exchange.
+# --------------------------------------------------------------------------
+
+
+def q97_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = (
+        per_tok.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("doc_id"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (-(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("term").alias("h"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.avg("h")).alias("avg_entropy"),
+        r4(F.max("h")).alias("max_entropy"),
+    )
+
+
+Q97_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({TOKENS_SQL.format(x='text')}) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, lang,
+         SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)) AS h
+  FROM (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM per_tok)
+  GROUP BY doc_id, lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(h), 4) AS avg_entropy,
+       ROUND(MAX(h), 4) AS max_entropy
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = {
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
@@ -1262,6 +1376,8 @@ QUERIES = {
     "q93_attribution": q93_attribution,
     "q94_retention_cohorts": q94_retention_cohorts,
     "q95_rolling_uniques": q95_rolling_uniques,
+    "q96_event_trigrams": q96_event_trigrams,
+    "q97_token_entropy": q97_token_entropy,
     "q87_importance_sample": q87_importance_sample,
     "q88_mix_weights": q88_mix_weights,
     "q89_rate_anomaly": q89_rate_anomaly,
@@ -1287,6 +1403,8 @@ ORACLES = {
     "q93_attribution": Q93_SQL,
     "q94_retention_cohorts": Q94_SQL,
     "q95_rolling_uniques": Q95_SQL,
+    "q96_event_trigrams": Q96_SQL,
+    "q97_token_entropy": Q97_SQL,
     "q87_importance_sample": Q87_SQL,
     "q88_mix_weights": Q88_SQL,
     "q89_rate_anomaly": Q89_SQL,

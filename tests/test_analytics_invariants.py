@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
     kg69_hits,
     kg70_neighbor_features,
+    kg71_personalized_pagerank,
 )
 from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import _wide
 from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
@@ -39,6 +40,25 @@ def test_kmeans_partition(spark, sf_dir):
     n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert total == n_vecs
     assert all(r["inertia"] >= 0 for r in out)
+
+
+def test_personalized_pagerank_localizes(spark, sf_dir):
+    """Seed-restricted teleport: total mass still conserved, and every
+    node NOT reachable from the keystage seeds holds exactly rank 0 —
+    the property that distinguishes personalization from kg65's
+    uniform teleport (where every node gets the floor)."""
+    r = kg71_personalized_pagerank(spark, sf_dir).persist()
+    total = r.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-4, total
+    # seeds themselves always hold at least the (1-d)/|S| floor
+    seeds = r.filter(F.col("id").startswith("ks"))
+    assert seeds.count() > 0
+    assert seeds.agg(F.min("rank")).collect()[0][0] > 0
+    # subjects/phases are upstream of keystages (never reached from
+    # them along directed edges) — rank exactly 0
+    n_zero = r.filter(F.col("rank") == 0.0).count()
+    assert n_zero > 0
+    r.unpersist()
 
 
 def test_neighbor_features_bookkeeping(spark, sf_dir):
