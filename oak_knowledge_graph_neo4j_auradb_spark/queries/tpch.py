@@ -100,6 +100,78 @@ SELECT l_orderkey, o_epoch, o_orderpriority, revenue FROM (
 """
 
 
+# -- Q4 (variant): order priority checking ------------------------------------
+# The reference Q4 gates on l_commitdate < l_receiptdate (columns this
+# schema lacks); the variant keeps Q4's shape — a left-semi EXISTS
+# against lineitem — gating on "some line shipped after the order
+# date", and counts orders per priority.
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (_epoch("o_orderdate") >= _D_1996_01_01)
+        & (_epoch("o_orderdate") < _D_1996_04_01)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(_epoch("l_shipdate") > _epoch("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = f"""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE epoch(o.o_orderdate) >= {_D_1996_01_01}
+  AND epoch(o.o_orderdate) < {_D_1996_04_01}
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch(l.l_shipdate) > epoch(o.o_orderdate))
+GROUP BY o.o_orderpriority
+"""
+
+
+# -- Q6: forecasting revenue change -------------------------------------------
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (_epoch("l_shipdate") >= _D_1996_01_01)
+        & (_epoch("l_shipdate") < _D_1997_01_01)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+TPCH_Q6_SQL = f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE epoch(l_shipdate) >= {_D_1996_01_01}
+  AND epoch(l_shipdate) < {_D_1997_01_01}
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 # -- Q5: local supplier volume ----------------------------------------------
 
 
@@ -300,6 +372,8 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 
 QUERIES = {
     "tpch_q3": tpch_q3,
+    "tpch_q4": tpch_q4,
+    "tpch_q6": tpch_q6,
     "tpch_q5": tpch_q5,
     "tpch_q10": tpch_q10,
     "tpch_q13": tpch_q13,
@@ -309,6 +383,8 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q3": TPCH_Q3_SQL,
+    "tpch_q4": TPCH_Q4_SQL,
+    "tpch_q6": TPCH_Q6_SQL,
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q10": TPCH_Q10_SQL,
     "tpch_q13": TPCH_Q13_SQL,

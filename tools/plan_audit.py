@@ -75,6 +75,8 @@ AUDIT = [
     ("tpch_q13", 2, 0),
     ("tpch_q14", 1, 0),  # broadcast part dim; single agg
     ("tpch_q18", 1, 0),
+    ("tpch_q4", 3, 0),  # EXISTS as left-semi; dedup + semi shuffles
+    ("tpch_q6", 1, 0),  # all predicates pushed; single 1-row agg
     ("q96_event_trigrams", 3, 0),  # two LEADs share one user_id window sort
     ("q97_token_entropy", 3, 0),  # (doc,tok) agg + doc window + lang agg
 ]
