@@ -10,6 +10,7 @@ similarity search, text analysis, multimodal plumbing).
 from __future__ import annotations
 
 from . import (
+    analytics,
     curriculum,
     graphops,
     kg,
@@ -33,6 +34,7 @@ for _m in (
     streamq,
     pipelineops,
     tpch,
+    analytics,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

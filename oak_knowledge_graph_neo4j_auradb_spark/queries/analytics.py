@@ -1,0 +1,268 @@
+"""Training-data pipeline operators, batch 4: temporal analytics and
+corpus-audit stages.
+
+* q99 — gap-filling with last-observation-carried-forward (LOCF) over a
+  dense day grid: the hypertable-rollup/gapfill operator time-series
+  stores ship natively, expressed as sequence-explode + ignore-nulls
+  window so Catalyst plans it with ONE shuffle (the grid join and the
+  LOCF window share the event_type partitioning).
+* q100 — range join with a bounded equi-prefix: "count clicks in the
+  2 h before each error, per user". The naive plan is an equi-join on
+  user_id with the range as a post-filter — correct, but a hot user
+  fans out quadratically. The Spark side implements the scale form:
+  both sides bucket time into window-width buckets and each probe
+  explodes into exactly TWO candidate buckets (its own + the previous),
+  so the join key is (user_id, bucket) — per-task fan-out is bounded by
+  bucket occupancy, never by a user's full history. The oracle states
+  the plain declarative range join.
+* q101 — cross-document chunk containment (copy-detection audit): every
+  document's non-overlapping 20-token chunks are fingerprinted; the
+  fraction of a doc's chunks appearing in ANY other document measures
+  how much of it is copied text. This is the chunk-granular complement
+  of q20's whole-doc hash dedup and q70's hot-block boilerplate: df is
+  computed on the 60-bit chunk fingerprint (not the chunk string), so
+  the document-frequency shuffle carries 8-byte keys at 100 TB.
+
+Every query has a DuckDB oracle twin; shared helpers (`tokens`,
+`md5long`, epoch-day idiom) keep the two engines' renderings identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
+
+# --------------------------------------------------------------------------
+# q99 — day-grid gap-fill with LOCF. Sparse signal: high-value events
+# (value > _GF_MIN) observe only ~1/3 of (event_type, day) cells; the
+# grid densifies to every day in the observed span and LOCF carries the
+# last daily average forward. Leading days before a type's first
+# observation stay NULL (no fabrication). Spark plan: the bounds agg is
+# a single-row broadcast, the grid explode is k_types × n_days rows
+# (tiny vs the raw stream), and the left join + ignore-nulls `last`
+# window both partition by event_type — one shuffle total. At 100 TB
+# the daily pre-agg (partial, map-side) is what touches the raw data;
+# everything after runs on the rollup.
+# --------------------------------------------------------------------------
+
+_GF_MIN = 250.0
+
+
+def _eday(col: str) -> F.Column:
+    """Epoch day (UTC) as int64 — the repo's portable day idiom."""
+    return (
+        (F.col(col).cast("timestamp_ltz").cast("long") / 86400).cast("long")
+    )
+
+
+def q99_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > _GF_MIN)
+        .select("event_type", _eday("ts").alias("day"), "value")
+    )
+    daily = ev.groupBy("event_type", "day").agg(r4(F.avg("value")).alias("v"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+Q99_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         value
+  FROM events WHERE value > {_GF_MIN}
+), daily AS (
+  SELECT event_type, day, round(avg(value), 4) AS v
+  FROM ev GROUP BY 1, 2
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+)
+SELECT g.event_type, g.day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+       d.v IS NULL AS gap_filled
+FROM grid g
+LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
+# --------------------------------------------------------------------------
+# q100 — equi-prefix range join (bucketed). Window width = _RJ_SEC.
+# Correctness invariant of the bucketing: for any click with
+# e.ts - W <= c.ts < e.ts, floor(c/W) ∈ {floor(e/W) - 1, floor(e/W)},
+# so probing exactly two buckets per error loses nothing; the exact
+# range predicate then trims the bucket's false positives. Errors with
+# zero prior clicks are preserved by the final right join (count 0,
+# sum NULL).
+# --------------------------------------------------------------------------
+
+_RJ_SEC = 7200  # 2-hour lookback
+
+
+def q100_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    esec = F.col("ts").cast("timestamp_ltz").cast("long")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ets"), esec.alias("es")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        "value",
+        (esec / _RJ_SEC).cast("long").alias("b"),
+    )
+    probes = err.select(
+        "event_id",
+        "user_id",
+        "ets",
+        F.explode(
+            F.array(
+                (F.col("es") / _RJ_SEC).cast("long"),
+                (F.col("es") / _RJ_SEC).cast("long") - 1,
+            )
+        ).alias("b"),
+    )
+    matched = (
+        probes.join(clk, on=["user_id", "b"])
+        .filter(
+            (F.col("cts") >= F.col("ets") - F.expr(f"INTERVAL {_RJ_SEC} SECONDS"))
+            & (F.col("cts") < F.col("ets"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r4(F.sum("value")).alias("s"),
+        )
+    )
+    return err.join(matched, on="event_id", how="left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_prior_clicks"),
+        F.col("s").alias("sum_click_value"),
+    )
+
+
+Q100_SQL = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT e.event_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(c.value), 4) AS s
+  FROM err e JOIN clk c ON e.user_id = c.user_id
+   AND c.ts >= e.ts - INTERVAL {_RJ_SEC} SECOND AND c.ts < e.ts
+  GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(m.n, CAST(0 AS BIGINT)) AS n_prior_clicks,
+       m.s AS sum_click_value
+FROM err e LEFT JOIN m ON e.event_id = m.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q101 — cross-document chunk containment. Two shuffles: df partial-agg
+# on the chunk fingerprint, then the fingerprint join back (AQE
+# broadcasts the df table per partition when it is small relative to
+# the corpus — at web scale the distinct-chunk table is the smaller
+# side after df>1 filtering... kept as a full join here because the
+# per-doc ratio needs every chunk's df verdict).
+# --------------------------------------------------------------------------
+
+_CHUNK = 20
+
+
+def q101_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {_CHUNK}.0) AS INT) - 1), "
+                f"b -> concat_ws(' ', slice(t, b * {_CHUNK} + 1, {_CHUNK})))"
+            )
+        ).alias("blk"),
+    ).select("doc_id", md5long(F.col("blk")).alias("h"))
+    df_tbl = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(df_tbl, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_if(F.col("ndocs") > 1).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            r4(F.col("n_shared") / F.col("n_chunks")).alias("share_ratio"),
+        )
+    )
+
+
+Q101_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(x='text')} AS tk FROM documents
+), tt AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+ch AS (
+  SELECT doc_id,
+         {MD5LONG_SQL.format(x=f"concat_ws(' ', list_slice(tk, b * {_CHUNK} + 1, (b + 1) * {_CHUNK}))")} AS h
+  FROM tt, unnest(range(0, CAST(ceil(len(tk) / {_CHUNK}.0) AS INT))) AS u(b)
+), dfreq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h
+)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (dfreq.ndocs > 1) AS BIGINT) AS n_shared,
+       ROUND(COUNT(*) FILTER (dfreq.ndocs > 1) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS share_ratio
+FROM ch JOIN dfreq ON ch.h = dfreq.h
+GROUP BY ch.doc_id
+"""
+
+
+QUERIES = {
+    "q99_gapfill_locf": q99_gapfill_locf,
+    "q100_range_join": q100_range_join,
+    "q101_chunk_containment": q101_chunk_containment,
+}
+
+ORACLES = {
+    "q99_gapfill_locf": Q99_SQL,
+    "q100_range_join": Q100_SQL,
+    "q101_chunk_containment": Q101_SQL,
+}

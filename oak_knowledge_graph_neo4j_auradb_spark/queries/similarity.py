@@ -664,12 +664,122 @@ GROUP BY af.c
     )
 
 
+# --------------------------------------------------------------------------
+# q98 — SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication"): partition the embedding
+# space into clusters, then inside each cluster drop every vector whose
+# cosine similarity to an earlier-kept vector exceeds τ. The two-level
+# structure is the whole point at 10⁹ vectors: the O(N²) pairwise step
+# runs only WITHIN a cluster, so total work is Σ|cluster|² ≈ N²/k, and
+# each cluster is one shuffle partition — raise k proportionally to N
+# and per-task work stays constant. Spark plan: centroid assignment is a
+# broadcast crossJoin (corpus never shuffles; k·dim doubles broadcast),
+# the pairwise step is ONE self-join shuffle keyed on cluster id. Hot
+# clusters at production scale get sub-bucketed by an SRP band (q30's
+# machinery) before the self-join — same τ semantics, bounded fan-out.
+# Drop rule: in a pair (id1 < id2) with sim > τ, id2 is the duplicate —
+# the keep-lowest-id convention makes the result order-independent.
+# All cosine math reuses the module's bit-exact fold helpers, so the
+# strict threshold compare (no pre-round) agrees with DuckDB exactly.
+# --------------------------------------------------------------------------
+
+_SD_K = 8
+_SD_TAU = 0.3
+
+
+def q98_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cent = e.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").cast("int").alias("c"), F.col("v").alias("cv")
+    )
+    d2 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "c", _sqdist(F.col("v"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c").asc())
+    a = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # norm computed ONCE per vector (q29's bit-identity posture)
+        .select("vec_id", "v", "c", norm(F.col("v")).alias("n"))
+    )
+    left = a.select(
+        "c",
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    right = a.select(
+        "c",
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = (
+        left.join(right, on="c")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "c",
+            "id2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") > _SD_TAU)
+    )
+    dup = pairs.groupBy("c").agg(
+        F.countDistinct("id2").cast("long").alias("n_dropped"),
+        r4(F.max("sim")).alias("max_dup_sim"),
+    )
+    total = a.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return total.join(dup, on="c", how="left").select(
+        F.col("c").alias("cluster"),
+        "n_total",
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        (F.col("n_total") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        "max_dup_sim",
+    )
+
+
+Q98_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS c, v AS cv FROM e WHERE vec_id < {_SD_K}
+), a AS (
+  SELECT vec_id, v, c,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM (
+    SELECT e.vec_id, e.v, c0.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.v', 'c0.cv')} ASC, c0.c ASC) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1
+), pairs AS (
+  SELECT l.c, r.vec_id AS id2,
+         {_dot_sql('l.v', 'r.v')} / (l.n * r.n) AS sim
+  FROM a l JOIN a r ON l.c = r.c AND l.vec_id < r.vec_id
+), dup AS (
+  SELECT c, CAST(COUNT(DISTINCT id2) AS BIGINT) AS n_dropped,
+         ROUND(MAX(sim), 4) AS max_dup_sim
+  FROM pairs WHERE sim > {_SD_TAU} GROUP BY c
+)
+SELECT t.c AS cluster, t.n_total,
+       COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       t.n_total - COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_kept,
+       d.max_dup_sim
+FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_total FROM a GROUP BY c) t
+LEFT JOIN dup d ON t.c = d.c
+"""
+
+
 QUERIES = {
     "q29_knn_bruteforce": q29_knn_bruteforce,
     "q30_lsh_neardup": q30_lsh_neardup,
     "q31_ivf_assign": q31_ivf_assign,
     "q33_ivf_probe_knn": q33_ivf_probe_knn,
     "q84_kmeans": q84_kmeans,
+    "q98_semdedup": q98_semdedup,
 }
 
 ORACLES = {
@@ -678,4 +788,5 @@ ORACLES = {
     "q31_ivf_assign": Q31_SQL,
     "q33_ivf_probe_knn": Q33_SQL,
     "q84_kmeans": _q84_sql(),
+    "q98_semdedup": Q98_SQL,
 }
