@@ -1437,6 +1437,59 @@ LEFT JOIN h2 ON v.id = h2.subj
     )
 
 
+# --------------------------------------------------------------------------
+# kg72 — bipartite projection of the unit↔thread incidence onto units:
+# unit pairs weighted by the number of threads they share (the standard
+# co-membership projection — "which units travel together through the
+# curriculum's threads"). Spark plan: one self-join keyed on the thread
+# id, then a partial-agg shuffle on the unit pair. Per-thread fan-out is
+# quadratic in the thread's unit count, so at web scale hot threads get
+# the q27 treatment — df-prune (a thread touching >k units contributes
+# no discriminative co-membership) or salt the self-join; the curriculum
+# graph's thread degree is bounded (~units-per-thread is a schema
+# property), so the plain keyed self-join is the right plan here.
+# Oracle: the same projection over kg37's independently derived `edges`
+# union — a value match re-checks endpoint resolution through one more
+# composition level.
+# --------------------------------------------------------------------------
+
+
+def kg72_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    ut = (
+        gb.resolved.filter(F.col("pred") == "HAS_THREAD")
+        .select("subj", "obj")
+        .distinct()
+    )
+    a = ut.select(F.col("obj").alias("t"), F.col("subj").alias("u1"))
+    b = ut.select(F.col("obj").alias("t"), F.col("subj").alias("u2"))
+    return (
+        a.join(b, on="t")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_threads"))
+        .select(
+            F.col("u1").alias("unit1"),
+            F.col("u2").alias("unit2"),
+            "n_shared_threads",
+        )
+    )
+
+
+def _kg72_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+ut AS (
+  SELECT DISTINCT subj AS u, obj AS t FROM edges WHERE pred = 'HAS_THREAD'
+)
+SELECT a.u AS unit1, b.u AS unit2, CAST(COUNT(*) AS BIGINT) AS n_shared_threads
+FROM ut a JOIN ut b ON a.t = b.t AND a.u < b.u
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -1456,6 +1509,7 @@ QUERIES = {
     "kg70_neighbor_features": kg70_neighbor_features,
     "kg71_personalized_pagerank": kg71_personalized_pagerank,
     "q91_modularity": q91_modularity,
+    "kg72_bipartite_projection": kg72_bipartite_projection,
 }
 
 ORACLES = {
@@ -1477,4 +1531,5 @@ ORACLES = {
     "kg70_neighbor_features": _kg70_sql(),
     "kg71_personalized_pagerank": _kg71_sql(),
     "q91_modularity": _q91_sql(),
+    "kg72_bipartite_projection": _kg72_sql(),
 }

@@ -247,12 +247,96 @@ FROM wide WHERE unit_slug IS NOT NULL
 """
 
 
+def q102_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the one join family the
+    surface didn't yet exercise (q66 is stream-static). Clicks and
+    errors are two event-time streams; the join keeps (click, error)
+    pairs for the same user where the error lands within 1 h AFTER the
+    click. Both sides carry a 2 h watermark and the join condition
+    carries the time bound, so Spark can size and EVICT the per-side
+    state stores (without the range bound, stream-stream state grows
+    forever — the production analog of streaming/ingest.py's TTL
+    posture). Drained availableNow over static input, the append-mode
+    result is exactly the batch range join: inner-join rows emit on
+    match; the watermark only garbage-collects state behind them."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = _as_stream_dir(f"{sf_dir}/events.parquet")
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").cast("timestamp").alias("ets"),
+        )
+        .withWatermark("ets", "2 hours")
+    )
+    j = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("ets") > F.col("cts"))
+        & (F.col("ets") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.col("ets").cast("long") - F.col("cts").cast("long")).alias(
+            "gap_sec"
+        ),
+    )
+    name = f"q102_mem_{next(_SEQ)}"
+    # Stream-stream joins materialize FOUR state stores per shuffle
+    # partition; at sandbox volume 64 partitions are pure fixed cost
+    # (~45 s of store setup/commit for 4k join-input rows). Pin the
+    # stateful-operator partition count low for the drain — a cluster
+    # run sizes this to its executor count instead — and restore the
+    # session default afterwards (the drain is synchronous).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            j.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+Q102_SQL = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+         AS gap_sec
+FROM events c JOIN events e
+  ON c.event_type = 'click' AND e.event_type = 'error'
+ AND c.user_id = e.user_id
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
     "q66_stream_static_join": q66_stream_static_join,
     "q83_stream_dedup": q83_stream_dedup,
     "q92_stream_merge": q92_stream_merge,
+    "q102_stream_stream_join": q102_stream_stream_join,
 }
 
 ORACLES = {
@@ -261,4 +345,5 @@ ORACLES = {
     "q66_stream_static_join": Q66_SQL,
     "q83_stream_dedup": Q83_SQL,
     "q92_stream_merge": _q92_sql(),
+    "q102_stream_stream_join": Q102_SQL,
 }
