@@ -370,6 +370,316 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+# -- Q7: volume shipping -------------------------------------------------
+# Bidirectional nation-pair trade volume by ship year. Plan: the two
+# nation lookups broadcast; supplier (100 rows) and customer broadcast;
+# the only shuffle is lineitem⋈orders on the order key, then a tiny
+# partial agg. The OR'd pair predicate is pushed below the join by
+# Catalyst as a semi-filter on each nation dimension.
+
+_D_1998_01_01 = 883612800
+_D_1999_01_01 = 915148800
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (_epoch("l_shipdate") >= _D_1996_01_01)
+        & (_epoch("l_shipdate") < _D_1998_01_01)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp_ltz"))
+            .cast("long")
+            .alias("l_year"),
+        )
+        .agg(r4(F.sum(_rev())).alias("revenue"))
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND epoch(l.l_shipdate) >= {_D_1996_01_01}
+  AND epoch(l.l_shipdate) < {_D_1998_01_01}
+GROUP BY 1, 2, 3
+"""
+
+
+# -- Q8: national market share -------------------------------------------
+# Share of EUROPE's PROMO-part order volume supplied by NATION_3, by
+# order year. The case-sum / sum division renders at 4dp like every
+# money aggregate.
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        (_epoch("o_orderdate") >= _D_1996_01_01)
+        & (_epoch("o_orderdate") < _D_1998_01_01)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = _rev()
+    return (
+        j.groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp_ltz"))
+            .cast("long")
+            .alias("o_year")
+        )
+        .agg(
+            r4(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+  AND epoch(o.o_orderdate) >= {_D_1996_01_01}
+  AND epoch(o.o_orderdate) < {_D_1998_01_01}
+GROUP BY 1
+"""
+
+
+# -- Q15: top supplier ------------------------------------------------------
+# Q15's CREATE VIEW revenue0 + scalar-max correlated filter, as a
+# self-referencing plan: the per-supplier quarterly revenue agg is
+# computed once, and the max is a single-row broadcast joined back.
+# Max selection compares the ROUNDED revenue (the surface's shared
+# tie-break convention) so float summation order can't flip the argmax.
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (_epoch("l_shipdate") >= _D_1996_01_01)
+        & (_epoch("l_shipdate") < _D_1996_04_01)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        r4(F.sum(_rev())).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE epoch(l_shipdate) >= {_D_1996_01_01}
+    AND epoch(l_shipdate) < {_D_1996_04_01}
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue0 r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+# -- Q17: small-quantity-order revenue --------------------------------------
+# Correlated scalar subquery (per-part 0.2·avg(quantity) threshold)
+# decorrelated into an agg + join — the plan Catalyst produces for the
+# textbook form anyway, stated explicitly. Quantities are integral
+# doubles, so the per-part avg is EXACT in both engines (integer sums
+# < 2^53 are order-independent) and the strict `<` threshold cannot
+# straddle an ulp.
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.2).alias("thresh")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(avg_q, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+TPCH_Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# -- Q19: discounted revenue (OR-of-conjuncts) -------------------------------
+# Three (brand, size-range, quantity-range) predicate families OR'd
+# together — the disjunctive-pushdown stress case: Catalyst pushes the
+# shared join key and the per-branch part filters into both scans.
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(15, 40)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        r4(F.sum(_rev())).alias("revenue"),
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 40
+       AND l.l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# -- Q22: global sales opportunity (variant) ---------------------------------
+# The reference keys on phone country codes (absent here); the variant
+# keeps Q22's operator shape — scalar-subquery threshold + NOT EXISTS
+# anti-join — gating on "above-average-balance customers with no order
+# since 1999". Plan: the avg is a single-row broadcast, the anti-join
+# is a left-anti on the customer key.
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(_epoch("o_orderdate") >= _D_1999_01_01)
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = f"""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND epoch(o.o_orderdate) >= {_D_1999_01_01})
+GROUP BY c.c_nationkey
+"""
+
+
 QUERIES = {
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
@@ -379,6 +689,12 @@ QUERIES = {
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
     "tpch_q18": tpch_q18,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
+    "tpch_q19": tpch_q19,
+    "tpch_q22": tpch_q22,
 }
 
 ORACLES = {
@@ -390,4 +706,10 @@ ORACLES = {
     "tpch_q13": TPCH_Q13_SQL,
     "tpch_q14": TPCH_Q14_SQL,
     "tpch_q18": TPCH_Q18_SQL,
+    "tpch_q7": TPCH_Q7_SQL,
+    "tpch_q8": TPCH_Q8_SQL,
+    "tpch_q15": TPCH_Q15_SQL,
+    "tpch_q17": TPCH_Q17_SQL,
+    "tpch_q19": TPCH_Q19_SQL,
+    "tpch_q22": TPCH_Q22_SQL,
 }
