@@ -79,6 +79,22 @@ AUDIT = [
     ("tpch_q6", 1, 0),  # all predicates pushed; single 1-row agg
     ("q96_event_trigrams", 3, 0),  # two LEADs share one user_id window sort
     ("q97_token_entropy", 3, 0),  # (doc,tok) agg + doc window + lang agg
+    ("q98_semdedup", 8, 0),  # assign window + cluster self-join + 2 aggs
+    ("q99_gapfill_locf", 5, 0),  # daily agg, grid join + LOCF share type key
+    ("q100_range_join", 6, 0),  # (user,bucket) join + event_id agg + zero-keep
+    ("q101_chunk_containment", 4, 0),  # chunk df agg + join-back + doc agg
+    ("tpch_q7", 4, 0),  # lineitem⋈orders shuffle; all dims broadcast
+    ("tpch_q8", 4, 0),  # same spine as q7 + part/region broadcasts
+    ("tpch_q15", 3, 0),  # revenue agg + 1-row max broadcast back
+    ("tpch_q17", 5, 0),  # per-part avg agg + partkey join + 1-row agg
+    ("tpch_q19", 2, 0),  # broadcast part; OR-of-conjuncts in the scan span
+    ("tpch_q22", 4, 0),  # 1-row avg broadcast + left-anti + nation agg
+    # kg72's static plan embeds the FULL kg construction (the audit
+    # session doesn't reuse the memoized/persisted build): the 3
+    # sanctioned Arrow stages (unescape, dual-dialect JSON, thread
+    # expansion) and the melt/dims/resolve exchanges all appear; the
+    # projection itself adds only the thread self-join + pair agg.
+    ("kg72_bipartite_projection", 12, 3),
 ]
 
 
