@@ -255,14 +255,142 @@ GROUP BY ch.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q103 — snapshot reconciliation via FULL OUTER join (the one join
+# flavor the surface didn't yet exercise): per-user high-value purchase
+# totals in the first half of the month vs the second, full-outer
+# joined and classified added / removed / changed / same. This is the
+# table-diff operator every incremental pipeline needs between two
+# snapshot versions. Plan: two branch aggs over one scan share the
+# user_id shuffle; the full-outer join is key-colocated with them.
+# Status compares the ROUNDED totals (shared rendering), so the
+# classification is engine-portable.
+# --------------------------------------------------------------------------
+
+_SPLIT_DAY = 19738  # 2024-01-16 UTC, epoch days
+_HV_MIN = 100.0
+
+
+def q103_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > _HV_MIN))
+        .select("user_id", _eday("ts").alias("day"), "value")
+    )
+    a = (
+        ev.filter(F.col("day") < _SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(r4(F.sum("value")).alias("total_a"))
+    )
+    b = (
+        ev.filter(F.col("day") >= _SPLIT_DAY)
+        .groupBy("user_id")
+        .agg(r4(F.sum("value")).alias("total_b"))
+    )
+    j = a.join(b, on="user_id", how="full_outer")
+    status = (
+        F.when(F.col("total_a").isNull(), F.lit("added"))
+        .when(F.col("total_b").isNull(), F.lit("removed"))
+        .when(F.col("total_a") == F.col("total_b"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("user_id", "total_a", "total_b", status.alias("status"))
+
+
+Q103_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         value
+  FROM events WHERE event_type = 'purchase' AND value > {_HV_MIN}
+), a AS (
+  SELECT user_id, round(sum(value), 4) AS total_a
+  FROM ev WHERE day < {_SPLIT_DAY} GROUP BY user_id
+), b AS (
+  SELECT user_id, round(sum(value), 4) AS total_b
+  FROM ev WHERE day >= {_SPLIT_DAY} GROUP BY user_id
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.total_a, b.total_b,
+       CASE WHEN a.total_a IS NULL THEN 'added'
+            WHEN b.total_b IS NULL THEN 'removed'
+            WHEN a.total_a = b.total_b THEN 'same'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q104 — incremental aggregation / materialized-view maintenance: the
+# base-period rollup is a stored partial-aggregate table; the delta
+# period produces another; the published view re-aggregates the ALGEBRAIC
+# partials (count ⊕ sum ⊕ min ⊕ max, avg derived at publish time —
+# never averaged partials). The oracle computes the full-table rollup
+# directly, so a value match PROVES the merge is lossless — the property
+# that lets a 100-TB pipeline maintain rollups by touching only the new
+# partition instead of rescanning history. (Numerically this is exactly
+# Spark's own partial→final agg path, stated at the table level.)
+# --------------------------------------------------------------------------
+
+
+def q104_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _eday("ts").alias("day"), "value"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("day") < _SPLIT_DAY))
+    delta = partial(ev.filter(F.col("day") >= _SPLIT_DAY))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        r4(F.col("s")).alias("sum_value"),
+        r4(F.col("mn")).alias("min_value"),
+        r4(F.col("mx")).alias("max_value"),
+        r4(F.col("s") / F.col("n")).alias("avg_value"),
+    )
+
+
+Q104_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
+    "q103_full_outer_reconcile": q103_full_outer_reconcile,
+    "q104_incremental_agg": q104_incremental_agg,
 }
 
 ORACLES = {
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,
+    "q103_full_outer_reconcile": Q103_SQL,
+    "q104_incremental_agg": Q104_SQL,
 }

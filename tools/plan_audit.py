@@ -89,6 +89,8 @@ AUDIT = [
     ("tpch_q17", 5, 0),  # per-part avg agg + partkey join + 1-row agg
     ("tpch_q19", 2, 0),  # broadcast part; OR-of-conjuncts in the scan span
     ("tpch_q22", 4, 0),  # 1-row avg broadcast + left-anti + nation agg
+    ("q103_full_outer_reconcile", 4, 0),  # branch aggs + FO join share user_id
+    ("q104_incremental_agg", 4, 0),  # 2 partial aggs + merge agg on event_type
     # kg72's static plan embeds the FULL kg construction (the audit
     # session doesn't reuse the memoized/persisted build): the 3
     # sanctioned Arrow stages (unescape, dual-dialect JSON, thread
