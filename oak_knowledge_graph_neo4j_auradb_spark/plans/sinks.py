@@ -112,15 +112,24 @@ def write_graph(
             report.stages_skipped.append(stage)
             return spark.read.parquet(full)
         t0 = time.monotonic()
-        w = df.write.mode("overwrite").option(
-            "maxRecordsPerFile", max_records_per_file
+        # the row-count metric rides the WRITE job itself (observe),
+        # instead of a second count() job per table — with ~19 output
+        # tables that post-write job tail is pure scheduling latency
+        # (the Amdahl tail the submit ladder measured; BASELINE.md)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"emit_{stage}")
+        w = (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
         )
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(full)
         out = spark.read.parquet(full)
         report.stages_run.append(stage)
-        report.metrics[f"{stage}_rows"] = out.count()
+        report.metrics[f"{stage}_rows"] = obs.get["n"]
         report.metrics[f"{stage}_sec"] = round(time.monotonic() - t0, 3)
         lineage_parts.append(partition_lineage(out, stage, key))
         return out

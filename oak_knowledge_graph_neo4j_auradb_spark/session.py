@@ -68,6 +68,14 @@ def _tune(builder, shuffle_partitions: int):
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # PySpark's per-API-call error call-site capture costs THREE
+        # extra py4j round trips (conf.get + PySparkCurrentOrigin.set/
+        # clear) plus a Python stack walk per DataFrame method. The
+        # flagship's 61-branch melt makes thousands of API calls while
+        # building its plan, so the documented opt-out measurably cuts
+        # plan-construction latency; the only cost is losing Python
+        # call-site lines inside JVM AnalysisException messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
 
 
