@@ -1490,6 +1490,84 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# kg73 — root-to-node PATH ENUMERATION over the resolved curriculum DAG
+# (the `MATCH path = (root)-[*]->(n) RETURN path` graph-DB feature, per
+# depth): every directed path from an in-degree-0 root, rendered as a
+# `node/PRED>node/...` string. Spark: frontier-join rounds like kg66's
+# BFS, but carrying the accumulated path string instead of min-depth —
+# each round is one key-colocated join + localCheckpoint (lineage cut).
+# Path count is polynomial here (fan-in multiplies routes, the schema
+# bounds depth at 6); at web scale path enumeration is capped by depth
+# and, where needed, by per-node route sampling — stated in the depth
+# parameter. Output: per-depth histogram + lexicographic min/max path
+# (stable, order-free evidence over ~25k paths). Oracle: recursive CTE
+# building the identical strings over the independent edge union.
+# --------------------------------------------------------------------------
+
+_PATH_MAX_DEPTH = 8
+
+
+def kg73_root_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
+    roots = (
+        e.select("subj")
+        .distinct()
+        .join(e.select(F.col("obj").alias("subj")).distinct(), "subj", "left_anti")
+    )
+    frontier = roots.select(
+        F.col("subj").alias("node"),
+        F.col("subj").alias("path"),
+        F.lit(0).cast("long").alias("depth"),
+    ).localCheckpoint()
+    all_paths = frontier
+    for d in range(1, _PATH_MAX_DEPTH + 1):
+        nxt = (
+            e.join(frontier, e.subj == frontier.node)
+            .select(
+                F.col("obj").alias("node"),
+                F.concat(
+                    F.col("path"), F.lit("/"), F.col("pred"), F.lit(">"), F.col("obj")
+                ).alias("path"),
+                F.lit(d).cast("long").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        all_paths = all_paths.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return all_paths.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.min("path").alias("min_path"),
+        F.max("path").alias("max_path"),
+    )
+
+
+def _kg73_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM edges),
+roots AS (SELECT DISTINCT subj AS node FROM e
+          WHERE subj NOT IN (SELECT obj FROM e)),
+p AS (
+  SELECT node, node AS path, 0 AS depth FROM roots
+  UNION ALL
+  SELECT e.obj, p.path || '/' || e.pred || '>' || e.obj, p.depth + 1
+  FROM e JOIN p ON e.subj = p.node WHERE p.depth < {_PATH_MAX_DEPTH}
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       MIN(path) AS min_path, MAX(path) AS max_path
+FROM p GROUP BY depth
+"""
+
+
 QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
@@ -1510,6 +1588,7 @@ QUERIES = {
     "kg71_personalized_pagerank": kg71_personalized_pagerank,
     "q91_modularity": q91_modularity,
     "kg72_bipartite_projection": kg72_bipartite_projection,
+    "kg73_root_paths": kg73_root_paths,
 }
 
 ORACLES = {
@@ -1532,4 +1611,5 @@ ORACLES = {
     "kg71_personalized_pagerank": _kg71_sql(),
     "q91_modularity": _q91_sql(),
     "kg72_bipartite_projection": _kg72_sql(),
+    "kg73_root_paths": _kg73_sql(),
 }
