@@ -379,12 +379,197 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q105 — robust outlier detection via median/MAD (the robust-statistics
+# complement of q73's mean/σ z-score, which a single extreme value can
+# mask). Two exact-percentile aggs (median, then median of |v − med|),
+# each a partial agg on event_type + a broadcast-back join — the q37
+# percentile machinery proved Spark `percentile` ≡ DuckDB
+# `quantile_cont` exactly, so the 3.0 robust-z threshold compares
+# identical doubles. At scale the exact median swaps for the
+# percentile_approx sketch (q45) with the same plan shape.
+# --------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # normal-consistency constant
+_RZ_CUT = 3.0
+
+
+def q105_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad"), F.first("med").alias("med")
+    )
+    rz = dev.select("event_type", "value").join(
+        F.broadcast(mad), on="event_type"
+    ).select(
+        "event_type",
+        "med",
+        "mad",
+        (F.abs(F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad"))).alias(
+            "rz"
+        ),
+    )
+    return rz.groupBy("event_type").agg(
+        r4(F.first("med")).alias("median"),
+        r4(F.first("mad")).alias("mad"),
+        F.count_if(F.col("rz") > _RZ_CUT).cast("long").alias("n_outliers"),
+        r4(F.max("rz")).alias("max_rz"),
+    )
+
+
+Q105_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad, ANY_VALUE(med) AS med
+  FROM dev GROUP BY event_type
+), rz AS (
+  SELECT d.event_type, m.med, m.mad,
+         abs(d.value - m.med) / ({_MAD_K} * m.mad) AS rz
+  FROM dev d JOIN mad m ON d.event_type = m.event_type
+)
+SELECT event_type,
+       ROUND(ANY_VALUE(med), 4) AS median,
+       ROUND(ANY_VALUE(mad), 4) AS mad,
+       CAST(COUNT(*) FILTER (rz > {_RZ_CUT}) AS BIGINT) AS n_outliers,
+       ROUND(MAX(rz), 4) AS max_rz
+FROM rz GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q106 — WEIGHTED quantiles (p25/median/p75) of document token counts,
+# weighted by byte size — the statistic corpus-mixture balancing
+# actually needs (an unweighted median over docs misstates the
+# token-mass distribution). All arithmetic is INTEGER-exact: weights
+# and values are ints, the ordered running sum is sequential in both
+# engines, and the q·total comparison is rational — no float rounding
+# anywhere, so the driver compare is exact by construction. Plan: one
+# window sort per lang (the running sum), one broadcast totals join,
+# one min-agg per quantile.
+# --------------------------------------------------------------------------
+
+
+def q106_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("tc"),
+            F.col("n_chars").cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("tc", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = d.select(
+        "lang", "tc", F.sum("w").over(win).alias("cw")
+    )
+    tot = d.groupBy("lang").agg(F.sum("w").alias("tw"))
+    j = cum.join(F.broadcast(tot), on="lang")
+    qs = []
+    for name, num, den in (("wp25", 1, 4), ("wmedian", 1, 2), ("wp75", 3, 4)):
+        qs.append(
+            F.min(
+                F.when(F.col("cw") * den >= F.col("tw") * num, F.col("tc"))
+            ).alias(name)
+        )
+    return j.groupBy("lang").agg(*qs)
+
+
+Q106_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len({TOKENS_SQL.format(x='text')}) AS BIGINT) AS tc,
+         CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars > 0
+), cum AS (
+  SELECT lang, tc,
+         SUM(w) OVER (PARTITION BY lang ORDER BY tc, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM d
+), tot AS (SELECT lang, SUM(w) AS tw FROM d GROUP BY lang)
+SELECT c.lang,
+       MIN(CASE WHEN c.cw * 4 >= t.tw * 1 THEN c.tc END) AS wp25,
+       MIN(CASE WHEN c.cw * 2 >= t.tw * 1 THEN c.tc END) AS wmedian,
+       MIN(CASE WHEN c.cw * 4 >= t.tw * 3 THEN c.tc END) AS wp75
+FROM cum c JOIN tot t ON c.lang = t.lang
+GROUP BY c.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q107 — time-weighted average (the TSDB `time_weight('Linear'/'LOCF')`
+# operator): per user, each event's value holds until the next event
+# (LOCF weighting), so TWA = Σ value·Δt / span. One lead() window per
+# user supplies Δt (integer seconds — exact); the weighted sum renders
+# at 4dp like every money aggregate. Single shuffle: the window and the
+# final agg share the user_id partitioning.
+# --------------------------------------------------------------------------
+
+
+def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("t"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.lead("t").over(w) - F.col("t")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur").cast("long").alias("span_sec"),
+            r4(F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twa"),
+        )
+        .filter(F.col("span_sec") > 0)
+    )
+
+
+Q107_SQL = """
+WITH seg AS (
+  SELECT user_id, value,
+         LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(dur) AS BIGINT) AS span_sec,
+       ROUND(SUM(value * dur) / SUM(dur), 4) AS twa
+FROM seg WHERE dur IS NOT NULL
+GROUP BY user_id HAVING SUM(dur) > 0
+"""
+
+
 QUERIES = {
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
     "q103_full_outer_reconcile": q103_full_outer_reconcile,
     "q104_incremental_agg": q104_incremental_agg,
+    "q105_robust_zscore": q105_robust_zscore,
+    "q106_weighted_quantiles": q106_weighted_quantiles,
+    "q107_time_weighted_avg": q107_time_weighted_avg,
 }
 
 ORACLES = {
@@ -393,4 +578,7 @@ ORACLES = {
     "q101_chunk_containment": Q101_SQL,
     "q103_full_outer_reconcile": Q103_SQL,
     "q104_incremental_agg": Q104_SQL,
+    "q105_robust_zscore": Q105_SQL,
+    "q106_weighted_quantiles": Q106_SQL,
+    "q107_time_weighted_avg": Q107_SQL,
 }

@@ -90,6 +90,9 @@ AUDIT = [
     ("tpch_q19", 2, 0),  # broadcast part; OR-of-conjuncts in the scan span
     ("tpch_q22", 4, 0),  # 1-row avg broadcast + left-anti + nation agg
     ("q103_full_outer_reconcile", 4, 0),  # branch aggs + FO join share user_id
+    ("q105_robust_zscore", 6, 0),  # two percentile aggs + broadcast-backs
+    ("q106_weighted_quantiles", 4, 0),  # one window sort + totals broadcast
+    ("q107_time_weighted_avg", 1, 0),  # lead window + agg share user_id
     ("q104_incremental_agg", 4, 0),  # 2 partial aggs + merge agg on event_type
     # kg72's static plan embeds the FULL kg construction (the audit
     # session doesn't reuse the memoized/persisted build): the 3
