@@ -680,7 +680,350 @@ GROUP BY c.c_nationkey
 """
 
 
+# -- Q2 (variant): minimum-cost supplier ------------------------------------
+# The schema has no partsupp, so the (part, supplier) "supply cost" is
+# derived from lineitem as the minimum observed unit price — rounded to
+# 4dp BEFORE the MIN so the reduction is order-independent. Shape
+# preserved from the reference Q2: region-restricted suppliers, a
+# correlated per-part minimum (window MIN here — the decorrelation
+# Catalyst produces for the textbook scalar subquery), and a top-20 by
+# account balance with a full tie-break.
+
+_D_1995_01_01 = 788918400
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    uc = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
+            "cost"
+        )
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    cand = (
+        uc.join(F.broadcast(eu), uc.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            uc.l_partkey == F.col("p_partkey"),
+        )
+        .withColumn(
+            "mc", F.min("cost").over(Window.partitionBy("p_partkey"))
+        )
+        .filter(F.col("cost") == F.col("mc"))
+    )
+    w = Window.orderBy(
+        F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+    )
+
+
+TPCH_Q2_SQL = """
+WITH uc AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 4)) AS cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name, uc.cost,
+         MIN(uc.cost) OVER (PARTITION BY p.p_partkey) AS mc
+  FROM uc
+  JOIN eu ON uc.l_suppkey = eu.s_suppkey
+  JOIN part p ON uc.l_partkey = p.p_partkey
+  WHERE p.p_type = 'SMALL'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey) AS rn
+  FROM cand WHERE cost = mc
+) WHERE rn <= 20
+"""
+
+
+# -- Q9 (variant): product-type profit by nation and year --------------------
+# No ps_supplycost, so per-line profit is revenue minus a 10%-of-retail
+# cost proxy. The calendar year is replaced by a 365-day epoch bin from
+# 1995-01-01 — deterministic in both engines with no timezone or
+# calendar dependence. Plan: part + supplier→nation broadcast; the one
+# shuffle is lineitem⋈orders on the order key.
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor((_epoch("o_orderdate") - _D_1995_01_01) / 31536000)
+        .cast("bigint")
+        .alias("yr"),
+    )
+    amount = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name", "yr")
+        .agg(r4(F.sum(amount)).alias("profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n.n_name, CAST(floor((epoch(o.o_orderdate) - {_D_1995_01_01}) / 31536000)
+           AS BIGINT) AS yr,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2
+"""
+
+
+# -- Q11 (variant): important parts vs a global-share threshold ---------------
+# The reference's HAVING-against-a-scalar-subquery shape. Part value is
+# computed in INTEGER CENTS (round(price*100) cast to int64, times the
+# integral quantity) so both the per-part sums and the global total are
+# exact and the strict `>` threshold cannot straddle a float ulp —
+# value*1500 > total keeps parts ≥1.33× the mean share.
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    v = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1500 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+TPCH_Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_cents FROM v
+WHERE value_cents * 1500 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM v)
+"""
+
+
+# -- Q16 (variant): supplier-relationship counts ------------------------------
+# Distinct (part, supplier) pairs come from lineitem in place of
+# partsupp; the complaint-supplier NOT IN becomes an anti-join on a
+# name pattern. COUNT(DISTINCT supplier) per (brand, type, size) over
+# an 8-value size IN-list, excluding one brand and one type prefix.
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    )
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            pairs.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+
+# -- Q20 (variant): promotion-candidate suppliers -----------------------------
+# The nested-IN chain: suppliers who, for some 'red' part they supply,
+# shipped more than half of that part's all-time quantity inside
+# 1996-Q1 (min 40 units so singleton pairs don't trivially qualify).
+# Quantities are integral doubles summed as BIGINT — the 2·qw > tot
+# comparison is exact integer arithmetic in both engines.
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li = load(spark, sf_dir, "lineitem")
+    in_win = (_epoch("l_shipdate") >= _D_1996_01_01) & (
+        _epoch("l_shipdate") < _D_1996_04_01
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    agg = (
+        li.join(
+            F.broadcast(red.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_win, qty).otherwise(F.lit(0))).alias("qw"),
+            F.sum(qty).alias("tot"),
+        )
+        .filter((F.col("tot") >= 40) & (2 * F.col("qw") > F.col("tot")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(agg, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+TPCH_Q20_SQL = f"""
+WITH agg AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN epoch(l_shipdate) >= {_D_1996_01_01}
+                   AND epoch(l_shipdate) < {_D_1996_04_01}
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qw,
+         SUM(CAST(l_quantity AS BIGINT)) AS tot
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2
+)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM agg WHERE tot >= 40 AND 2 * qw > tot)
+"""
+
+
+# -- Q21 (variant): suppliers who kept orders waiting --------------------------
+# Lateness = shipped more than 90 days after the order date, over
+# finished ('F') orders. The textbook EXISTS / NOT-EXISTS pair is
+# decorrelated into one per-order aggregate — nsupp ≥ 2 (some other
+# supplier touched the order) and nlate = 1 (every late line is this
+# supplier's) — one shuffle instead of a triple self-join; the oracle
+# keeps the correlated form, cross-validating the decorrelation.
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (_epoch("l_shipdate") > _epoch("o_orderdate") + 7776000).alias("late"),
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "nlate"
+        ),
+    )
+    waiting = (
+        base.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("s_name", "numwait")
+    )
+
+
+TPCH_Q21_SQL = """
+WITH numwait AS (
+  SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM lineitem l1
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+  WHERE o.o_orderstatus = 'F'
+    AND epoch(l1.l_shipdate) > epoch(o.o_orderdate) + 7776000
+    AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND epoch(l3.l_shipdate) > epoch(o.o_orderdate) + 7776000)
+  GROUP BY s.s_name
+)
+SELECT s_name, numwait FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS rn
+  FROM numwait
+) WHERE rn <= 20
+"""
+
+
 QUERIES = {
+    "tpch_q2": tpch_q2,
+    "tpch_q9": tpch_q9,
+    "tpch_q11": tpch_q11,
+    "tpch_q16": tpch_q16,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
     "tpch_q3": tpch_q3,
     "tpch_q4": tpch_q4,
     "tpch_q6": tpch_q6,
@@ -698,6 +1041,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q2": TPCH_Q2_SQL,
+    "tpch_q9": TPCH_Q9_SQL,
+    "tpch_q11": TPCH_Q11_SQL,
+    "tpch_q16": TPCH_Q16_SQL,
+    "tpch_q20": TPCH_Q20_SQL,
+    "tpch_q21": TPCH_Q21_SQL,
     "tpch_q3": TPCH_Q3_SQL,
     "tpch_q4": TPCH_Q4_SQL,
     "tpch_q6": TPCH_Q6_SQL,
