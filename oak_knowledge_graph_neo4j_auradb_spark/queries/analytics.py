@@ -561,7 +561,51 @@ GROUP BY user_id HAVING SUM(dur) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q108 — SQL-standard linear-regression aggregates (REGR_* family):
+# per-group OLS slope/intercept/R² of extended price on quantity — the
+# closed-form single-pass regression every warehouse exposes and the
+# cheap first-order feature/drift probe in a training pipeline. All
+# JVM-side partial aggregates (one shuffle); both engines implement the
+# identical SQL-standard formulas, so only rendering is rounded (slope/
+# intercept 4dp, R² 6dp — far above the ~1e-9 accumulated-float error).
+# --------------------------------------------------------------------------
+
+
+def q108_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
+
+
+Q108_SQL = """
+SELECT l_returnflag,
+       CAST(REGR_COUNT(CAST(l_extendedprice AS DOUBLE),
+                       CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(CAST(l_extendedprice AS DOUBLE),
+                        CAST(l_quantity AS DOUBLE)), 4) AS slope,
+       ROUND(REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE),
+                            CAST(l_quantity AS DOUBLE)), 4) AS intercept,
+       ROUND(REGR_R2(CAST(l_extendedprice AS DOUBLE),
+                     CAST(l_quantity AS DOUBLE)), 6) AS r2,
+       ROUND(REGR_AVGX(CAST(l_extendedprice AS DOUBLE),
+                       CAST(l_quantity AS DOUBLE)), 6) AS avg_x,
+       ROUND(REGR_AVGY(CAST(l_extendedprice AS DOUBLE),
+                       CAST(l_quantity AS DOUBLE)), 4) AS avg_y
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q108_regr_ols": q108_regr_ols,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -573,6 +617,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q108_regr_ols": Q108_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

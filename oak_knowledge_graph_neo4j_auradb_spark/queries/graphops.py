@@ -1568,7 +1568,78 @@ FROM p GROUP BY depth
 """
 
 
+# --------------------------------------------------------------------------
+# kg74 — TOPOLOGICAL LEVELS of the curriculum DAG: each node's layer is
+# its LONGEST path length from any in-degree-0 root (the scheduling /
+# dependency-layering primitive; contrast kg66's BFS = shortest). Spark:
+# kg73's frontier rounds carrying only (node, depth) with a per-round
+# distinct — frontier size is bounded by |V| instead of path count, so
+# this scales where enumeration wouldn't; depth ≤ 8 bounds the rounds.
+# The final max-depth groupBy is the one |V|-sized shuffle. Oracle:
+# recursive CTE over the same edge union, MAX(depth) per node.
+# --------------------------------------------------------------------------
+
+
+def kg74_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    roots = (
+        e.select("subj")
+        .distinct()
+        .join(e.select(F.col("obj").alias("subj")).distinct(), "subj", "left_anti")
+    )
+    frontier = roots.select(
+        F.col("subj").alias("node"), F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint()
+    reached = frontier
+    for d in range(1, _PATH_MAX_DEPTH + 1):
+        nxt = (
+            e.join(frontier, e.subj == frontier.node)
+            .select(
+                F.col("obj").alias("node"),
+                F.lit(d).cast("long").alias("depth"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    levels = reached.groupBy("node").agg(F.max("depth").alias("level"))
+    return levels.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def _kg74_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+roots AS (SELECT DISTINCT subj AS node FROM e
+          WHERE subj NOT IN (SELECT obj FROM e)),
+p AS (
+  SELECT node, 0 AS depth FROM roots
+  UNION
+  SELECT e.obj, p.depth + 1
+  FROM e JOIN p ON e.subj = p.node WHERE p.depth < {_PATH_MAX_DEPTH}
+),
+lvl AS (SELECT node, MAX(depth) AS level FROM p GROUP BY node)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM lvl GROUP BY level
+"""
+
+
 QUERIES = {
+    "kg74_topo_levels": kg74_topo_levels,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -1592,6 +1663,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg74_topo_levels": _kg74_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

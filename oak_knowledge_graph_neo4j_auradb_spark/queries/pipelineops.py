@@ -1356,7 +1356,269 @@ FROM per_doc GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q109 — the hashing trick (feature hashing): tokens map to a fixed
+# 64-bucket feature space via an engine-portable md5 hash — the
+# vocabulary-free vectorization stage (HashingTF) that needs no fitted
+# dictionary and therefore no extra pass or broadcast at 100 TB. One
+# explode + one partial-agg shuffle on the bucket id; per-document
+# vectors would group by (doc_id, bucket) with the same plan shape.
+# --------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+def q109_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        d.select(
+            "doc_id", (md5long(F.col("tok")) % _FH_BUCKETS).alias("feature_idx")
+        )
+        .groupBy("feature_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+Q109_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+)
+SELECT {MD5LONG_SQL.format(x='tok')} % {_FH_BUCKETS} AS feature_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q110 — heavy hitters via per-partition Misra-Gries summaries: each
+# partition keeps k=64 decrementing counters over its token stream
+# (mapInPandas, one pass, O(k) state — the mergeable-summaries pattern
+# from Agarwal et al., "Mergeable Summaries", PODS'12), the per-
+# partition candidate sets merge with a k-bounded groupBy, and the
+# guarantee — every token with global count > N/k survives the merge —
+# is ASSERTED against the exact top-10: the emitted `in_sketch` flag
+# must be uniformly true, and the oracle twin hardcodes TRUE (the same
+# error-bound-boolean trick as the HLL/approx-percentile queries).
+# On this corpus vocab < k, so the sketch is exact; at web scale k is
+# sized 1/θ for support threshold θ and the exact-count branch drops.
+# --------------------------------------------------------------------------
+
+_MG_K = 64
+
+
+def _mg_partition(it):
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in it:
+        for tok in pdf["tok"]:
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < _MG_K:
+                counters[tok] = 1
+            else:
+                dead = [t for t, c in counters.items() if c == 1]
+                for t in counters:
+                    counters[t] -= 1
+                for t in dead:
+                    del counters[t]
+    yield pd.DataFrame(
+        {"tok": list(counters), "mg_cnt": [counters[t] for t in counters]}
+    )
+
+
+def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sketch = (
+        d.mapInPandas(_mg_partition, "tok string, mg_cnt long")
+        .groupBy("tok")
+        .agg(F.sum("mg_cnt").alias("mg_cnt"))
+    )
+    exact = d.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    top = exact.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    return (
+        top.join(sketch.withColumnRenamed("tok", "stok"),
+                 top.tok == F.col("stok"), "left")
+        .select(
+            "tok", "cnt", F.col("stok").isNotNull().alias("in_sketch")
+        )
+    )
+
+
+Q110_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok
+)
+SELECT tok, cnt, TRUE AS in_sketch FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM exact
+) WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q111 — bloom-filter-pruned semi-join: the runtime-filter pattern
+# (Spark's InjectRuntimeFilter / DPP made explicit). The small filtered
+# dimension builds a 2-hash md5 bit set, broadcast as ONE array row;
+# the fact side drops non-members BEFORE the exact semi-join, so at
+# 100 TB the shuffle carries only probable matches. False positives are
+# killed by the exact join — the oracle twin is the plain semi-join,
+# and equality proves the bloom stage admits every true match (no
+# false negatives, the bloom invariant). In production the array
+# becomes a real BloomFilter via bloom_filter_agg; the plan shape —
+# build-broadcast-prefilter-join — is identical.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+
+
+def _bloom_hashes(keycol):
+    k = keycol.cast("string")
+    return (
+        md5long(k) % _BLOOM_M,
+        md5long(F.concat(k, F.lit("#2"))) % _BLOOM_M,
+    )
+
+
+def q111_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    h1, h2 = _bloom_hashes(F.col("c_custkey"))
+    bits = (
+        cust.select(F.explode(F.array(h1, h2)).alias("pos"))
+        .distinct()
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    o1, o2 = _bloom_hashes(F.col("o_custkey"))
+    pruned = (
+        orders.crossJoin(F.broadcast(bits))
+        .filter(
+            F.array_contains("bits", o1) & F.array_contains("bits", o2)
+        )
+        .drop("bits")
+    )
+    return (
+        pruned.join(
+            F.broadcast(cust.select("c_custkey")),
+            pruned.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+Q111_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q112 — bigram language-model scoring with add-one smoothing: corpus
+# bigram/unigram tables, then each document's mean −ln p(b|a) where
+# p(b|a) = (C(a b)+1)/(C(a)+V) — the n-gram upgrade of q80's KenLM-
+# style perplexity filter. The count tables are vocab-sized (broadcast
+# at any corpus scale); the corpus shuffles once on doc_id for the
+# per-document mean. Bigrams are built array-side (zip of two slices)
+# so the explode happens exactly once.
+# --------------------------------------------------------------------------
+
+
+def q112_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.a").alias("a"),
+            F.concat("p.a", F.lit(" "), "p.b").alias("bg"),
+        )
+    )
+    c2 = bg.groupBy(F.col("bg").alias("bg2")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    nll = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    doc = (
+        bg.join(F.broadcast(c2), bg.bg == F.col("bg2"))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a")), on="a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", nll.alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll").alias("doc_nll"))
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.avg("doc_nll")).alias("avg_nll"),
+        r4(F.min("doc_nll")).alias("min_nll"),
+        r4(F.max("doc_nll")).alias("max_nll"),
+    )
+
+
+Q112_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM tokd
+), uni AS (SELECT tok, COUNT(*) AS c1 FROM tok GROUP BY tok),
+v AS (SELECT COUNT(*) AS v FROM uni),
+bgt AS (
+  SELECT doc_id, lang, t[i] AS a, t[i] || ' ' || t[i + 1] AS bg
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgt GROUP BY bg),
+doc AS (
+  SELECT b.doc_id, b.lang,
+         AVG(-ln((c2.c2 + 1.0) / (u.c1 + v.v))) AS doc_nll
+  FROM bgt b JOIN c2 ON b.bg = c2.bg JOIN uni u ON b.a = u.tok CROSS JOIN v
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 4) AS avg_nll,
+       ROUND(MIN(doc_nll), 4) AS min_nll,
+       ROUND(MAX(doc_nll), 4) AS max_nll
+FROM doc GROUP BY lang
+"""
+
+
 QUERIES = {
+    "q109_feature_hashing": q109_feature_hashing,
+    "q110_heavy_hitters": q110_heavy_hitters,
+    "q111_bloom_prune": q111_bloom_prune,
+    "q112_bigram_lm": q112_bigram_lm,
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
     "q72_pattern_scrub": q72_pattern_scrub,
@@ -1384,6 +1646,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q109_feature_hashing": Q109_SQL,
+    "q110_heavy_hitters": Q110_SQL,
+    "q111_bloom_prune": Q111_SQL,
+    "q112_bigram_lm": Q112_SQL,
     "q70_block_boilerplate": Q70_SQL,
     "q71_pack_offset": Q71_SQL,
     "q72_pattern_scrub": Q72_SQL,
