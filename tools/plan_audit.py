@@ -100,6 +100,18 @@ AUDIT = [
     # expansion) and the melt/dims/resolve exchanges all appear; the
     # projection itself adds only the thread self-join + pair agg.
     ("kg72_bipartite_projection", 12, 3),
+    ("tpch_q2", 5, 0),  # pair-cost agg + per-part window + top-20 window
+    ("tpch_q9", 5, 0),  # dims broadcast; lineitem⋈orders is the shuffle
+    ("tpch_q11", 4, 0),  # partkey agg + 1-row total broadcast back
+    ("tpch_q16", 3, 0),  # broadcast anti-join + 2-phase count-distinct
+    ("tpch_q20", 5, 0),  # (supp,part) agg + distinct + semi-join
+    ("tpch_q21", 9, 0),  # order spine join + per-order agg + join-back
+    ("q108_regr_ols", 1, 0),  # one partial+final REGR_* agg
+    ("q109_feature_hashing", 3, 0),  # explode + 2-phase count-distinct
+    ("q110_heavy_hitters", 6, 1),  # MG mapInPandas is the 1 Arrow stage
+    ("q111_bloom_prune", 5, 0),  # bit-set 1-row agg + broadcast prefilter
+    ("q112_bigram_lm", 6, 0),  # vocab/bigram aggs broadcast; doc+lang aggs
+    ("kg74_topo_levels", 4, 0),  # rounds checkpointed; 2 final aggs remain
 ]
 
 
