@@ -604,8 +604,134 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q113 — exponential smoothing (EWMA, α=0.5) per user series, in closed
+# form: s_n = Σᵢ value_i · 0.5^{w(i)} with w(1)=n−1, w(i>1)=n−i+1 —
+# the drift/trend primitive streaming monitors keep per key. α=1/2
+# makes every weight an exact power of two, so each term is an EXACT
+# IEEE scaling of the input in both engines and only the final sum
+# order needs the shared 4dp rendering. Plan: ONE window shuffle on
+# user_id (row_number and count share the sort), one per-user agg on
+# the same partitioning, one 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q113_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ord_ = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    expo = F.when(F.col("i") == 1, F.col("n") - 1).otherwise(
+        F.col("n") - F.col("i") + 1
+    )
+    s = ord_.groupBy("user_id").agg(
+        F.sum(F.col("value") * F.pow(F.lit(0.5), expo)).alias("ewma")
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        r4(F.avg("ewma")).alias("avg_ewma"),
+        r4(F.min("ewma")).alias("min_ewma"),
+        r4(F.max("ewma")).alias("max_ewma"),
+    )
+
+
+Q113_SQL = """
+WITH ord AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT user_id,
+         SUM(value * pow(0.5, CASE WHEN i = 1 THEN n - 1
+                                   ELSE n - i + 1 END)) AS ewma
+  FROM ord GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(ewma), 4) AS avg_ewma,
+       ROUND(MIN(ewma), 4) AS min_ewma,
+       ROUND(MAX(ewma), 4) AS max_ewma
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q114 — association rules over per-user event baskets: support,
+# confidence, and lift for every event-type pair — the market-basket
+# co-occurrence stage (and the lift statistic behind corpus-mix /
+# co-topic audits). Baskets are the DISTINCT (user, type) pairs; the
+# pair join is a self-join on user_id whose fan-out is bounded by the
+# (small) per-user basket, and the item-count table broadcasts. All
+# counts are integers; the three ratios divide identical integers in
+# both engines, rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q114_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    n_users = basket.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    item = basket.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.select("user_id", F.col("event_type").alias("a"))
+    b = basket.select("user_id", F.col("event_type").alias("b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ab"))
+    )
+    ca = item.select(F.col("event_type").alias("a"), F.col("c").alias("ca"))
+    cb = item.select(F.col("event_type").alias("b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a",
+            "b",
+            F.col("ab").cast("long").alias("pair_cnt"),
+            F.round(F.col("ab") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("ab") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("ab") * F.col("n_users") / (F.col("ca") * F.col("cb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+Q114_SQL = """
+WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+item AS (SELECT event_type, COUNT(*) AS c FROM basket GROUP BY 1),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS ab
+  FROM basket x JOIN basket y ON x.user_id = y.user_id
+  WHERE x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, CAST(p.ab AS BIGINT) AS pair_cnt,
+       ROUND(CAST(p.ab AS DOUBLE) / n.n_users, 6) AS support,
+       ROUND(CAST(p.ab AS DOUBLE) / ia.c, 6) AS confidence,
+       ROUND(CAST(p.ab AS DOUBLE) * n.n_users / (ia.c * ib.c), 6) AS lift
+FROM pairs p
+JOIN item ia ON p.a = ia.event_type
+JOIN item ib ON p.b = ib.event_type
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "q108_regr_ols": q108_regr_ols,
+    "q113_ewma": q113_ewma,
+    "q114_assoc_rules": q114_assoc_rules,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -618,6 +744,8 @@ QUERIES = {
 
 ORACLES = {
     "q108_regr_ols": Q108_SQL,
+    "q113_ewma": Q113_SQL,
+    "q114_assoc_rules": Q114_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -9,7 +9,7 @@ regexp engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
@@ -1638,8 +1638,114 @@ FROM lvl GROUP BY level
 """
 
 
+# --------------------------------------------------------------------------
+# kg75 — PATH CENTRALITY over the curriculum DAG: for each node, the
+# number of complete root→leaf paths passing through it, computed as
+# down(v)·up(v) where down(v) = #(root→v paths) and up(v) = #(v→leaf
+# paths). This is DAG betweenness-by-path-count, and — unlike kg73's
+# enumeration — it runs as two COUNTING DPs: each frontier round
+# aggregates path counts per node (one key-colocated join + one partial
+# agg), so frontier size is |V| even where the path count is
+# exponential. That is the scale posture: centrality over 10^12-node
+# DAGs never materializes a path. All counts are integers (exact).
+# Oracle: the kg73-style recursive CTE run forward from roots and
+# backward from leaves; a path-row ending at v IS a root→v (resp.
+# v→leaf) path, so COUNT(*) per end node equals each DP.
+# --------------------------------------------------------------------------
+
+
+def _count_paths_from(e: DataFrame, sources: DataFrame) -> DataFrame:
+    """DP over frontier rounds: returns (node, cnt) where cnt = number
+    of directed paths (any length ≥ 0) from `sources` to node, edge set
+    `e` with columns (subj, obj)."""
+    frontier = sources.select(
+        F.col("node"), F.lit(1).cast("long").alias("cnt")
+    ).localCheckpoint()
+    total = frontier
+    for _ in range(_PATH_MAX_DEPTH):
+        nxt = (
+            e.join(frontier, e.subj == frontier.node)
+            .groupBy(F.col("obj").alias("node"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        total = total.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return total.groupBy("node").agg(F.sum("cnt").alias("cnt"))
+
+
+def kg75_path_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    roots = (
+        e.select(F.col("subj").alias("node"))
+        .distinct()
+        .join(e.select(F.col("obj").alias("node")).distinct(), "node", "left_anti")
+    )
+    leaves = (
+        e.select(F.col("obj").alias("node"))
+        .distinct()
+        .join(e.select(F.col("subj").alias("node")).distinct(), "node", "left_anti")
+    )
+    down = _count_paths_from(e, roots).withColumnRenamed("cnt", "down")
+    rev = e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    up = _count_paths_from(rev, leaves).withColumnRenamed("cnt", "up")
+    cent = (
+        down.join(up, "node")
+        .select(
+            "node",
+            "down",
+            "up",
+            (F.col("down") * F.col("up")).alias("centrality"),
+        )
+    )
+    e.unpersist()
+    w = Window.orderBy(F.desc("centrality"), F.asc("node"))
+    return (
+        cent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("node", "down", "up", "centrality")
+    )
+
+
+def _kg75_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+roots AS (SELECT DISTINCT subj AS node FROM e
+          WHERE subj NOT IN (SELECT obj FROM e)),
+leaves AS (SELECT DISTINCT obj AS node FROM e
+           WHERE obj NOT IN (SELECT subj FROM e)),
+fwd AS (
+  SELECT node, 0 AS depth FROM roots
+  UNION ALL
+  SELECT e.obj, fwd.depth + 1 FROM e JOIN fwd ON e.subj = fwd.node
+  WHERE fwd.depth < {_PATH_MAX_DEPTH}
+),
+bwd AS (
+  SELECT node, 0 AS depth FROM leaves
+  UNION ALL
+  SELECT e.subj, bwd.depth + 1 FROM e JOIN bwd ON e.obj = bwd.node
+  WHERE bwd.depth < {_PATH_MAX_DEPTH}
+),
+down AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS down FROM fwd GROUP BY node),
+up AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS up FROM bwd GROUP BY node)
+SELECT node, down, up, centrality FROM (
+  SELECT d.node, d.down, u.up, d.down * u.up AS centrality,
+         ROW_NUMBER() OVER (ORDER BY d.down * u.up DESC, d.node) AS rn
+  FROM down d JOIN up u ON d.node = u.node
+) WHERE rn <= 20
+"""
+
+
 QUERIES = {
     "kg74_topo_levels": kg74_topo_levels,
+    "kg75_path_centrality": kg75_path_centrality,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -1664,6 +1770,7 @@ QUERIES = {
 
 ORACLES = {
     "kg74_topo_levels": _kg74_sql(),
+    "kg75_path_centrality": _kg75_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

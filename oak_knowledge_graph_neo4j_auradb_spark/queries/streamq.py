@@ -330,7 +330,54 @@ FROM events c JOIN events e
 """
 
 
+def q115_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BOUNDED-STATE streaming
+    dedup (Spark 3.5+) q83's docstring defers to: state for a key is
+    evictable once the watermark passes its event time + delay, so the
+    store holds one delay-window of keys instead of the full history.
+    Dedup key = (user_id, event_type, hour-bucket); the delay here
+    exceeds the static corpus's span, so every duplicate pair is within
+    the threshold and the drained append output is EXACTLY the batch
+    DISTINCT — deterministic however the source files batch. Only the
+    key columns are emitted (which physical copy wins is arrival-
+    dependent; its non-key columns must not leak into the result)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = (
+        spark.readStream.schema(ev.schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withColumn("hr", F.floor(F.col("ts").cast("long") / 3600))
+        .withWatermark("ts", "87600 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+        .select("user_id", "event_type", "hr")
+    )
+    name = f"q115_mem_{next(_SEQ)}"
+    q = (
+        d.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_hours"))
+    )
+
+
+Q115_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_active_hours
+FROM (SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+      FROM events)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q115_stream_dedup_watermarked": q115_stream_dedup_watermarked,
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
     "q66_stream_static_join": q66_stream_static_join,
@@ -340,6 +387,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q115_stream_dedup_watermarked": Q115_SQL,
     "q35_stream_windowed_counts": Q35_SQL,
     "q36_stream_first_seen": _q36_sql(),
     "q66_stream_static_join": Q66_SQL,

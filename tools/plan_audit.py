@@ -112,6 +112,13 @@ AUDIT = [
     ("q111_bloom_prune", 5, 0),  # bit-set 1-row agg + broadcast prefilter
     ("q112_bigram_lm", 6, 0),  # vocab/bigram aggs broadcast; doc+lang aggs
     ("kg74_topo_levels", 4, 0),  # rounds checkpointed; 2 final aggs remain
+    ("q113_ewma", 3, 0),  # one user_id window sort + per-user agg + rollup
+    # the basket-distinct subtree appears once per consumer in the STATIC
+    # plan (4×); the exchanges are bit-identical, so ReuseExchange
+    # collapses them to one at runtime — the executed plan shuffles
+    # events once for the basket, once for the pair agg
+    ("q114_assoc_rules", 6, 0),
+    ("kg75_path_centrality", 8, 0),  # DP rounds checkpointed; joins + top-20
 ]
 
 
