@@ -728,10 +728,176 @@ CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# q116 — LINEAR-INTERPOLATION gap fill over the day grid (the
+# interpolate() companion to q99's LOCF): missing days get
+# prev + (next−prev)·(day−prev_day)/(next_day−prev_day) between the
+# surrounding observations, NULL outside them (no extrapolation).
+# Determinism: the daily inputs are rounded to the shared 4dp rendering
+# BEFORE interpolation (identical doubles in both engines), day deltas
+# are integers, and the interpolation expression is parenthesized
+# identically in both dialects — bit-identical results, with a final
+# 4dp rendering. Plan: the forward and backward scans are two frames
+# of ONE window partitioning (single shuffle on event_type).
+# --------------------------------------------------------------------------
+
+
+def q116_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > _GF_MIN)
+        .select("event_type", _eday("ts").alias("day"), "value")
+    )
+    daily = ev.groupBy("event_type", "day").agg(r4(F.avg("value")).alias("v"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    g = grid.join(daily, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v
+        + (next_v - prev_v) * ((F.col("day") - prev_d) / (next_d - prev_d))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        r4(interp).alias("value_interp"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+Q116_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         value
+  FROM events WHERE value > {_GF_MIN}
+), daily AS (
+  SELECT event_type, day, round(avg(value), 4) AS v
+  FROM ev GROUP BY 1, 2
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+grid AS (
+  SELECT t.event_type, g.day
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds) g
+), j AS (
+  SELECT g.event_type, g.day, d.v,
+         last_value(d.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(d.v IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM grid g
+  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+)
+SELECT event_type, day,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE prev_v + (next_v - prev_v)
+                         * ((day - prev_d) / (next_d - prev_d)) END,
+             4) AS value_interp,
+       v IS NULL AS interpolated
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q117 — chi-square drift test between two deterministic corpus halves
+# (split = doc_id mod 2): the contingency table of language × split,
+# expected counts e = row·col/total, and the χ² statistic
+# Σ (o−e)²/e — the distribution-drift / feature-independence gate a
+# data pipeline runs between snapshots or shards. All counts are
+# integers (exact); e and the χ² terms are identical double
+# expressions in both engines, summed then rendered at 4dp. One
+# partial-agg shuffle on the (small) contingency key; marginals
+# broadcast back.
+# --------------------------------------------------------------------------
+
+
+def q117_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", (F.col("doc_id") % 2).alias("split")
+    )
+    o = d.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("o"))
+    row = o.groupBy("lang").agg(F.sum("o").alias("rc"))
+    col = o.groupBy("split").agg(F.sum("o").alias("cc"))
+    tot = o.agg(F.sum("o").alias("n"))
+    cell = (
+        o.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "split")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "split",
+            "o",
+            (
+                (F.col("o") - (F.col("rc") * F.col("cc")) / F.col("n"))
+                * (F.col("o") - (F.col("rc") * F.col("cc")) / F.col("n"))
+                / ((F.col("rc") * F.col("cc")) / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    return cell.agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        r4(F.sum("term")).alias("chi2"),
+    )
+
+
+Q117_SQL = """
+WITH d AS (SELECT lang, doc_id % 2 AS split FROM documents),
+o AS (SELECT lang, split, COUNT(*) AS o FROM d GROUP BY 1, 2),
+row_m AS (SELECT lang, SUM(o) AS rc FROM o GROUP BY 1),
+col_m AS (SELECT split, SUM(o) AS cc FROM o GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM o),
+cell AS (
+  SELECT o.lang, o.split, o.o,
+         (o.o - (r.rc * c.cc) / t.n)
+           * (o.o - (r.rc * c.cc) / t.n)
+           / ((r.rc * c.cc) / t.n) AS term
+  FROM o JOIN row_m r ON o.lang = r.lang
+  JOIN col_m c ON o.split = c.split CROSS JOIN tot t
+)
+SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM(term), 4) AS chi2
+FROM cell
+"""
+
+
 QUERIES = {
     "q108_regr_ols": q108_regr_ols,
     "q113_ewma": q113_ewma,
     "q114_assoc_rules": q114_assoc_rules,
+    "q116_linear_interp": q116_linear_interp,
+    "q117_chi2_drift": q117_chi2_drift,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -746,6 +912,8 @@ ORACLES = {
     "q108_regr_ols": Q108_SQL,
     "q113_ewma": Q113_SQL,
     "q114_assoc_rules": Q114_SQL,
+    "q116_linear_interp": Q116_SQL,
+    "q117_chi2_drift": Q117_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -1743,9 +1743,122 @@ SELECT node, down, up, centrality FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# kg76 — DETERMINISTIC RANDOM WALKS over the curriculum graph: one
+# fixed-length walk per start node, where step d from node v follows
+# the neighbor at index md5(walk_id '|' d) mod degree(v) in v's SORTED
+# neighbor list — the DeepWalk/node2vec corpus-generation stage with
+# the RNG replaced by a content hash, so the "random" walks are
+# bit-identical across engines, partitionings, and cluster sizes
+# (the same trick as the md5-uniform sampling family, q42/q87).
+# Plan: the neighbor-list table is node-sized and broadcasts; each of
+# the L rounds is one broadcast join + projection (no shuffle); walks
+# that reach a sink stop early. Oracle: the identical hash arithmetic
+# over DuckDB's sorted list() with unrolled steps.
+# --------------------------------------------------------------------------
+
+_WALK_LEN = 4
+
+
+def kg76_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct()
+    nbrs = e.groupBy(F.col("subj").alias("nb_node")).agg(
+        F.array_sort(F.collect_set("obj")).alias("nbrs")
+    ).persist()
+    nodes = (
+        e.select(F.col("subj").alias("node"))
+        .unionByName(e.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    walk = nodes.select(
+        F.col("node").alias("walk_id"),
+        F.col("node"),
+        F.col("node").alias("path"),
+        F.lit(0).cast("long").alias("depth"),
+    ).localCheckpoint()
+    done = walk.limit(0)
+    for d in range(1, _WALK_LEN + 1):
+        j = walk.join(F.broadcast(nbrs), walk.node == F.col("nb_node"), "left")
+        stopped = j.filter(F.col("nb_node").isNull()).select(
+            "walk_id", "node", "path", "depth"
+        )
+        idx = md5long(
+            F.concat(F.col("walk_id"), F.lit("|"), F.lit(str(d)))
+        ) % F.size("nbrs")
+        stepped = (
+            j.filter(F.col("nb_node").isNotNull())
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("node"),
+                F.concat(
+                    F.col("path"),
+                    F.lit(">"),
+                    F.element_at("nbrs", (idx + 1).cast("int")),
+                ).alias("path"),
+                F.lit(d).cast("long").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        done = done.unionByName(stopped).localCheckpoint()
+        walk = stepped
+    done = done.unionByName(walk)
+    nbrs.unpersist()
+    return done.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_walks"),
+        F.min("path").alias("min_walk"),
+        F.max("path").alias("max_walk"),
+    )
+
+
+def _kg76_sql() -> str:
+    from .common import MD5LONG_SQL
+    from .kg import _edges_union_sql
+
+    step_exprs = []
+    prev = "w0"
+    for d in range(1, _WALK_LEN + 1):
+        pick = MD5LONG_SQL.format(x=f"{prev}.walk_id || '|' || '{d}'")
+        step_exprs.append(
+            f"""w{d} AS (
+  SELECT {prev}.walk_id,
+         nb.nbrs[CAST({pick} % len(nb.nbrs) AS BIGINT) + 1] AS node,
+         {prev}.path || '>' ||
+           nb.nbrs[CAST({pick} % len(nb.nbrs) AS BIGINT) + 1] AS path,
+         {d} AS depth
+  FROM {prev} JOIN nbrs nb ON {prev}.node = nb.nb_node
+)"""
+        )
+        prev = f"w{d}"
+    stopped = []
+    for d in range(0, _WALK_LEN):
+        stopped.append(
+            f"SELECT walk_id, node, path, depth FROM w{d} "
+            f"WHERE node NOT IN (SELECT nb_node FROM nbrs)"
+        )
+    stopped.append(f"SELECT walk_id, node, path, depth FROM w{_WALK_LEN}")
+    return f"""
+{_edges_union_sql()},
+e AS (SELECT DISTINCT subj, obj FROM edges),
+nbrs AS (SELECT subj AS nb_node, list_sort(list(DISTINCT obj)) AS nbrs
+         FROM e GROUP BY subj),
+allnodes AS (SELECT subj AS node FROM e UNION SELECT obj FROM e),
+w0 AS (SELECT node AS walk_id, node, node AS path, 0 AS depth FROM allnodes),
+{",".join(step_exprs)},
+done AS ({" UNION ALL ".join(stopped)})
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       MIN(path) AS min_walk, MAX(path) AS max_walk
+FROM done GROUP BY depth
+"""
+
+
 QUERIES = {
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
+    "kg76_random_walks": kg76_random_walks,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -1771,6 +1884,7 @@ QUERIES = {
 ORACLES = {
     "kg74_topo_levels": _kg74_sql(),
     "kg75_path_centrality": _kg75_sql(),
+    "kg76_random_walks": _kg76_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

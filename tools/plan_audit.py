@@ -119,6 +119,12 @@ AUDIT = [
     # events once for the basket, once for the pair agg
     ("q114_assoc_rules", 6, 0),
     ("kg75_path_centrality", 8, 0),  # DP rounds checkpointed; joins + top-20
+    ("kg76_random_walks", 6, 0),  # nbr table broadcast; rounds checkpointed
+    ("q116_linear_interp", 5, 0),  # fwd/bwd frames share ONE window shuffle
+    # like q114: the contingency-agg subtree appears once per marginal in
+    # the STATIC plan; bit-identical exchanges → ReuseExchange collapses
+    # them at runtime to one events shuffle + the tiny marginal aggs
+    ("q117_chi2_drift", 8, 0),
 ]
 
 
