@@ -1,8 +1,11 @@
-"""Classic TPC-H decision-support queries (the subset expressible over
-the driver testdata's column subset) — the recognizable relational
-workload family: Q3 shipping priority, Q5 local supplier volume, Q10
-returned-item reporting, Q13 customer order distribution, Q14 promo
-revenue share, Q18 large-volume customers.
+"""Classic TPC-H decision-support queries — the full family expressible
+over the driver testdata's column subset (Q2-Q22; Q1 is covered by
+q01_pricing_summary, and Q12 is the one omission — its l_shipmode
+column has no analog here). Queries whose reference form needs partsupp
+(Q2, Q9, Q11, Q16, Q20) derive the part-supplier relation from lineitem
+and keep the reference shape (correlated minima, scalar-subquery
+thresholds, nested IN chains); Q4 and Q21 replace the missing
+commit/receipt dates with ship-vs-order-date lateness.
 
 Determinism conventions shared with the rest of the surface: date
 pivots are UTC epoch-second literals compared on the timestamp's epoch
