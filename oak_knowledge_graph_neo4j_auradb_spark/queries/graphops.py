@@ -1855,10 +1855,61 @@ FROM done GROUP BY depth
 """
 
 
+# --------------------------------------------------------------------------
+# kg77 — METAPATH CENSUS: the histogram of 2-hop predicate pairs
+# (pred₁ → pred₂) over the resolved graph — the metapath statistic
+# heterogeneous-graph embeddings (metapath2vec) and schema-drift audits
+# are built on. Plan: ONE self-join of the deduped edge table on the
+# shared endpoint (shuffle on that key, AQE-skew-safe since hub nodes
+# like 'keystage' are the hot keys) + one tiny pair agg; counts are
+# integers. Oracle: identical self-join over the edge-union CTE.
+# --------------------------------------------------------------------------
+
+
+def kg77_metapath_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct()
+    e1 = e.select(
+        F.col("subj").alias("start"),
+        F.col("pred").alias("pred1"),
+        F.col("obj").alias("mid"),
+    )
+    e2 = e.select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("pred2"),
+        F.col("obj").alias("end"),
+    )
+    return (
+        e1.join(e2, "mid")
+        .groupBy("pred1", "pred2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct("start", "end").cast("long").alias("n_pairs"),
+            F.countDistinct("mid").cast("long").alias("n_mids"),
+        )
+    )
+
+
+def _kg77_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT e1.pred AS pred1, e2.pred AS pred2,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT (e1.subj, e2.obj)) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT e1.obj) AS BIGINT) AS n_mids
+FROM e e1 JOIN e e2 ON e1.obj = e2.subj
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
     "kg76_random_walks": kg76_random_walks,
+    "kg77_metapath_census": kg77_metapath_census,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -1885,6 +1936,7 @@ ORACLES = {
     "kg74_topo_levels": _kg74_sql(),
     "kg75_path_centrality": _kg75_sql(),
     "kg76_random_walks": _kg76_sql(),
+    "kg77_metapath_census": _kg77_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

@@ -120,6 +120,10 @@ AUDIT = [
     ("q114_assoc_rules", 6, 0),
     ("kg75_path_centrality", 8, 0),  # DP rounds checkpointed; joins + top-20
     ("kg76_random_walks", 6, 0),  # nbr table broadcast; rounds checkpointed
+    # kg77's static plan embeds the full kg build twice (once per join
+    # side, like kg72) + the mid-key self-join and count-distinct aggs;
+    # exchange/Arrow-stage reuse collapses the duplicated build at runtime
+    ("kg77_metapath_census", 26, 6),
     ("q116_linear_interp", 5, 0),  # fwd/bwd frames share ONE window shuffle
     # like q114: the contingency-agg subtree appears once per marginal in
     # the STATIC plan; bit-identical exchanges → ReuseExchange collapses
