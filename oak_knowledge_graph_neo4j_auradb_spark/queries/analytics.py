@@ -892,12 +892,84 @@ FROM cell
 """
 
 
+# --------------------------------------------------------------------------
+# q120 — Kolmogorov-Smirnov drift statistic of the document-length
+# distribution, every language vs the 'en' reference: max |F_lang(v) −
+# F_en(v)| over the union value grid — the nonparametric two-sample
+# drift test (χ²'s q117 sibling for continuous features). Exactness:
+# both CDFs are ratios of integers (cum/n), so every grid evaluation is
+# an identical double in both engines; the max is exact and only the
+# rendering rounds (6dp). Plan: one (lang, value) count agg, one dense
+# grid (langs × distinct values, both tiny after the agg) with a
+# running-sum window per lang, one max agg.
+# --------------------------------------------------------------------------
+
+
+def q120_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    cnt = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    vals = d.select("n_chars").distinct()
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    grid = langs.crossJoin(vals).join(cnt, ["lang", "n_chars"], "left")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = grid.select(
+        "lang",
+        "n_chars",
+        (
+            F.sum(F.coalesce("c", F.lit(0))).over(w) / F.col("n")
+        ).alias("cdf"),
+        "n",
+    )
+    en = cdf.filter(F.col("lang") == "en").select(
+        F.col("n_chars").alias("v"), F.col("cdf").alias("cdf_en")
+    )
+    return (
+        cdf.filter(F.col("lang") != "en")
+        .join(F.broadcast(en), F.col("n_chars") == F.col("v"))
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.round(F.max(F.abs(F.col("cdf") - F.col("cdf_en"))), 6).alias(
+                "ks_stat"
+            ),
+        )
+    )
+
+
+Q120_SQL = """
+WITH cnt AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), vals AS (SELECT DISTINCT n_chars FROM documents),
+langs AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+grid AS (
+  SELECT l.lang, v.n_chars, l.n, COALESCE(c.c, 0) AS c
+  FROM langs l CROSS JOIN vals v
+  LEFT JOIN cnt c ON l.lang = c.lang AND v.n_chars = c.n_chars
+), cdf AS (
+  SELECT lang, n_chars, n,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n AS cdf
+  FROM grid
+)
+SELECT a.lang, CAST(MAX(a.n) AS BIGINT) AS n_docs,
+       ROUND(MAX(ABS(a.cdf - b.cdf)), 6) AS ks_stat
+FROM cdf a JOIN cdf b ON a.n_chars = b.n_chars AND b.lang = 'en'
+WHERE a.lang <> 'en'
+GROUP BY a.lang
+"""
+
+
 QUERIES = {
     "q108_regr_ols": q108_regr_ols,
     "q113_ewma": q113_ewma,
     "q114_assoc_rules": q114_assoc_rules,
     "q116_linear_interp": q116_linear_interp,
     "q117_chi2_drift": q117_chi2_drift,
+    "q120_ks_drift": q120_ks_drift,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -914,6 +986,7 @@ ORACLES = {
     "q114_assoc_rules": Q114_SQL,
     "q116_linear_interp": Q116_SQL,
     "q117_chi2_drift": Q117_SQL,
+    "q120_ks_drift": Q120_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -1614,7 +1614,141 @@ FROM doc GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q118 — vocabulary-growth curve across ingestion shards: 5-gram
+# fingerprints are attributed to the FIRST shard (doc_id mod 8,
+# ordered) that contains them, giving per-shard new-gram counts and the
+# cumulative gram vocabulary — the corpus-growth / dedup-payoff audit
+# run while ingesting a crawl (grams, not unigrams: this corpus's token
+# vocab is ~31 words, saturating in shard 0, while the gram space keeps
+# growing — the regime real crawls are in). Plan: one explode + one
+# (gram-fingerprint → min shard) agg — the vocabulary-sized shuffle on
+# 8-byte keys — then a tiny per-shard rollup + running sum.
+# --------------------------------------------------------------------------
+
+_VG_SHARDS = 8
+
+
+def q118_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _VG_SHARDS).alias("shard"),
+        tokens(F.col("text")).alias("t"),
+    ).select("shard", F.explode(_shingles()).alias("gram"))
+    first = d.select("shard", md5long(F.col("gram")).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.min("shard").alias("shard"))
+    per = first.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_tokens")
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "shard",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+Q118_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id % {_VG_SHARDS} AS shard,
+         {TOKENS_SQL.format(x='text')} AS t
+  FROM documents
+), tok AS (
+  SELECT shard, {MD5LONG_SQL.format(x='gram')} AS tok FROM (
+    SELECT shard, unnest(
+      CASE WHEN len(t) < {_DECON_N} THEN []::VARCHAR[]
+      ELSE list_transform(t[1:len(t) - {_DECON_N - 1}],
+                          (x, i) -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))
+      END) AS gram
+    FROM tokd)
+), first AS (SELECT tok, MIN(shard) AS shard FROM tok GROUP BY tok),
+per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        FROM first GROUP BY shard)
+SELECT shard, n_new_tokens,
+       CAST(SUM(n_new_tokens) OVER (ORDER BY shard
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# q119 — cross-source contamination matrix: for every source pair, how
+# many distinct 5-gram fingerprints they share, and the gram-level
+# Jaccard — the pairwise generalization of q79's benchmark
+# decontamination (which checks one held-out source against the rest).
+# The self-join key is the 60-bit gram fingerprint (8-byte shuffle keys
+# at any scale); per-gram fan-out is bounded by the number of sources
+# carrying the gram (≤ 20 here — at web scale hot boilerplate grams get
+# the q27/q70-style df cap before the join). All counts integer; the
+# Jaccard divides identical integers, rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q119_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        d.select("source", F.explode(_shingles()).alias("gram"))
+        .select("source", md5long(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    per_src = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("s1"), "g")
+    b = grams.select(F.col("source").alias("s2"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n1 = per_src.select(F.col("source").alias("s1"), F.col("n_grams").alias("g1"))
+    n2 = per_src.select(F.col("source").alias("s2"), F.col("n_grams").alias("g2"))
+    return (
+        shared.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").cast("long").alias("shared_grams"),
+            F.round(
+                F.col("shared") / (F.col("g1") + F.col("g2") - F.col("shared")),
+                6,
+            ).alias("gram_jaccard"),
+        )
+    )
+
+
+Q119_SQL = f"""
+WITH tokd AS (
+  SELECT source, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), gramtxt AS (
+  SELECT source, unnest(
+    CASE WHEN len(t) < {_DECON_N} THEN []::VARCHAR[]
+    ELSE list_transform(t[1:len(t) - {_DECON_N - 1}],
+                        (x, i) -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))
+    END) AS gram
+  FROM tokd
+), grams AS (
+  SELECT DISTINCT source, {MD5LONG_SQL.format(x='gram')} AS g FROM gramtxt
+), per_src AS (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY 1)
+SELECT a.source AS s1, b.source AS s2,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (MIN(p1.n_grams) + MIN(p2.n_grams) - COUNT(*)), 6)
+         AS gram_jaccard
+FROM grams a
+JOIN grams b ON a.g = b.g AND a.source < b.source
+JOIN per_src p1 ON a.source = p1.source
+JOIN per_src p2 ON b.source = p2.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q118_vocab_growth": q118_vocab_growth,
+    "q119_source_overlap": q119_source_overlap,
     "q109_feature_hashing": q109_feature_hashing,
     "q110_heavy_hitters": q110_heavy_hitters,
     "q111_bloom_prune": q111_bloom_prune,
@@ -1646,6 +1780,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q118_vocab_growth": Q118_SQL,
+    "q119_source_overlap": Q119_SQL,
     "q109_feature_hashing": Q109_SQL,
     "q110_heavy_hitters": Q110_SQL,
     "q111_bloom_prune": Q111_SQL,

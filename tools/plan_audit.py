@@ -129,6 +129,9 @@ AUDIT = [
     # the STATIC plan; bit-identical exchanges → ReuseExchange collapses
     # them at runtime to one events shuffle + the tiny marginal aggs
     ("q117_chi2_drift", 8, 0),
+    ("q118_vocab_growth", 4, 0),  # gram→min-shard agg + rollup + run-sum
+    ("q119_source_overlap", 6, 0),  # gram distinct + fingerprint self-join
+    ("q120_ks_drift", 8, 0),  # count agg + grid + one cdf window per side
 ]
 
 
