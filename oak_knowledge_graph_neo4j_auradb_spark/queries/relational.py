@@ -1408,7 +1408,132 @@ FROM (SELECT uid FROM a UNION SELECT uid FROM b)
 """
 
 
+# --------------------------------------------------------------------------
+# q121 — UNPIVOT/melt: the wide aggregate (one row per return flag,
+# three measure columns) relationally melted to (key, measure, value)
+# rows — Spark's DataFrame.unpivot (3.4+) vs DuckDB's UNPIVOT. The
+# kg melt (operators/mapper.py) does this at scale with a fused
+# stack(); this pins the public API form. Measures are rendered to the
+# shared 4dp double before melting so the value column is one type.
+# --------------------------------------------------------------------------
+
+
+def q121_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        r4(F.sum("l_discount")).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+Q121_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 4) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 4) AS sum_price,
+         ROUND(SUM(l_discount), 4) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+UNPIVOT agg ON sum_qty, sum_price, sum_disc
+INTO NAME measure VALUE value
+"""
+
+
+# --------------------------------------------------------------------------
+# q122 — RANGE-frame windows over a SPARSE series: the trailing 7-day
+# event count per type computed with RANGE BETWEEN 6 PRECEDING AND
+# CURRENT ROW over the integer day — on sparse days RANGE bounds by
+# VALUE distance (missing days shrink the window), where a ROWS frame
+# would silently span arbitrary calendar gaps. The ROWS twin is emitted
+# beside it so the distinction is part of the checked result. One
+# shuffle: both frames share the (event_type, day) sort.
+# --------------------------------------------------------------------------
+
+
+def q122_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 86400).alias(
+            "day"
+        ),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    )
+    wn = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_day"),
+        F.sum("c").over(wr).cast("long").alias("n_7d_range"),
+        F.sum("c").over(wn).cast("long").alias("n_7row"),
+    )
+
+
+Q122_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(c AS BIGINT) AS n_day,
+       CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d_range,
+       CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7row
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# q123 — explicit GROUPING SETS (the general form behind q39's ROLLUP
+# and q56's CUBE): per-language totals and per-source totals in ONE
+# pass over documents — Catalyst plans the Expand + single aggregate
+# exactly as for rollup/cube. grouping_id disambiguates which set a
+# row belongs to (bit order pinned by the same convention as q56).
+# --------------------------------------------------------------------------
+
+
+def q123_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q123_docs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM q123_docs
+        GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
+Q123_SQL = """
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
 QUERIES = {
+    "q121_unpivot": q121_unpivot,
+    "q122_range_frame": q122_range_frame,
+    "q123_grouping_sets": q123_grouping_sets,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_topk_orders": q02_topk_orders,
     "q03_region_rollup": q03_region_rollup,
@@ -1452,6 +1577,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q121_unpivot": Q121_SQL,
+    "q122_range_frame": Q122_SQL,
+    "q123_grouping_sets": Q123_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q02_topk_orders": Q02_SQL,
     "q03_region_rollup": Q03_SQL,

@@ -132,6 +132,9 @@ AUDIT = [
     ("q118_vocab_growth", 4, 0),  # gram→min-shard agg + rollup + run-sum
     ("q119_source_overlap", 6, 0),  # gram distinct + fingerprint self-join
     ("q120_ks_drift", 8, 0),  # count agg + grid + one cdf window per side
+    ("q121_unpivot", 1, 0),  # one agg; the melt Expand is shuffle-free
+    ("q122_range_frame", 2, 0),  # daily agg + shared (type, day) sort
+    ("q123_grouping_sets", 1, 0),  # Expand feeds ONE partial+final agg
 ]
 
 
