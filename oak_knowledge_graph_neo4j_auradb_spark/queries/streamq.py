@@ -376,8 +376,133 @@ GROUP BY event_type
 """
 
 
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _RunningCountProcessor(StatefulProcessor):
+    """Arbitrary stateful processing via Spark 4's transformWithState
+    API (the successor to applyInPandasWithState: typed per-key state
+    handles + timers on the RocksDB state store). Keeps ONE ValueState
+    counter per user and emits the running count for every input row.
+    Output determinism: whatever order micro-batches deliver rows, the
+    emitted SET per user is exactly {1..n} — so max(running_n) == the
+    batch COUNT(*), which is what the oracle checks."""
+
+    def init(self, handle) -> None:
+        self._cnt = handle.getValueState("cnt", "c long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        c = self._cnt.get()[0] if self._cnt.exists() else 0
+        out = []
+        for pdf in rows:
+            for _ in range(len(pdf)):
+                c += 1
+                out.append(c)
+        self._cnt.update((c,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out), "running_n": out}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def _running_counts_via_tws(spark: SparkSession, src):
+    """The Spark 4 form: transformWithStateInPandas with a ValueState
+    counter on the RocksDB state store."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCountProcessor(),
+        outputStructType="user_id long, running_n long",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _running_counts_via_apiws(src):
+    """Fallback with the Spark 3.x stateful API (applyInPandasWithState)
+    — the identical per-key running-count semantics, same output rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for _ in range(len(pdf)):
+                c += 1
+                out.append(c)
+        state.update((c,))
+        yield pd.DataFrame({"user_id": [key[0]] * len(out), "running_n": out})
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, running_n long",
+        stateStructType="c long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q124_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event counts in typed per-key state, drained
+    with availableNow; the final per-user MAX of the emitted running
+    counts equals the batch COUNT(*) however the source batches.
+    Preferred implementation: Spark 4's transformWithStateInPandas
+    (ValueState + RocksDB store). Its Python driver worker needs
+    google.protobuf, which this container does not ship — gated behind
+    an import probe with an applyInPandasWithState fallback that emits
+    the IDENTICAL row set, so the oracle checks the same contract on
+    both paths."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .select("user_id")
+    )
+    try:
+        import google.protobuf  # noqa: F401  (transformWithState dep)
+
+        d = _running_counts_via_tws(spark, src)
+    except ImportError:
+        d = _running_counts_via_apiws(src)
+    name = f"q124_mem_{next(_SEQ)}"
+    q = (
+        d.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("running_n").cast("long").alias("n_events"))
+    )
+
+
+Q124_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q115_stream_dedup_watermarked": q115_stream_dedup_watermarked,
+    "q124_stream_stateful_counts": q124_stream_stateful_counts,
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
     "q36_stream_first_seen": q36_stream_first_seen,
     "q66_stream_static_join": q66_stream_static_join,
@@ -388,6 +513,7 @@ QUERIES = {
 
 ORACLES = {
     "q115_stream_dedup_watermarked": Q115_SQL,
+    "q124_stream_stateful_counts": Q124_SQL,
     "q35_stream_windowed_counts": Q35_SQL,
     "q36_stream_first_seen": _q36_sql(),
     "q66_stream_static_join": Q66_SQL,
