@@ -1530,7 +1530,59 @@ GROUP BY GROUPING SETS ((lang), (source))
 """
 
 
+# --------------------------------------------------------------------------
+# q125 — SALTED skew join, the manual technique AQE's skew-join split
+# automates (and the form you still need when the skewed side feeds a
+# non-AQE stage, a streaming join, or an aggregation keyed on the hot
+# value): the fact side's join key is widened with a DETERMINISTIC salt
+# (event_id mod 16 — reproducible across engines and retries, unlike
+# rand()), the dim side replicates once per salt, and the join key
+# becomes (key, salt) — a hot key now spreads over 16 tasks. The salt
+# is dropped before the aggregate, so the result is EXACTLY the plain
+# join's — which is what the oracle states.
+# --------------------------------------------------------------------------
+
+_SALTS = 16
+
+
+def q125_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % _SALTS).alias("salt")
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("error", 0.0),
+         ("signup", 5.0)],
+        "event_type string, weight double",
+    )
+    dim_rep = dim.crossJoin(
+        spark.range(_SALTS).select(F.col("id").cast("long").alias("salt"))
+    )
+    return (
+        ev.join(dim_rep, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r4(F.sum(F.col("value") * F.col("weight"))).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
+Q125_SQL = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+         ('error', 0.0), ('signup', 5.0)
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
+    "q125_salted_join": q125_salted_join,
     "q121_unpivot": q121_unpivot,
     "q122_range_frame": q122_range_frame,
     "q123_grouping_sets": q123_grouping_sets,
@@ -1577,6 +1629,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q125_salted_join": Q125_SQL,
     "q121_unpivot": Q121_SQL,
     "q122_range_frame": Q122_SQL,
     "q123_grouping_sets": Q123_SQL,

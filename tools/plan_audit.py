@@ -135,6 +135,7 @@ AUDIT = [
     ("q121_unpivot", 1, 0),  # one agg; the melt Expand is shuffle-free
     ("q122_range_frame", 2, 0),  # daily agg + shared (type, day) sort
     ("q123_grouping_sets", 1, 0),  # Expand feeds ONE partial+final agg
+    ("q125_salted_join", 3, 0),  # replicated-dim broadcast + one agg
 ]
 
 
