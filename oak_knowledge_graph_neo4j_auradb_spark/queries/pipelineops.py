@@ -1746,7 +1746,78 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q126 — the corpus-prep PIPELINE's stage accounting
+# (plans/corpus_prep.py): benchmark hold-out → prefix near-dup →
+# quality → decontamination → packing, each dropped doc attributed to
+# its first failing stage. The oracle replays the entire multi-stage
+# plan as one SQL chain (the stage flags are order-independent
+# per-document predicates, so a CASE with the same priority reproduces
+# the attribution exactly) — a value-hash check over the WHOLE pipeline
+# composition, not just its pieces.
+# --------------------------------------------------------------------------
+
+
+def q126_corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.corpus_prep import prepare_corpus
+
+    prep = prepare_corpus(spark, load(spark, sf_dir, "documents"))
+    # the driver contract returns a lazy DataFrame; release the plan's
+    # cache immediately (GraphBuild-style caller-managed lifetime isn't
+    # available here, and recomputing the one base scan is cheap)
+    prep.unpersist()
+    return prep.stats
+
+
+Q126_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), f AS (
+  SELECT doc_id, lang, len(t) AS tok_n,
+         doc_id % 20 = 0 AS is_bench,
+         {MD5LONG_SQL.format(x="array_to_string(t[1:5], ' ')")} AS fp,
+         CASE WHEN len(t) > 0 THEN 1.0 / (1.0 + exp(-({_QW['b']}
+              + {_QW['stop']} * (CAST(len(list_filter(t,
+                  x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(t))
+              + {_QW['wlen']} * (CAST(list_sum(list_transform(t,
+                  x -> len(x))) AS DOUBLE) / len(t))
+              + {_QW['loglen']} * ln(1.0 + len(t)))))
+         ELSE 0.0 END AS score
+  FROM d
+), flag AS (
+  SELECT *,
+         (NOT is_bench) AND doc_id <> MIN(CASE WHEN NOT is_bench
+             THEN doc_id END) OVER (PARTITION BY fp) AS is_dup
+  FROM f
+), grams AS (
+  SELECT doc_id, {MD5LONG_SQL.format(x='gram')} AS g FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(t) < {_DECON_N} THEN []::VARCHAR[]
+      ELSE list_transform(t[1:len(t) - {_DECON_N - 1}],
+                          (x, i) -> array_to_string(t[i:i + {_DECON_N - 1}], ' '))
+      END) AS gram
+    FROM d)
+), bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bg)
+), lab AS (
+  SELECT doc_id, lang, tok_n,
+         CASE WHEN is_bench THEN 'benchmark_heldout'
+              WHEN is_dup THEN 'near_dup_prefix'
+              WHEN score <= 0.40 THEN 'low_quality'
+              WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+              ELSE 'kept' END AS stage
+  FROM flag
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok_n) AS BIGINT) AS n_tokens
+FROM lab GROUP BY stage
+"""
+
+
 QUERIES = {
+    "q126_corpus_prep_stats": q126_corpus_prep_stats,
     "q118_vocab_growth": q118_vocab_growth,
     "q119_source_overlap": q119_source_overlap,
     "q109_feature_hashing": q109_feature_hashing,
@@ -1780,6 +1851,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q126_corpus_prep_stats": Q126_SQL,
     "q118_vocab_growth": Q118_SQL,
     "q119_source_overlap": Q119_SQL,
     "q109_feature_hashing": Q109_SQL,

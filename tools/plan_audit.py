@@ -136,6 +136,10 @@ AUDIT = [
     ("q122_range_frame", 2, 0),  # daily agg + shared (type, day) sort
     ("q123_grouping_sets", 1, 0),  # Expand feeds ONE partial+final agg
     ("q125_salted_join", 3, 0),  # replicated-dim broadcast + one agg
+    # q126's static plan recomputes the base/gram subtrees per stage
+    # branch (persist + ReuseExchange collapse them at runtime): fp
+    # window, gram semi-join, stage agg
+    ("q126_corpus_prep_stats", 10, 0),
 ]
 
 
