@@ -163,3 +163,73 @@ def prepare_corpus(
         )
     )
     return CorpusPrep(kept=kept, dropped=dropped, stats=stats, _base=base)
+
+
+def write_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    max_records_per_file: int = 1_000_000,
+    **prep_kwargs,
+):
+    """Materialize the prepared corpus under ``out_dir`` — the shard-
+    writing tail of the pipeline, with the same checkpoint-resume
+    contract as ``sinks.write_graph``: each stage directory with a
+    ``_SUCCESS`` marker is skipped on re-run, so a resubmitted job
+    continues from the last committed table instead of recomputing.
+
+    Layout: ``kept/`` (partitioned by lang — the packing bin rides in
+    the data, so a trainer reads one (lang, bin) group per sequence),
+    ``dropped/`` (partitioned by drop stage — the quarantine pattern),
+    ``stats/``, and per-partition ``lineage/``."""
+    import os
+    import time
+
+    from .sinks import WriteReport, _committed, partition_lineage
+
+    report = WriteReport(out_dir=out_dir)
+    prep = prepare_corpus(spark, docs, **prep_kwargs)
+    lineage_parts = []
+
+    def emit(stage, df, key, partition_by=None):
+        full = os.path.join(out_dir, stage)
+        if _committed(full):
+            report.stages_skipped.append(stage)
+            return
+        from pyspark.sql import Observation
+
+        t0 = time.monotonic()
+        obs = Observation(f"corpus_{stage}")
+        w = (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+        )
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(full)
+        report.stages_run.append(stage)
+        report.metrics[f"{stage}_rows"] = obs.get["n"]
+        report.metrics[f"{stage}_sec"] = round(time.monotonic() - t0, 3)
+        lineage_parts.append(
+            partition_lineage(spark.read.parquet(full), stage, key)
+        )
+
+    try:
+        emit("kept", prep.kept, "doc_id", partition_by="lang")
+        emit("dropped", prep.dropped, "doc_id", partition_by="stage")
+        emit("stats", prep.stats, "stage")
+        if lineage_parts:
+            lin = lineage_parts[0]
+            for p in lineage_parts[1:]:
+                lin = lin.unionByName(p)
+            emit("lineage", lin, "stage")
+        elif _committed(os.path.join(out_dir, "lineage")):
+            # fully-resumed run: every data stage was skipped, so there
+            # is nothing to re-derive lineage from — the committed table
+            # stands
+            report.stages_skipped.append("lineage")
+    finally:
+        prep.unpersist()
+    return report

@@ -62,6 +62,30 @@ def test_packing_bound(spark, sf_dir):
         prep.unpersist()
 
 
+def test_write_corpus_resumes_from_committed(spark, sf_dir, tmp_path):
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.corpus_prep import (
+        write_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    r1 = write_corpus(spark, docs, out, pack_budget=_BUDGET)
+    assert set(r1.stages_run) == {"kept", "dropped", "stats", "lineage"}
+    kept1 = sorted(map(tuple, spark.read.parquet(f"{out}/kept").collect()))
+    # second run: every stage is already committed — nothing recomputes
+    r2 = write_corpus(spark, docs, out, pack_budget=_BUDGET)
+    assert r2.stages_run == []
+    assert set(r2.stages_skipped) == {"kept", "dropped", "stats", "lineage"}
+    kept2 = sorted(map(tuple, spark.read.parquet(f"{out}/kept").collect()))
+    assert kept1 == kept2
+    # stats on disk agree with the live plan
+    disk = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(f"{out}/stats").collect()
+    }
+    assert disk["kept"][0] == len(kept1)
+
+
 def test_deterministic_under_repartition(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     a = prepare_corpus(spark, docs, pack_budget=_BUDGET)
