@@ -1905,11 +1905,201 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# kg78 — RELATIONSHIP-CARDINALITY AUDIT: per predicate, the edge/
+# endpoint counts and the max fan-out/fan-in, classifying each relation
+# as functional (1:N with fan-out 1), inverse-functional, or M:N — the
+# schema-QA profile a KG pipeline runs before load (the reference's
+# validate_neo4j_import checks orphans, kg67; this checks arity). One
+# edge scan, two keyed aggs per predicate — all partial-agg shuffles.
+# --------------------------------------------------------------------------
+
+
+def kg78_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct()
+    out_deg = e.groupBy("pred", "subj").agg(F.count(F.lit(1)).alias("d"))
+    in_deg = e.groupBy("pred", "obj").agg(F.count(F.lit(1)).alias("d"))
+    base = e.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+    mo = out_deg.groupBy("pred").agg(F.max("d").cast("long").alias("max_out"))
+    mi = in_deg.groupBy("pred").agg(F.max("d").cast("long").alias("max_in"))
+    return (
+        base.join(mo, "pred")
+        .join(mi, "pred")
+        .select(
+            "pred",
+            "n_edges",
+            "n_subj",
+            "n_obj",
+            "max_out",
+            "max_in",
+            (F.col("max_out") == 1).alias("functional"),
+            (F.col("max_in") == 1).alias("inverse_functional"),
+        )
+    )
+
+
+def _kg78_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS (SELECT DISTINCT subj, pred, obj FROM edges),
+od AS (SELECT pred, subj, COUNT(*) AS d FROM e GROUP BY 1, 2),
+idg AS (SELECT pred, obj, COUNT(*) AS d FROM e GROUP BY 1, 2),
+base AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+         CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+  FROM e GROUP BY pred
+)
+SELECT b.pred, b.n_edges, b.n_subj, b.n_obj,
+       CAST(mo.max_out AS BIGINT) AS max_out,
+       CAST(mi.max_in AS BIGINT) AS max_in,
+       mo.max_out = 1 AS functional,
+       mi.max_in = 1 AS inverse_functional
+FROM base b
+JOIN (SELECT pred, MAX(d) AS max_out FROM od GROUP BY pred) mo USING (pred)
+JOIN (SELECT pred, MAX(d) AS max_in FROM idg GROUP BY pred) mi USING (pred)
+"""
+
+
+# --------------------------------------------------------------------------
+# kg79 — NEGATIVE SAMPLING for link-prediction training data: for each
+# (subj, pred) the graph asserts, draw K corruption candidates from the
+# global node list by a DETERMINISTIC hash (md5(subj|pred|i) mod |V| —
+# the kg76 trick again, so samples are identical across engines and
+# cluster sizes) and anti-join the true edges away — the
+# (positive, negatives) construction every KG-embedding trainer (TransE
+# et al.) runs. Sandbox: the sorted node list broadcasts as one row (|V|
+# is node-scale, not edge-scale); at 10^12 edges the draw becomes a
+# hash-bucketed join against a node table keyed by the same mod — same
+# arithmetic, no single-row array. Output: per-pred accounting of drawn
+# vs collided-with-true vs kept, all integers.
+# --------------------------------------------------------------------------
+
+_NEG_K = 4
+
+
+def kg79_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
+    nodes = (
+        e.select(F.col("subj").alias("n"))
+        .unionByName(e.select(F.col("obj").alias("n")))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("n")).alias("arr"))
+    )
+    pairs = e.select("subj", "pred").distinct()
+    drawn = (
+        pairs.crossJoin(F.broadcast(nodes))
+        .select(
+            "subj",
+            "pred",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("i"),
+            F.col("arr"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.element_at(
+                "arr",
+                (
+                    md5long(
+                        F.concat(
+                            F.col("subj"),
+                            F.lit("|"),
+                            F.col("pred"),
+                            F.lit("|"),
+                            F.col("i").cast("string"),
+                        )
+                    )
+                    % F.size("arr")
+                    + 1
+                ).cast("int"),
+            ).alias("cand"),
+        )
+    )
+    kept = drawn.join(
+        e.select("subj", "pred", F.col("obj").alias("cand")),
+        ["subj", "pred", "cand"],
+        "left_anti",
+    )
+    out = (
+        drawn.groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+        .join(
+            kept.groupBy("pred").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.min("cand").alias("min_cand"),
+                F.max("cand").alias("max_cand"),
+            ),
+            "pred",
+        )
+        .select(
+            "pred",
+            "n_drawn",
+            "n_kept",
+            (F.col("n_drawn") - F.col("n_kept")).alias("n_collided"),
+            "min_cand",
+            "max_cand",
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def _kg79_sql() -> str:
+    from .common import MD5LONG_SQL
+    from .kg import _edges_union_sql
+
+    pick = MD5LONG_SQL.format(x="p.subj || '|' || p.pred || '|' || CAST(u.i AS VARCHAR)")
+    return f"""
+{_edges_union_sql()},
+e AS (SELECT DISTINCT subj, pred, obj FROM edges),
+nodes AS (
+  SELECT list_sort(list(DISTINCT n)) AS arr FROM (
+    SELECT subj AS n FROM e UNION SELECT obj FROM e)
+),
+drawn AS (
+  SELECT p.subj, p.pred,
+         arr[CAST({pick} % len(arr) AS BIGINT) + 1] AS cand
+  FROM (SELECT DISTINCT subj, pred FROM e) p
+  CROSS JOIN nodes
+  CROSS JOIN unnest(generate_series(0, {_NEG_K - 1})) AS u(i)
+),
+kept AS (
+  SELECT d.* FROM drawn d
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.subj = d.subj
+                    AND e.pred = d.pred AND e.obj = d.cand)
+)
+SELECT d.pred,
+       CAST(COUNT(*) AS BIGINT) AS n_drawn,
+       CAST(MIN(k.n_kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - MIN(k.n_kept) AS BIGINT) AS n_collided,
+       MIN(k.min_cand) AS min_cand,
+       MIN(k.max_cand) AS max_cand
+FROM drawn d
+JOIN (SELECT pred, COUNT(*) AS n_kept, MIN(cand) AS min_cand,
+             MAX(cand) AS max_cand
+      FROM kept GROUP BY pred) k ON d.pred = k.pred
+GROUP BY d.pred
+"""
+
+
 QUERIES = {
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
     "kg76_random_walks": kg76_random_walks,
     "kg77_metapath_census": kg77_metapath_census,
+    "kg78_cardinality_audit": kg78_cardinality_audit,
+    "kg79_negative_samples": kg79_negative_samples,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -1937,6 +2127,8 @@ ORACLES = {
     "kg75_path_centrality": _kg75_sql(),
     "kg76_random_walks": _kg76_sql(),
     "kg77_metapath_census": _kg77_sql(),
+    "kg78_cardinality_audit": _kg78_sql(),
+    "kg79_negative_samples": _kg79_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

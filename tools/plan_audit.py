@@ -140,6 +140,13 @@ AUDIT = [
     # branch (persist + ReuseExchange collapse them at runtime): fp
     # window, gram semi-join, stage agg
     ("q126_corpus_prep_stats", 10, 0),
+    # kg78/kg79 embed the FULL kg build once per consumer branch in the
+    # STATIC plan (like kg72/kg77) — the edge table is persisted at run
+    # time, so the duplicated build subtrees (and their sanctioned Arrow
+    # stages) collapse to one cached scan; the audit session sees the
+    # uncached worst case
+    ("kg78_cardinality_audit", 18, 4),
+    ("kg79_negative_samples", 36, 9),
 ]
 
 
