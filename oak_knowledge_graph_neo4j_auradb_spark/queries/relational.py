@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import load, r4
+from .common import TOKENS_SQL, load, r4
 
 
 # --------------------------------------------------------------------------
@@ -1581,8 +1581,112 @@ GROUP BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q127 — BPE pair statistics: the frequency table of adjacent CHARACTER
+# pairs inside tokens — the quantity the first byte-pair-encoding merge
+# step maximizes when training a tokenizer. Pairs are built array-side
+# (transform over an index sequence, 1-based substring in both
+# engines), exploded once, counted with a partial agg, top-20 with a
+# full tie-break. Integer counts throughout.
+# --------------------------------------------------------------------------
+
+
+def q127_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.col("tok").substr(i, F.lit(2)),
+    )
+    cnt = (
+        d.filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("pair", "cnt")
+    )
+
+
+Q127_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), pairs AS (
+  SELECT substr(tok, i, 2) AS pair
+  FROM tok, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+  WHERE len(tok) >= 2
+), cnt AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT pair, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn FROM cnt
+) WHERE rn <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q128 — MERGEABLE HLL sketches (hll_sketch_agg / hll_union_agg): each
+# day builds a per-type user sketch, the daily sketches UNION-merge
+# into one per-type estimate — the property that makes sketches the
+# scale answer (daily shards aggregate without re-touching raw data;
+# a re-aggregation is sketch-sized, not data-sized). The oracle can't
+# run Datasketches, so it states the exact distinct count and the
+# q44-style error-bound boolean (TRUE) that the merged estimate must
+# satisfy — lgConfigK=14 gives ~0.8% RSE, asserted at 3%.
+# --------------------------------------------------------------------------
+
+
+def q128_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 86400).alias(
+            "day"
+        ),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.03
+        ).alias("within_3pct"),
+    )
+
+
+Q128_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+            AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_3pct
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q125_salted_join": q125_salted_join,
+    "q127_bpe_pairs": q127_bpe_pairs,
+    "q128_hll_merge": q128_hll_merge,
     "q121_unpivot": q121_unpivot,
     "q122_range_frame": q122_range_frame,
     "q123_grouping_sets": q123_grouping_sets,
@@ -1630,6 +1734,8 @@ QUERIES = {
 
 ORACLES = {
     "q125_salted_join": Q125_SQL,
+    "q127_bpe_pairs": Q127_SQL,
+    "q128_hll_merge": Q128_SQL,
     "q121_unpivot": Q121_SQL,
     "q122_range_frame": Q122_SQL,
     "q123_grouping_sets": Q123_SQL,

@@ -147,6 +147,8 @@ AUDIT = [
     # uncached worst case
     ("kg78_cardinality_audit", 18, 4),
     ("kg79_negative_samples", 36, 9),
+    ("q127_bpe_pairs", 3, 0),  # pair agg + global top-20 window
+    ("q128_hll_merge", 5, 0),  # daily sketch agg + union agg + exact join
 ]
 
 
