@@ -1683,10 +1683,116 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q129 — order-independent TABLE CHECKSUM (anti-entropy fingerprint):
+# per group, XOR of a canonical per-row hash plus the row count — the
+# O(1)-output replica/snapshot comparison that q103's full-outer diff
+# escalates to only on mismatch. XOR is commutative/associative with no
+# overflow, so the checksum is partition- and order-independent and
+# computes as one partial agg. The per-row rendering avoids every
+# engine-dependent string form: integers as decimal strings, the
+# timestamp as its epoch, money as integer cents.
+# --------------------------------------------------------------------------
+
+
+def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    o = load(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").cast("string"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(md5long(row)).alias("checksum"),
+    )
+
+
+Q129_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       BIT_XOR(CAST('0x' || substr(md5(
+         CAST(o_orderkey AS VARCHAR) || '|' ||
+         CAST(o_custkey AS VARCHAR) || '|' ||
+         o_orderstatus || '|' ||
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+         CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR)
+       ), 1, 15) AS BIGINT)) AS checksum
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q130 — CDC change-log application: the events stream read as a keyed
+# change log (op = delete when value < 100, else upsert), materialized
+# to current state by keeping each key's LAST operation (ts, event_id
+# tie-break) and dropping keys whose last op is a delete — the
+# Debezium-style apply that complements q90's SCD2 history and q92's
+# streaming MERGE. One window shuffle on the key; the state table is
+# what a MERGE INTO target would hold.
+# --------------------------------------------------------------------------
+
+
+def q130_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("value") < 100, F.lit("D")).otherwise(F.lit("U")).alias(
+            "op"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    state = last.filter(F.col("op") == "U").select(
+        "user_id", r4(F.col("value")).alias("current_value")
+    )
+    return state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_live_keys"),
+        r4(F.sum("current_value")).alias("total_value"),
+        r4(F.min("current_value")).alias("min_value"),
+        r4(F.max("current_value")).alias("max_value"),
+    )
+
+
+Q130_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value < 100 THEN 'D' ELSE 'U' END AS op
+  FROM events
+), last AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+), state AS (
+  SELECT user_id, ROUND(value, 4) AS current_value FROM last WHERE op = 'U'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live_keys,
+       ROUND(SUM(current_value), 4) AS total_value,
+       ROUND(MIN(current_value), 4) AS min_value,
+       ROUND(MAX(current_value), 4) AS max_value
+FROM state
+"""
+
+
 QUERIES = {
     "q125_salted_join": q125_salted_join,
     "q127_bpe_pairs": q127_bpe_pairs,
     "q128_hll_merge": q128_hll_merge,
+    "q129_table_checksum": q129_table_checksum,
+    "q130_cdc_apply": q130_cdc_apply,
     "q121_unpivot": q121_unpivot,
     "q122_range_frame": q122_range_frame,
     "q123_grouping_sets": q123_grouping_sets,
@@ -1736,6 +1842,8 @@ ORACLES = {
     "q125_salted_join": Q125_SQL,
     "q127_bpe_pairs": Q127_SQL,
     "q128_hll_merge": Q128_SQL,
+    "q129_table_checksum": Q129_SQL,
+    "q130_cdc_apply": Q130_SQL,
     "q121_unpivot": Q121_SQL,
     "q122_range_frame": Q122_SQL,
     "q123_grouping_sets": Q123_SQL,

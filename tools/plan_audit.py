@@ -149,6 +149,8 @@ AUDIT = [
     ("kg79_negative_samples", 36, 9),
     ("q127_bpe_pairs", 3, 0),  # pair agg + global top-20 window
     ("q128_hll_merge", 5, 0),  # daily sketch agg + union agg + exact join
+    ("q129_table_checksum", 1, 0),  # one partial XOR agg, no sort
+    ("q130_cdc_apply", 2, 0),  # one key window + the 1-row rollup
 ]
 
 
