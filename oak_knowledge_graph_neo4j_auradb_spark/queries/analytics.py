@@ -963,6 +963,166 @@ GROUP BY a.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q131 — two-proportion A/B z-statistic: users split by user_id parity,
+# conversion = "has a purchase over 150"; z = (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁))
+# — the experiment-readout primitive (q117's χ² generalizes to many
+# cells; this is the two-cell special case every A/B dashboard shows).
+# All inputs are integer counts; both engines evaluate the identical
+# double expression, rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q131_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150))
+            .cast("int")
+        ).alias("conv")
+    )
+    g = per_user.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    j = a.crossJoin(b)
+    p0 = F.col("k0") / F.col("n0")
+    p1 = F.col("k1") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return j.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("k0").cast("long").alias("k0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("k1").cast("long").alias("k1"),
+        F.round(p1 - p0, 6).alias("lift"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+Q131_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT user_id % 2 AS grp, COUNT(*) AS n, SUM(conv) AS k
+  FROM per_user GROUP BY 1
+), j AS (
+  SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+  FROM (SELECT * FROM g WHERE grp = 0) a
+  CROSS JOIN (SELECT * FROM g WHERE grp = 1) b
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+       CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+       ROUND(k1 / n1 - k0 / n0, 6) AS lift,
+       ROUND((k1 / n1 - k0 / n0)
+             / sqrt(((k0 + k1) / (n0 + n1)) * (1 - (k0 + k1) / (n0 + n1))
+                    * (1 / n0 + 1 / n1)), 6) AS z_stat
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q132 — equal-width histogram of event values per type: bin =
+# floor((v − min)/w) over the GLOBAL min/max (broadcast 1-row agg), so
+# every group shares one bin grid — the standard profiling histogram.
+# Bin edges are computed from identical doubles in both engines, and a
+# value exactly on an edge floors identically; counts are integers.
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 10
+
+
+def q132_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _HIST_BINS)
+            ).cast("long"),
+            F.lit(_HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+Q132_SQL = f"""
+WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+SELECT event_type,
+       LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {_HIST_BINS}))
+                  AS BIGINT), {_HIST_BINS - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events CROSS JOIN bounds
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q133 — Gini concentration of customer spend per market segment:
+# G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending per-customer spend —
+# the inequality/concentration audit (is 1% of customers 90% of
+# revenue?). Spend is INTEGER CENTS, ranks are integers, so both
+# numerators are exact int64 sums and only the final division renders
+# at 6dp. One window shuffle per segment + one agg on the same key.
+# --------------------------------------------------------------------------
+
+
+def q133_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x")))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+Q133_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, x,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x, o_custkey) AS i
+  FROM spend
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND((2 * SUM(i * x)) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+FROM ranked GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q108_regr_ols": q108_regr_ols,
     "q113_ewma": q113_ewma,
@@ -970,6 +1130,9 @@ QUERIES = {
     "q116_linear_interp": q116_linear_interp,
     "q117_chi2_drift": q117_chi2_drift,
     "q120_ks_drift": q120_ks_drift,
+    "q131_ab_ztest": q131_ab_ztest,
+    "q132_histogram": q132_histogram,
+    "q133_gini": q133_gini,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -987,6 +1150,9 @@ ORACLES = {
     "q116_linear_interp": Q116_SQL,
     "q117_chi2_drift": Q117_SQL,
     "q120_ks_drift": Q120_SQL,
+    "q131_ab_ztest": Q131_SQL,
+    "q132_histogram": Q132_SQL,
+    "q133_gini": Q133_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

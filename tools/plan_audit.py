@@ -151,6 +151,9 @@ AUDIT = [
     ("q128_hll_merge", 5, 0),  # daily sketch agg + union agg + exact join
     ("q129_table_checksum", 1, 0),  # one partial XOR agg, no sort
     ("q130_cdc_apply", 2, 0),  # one key window + the 1-row rollup
+    ("q131_ab_ztest", 6, 0),  # per-user agg reused by both group branches
+    ("q132_histogram", 3, 0),  # 1-row bounds broadcast + bin agg
+    ("q133_gini", 2, 0),  # spend agg + rank window share the segment key
 ]
 
 
