@@ -1787,12 +1787,145 @@ FROM state
 """
 
 
+# --------------------------------------------------------------------------
+# q134 — ANALYZE-style column statistics: per column of lineitem, the
+# row/NDV/null counts and value range a cost-based optimizer collects
+# (ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS). One scan, one
+# 1-row aggregate computing every column's stats as parallel
+# expressions, then a compile-time melt to (column, stat...) rows —
+# numeric ranges rendered through the shared integer-cents/4dp
+# conventions so both engines emit identical strings.
+# --------------------------------------------------------------------------
+
+
+def q134_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cols = {
+        "l_orderkey": F.col("l_orderkey").cast("string"),
+        "l_partkey": F.col("l_partkey").cast("string"),
+        "l_suppkey": F.col("l_suppkey").cast("string"),
+        "l_quantity": F.col("l_quantity").cast("long").cast("string"),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+    }
+    aggs = []
+    for name, expr in cols.items():
+        aggs += [
+            F.count(expr).cast("long").alias(f"{name}__n"),
+            F.countDistinct(expr).cast("long").alias(f"{name}__ndv"),
+            F.min(expr).alias(f"{name}__min"),
+            F.max(expr).alias(f"{name}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', {n}__n, {n}__ndv, {n}__min, {n}__max" for n in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, ndv, min_value, max_value)"
+    )
+
+
+Q134_SQL = """
+SELECT t.* FROM (
+  SELECT
+    [
+      {'column_name': 'l_orderkey',
+       'n_rows': CAST(COUNT(CAST(l_orderkey AS VARCHAR)) AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR)) AS BIGINT),
+       'min_value': MIN(CAST(l_orderkey AS VARCHAR)),
+       'max_value': MAX(CAST(l_orderkey AS VARCHAR))},
+      {'column_name': 'l_partkey',
+       'n_rows': CAST(COUNT(CAST(l_partkey AS VARCHAR)) AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT CAST(l_partkey AS VARCHAR)) AS BIGINT),
+       'min_value': MIN(CAST(l_partkey AS VARCHAR)),
+       'max_value': MAX(CAST(l_partkey AS VARCHAR))},
+      {'column_name': 'l_suppkey',
+       'n_rows': CAST(COUNT(CAST(l_suppkey AS VARCHAR)) AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT CAST(l_suppkey AS VARCHAR)) AS BIGINT),
+       'min_value': MIN(CAST(l_suppkey AS VARCHAR)),
+       'max_value': MAX(CAST(l_suppkey AS VARCHAR))},
+      {'column_name': 'l_quantity',
+       'n_rows': CAST(COUNT(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))
+                      AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT CAST(CAST(l_quantity AS BIGINT)
+                                       AS VARCHAR)) AS BIGINT),
+       'min_value': MIN(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)),
+       'max_value': MAX(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))},
+      {'column_name': 'l_returnflag',
+       'n_rows': CAST(COUNT(l_returnflag) AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       'min_value': MIN(l_returnflag),
+       'max_value': MAX(l_returnflag)},
+      {'column_name': 'l_linestatus',
+       'n_rows': CAST(COUNT(l_linestatus) AS BIGINT),
+       'ndv': CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+       'min_value': MIN(l_linestatus),
+       'max_value': MAX(l_linestatus)}
+    ] AS rows
+  FROM lineitem
+), UNNEST(rows) AS u(t)
+"""
+
+
+# --------------------------------------------------------------------------
+# q135 — OHLC bars: per (event_type, day), the opening and closing
+# values plus the high/low/volume — the tumbling bar aggregation every
+# time-series store ships. Open/close use min_by/max_by over a
+# COMPOSITE integer key (epoch·10⁴ + event_id) so ties are impossible
+# and the pick is deterministic in both engines; one partial agg, no
+# window sort.
+# --------------------------------------------------------------------------
+
+
+def q135_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    key = es * 10000 + F.col("event_id") % 10000
+    return (
+        ev.select(
+            "event_type",
+            F.floor(es / 86400).alias("day"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            r4(F.min_by("value", "k")).alias("open"),
+            r4(F.max("value")).alias("high"),
+            r4(F.min("value")).alias("low"),
+            r4(F.max_by("value", "k")).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+    )
+
+
+Q135_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         value,
+         CAST(floor(epoch(ts)) AS BIGINT) * 10000 + event_id % 10000 AS k
+  FROM events
+)
+SELECT event_type, day,
+       ROUND(MIN_BY(value, k), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(MAX_BY(value, k), 4) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q125_salted_join": q125_salted_join,
     "q127_bpe_pairs": q127_bpe_pairs,
     "q128_hll_merge": q128_hll_merge,
     "q129_table_checksum": q129_table_checksum,
     "q130_cdc_apply": q130_cdc_apply,
+    "q134_analyze_stats": q134_analyze_stats,
+    "q135_ohlc_bars": q135_ohlc_bars,
     "q121_unpivot": q121_unpivot,
     "q122_range_frame": q122_range_frame,
     "q123_grouping_sets": q123_grouping_sets,
@@ -1844,6 +1977,8 @@ ORACLES = {
     "q128_hll_merge": Q128_SQL,
     "q129_table_checksum": Q129_SQL,
     "q130_cdc_apply": Q130_SQL,
+    "q134_analyze_stats": Q134_SQL,
+    "q135_ohlc_bars": Q135_SQL,
     "q121_unpivot": Q121_SQL,
     "q122_range_frame": Q122_SQL,
     "q123_grouping_sets": Q123_SQL,

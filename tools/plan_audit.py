@@ -154,6 +154,10 @@ AUDIT = [
     ("q131_ab_ztest", 6, 0),  # per-user agg reused by both group branches
     ("q132_histogram", 3, 0),  # 1-row bounds broadcast + bin agg
     ("q133_gini", 2, 0),  # spend agg + rank window share the segment key
+    # q134's 6 count-distincts expand per column in the static plan;
+    # one scan feeds them all
+    ("q134_analyze_stats", 14, 0),
+    ("q135_ohlc_bars", 1, 0),  # one partial agg, min_by/max_by, no sort
 ]
 
 
