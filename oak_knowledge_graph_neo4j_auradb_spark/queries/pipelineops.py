@@ -1816,7 +1816,61 @@ FROM lab GROUP BY stage
 """
 
 
+# --------------------------------------------------------------------------
+# q136 — weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+# each doc gets key = −ln(u)/w with u the md5-uniform draw and w =
+# n_chars (longer docs proportionally likelier); the k smallest keys
+# ARE a weighted sample without replacement — one pass, one global
+# top-k, no sequential draws (the property that makes E-S the
+# distributed answer; q87 is the with-replacement Bernoulli form).
+# Deterministic: u is the hash draw, ln on identical doubles, ties
+# impossible (distinct u). Emits the per-lang composition of the
+# sample, which is the quantity a corpus-mix designer reads.
+# --------------------------------------------------------------------------
+
+_ES_K = 100
+
+
+def q136_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    u = md5long(F.col("doc_id").cast("string")) / F.lit(_HASH_DENOM)
+    key = -F.log(u) / F.col("w")
+    w_rank = Window.orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _ES_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+Q136_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         -ln(({MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')})
+             / {_HASH_DENOM}) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+), top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM keyed
+  ) WHERE rn <= {_ES_K}
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM top GROUP BY lang
+"""
+
+
 QUERIES = {
+    "q136_weighted_sample": q136_weighted_sample,
     "q126_corpus_prep_stats": q126_corpus_prep_stats,
     "q118_vocab_growth": q118_vocab_growth,
     "q119_source_overlap": q119_source_overlap,
@@ -1852,6 +1906,7 @@ QUERIES = {
 
 ORACLES = {
     "q126_corpus_prep_stats": Q126_SQL,
+    "q136_weighted_sample": Q136_SQL,
     "q118_vocab_growth": Q118_SQL,
     "q119_source_overlap": Q119_SQL,
     "q109_feature_hashing": Q109_SQL,

@@ -158,6 +158,9 @@ AUDIT = [
     # one scan feeds them all
     ("q134_analyze_stats", 14, 0),
     ("q135_ohlc_bars", 1, 0),  # one partial agg, min_by/max_by, no sort
+    # global top-k: TakeOrderedAndProject-style, the k=100 sort is the
+    # one exchange + the lang agg
+    ("q136_weighted_sample", 3, 0),
 ]
 
 
