@@ -1985,11 +1985,11 @@ JOIN (SELECT pred, MAX(d) AS max_in FROM idg GROUP BY pred) mi USING (pred)
 _NEG_K = 4
 
 
-def kg79_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _draw_negatives(e: DataFrame):
+    """(drawn, kept): K deterministic corruption candidates per
+    (subj, pred), and those that are not true edges."""
     from .common import md5long
 
-    gb = _wide(spark, sf_dir)
-    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
     nodes = (
         e.select(F.col("subj").alias("n"))
         .unionByName(e.select(F.col("obj").alias("n")))
@@ -2031,6 +2031,13 @@ def kg79_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["subj", "pred", "cand"],
         "left_anti",
     )
+    return drawn, kept
+
+
+def kg79_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
+    drawn, kept = _draw_negatives(e)
     out = (
         drawn.groupBy("pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
@@ -2093,6 +2100,124 @@ GROUP BY d.pred
 """
 
 
+# --------------------------------------------------------------------------
+# kg80 — TransE-style TRIPLE SCORING over positives and kg79's
+# negatives: every node/relation gets a deterministic 16-dim hash
+# embedding (md5-byte encoder — the same stub family as
+# multimodal.embed_media, so the DuckDB twin re-derives identical
+# vectors), and each triple scores energy = ‖h + r − t‖₂. This is the
+# batch-scoring pass of a KG-embedding training loop with the learned
+# weights replaced by the deterministic stub: the data flow — positive
+# edges ⋈ negative corruptions → per-relation energy margins — is the
+# real one, all JVM-side HOF arithmetic (no UDF). Per-pred averages
+# rendered at 6dp.
+# --------------------------------------------------------------------------
+
+_EMB_D = 16
+
+
+def _hash_vec(col):
+    """16-dim embedding from md5 bytes: dim i = byte_i/255 − 0.5."""
+    h = F.md5(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_EMB_D)),
+        lambda i: F.conv(F.substring(h, (i - 1) * 2 + 1, 2), 16, 10).cast(
+            "double"
+        )
+        / 255.0
+        - 0.5,
+    )
+
+
+def _transe_energy(h, r, t):
+    diff = F.zip_with(
+        F.zip_with(h, r, lambda a, b: a + b), t, lambda s, c: s - c
+    )
+    return F.sqrt(
+        F.aggregate(
+            diff, F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+
+
+def kg80_transe_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
+    _, neg = _draw_negatives(e)
+    pos_en = _transe_energy(
+        _hash_vec(F.col("subj")), _hash_vec(F.col("pred")), _hash_vec(F.col("obj"))
+    )
+    neg_en = _transe_energy(
+        _hash_vec(F.col("subj")), _hash_vec(F.col("pred")), _hash_vec(F.col("cand"))
+    )
+    pos = e.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.round(F.avg(pos_en), 6).alias("avg_pos_energy"),
+    )
+    negs = neg.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg"),
+        F.round(F.avg(neg_en), 6).alias("avg_neg_energy"),
+    )
+    out = pos.join(negs, "pred")
+    e.unpersist()
+    return out
+
+
+def _kg80_sql() -> str:
+    from .common import MD5LONG_SQL
+    from .kg import _edges_union_sql
+
+    def vec(x):
+        return (
+            f"list_transform(generate_series(1, {_EMB_D}), i -> "
+            f"CAST(CAST('0x' || substr(md5({x}), (i - 1) * 2 + 1, 2) AS INT)"
+            f" AS DOUBLE) / 255.0 - 0.5)"
+        )
+
+    def energy(h, r, t):
+        return (
+            f"sqrt(list_sum(list_transform("
+            f"list_zip({vec(h)}, {vec(r)}, {vec(t)}), "
+            f"z -> (z[1] + z[2] - z[3]) * (z[1] + z[2] - z[3]))))"
+        )
+
+    pick = MD5LONG_SQL.format(
+        x="p.subj || '|' || p.pred || '|' || CAST(u.i AS VARCHAR)"
+    )
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM edges),
+nodes AS (
+  SELECT list_sort(list(DISTINCT n)) AS arr FROM (
+    SELECT subj AS n FROM e UNION SELECT obj FROM e)
+),
+drawn AS (
+  SELECT p.subj, p.pred,
+         arr[CAST({pick} % len(arr) AS BIGINT) + 1] AS cand
+  FROM (SELECT DISTINCT subj, pred FROM e) p
+  CROSS JOIN nodes
+  CROSS JOIN unnest(generate_series(0, {_NEG_K - 1})) AS u(i)
+),
+kept AS (
+  SELECT d.* FROM drawn d
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.subj = d.subj
+                    AND e.pred = d.pred AND e.obj = d.cand)
+),
+pos AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+         ROUND(AVG({energy('subj', 'pred', 'obj')}), 6) AS avg_pos_energy
+  FROM e GROUP BY pred
+),
+neg AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_neg,
+         ROUND(AVG({energy('subj', 'pred', 'cand')}), 6) AS avg_neg_energy
+  FROM kept GROUP BY pred
+)
+SELECT pos.pred, pos.n_pos, pos.avg_pos_energy, neg.n_neg, neg.avg_neg_energy
+FROM pos JOIN neg ON pos.pred = neg.pred
+"""
+
+
 QUERIES = {
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
@@ -2100,6 +2225,7 @@ QUERIES = {
     "kg77_metapath_census": kg77_metapath_census,
     "kg78_cardinality_audit": kg78_cardinality_audit,
     "kg79_negative_samples": kg79_negative_samples,
+    "kg80_transe_energies": kg80_transe_energies,
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
@@ -2129,6 +2255,7 @@ ORACLES = {
     "kg77_metapath_census": _kg77_sql(),
     "kg78_cardinality_audit": _kg78_sql(),
     "kg79_negative_samples": _kg79_sql(),
+    "kg80_transe_energies": _kg80_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

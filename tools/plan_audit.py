@@ -161,6 +161,9 @@ AUDIT = [
     # global top-k: TakeOrderedAndProject-style, the k=100 sort is the
     # one exchange + the lang agg
     ("q136_weighted_sample", 3, 0),
+    # like kg79: the static plan embeds the kg build per branch; HOF
+    # energy arithmetic is all JVM-side (no python stages of its own)
+    ("kg80_transe_energies", 45, 12),
 ]
 
 
