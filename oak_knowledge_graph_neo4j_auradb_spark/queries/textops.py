@@ -948,7 +948,91 @@ FROM ranked WHERE 10 * sample_rank <= n + 9
 """
 
 
+# --------------------------------------------------------------------------
+# q137 — SimHash near-dup RETRIEVAL via the pigeonhole band index: q26
+# computes the fingerprints; this finds the pairs. The 16-bit simhash
+# splits into 4 bands of 4 bits — any two hashes within Hamming
+# distance 3 agree on at least one whole band (pigeonhole), so the
+# candidate join is per-(band, value) bucket, never all-pairs; the
+# exact bit_count(xor) check then trims bucket false positives. At web
+# scale the fingerprint widens (64/128 bits) and the band count tracks
+# the distance bound — same plan, bigger keys. One shuffle on the
+# band key + the exact-verify projection.
+# --------------------------------------------------------------------------
+
+_SH_BANDS, _SH_BITS, _SH_MAXHAM = 4, 4, 3
+
+
+def q137_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q26_simhash(spark, sf_dir)
+    keys = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SH_BANDS)])
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, {_SH_BITS} * band)")
+        .bitwiseAND(F.lit((1 << _SH_BITS) - 1))
+        .alias("bval"),
+    )
+    a = keys.select(
+        "band", "bval", F.col("doc_id").alias("id1"), F.col("simhash").alias("h1")
+    )
+    b = keys.select(
+        "band", "bval", F.col("doc_id").alias("id2"), F.col("simhash").alias("h2")
+    )
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("ham"),
+        )
+        .filter(F.col("ham") <= _SH_MAXHAM)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ham"), 6).alias("avg_hamming"),
+        F.min(F.concat_ws(">", "id1", "id2")).alias("min_pair"),
+        F.max(F.concat_ws(">", "id1", "id2")).alias("max_pair"),
+    )
+
+
+def _q137_sql() -> str:
+    return f"""
+WITH sim AS ({Q26_SQL}),
+keys AS (
+  SELECT doc_id, simhash, u.band,
+         (simhash >> ({_SH_BITS} * u.band)) & {(1 << _SH_BITS) - 1} AS bval
+  FROM sim, unnest(generate_series(0, {_SH_BANDS - 1})) AS u(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+ok AS (
+  SELECT id1, id2, bit_count(xor(h1, h2)) AS ham FROM pairs
+  WHERE bit_count(xor(h1, h2)) <= {_SH_MAXHAM}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ham), 6) AS avg_hamming,
+       MIN(CAST(id1 AS VARCHAR) || '>' || CAST(id2 AS VARCHAR)) AS min_pair,
+       MAX(CAST(id1 AS VARCHAR) || '>' || CAST(id2 AS VARCHAR)) AS max_pair
+FROM ok
+"""
+
+
 QUERIES = {
+    "q137_simhash_pairs": q137_simhash_pairs,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
     "q22_quality_score": q22_quality_score,
@@ -974,6 +1058,7 @@ ORACLES = {
     "q24_minhash_signature": Q24_SQL,
     "q25_lsh_neardup_pairs": Q25_SQL,
     "q26_simhash": Q26_SQL,
+    "q137_simhash_pairs": _q137_sql(),
     "q27_ngram_jaccard": Q27_SQL,
     "q28_fingerprint": Q28_SQL,
     "q34_bpe_token_count": Q34_SQL,

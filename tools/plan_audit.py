@@ -164,6 +164,7 @@ AUDIT = [
     # like kg79: the static plan embeds the kg build per branch; HOF
     # energy arithmetic is all JVM-side (no python stages of its own)
     ("kg80_transe_energies", 45, 12),
+    ("q137_simhash_pairs", 6, 0),  # band-bucket self-join, never all-pairs
 ]
 
 
