@@ -964,6 +964,98 @@ GROUP BY a.lang
 
 
 # --------------------------------------------------------------------------
+# q138 — AR(1) autoregression per series: φ = REGR_SLOPE(xₜ, xₜ₋₁) of
+# each event type's daily mean — the one-number persistence/trend
+# diagnostic (φ→1 random-walk-like, φ→0 white noise) behind
+# forecasting and drift monitors. The daily means are rounded to the
+# shared 4dp rendering BEFORE the lag join (identical doubles both
+# engines, the q116 convention); one window and one REGR agg share the
+# event_type shuffle.
+# --------------------------------------------------------------------------
+
+
+def q138_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _eday("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(r4(F.avg("value")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("v_prev", F.lag("v").over(w)).filter(
+        F.col("v_prev").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.regr_count(F.col("v"), F.col("v_prev")).cast("long").alias("n"),
+        F.round(F.regr_slope(F.col("v"), F.col("v_prev")), 6).alias("phi"),
+        F.round(F.regr_intercept(F.col("v"), F.col("v_prev")), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+Q138_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         ROUND(AVG(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, v,
+         LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS v_prev
+  FROM daily
+)
+SELECT event_type,
+       CAST(REGR_COUNT(v, v_prev) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(v, v_prev), 6) AS phi,
+       ROUND(REGR_INTERCEPT(v, v_prev), 4) AS intercept
+FROM lagged WHERE v_prev IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q139 — day-of-week seasonality profile: per (event_type, weekday),
+# the mean daily volume and its share of the type's weekly total, plus
+# a peak flag — the seasonal-decomposition first pass. Weekday is
+# epoch-day arithmetic ((day + 4) mod 7: 1970-01-01 was a Thursday),
+# so no calendar/locale dependence; counts are integers and the share
+# divides integers, rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q139_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _eday("ts").alias("day")
+    )
+    per_dow = ev.select(
+        "event_type", ((F.col("day") + 4) % 7).alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return per_dow.select(
+        "event_type",
+        "dow",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+        (F.col("n") == F.max("n").over(w)).alias("is_peak"),
+    )
+
+
+Q139_SQL = """
+WITH d AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+  FROM events
+), per AS (
+  SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT event_type, dow, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6)
+         AS share,
+       n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # q131 — two-proportion A/B z-statistic: users split by user_id parity,
 # conversion = "has a purchase over 150"; z = (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁))
 # — the experiment-readout primitive (q117's χ² generalizes to many
@@ -1133,6 +1225,8 @@ QUERIES = {
     "q131_ab_ztest": q131_ab_ztest,
     "q132_histogram": q132_histogram,
     "q133_gini": q133_gini,
+    "q138_ar1": q138_ar1,
+    "q139_seasonality": q139_seasonality,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -1153,6 +1247,8 @@ ORACLES = {
     "q131_ab_ztest": Q131_SQL,
     "q132_histogram": Q132_SQL,
     "q133_gini": Q133_SQL,
+    "q138_ar1": Q138_SQL,
+    "q139_seasonality": Q139_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

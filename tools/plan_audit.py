@@ -165,6 +165,8 @@ AUDIT = [
     # energy arithmetic is all JVM-side (no python stages of its own)
     ("kg80_transe_energies", 45, 12),
     ("q137_simhash_pairs", 6, 0),  # band-bucket self-join, never all-pairs
+    ("q138_ar1", 2, 0),  # daily agg + lag window + REGR share the key
+    ("q139_seasonality", 2, 0),  # dow agg + share/peak windows share the key
 ]
 
 
