@@ -773,7 +773,59 @@ LEFT JOIN dup d ON t.c = d.c
 """
 
 
+# --------------------------------------------------------------------------
+# q140 — label-centroid similarity matrix: per-class mean vectors and
+# the pairwise cosine between them — the embedding-space QA a training
+# pipeline runs to spot collapsed or duplicate classes before the
+# vectors are trusted. The centroid is assembled with an ORDER-PINNED
+# per-dimension average (posexplode → (label, dim) avg → re-collect
+# sorted by dim), so the only nondeterminism is sum-order ulps, hidden
+# by the 6dp rendering. Class count is small by nature, so the
+# centroid matrix broadcasts and the pair join is trivial; the heavy
+# stage — the per-dim partial agg over N vectors — is one shuffle.
+# --------------------------------------------------------------------------
+
+
+def q140_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _vec(load(spark, sf_dir, "embeddings"))
+    ex = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("c")
+    )
+    a = carr.select(F.col("label").alias("l1"), F.col("c").alias("c1"))
+    b = carr.select(F.col("label").alias("l2"), F.col("c").alias("c2"))
+    return (
+        a.join(F.broadcast(b), F.col("l1") < F.col("l2"))
+        .select(
+            "l1",
+            "l2",
+            F.round(cosine(F.col("c1"), F.col("c2")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def _q140_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT label, u.i AS pos, embedding[u.i] AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+), cent AS (
+  SELECT label, pos, AVG(val) AS m FROM ex GROUP BY 1, 2
+), carr AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+)
+SELECT a.label AS l1, b.label AS l2,
+       ROUND({_cos_sql('a.c', 'b.c')}, 6) AS cos_sim
+FROM carr a JOIN carr b ON a.label < b.label
+"""
+
+
 QUERIES = {
+    "q140_label_centroids": q140_label_centroids,
     "q29_knn_bruteforce": q29_knn_bruteforce,
     "q30_lsh_neardup": q30_lsh_neardup,
     "q31_ivf_assign": q31_ivf_assign,
@@ -783,6 +835,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q140_label_centroids": _q140_sql(),
     "q29_knn_bruteforce": Q29_SQL,
     "q30_lsh_neardup": Q30_SQL,
     "q31_ivf_assign": Q31_SQL,

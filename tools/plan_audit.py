@@ -167,6 +167,7 @@ AUDIT = [
     ("q137_simhash_pairs", 6, 0),  # band-bucket self-join, never all-pairs
     ("q138_ar1", 2, 0),  # daily agg + lag window + REGR share the key
     ("q139_seasonality", 2, 0),  # dow agg + share/peak windows share the key
+    ("q140_label_centroids", 4, 0),  # per-dim agg; pair join broadcasts
 ]
 
 
