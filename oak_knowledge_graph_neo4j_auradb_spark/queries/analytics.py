@@ -964,6 +964,128 @@ GROUP BY a.lang
 
 
 # --------------------------------------------------------------------------
+# q141 — inter-arrival-time distribution per user stream: the gap (in
+# seconds) between a user's consecutive events, rolled up per event
+# type of the LATER event — the arrival-process diagnostic behind
+# rate-limiter sizing and bot detection. Gaps are integer seconds (lag
+# over the per-user sort), so min/max/percentile are exact; the mean
+# renders at 4dp. One window shuffle on user_id, one agg.
+# --------------------------------------------------------------------------
+
+
+def q141_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = ev.withColumn("gap", F.col("es") - F.lag("es").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+        F.percentile(F.col("gap"), F.lit(0.5)).alias("median_gap"),
+        r4(F.avg("gap")).alias("avg_gap"),
+    )
+
+
+Q141_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       quantile_cont(gap, 0.5) AS median_gap,
+       ROUND(AVG(gap), 4) AS avg_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q142 — Pareto concentration point: per market segment, the smallest
+# number of customers whose spend covers ≥80% of the segment's revenue
+# (the 80/20 audit on top of q133's Gini). Spend is integer cents and
+# the 80% gate is 5·cumsum ≥ 4·total — pure int64 arithmetic, no float
+# threshold to straddle. One descending-rank window per segment (the
+# cumsum shares its sort) + one agg.
+# --------------------------------------------------------------------------
+
+
+def q142_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(cents).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("x"), F.asc("o_custkey")
+    )
+    wtot = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        F.row_number().over(w).alias("i"),
+        F.sum("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("x").over(wtot).alias("tot"),
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .groupBy("c_mktsegment")
+        .agg(F.min("i").cast("long").alias("customers_for_80pct"))
+        .join(
+            spend.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers")
+            ),
+            "c_mktsegment",
+        )
+    )
+
+
+Q142_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY x DESC, o_custkey) AS i,
+         SUM(x) OVER (PARTITION BY c_mktsegment
+                      ORDER BY x DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(x) OVER (PARTITION BY c_mktsegment) AS tot
+  FROM spend
+)
+SELECT r.c_mktsegment,
+       CAST(MIN(r.i) AS BIGINT) AS customers_for_80pct,
+       CAST(MIN(n.n) AS BIGINT) AS n_customers
+FROM ranked r
+JOIN (SELECT c_mktsegment, COUNT(*) AS n FROM spend GROUP BY 1) n
+  ON r.c_mktsegment = n.c_mktsegment
+WHERE 5 * r.cum >= 4 * r.tot
+GROUP BY r.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # q138 — AR(1) autoregression per series: φ = REGR_SLOPE(xₜ, xₜ₋₁) of
 # each event type's daily mean — the one-number persistence/trend
 # diagnostic (φ→1 random-walk-like, φ→0 white noise) behind
@@ -1227,6 +1349,8 @@ QUERIES = {
     "q133_gini": q133_gini,
     "q138_ar1": q138_ar1,
     "q139_seasonality": q139_seasonality,
+    "q141_interarrival": q141_interarrival,
+    "q142_pareto_point": q142_pareto_point,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -1249,6 +1373,8 @@ ORACLES = {
     "q133_gini": Q133_SQL,
     "q138_ar1": Q138_SQL,
     "q139_seasonality": Q139_SQL,
+    "q141_interarrival": Q141_SQL,
+    "q142_pareto_point": Q142_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -168,6 +168,8 @@ AUDIT = [
     ("q138_ar1", 2, 0),  # daily agg + lag window + REGR share the key
     ("q139_seasonality", 2, 0),  # dow agg + share/peak windows share the key
     ("q140_label_centroids", 4, 0),  # per-dim agg; pair join broadcasts
+    ("q141_interarrival", 3, 0),  # user window + type agg (exact median)
+    ("q142_pareto_point", 4, 0),  # rank+cumsum share one segment sort
 ]
 
 
