@@ -964,6 +964,69 @@ GROUP BY a.lang
 
 
 # --------------------------------------------------------------------------
+# q143 — ROLLING correlation between two daily series (clicks vs
+# purchases per day): corr isn't a window function in either engine, so
+# it's assembled from five windowed sums over the same 7-day RANGE
+# frame — (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — the rolling
+# co-movement monitor. The daily inputs are integer counts, so every
+# windowed sum is EXACT and both engines evaluate the identical double
+# expression; 6dp rendering. Windows short of 3 days emit NULL. One
+# shuffle: all five sums share one global day ordering (the series is
+# one row per day — window over a rollup, not raw events).
+# --------------------------------------------------------------------------
+
+
+def q143_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        _eday("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count_if(F.col("event_type") == "click").alias("x"),
+        F.count_if(F.col("event_type") == "purchase").alias("y"),
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return daily.select(
+        "day",
+        F.col("x").cast("long").alias("clicks"),
+        F.col("y").cast("long").alias("purchases"),
+        F.when(n >= 3, F.round(corr, 6)).alias("corr_7d"),
+    )
+
+
+Q143_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+  FROM events GROUP BY 1
+), win AS (
+  SELECT day, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(x AS BIGINT) AS clicks, CAST(y AS BIGINT) AS purchases,
+       CASE WHEN n >= 3 THEN
+         ROUND((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS corr_7d
+FROM win
+"""
+
+
+# --------------------------------------------------------------------------
 # q141 — inter-arrival-time distribution per user stream: the gap (in
 # seconds) between a user's consecutive events, rolled up per event
 # type of the LATER event — the arrival-process diagnostic behind
@@ -1351,6 +1414,7 @@ QUERIES = {
     "q139_seasonality": q139_seasonality,
     "q141_interarrival": q141_interarrival,
     "q142_pareto_point": q142_pareto_point,
+    "q143_rolling_corr": q143_rolling_corr,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -1375,6 +1439,7 @@ ORACLES = {
     "q139_seasonality": Q139_SQL,
     "q141_interarrival": Q141_SQL,
     "q142_pareto_point": Q142_SQL,
+    "q143_rolling_corr": Q143_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -1031,8 +1031,129 @@ FROM ok
 """
 
 
+# --------------------------------------------------------------------------
+# q144 — MinHash ESTIMATE-ACCURACY audit: for every LSH candidate pair,
+# the sketch's Jaccard estimate (fraction of agreeing signature
+# components) against the exact shingle Jaccard — the calibration
+# check a dedup pipeline runs before trusting sketch thresholds at
+# scale (8 perms → σ ≈ √(J(1−J)/8); the audit MEASURES the realized
+# error instead of assuming it). Everything is deterministic: the
+# signatures are the q24/q25 integer minhashes, the estimate divides
+# integers, and the summary renders at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q144_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    feats = (
+        d.select("doc_id", sh.alias("sh"))
+        .withColumn("hx", shingle_hashes(F.col("sh")))
+        .select("doc_id", "sh", minhash_struct(F.col("hx")).alias("m"))
+        .select("doc_id", "sh", "m.*")
+    )
+    bands = feats.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    cand = pairs.join(fa, "doc_a").join(fb, "doc_b")
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    est = agree / F.lit(8.0)
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    scored = cand.select(est.alias("est"), exact.alias("exact"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("est"), 6).alias("avg_est"),
+        F.round(F.avg("exact"), 6).alias("avg_exact"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 6).alias(
+            "avg_abs_err"
+        ),
+        F.count_if(F.abs(F.col("est") - F.col("exact")) <= 0.25)
+        .cast("long")
+        .alias("n_within_2sigma"),
+    )
+
+
+def _q144_sql() -> str:
+    sig = ", ".join(
+        f"{s} AS mh{i}" for i, s in enumerate(minhash_sig_sql("sh"))
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, sh, {sig}
+  FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+        FROM documents)
+), bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 0 THEN mh0 || '_' || mh1
+                     WHEN 1 THEN mh2 || '_' || mh3
+                     WHEN 2 THEN mh4 || '_' || mh5
+                     ELSE mh6 || '_' || mh7 END AS key
+  FROM feats, (SELECT unnest([0,1,2,3]) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT ({agree}) / 8.0 AS est,
+         len(list_intersect(a.sh, b.sh)) * 1.0
+           / len(list_distinct(a.sh || b.sh)) AS exact
+  FROM pairs p
+  JOIN feats a ON p.doc_a = a.doc_id
+  JOIN feats b ON p.doc_b = b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est), 6) AS avg_est,
+       ROUND(AVG(exact), 6) AS avg_exact,
+       ROUND(AVG(ABS(est - exact)), 6) AS avg_abs_err,
+       CAST(COUNT(*) FILTER (WHERE ABS(est - exact) <= 0.25) AS BIGINT)
+         AS n_within_2sigma
+FROM scored
+"""
+
+
 QUERIES = {
     "q137_simhash_pairs": q137_simhash_pairs,
+    "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
     "q21_token_stats": q21_token_stats,
     "q22_quality_score": q22_quality_score,
@@ -1059,6 +1180,7 @@ ORACLES = {
     "q25_lsh_neardup_pairs": Q25_SQL,
     "q26_simhash": Q26_SQL,
     "q137_simhash_pairs": _q137_sql(),
+    "q144_minhash_accuracy": _q144_sql(),
     "q27_ngram_jaccard": Q27_SQL,
     "q28_fingerprint": Q28_SQL,
     "q34_bpe_token_count": Q34_SQL,

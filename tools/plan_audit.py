@@ -170,6 +170,8 @@ AUDIT = [
     ("q140_label_centroids", 4, 0),  # per-dim agg; pair join broadcasts
     ("q141_interarrival", 3, 0),  # user window + type agg (exact median)
     ("q142_pareto_point", 4, 0),  # rank+cumsum share one segment sort
+    ("q143_rolling_corr", 2, 0),  # daily rollup + five sums in ONE frame
+    ("q144_minhash_accuracy", 8, 0),  # q25's band join + pair join-backs
 ]
 
 
