@@ -964,6 +964,118 @@ GROUP BY a.lang
 
 
 # --------------------------------------------------------------------------
+# q146 — one-way ANOVA F-statistic: does mean event value differ across
+# event types? F = (SSB/(k−1)) / (SSW/(n−k)) assembled from per-group
+# sums — the multi-group generalization of q131's two-sample test.
+# Sums of doubles carry ulp noise only; both engines evaluate the same
+# expression over the same per-group aggregates, rendered at 6dp. One
+# partial agg on the (tiny) group key + a 1-row combine.
+# --------------------------------------------------------------------------
+
+
+def q146_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+        F.sum("ss").alias("ss_all"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_all")
+    ssw = F.col("ss_all") - F.col("sb")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k")))
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_all").cast("long").alias("n"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+Q146_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DOUBLE)) AS s,
+         SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n_all, SUM(s) AS s_all, SUM(ss) AS ss_all,
+         SUM(s * s / n) AS sb
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n_all AS BIGINT) AS n,
+       ROUND(sb - s_all * s_all / n_all, 4) AS ss_between,
+       ROUND(ss_all - sb, 4) AS ss_within,
+       ROUND(((sb - s_all * s_all / n_all) / (k - 1))
+             / ((ss_all - sb) / (n_all - k)), 6) AS f_stat
+FROM tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q147 — Benford first-digit audit of order totals: the observed
+# leading-digit distribution of o_totalprice (as integer cents — the
+# digit comes from the BIGINT's decimal string, so no float rendering
+# is ever compared) against Benford's log₁₀(1+1/d) expectation, with
+# the per-digit χ² contribution — the classic fabricated-data /
+# data-quality screen. One partial agg on a 9-value key.
+# --------------------------------------------------------------------------
+
+
+def q147_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("n_all"))
+    exp_p = F.log10(1 + 1 / F.col("digit").cast("double"))
+    j = obs.crossJoin(F.broadcast(tot))
+    chi_term = (
+        (F.col("n") - exp_p * F.col("n_all"))
+        * (F.col("n") - exp_p * F.col("n_all"))
+        / (exp_p * F.col("n_all"))
+    )
+    return j.select(
+        "digit",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("n") / F.col("n_all"), 6).alias("p_obs"),
+        F.round(exp_p, 6).alias("p_benford"),
+        F.round(chi_term, 6).alias("chi2_term"),
+    )
+
+
+Q147_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit
+), tot AS (SELECT SUM(n) AS n_all FROM obs)
+SELECT digit, CAST(n AS BIGINT) AS n_obs,
+       ROUND(CAST(n AS DOUBLE) / n_all, 6) AS p_obs,
+       ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS p_benford,
+       ROUND((n - log10(1 + 1 / CAST(digit AS DOUBLE)) * n_all)
+             * (n - log10(1 + 1 / CAST(digit AS DOUBLE)) * n_all)
+             / (log10(1 + 1 / CAST(digit AS DOUBLE)) * n_all), 6)
+         AS chi2_term
+FROM obs CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
 # q143 — ROLLING correlation between two daily series (clicks vs
 # purchases per day): corr isn't a window function in either engine, so
 # it's assembled from five windowed sums over the same 7-day RANGE
@@ -1415,6 +1527,8 @@ QUERIES = {
     "q141_interarrival": q141_interarrival,
     "q142_pareto_point": q142_pareto_point,
     "q143_rolling_corr": q143_rolling_corr,
+    "q146_anova": q146_anova,
+    "q147_benford": q147_benford,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -1440,6 +1554,8 @@ ORACLES = {
     "q141_interarrival": Q141_SQL,
     "q142_pareto_point": Q142_SQL,
     "q143_rolling_corr": Q143_SQL,
+    "q146_anova": Q146_SQL,
+    "q147_benford": Q147_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -2218,7 +2218,61 @@ FROM pos JOIN neg ON pos.pred = neg.pred
 """
 
 
+# --------------------------------------------------------------------------
+# kg81 — DEGREE ASSORTATIVITY of the curriculum graph: the Pearson
+# correlation between the total degrees of edge endpoints — the one-
+# number network-science diagnostic (do hubs link to hubs?). Degrees
+# come from one edge scan (out ∪ in, summed per node), join back to
+# both endpoints (the degree table is node-scale → broadcast), one
+# CORR aggregate; 6dp rendering.
+# --------------------------------------------------------------------------
+
+
+def kg81_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct()
+    deg = (
+        e.select(F.col("subj").alias("node"))
+        .unionByName(e.select(F.col("obj").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("node").alias("subj"), F.col("deg").alias("dsub"))
+    do = deg.select(F.col("node").alias("obj"), F.col("deg").alias("dobj"))
+    j = e.join(F.broadcast(ds), "subj").join(F.broadcast(do), "obj")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(
+            F.corr(F.col("dsub").cast("double"), F.col("dobj").cast("double")),
+            6,
+        ).alias("assortativity"),
+        F.round(F.avg(F.col("dsub").cast("double")), 4).alias("avg_src_deg"),
+        F.round(F.avg(F.col("dobj").cast("double")), 4).alias("avg_dst_deg"),
+    )
+
+
+def _kg81_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT subj AS node FROM e UNION ALL SELECT obj FROM e)
+  GROUP BY node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CORR(CAST(ds.deg AS DOUBLE), CAST(dd.deg AS DOUBLE)), 6)
+         AS assortativity,
+       ROUND(AVG(CAST(ds.deg AS DOUBLE)), 4) AS avg_src_deg,
+       ROUND(AVG(CAST(dd.deg AS DOUBLE)), 4) AS avg_dst_deg
+FROM e JOIN deg ds ON e.subj = ds.node JOIN deg dd ON e.obj = dd.node
+"""
+
+
 QUERIES = {
+    "kg81_assortativity": kg81_assortativity,
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
     "kg76_random_walks": kg76_random_walks,
@@ -2256,6 +2310,7 @@ ORACLES = {
     "kg78_cardinality_audit": _kg78_sql(),
     "kg79_negative_samples": _kg79_sql(),
     "kg80_transe_energies": _kg80_sql(),
+    "kg81_assortativity": _kg81_sql(),
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),

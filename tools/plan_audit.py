@@ -172,6 +172,11 @@ AUDIT = [
     ("q142_pareto_point", 4, 0),  # rank+cumsum share one segment sort
     ("q143_rolling_corr", 2, 0),  # daily rollup + five sums in ONE frame
     ("q144_minhash_accuracy", 8, 0),  # q25's band join + pair join-backs
+    # kg81 embeds the kg build once per degree branch (static; persisted
+    # + reuse-collapsed at run time, cf. kg78/79)
+    ("kg81_assortativity", 33, 9),
+    ("q146_anova", 2, 0),  # group agg + 1-row combine
+    ("q147_benford", 3, 0),  # 9-digit agg + 1-row total broadcast
 ]
 
 
