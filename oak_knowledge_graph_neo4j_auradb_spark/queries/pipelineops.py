@@ -1869,8 +1869,121 @@ FROM top GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q148 — Zipf fit of the token rank-frequency curve: the OLS slope of
+# ln(freq) on ln(rank) — the corpus-sanity exponent (natural text ≈ −1;
+# synthetic/templated corpora flatten or steepen it). Counts are
+# integers, ranks come from one global sort with a count+token
+# tie-break, and REGR_SLOPE over identical doubles renders at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q148_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cnt = d.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = cnt.withColumn("rank", F.row_number().over(w))
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+        F.max("n").cast("long").alias("top_freq"),
+    )
+
+
+Q148_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank FROM cnt
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(REGR_SLOPE(ln(CAST(n AS DOUBLE)),
+                        ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+       ROUND(REGR_R2(ln(CAST(n AS DOUBLE)),
+                     ln(CAST(rank AS DOUBLE))), 6) AS r2,
+       CAST(MAX(n) AS BIGINT) AS top_freq
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# q149 — referential-integrity audit across the fact's three foreign
+# keys: orphan counts and coverage for lineitem→orders/part/supplier —
+# the FK health check a pipeline runs before joining (kg67 is the graph
+# flavor; this is the relational one). Each check is one anti-join
+# against a key-distinct dimension; the three results melt to one
+# (fk, n_rows, n_orphans, coverage) table.
+# --------------------------------------------------------------------------
+
+
+def q149_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    checks = [
+        ("l_orderkey->orders", "l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey->part", "l_partkey", "part", "p_partkey"),
+        ("l_suppkey->supplier", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    outs = []
+    for name, fk, dim, pk in checks:
+        d = load(spark, sf_dir, dim).select(F.col(pk).alias(fk)).distinct()
+        orphans = li.select(fk).join(F.broadcast(d), fk, "left_anti")
+        outs.append(
+            li.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            ).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        F.round(1.0 - F.col("n_orphans") / F.col("n_rows"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+Q149_SQL = """
+WITH checks AS (
+  SELECT 'l_orderkey->orders' AS fk,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS n_orphans
+  UNION ALL
+  SELECT 'l_partkey->part',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+  UNION ALL
+  SELECT 'l_suppkey->supplier',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+)
+SELECT fk, n_rows, n_orphans,
+       ROUND(1.0 - CAST(n_orphans AS DOUBLE) / n_rows, 6) AS coverage
+FROM checks
+"""
+
+
 QUERIES = {
     "q136_weighted_sample": q136_weighted_sample,
+    "q148_zipf_fit": q148_zipf_fit,
+    "q149_fk_audit": q149_fk_audit,
     "q126_corpus_prep_stats": q126_corpus_prep_stats,
     "q118_vocab_growth": q118_vocab_growth,
     "q119_source_overlap": q119_source_overlap,
@@ -1907,6 +2020,8 @@ QUERIES = {
 ORACLES = {
     "q126_corpus_prep_stats": Q126_SQL,
     "q136_weighted_sample": Q136_SQL,
+    "q148_zipf_fit": Q148_SQL,
+    "q149_fk_audit": Q149_SQL,
     "q118_vocab_growth": Q118_SQL,
     "q119_source_overlap": Q119_SQL,
     "q109_feature_hashing": Q109_SQL,

@@ -177,6 +177,8 @@ AUDIT = [
     ("kg81_assortativity", 33, 9),
     ("q146_anova", 2, 0),  # group agg + 1-row combine
     ("q147_benford", 3, 0),  # 9-digit agg + 1-row total broadcast
+    ("q148_zipf_fit", 3, 0),  # vocab agg + one global rank sort + REGR
+    ("q149_fk_audit", 7, 0),  # 3 anti-joins + per-check 1-row aggs
 ]
 
 
