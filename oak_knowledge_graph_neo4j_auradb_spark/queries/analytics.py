@@ -964,6 +964,65 @@ GROUP BY a.lang
 
 
 # --------------------------------------------------------------------------
+# q150 — conversion latency: seconds from each user's FIRST click to
+# their first purchase AFTER it, with exact median/p90 — the funnel
+# complement of q75 (which counts ordered completions; this measures
+# the time between them). Latencies are integer epoch differences, so
+# min/max/percentile are exact; one per-user agg + one conditional-min
+# join + a 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q150_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("c0"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("es") > F.col("c0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("es") - F.col("c0")).alias("latency"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("latency").cast("long").alias("min_sec"),
+        F.percentile(F.col("latency"), F.lit(0.5)).alias("median_sec"),
+        F.percentile(F.col("latency"), F.lit(0.9)).alias("p90_sec"),
+        r4(F.avg("latency")).alias("avg_sec"),
+    )
+
+
+Q150_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), first_click AS (
+  SELECT user_id, MIN(es) AS c0 FROM ev WHERE event_type = 'click'
+  GROUP BY user_id
+), conv AS (
+  SELECT e.user_id, MIN(e.es - f.c0) AS latency
+  FROM ev e JOIN first_click f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.es > f.c0
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(latency) AS BIGINT) AS min_sec,
+       quantile_cont(latency, 0.5) AS median_sec,
+       quantile_cont(latency, 0.9) AS p90_sec,
+       ROUND(AVG(latency), 4) AS avg_sec
+FROM conv
+"""
+
+
+# --------------------------------------------------------------------------
 # q146 — one-way ANOVA F-statistic: does mean event value differ across
 # event types? F = (SSB/(k−1)) / (SSW/(n−k)) assembled from per-group
 # sums — the multi-group generalization of q131's two-sample test.
@@ -1529,6 +1588,7 @@ QUERIES = {
     "q143_rolling_corr": q143_rolling_corr,
     "q146_anova": q146_anova,
     "q147_benford": q147_benford,
+    "q150_conversion_latency": q150_conversion_latency,
     "q99_gapfill_locf": q99_gapfill_locf,
     "q100_range_join": q100_range_join,
     "q101_chunk_containment": q101_chunk_containment,
@@ -1556,6 +1616,7 @@ ORACLES = {
     "q143_rolling_corr": Q143_SQL,
     "q146_anova": Q146_SQL,
     "q147_benford": Q147_SQL,
+    "q150_conversion_latency": Q150_SQL,
     "q99_gapfill_locf": Q99_SQL,
     "q100_range_join": Q100_SQL,
     "q101_chunk_containment": Q101_SQL,

@@ -179,6 +179,7 @@ AUDIT = [
     ("q147_benford", 3, 0),  # 9-digit agg + 1-row total broadcast
     ("q148_zipf_fit", 3, 0),  # vocab agg + one global rank sort + REGR
     ("q149_fk_audit", 7, 0),  # 3 anti-joins + per-check 1-row aggs
+    ("q150_conversion_latency", 4, 0),  # two per-user aggs + 1-row rollup
 ]
 
 
