@@ -14,6 +14,7 @@ from . import (
     curriculum,
     graphops,
     kg,
+    mlops,
     pipelineops,
     relational,
     similarity,
@@ -35,6 +36,7 @@ for _m in (
     pipelineops,
     tpch,
     analytics,
+    mlops,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,561 @@
+"""Model-evaluation and ranking operators for the training-data
+pipeline: the stages that sit between "corpus is clean" (textops,
+pipelineops) and "model is trained" — label-quality evaluation, simple
+learned filters, term statistics, and retrieval scoring.
+
+* q151 — AUC (Mann-Whitney) of a scalar score against a binary label,
+  computed from grouped score counts so no global row-level sort is
+  needed: group by score value (map-side partial agg does the heavy
+  lifting), then one small window over the distinct-score table. All
+  arithmetic is integer until the final division — exact.
+* q152 — decision-stump induction: best single threshold on a numeric
+  feature by weighted Gini impurity. Candidate thresholds are the
+  distinct feature values, evaluated in one pass with cumulative
+  windows over the (tiny) per-value contingency table.
+* q153 — PMI co-occurrence of token pairs within documents. The
+  doc-level self-join runs on per-document DISTINCT token sets, and a
+  document-frequency floor prunes rare tokens before the join (the
+  same hot-key discipline as q27's df-pruned n-gram join).
+* q154 — skyline / Pareto frontier (maximize price AND recency) via
+  two RANGE-frame windows instead of the quadratic dominance
+  anti-join: a point is dominated iff some strictly-higher-price point
+  is at least as recent, or an equal-price point is strictly more
+  recent. One sort replaces O(n²) pairs.
+* q155 — ridge regression (closed form, 2 features, λ=1) from five
+  sufficient statistics: the normal equations are solved by Cramer's
+  rule on aggregates, so the "training" is a single map-side-combined
+  aggregation — no iteration, no driver-side math.
+* q156 — inverted-index postings: token → document frequency + the
+  first 10 posting doc_ids. The array is built sorted so the rendering
+  is order-portable across engines.
+* q157 — BM25 (k1=1.2, b=0.75) retrieval scoring for a fixed query
+  against the corpus, assembled from the same tf/df/dl statistics an
+  index build materializes; top-15 with rounded-score tie-breaks.
+
+Every query has a DuckDB oracle twin. Determinism notes: integer
+arithmetic wherever a comparison or rank depends on it; doubles only
+flow into rendered columns (r4/r6) or into orderings where both engines
+evaluate the identical expression on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import TOKENS_SQL, load, tokens
+
+# --------------------------------------------------------------------------
+# q151 — AUC of score = first embedding component predicting the binary
+# label (label < 5). Mann-Whitney formulation over grouped scores:
+#   AUC = [ Σ_s pos_s · cumneg(<s) + ½ Σ_s pos_s · neg_s ] / (np·nn)
+# doubled through to keep every term integral; ties get the ½ credit
+# exactly. The window runs over DISTINCT scores (the aggregated table),
+# not rows — at 100 TB the row-level work is one partial-agg shuffle on
+# the score value; the cumulative window sees only the value histogram.
+# --------------------------------------------------------------------------
+
+
+def q151_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        F.element_at(F.col("embedding"), 1).cast("double").alias("s"),
+        (F.col("label") < 5).cast("long").alias("y"),
+    )
+    g = e.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("cumneg", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    out = g.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            2 * F.col("pos") * F.col("cumneg") + F.col("pos") * F.col("neg")
+        ).alias("num2"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+Q151_SQL = """
+WITH e AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), g AS (
+  SELECT s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM e GROUP BY s
+), c AS (
+  SELECT s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       ROUND(SUM(2 * pos * cumneg + pos * neg)
+             / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q152 — decision stump: best n_chars threshold predicting lang='en'.
+# Per distinct feature value v: contingency (pos, neg); cumulative sums
+# give the left partition for threshold t = v ("go left if x ≤ t").
+# Weighted Gini is assembled from integers:
+#   nL·giniL = (nL² − l1² − l0²)/nL   (and symmetrically for the right)
+# so both engines divide identical integers — identical doubles —
+# making the argmin ordering engine-portable; ties break to the
+# smallest threshold. The windows run over the distinct-value table
+# (313 values here; bounded by feature cardinality at any scale).
+# --------------------------------------------------------------------------
+
+
+def q152_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = d.groupBy("x").agg(
+        F.sum("y").alias("p"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+    )
+    cum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = (
+        g.withColumn("l1", F.sum("p").over(cum))
+        .withColumn("l0", F.sum("q").over(cum))
+        .withColumn("tp", F.sum("p").over(tot))
+        .withColumn("tq", F.sum("q").over(tot))
+    )
+    nl = F.col("l1") + F.col("l0")
+    r1 = F.col("tp") - F.col("l1")
+    r0 = F.col("tq") - F.col("l0")
+    nr = r1 + r0
+    n = F.col("tp") + F.col("tq")
+    wg = (
+        (nl * nl - F.col("l1") * F.col("l1") - F.col("l0") * F.col("l0")) / nl
+        + (nr * nr - r1 * r1 - r0 * r0) / nr
+    ) / n
+    parent = (
+        n * n - F.col("tp") * F.col("tp") - F.col("tq") * F.col("tq")
+    ) / (n * n)
+    best = (
+        g.filter(nr > 0)
+        .select(
+            F.col("x").alias("threshold"),
+            nl.cast("long").alias("n_left"),
+            nr.cast("long").alias("n_right"),
+            F.col("l1").cast("long").alias("pos_left"),
+            r1.cast("long").alias("pos_right"),
+            wg.alias("_wg"),
+            F.round(parent - wg, 6).alias("gini_gain"),
+        )
+        .orderBy("_wg", "threshold")
+        .limit(1)
+    )
+    return best.drop("_wg")
+
+
+Q152_SQL = """
+WITH d AS (
+  SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), g AS (
+  SELECT x, SUM(y) AS p, COUNT(*) - SUM(y) AS q FROM d GROUP BY x
+), c AS (
+  SELECT x,
+         SUM(p) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS l1,
+         SUM(q) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS l0,
+         SUM(p) OVER () AS tp, SUM(q) OVER () AS tq
+  FROM g
+), s AS (
+  SELECT x, l1, l0, tp, tq,
+         l1 + l0 AS nl, (tp - l1) + (tq - l0) AS nr,
+         tp - l1 AS r1, tq - l0 AS r0, tp + tq AS n
+  FROM c
+)
+SELECT x AS threshold,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right,
+       CAST(l1 AS BIGINT) AS pos_left,
+       CAST(r1 AS BIGINT) AS pos_right,
+       ROUND((n*n - tp*tp - tq*tq) / (1.0*n*n)
+             - ((nl*nl - l1*l1 - l0*l0) / (1.0*nl)
+                + (nr*nr - r1*r1 - r0*r0) / (1.0*nr)) / n, 6) AS gini_gain
+FROM s
+WHERE nr > 0
+ORDER BY ((nl*nl - l1*l1 - l0*l0) / (1.0*nl)
+          + (nr*nr - r1*r1 - r0*r0) / (1.0*nr)) / n, x
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q153 — PMI of token pairs co-occurring in a document. Document-level
+# DISTINCT token sets (one explode + dedup), df floor of 25 before the
+# self-join (prunes the long tail exactly like q27's gram pruning — at
+# 100 TB the floor is what bounds the per-document pair fan-out), pair
+# floor of 5 after. PMI = ln(N·c_ab / (c_a·c_b)); integer counts, one
+# log at render time, rounded-score ordering with lexicographic
+# tie-break.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_DF = 25
+_PMI_MIN_PAIR = 5
+
+
+def q153_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .distinct()
+    )
+    df = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _PMI_MIN_DF)
+    )
+    dt = dt.join(F.broadcast(df), "tok").select("doc_id", "tok", "df")
+    a = dt.select(
+        "doc_id",
+        F.col("tok").alias("tok_a"),
+        F.col("df").alias("df_a"),
+    )
+    b = dt.select(
+        "doc_id",
+        F.col("tok").alias("tok_b"),
+        F.col("df").alias("df_b"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(
+            F.log(
+                F.col("n_docs")
+                * F.col("c_ab")
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "tok_a", "tok_b"
+    ).limit(20)
+
+
+Q153_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+  HAVING COUNT(*) >= {_PMI_MIN_DF}
+), dd AS (
+  SELECT dt.doc_id, dt.tok, df.df FROM dt JOIN df USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS c_ab
+  FROM dd a JOIN dd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(ln(n.n_docs * c_ab / (1.0 * df_a * df_b)), 6) AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q154 — skyline (Pareto frontier) of orders maximizing (price,
+# recency). Dominance via two RANGE windows on integer cents:
+#   dominated ⇔ max(es | cents' > cents) ≥ es  OR  max(es | cents' =
+#   cents) > es
+# One global sort instead of the O(n²) dominance anti-join. The global
+# ORDER BY window is a range-partitioned sort; at 100 TB the scale form
+# pre-aggregates max(es) per cents value first (the window then runs
+# over the value histogram) — here the row form, since orders price
+# cardinality ≈ row count.
+# --------------------------------------------------------------------------
+
+
+def q154_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w_above = Window.orderBy("price_cents").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    w_eq = Window.partitionBy("price_cents")
+    o = o.withColumn("ma", F.max("es").over(w_above)).withColumn(
+        "me", F.max("es").over(w_eq)
+    )
+    dominated = (F.col("ma").isNotNull() & (F.col("ma") >= F.col("es"))) | (
+        F.col("me") > F.col("es")
+    )
+    return (
+        o.filter(~dominated)
+        .select("o_orderkey", "price_cents", "es")
+    )
+
+
+Q154_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es
+  FROM orders
+), w AS (
+  SELECT o_orderkey, price_cents, es,
+         MAX(es) OVER (ORDER BY price_cents
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ma,
+         MAX(es) OVER (PARTITION BY price_cents) AS me
+  FROM o
+)
+SELECT o_orderkey, price_cents, es
+FROM w
+WHERE NOT ((ma IS NOT NULL AND ma >= es) OR me > es)
+"""
+
+
+# --------------------------------------------------------------------------
+# q155 — ridge regression, closed form: value ~ a·hour + b·dow with
+# λ=1. Five sufficient statistics in one map-side-combined aggregation;
+# Cramer's rule solves the 2×2 ridge system. Feature moments (s11, s12,
+# s22) are pure integer sums — exact; the y cross-moments are double
+# sums whose cross-engine ulp drift is ~1e-11 relative, invisible at
+# the 6dp rendering of O(1) coefficients.
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1.0
+
+
+def q155_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        F.floor((es % 86400) / F.lit(3600)).cast("long").alias("x1"),
+        ((F.floor(es / 86400) + 4) % 7).cast("long").alias("x2"),
+        F.col("value").cast("double").alias("y"),
+    )
+    s = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    lam = F.lit(_RIDGE_LAMBDA)
+    det = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") * F.col(
+        "s12"
+    )
+    a = (
+        F.col("s1y") * (F.col("s22") + lam) - F.col("s2y") * F.col("s12")
+    ) / det
+    b = (
+        (F.col("s11") + lam) * F.col("s2y") - F.col("s12") * F.col("s1y")
+    ) / det
+    return s.select(
+        "n",
+        F.round(a, 6).alias("coef_hour"),
+        F.round(b, 6).alias("coef_dow"),
+    )
+
+
+Q155_SQL = f"""
+WITH ev AS (
+  SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+              AS BIGINT) AS x1,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+              AS BIGINT) AS x2,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+), s AS (
+  SELECT COUNT(*) AS n,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM ev
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((s1y * (s22 + {_RIDGE_LAMBDA}) - s2y * s12)
+             / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA})
+                - s12 * s12), 6) AS coef_hour,
+       ROUND(((s11 + {_RIDGE_LAMBDA}) * s2y - s12 * s1y)
+             / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA})
+                - s12 * s12), 6) AS coef_dow
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q156 — inverted-index postings: per token, document frequency and the
+# first 10 posting doc_ids in ascending order. The postings array is
+# sorted before slicing so the rendering is order-portable; df bounds
+# (25 ≤ df) keep the output to index-worthy terms. At 100 TB the
+# posting-list build is the canonical one-shuffle groupBy; the slice
+# caps per-key memory (full lists would need the positional-delta
+# encoding an index sink applies).
+# --------------------------------------------------------------------------
+
+
+def q156_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    return (
+        dt.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, 10
+            ).alias("postings10"),
+        )
+        .filter(F.col("df") >= _PMI_MIN_DF)
+    )
+
+
+Q156_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:10] AS postings10
+FROM dt GROUP BY tok
+HAVING COUNT(*) >= {_PMI_MIN_DF}
+"""
+
+
+# --------------------------------------------------------------------------
+# q157 — BM25 (k1=1.2, b=0.75) for a fixed 3-term query. tf/dl come
+# from one token aggregation, df and avgdl from broadcastable rollups;
+# idf uses the standard +1 smoothing so it is always positive. The
+# query terms are a 3-row broadcast dimension — the corpus-side scan
+# stays pruned to matching tokens. Top-15 orders by the ROUNDED score
+# (ulp-stable) with doc_id tie-break.
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = ("data", "model", "learning")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q157_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    scored = j.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(15)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+Q157_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_BM25_IN}) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), j AS (
+  SELECT tf.doc_id, tf.tf, df.df, dl.dl, stats.n_docs, stats.avgdl
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id,
+       ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl / avgdl))), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM j GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+QUERIES = {
+    "q151_auc_rank": q151_auc_rank,
+    "q152_decision_stump": q152_decision_stump,
+    "q153_pmi_cooccur": q153_pmi_cooccur,
+    "q154_skyline": q154_skyline,
+    "q155_ridge_regression": q155_ridge_regression,
+    "q156_postings": q156_postings,
+    "q157_bm25": q157_bm25,
+}
+
+ORACLES = {
+    "q151_auc_rank": Q151_SQL,
+    "q152_decision_stump": Q152_SQL,
+    "q153_pmi_cooccur": Q153_SQL,
+    "q154_skyline": Q154_SQL,
+    "q155_ridge_regression": Q155_SQL,
+    "q156_postings": Q156_SQL,
+    "q157_bm25": Q157_SQL,
+}
