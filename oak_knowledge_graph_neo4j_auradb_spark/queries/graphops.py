@@ -499,23 +499,22 @@ def q51_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_counts(e: DataFrame) -> DataFrame:
-    """Per-node triangle counts over undirected canonical edges (u < v),
-    as (n, n_triangles). Nodes in no triangle are absent."""
+def _orient(e: DataFrame) -> DataFrame:
+    """Direct each canonical undirected edge (u < v) from its lower
+    (deg, id) endpoint to the higher, keeping the dst's total-order key
+    — the degree-ordered orientation that bounds out-degree by
+    O(sqrt(|E|))."""
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient each edge from the lower (deg, id) endpoint to the higher;
-    # keep the dst's total-order key so the wedge pair below can be
-    # ordered by the SAME relation the orientation used.
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-    oriented = (
+    return (
         e.join(du, "u")
         .join(dv, "v")
         .select(
@@ -523,8 +522,12 @@ def triangle_counts(e: DataFrame) -> DataFrame:
             F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
         )
-        .persist()
     )
+
+
+def _tri(oriented: DataFrame) -> DataFrame:
+    """Enumerate each triangle exactly once (as a wedge at its
+    smallest-(deg, id) vertex, closed by an oriented edge)."""
     w1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
         F.col("dst_key").alias("kb"),
@@ -537,7 +540,14 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts over undirected canonical edges (u < v),
+    as (n, n_triangles). Nodes in no triangle are absent."""
+    oriented = _orient(e).persist()
+    tri = _tri(oriented)
     nodes = (
         tri.select(F.col("a").alias("n"))
         .unionAll(tri.select(F.col("b").alias("n")))
@@ -2271,7 +2281,237 @@ FROM e JOIN deg ds ON e.subj = ds.node JOIN deg dd ON e.obj = dd.node
 """
 
 
+# --------------------------------------------------------------------------
+# q158 — local clustering coefficient over the part co-occurrence
+# graph: lcc(n) = 2·tri(n) / (deg(n)·(deg(n)−1)) for deg ≥ 2. Reuses
+# q51's degree-ordered triangle enumeration (the O(|E|^1.5) plan);
+# the coefficient itself is one integer division rendered at 6dp, so
+# both engines divide identical integers. Zero-triangle nodes appear
+# with lcc 0 (left join), not absent — the audit wants the full
+# denominator population.
+# --------------------------------------------------------------------------
+
+
+def q158_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("part"))
+        .unionAll(e.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e).withColumnRenamed("n", "part")
+    nt = F.coalesce("n_triangles", F.lit(0))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "part", "left")
+        .select(
+            "part",
+            F.col("degree").cast("long").alias("degree"),
+            nt.cast("long").alias("n_triangles"),
+            F.round(
+                2.0 * nt / (F.col("degree") * (F.col("degree") - 1)), 6
+            ).alias("lcc"),
+        )
+    )
+
+
+Q158_SQL = """
+WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+deg AS (
+  SELECT part, COUNT(*) AS degree
+  FROM (SELECT u AS part FROM e UNION ALL SELECT v FROM e)
+  GROUP BY part
+),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (
+  SELECT part, COUNT(*) AS nt
+  FROM (SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY part
+)
+SELECT d.part, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.nt, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(2 AS DOUBLE) * COALESCE(tn.nt, 0)
+             / (d.degree * (d.degree - 1)), 6) AS lcc
+FROM deg d LEFT JOIN tn USING (part)
+WHERE d.degree >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q159 — k-truss decomposition (k=12, 3 peeling rounds): repeatedly
+# drop edges supporting fewer than k−2 triangles. Each round reuses the
+# degree-ordered triangle enumeration, canonicalizes each triangle's
+# three edges by (least, greatest), and inner-joins the support table
+# back (zero-support edges drop by the join itself). Fixed round count
+# keeps the Spark loop and the unrolled DuckDB CTE on identical
+# semantics whether or not the peeling has converged. Output is the
+# per-node degree within the surviving truss.
+# --------------------------------------------------------------------------
+
+_TRUSS_K = 12
+_TRUSS_ROUNDS = 3
+
+
+def ktruss(e: DataFrame, k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS) -> DataFrame:
+    """Edges (u < v) surviving `rounds` support-peeling passes."""
+    e = e.localCheckpoint()
+    for _ in range(rounds):
+        oriented = _orient(e).persist()
+        tri = _tri(oriented)
+        edges3 = (
+            tri.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .unionAll(
+                tri.select(
+                    F.least("a", "c").alias("u"),
+                    F.greatest("a", "c").alias("v"),
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                )
+            )
+        )
+        sup = edges3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+        e = e.join(
+            sup.filter(F.col("sup") >= k - 2).select("u", "v"), ["u", "v"]
+        ).localCheckpoint()
+        oriented.unpersist()
+    return e
+
+
+def q159_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ktruss(_copurchase_edges(spark, sf_dir))
+    return (
+        t.select(F.col("u").alias("part"))
+        .unionAll(t.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("truss_deg"))
+    )
+
+
+def _q159_sql(k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS) -> str:
+    steps = [
+        """
+WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        # naive-orientation triangles have a<b<c, so the three edges
+        # (a,b), (b,c), (a,c) are already canonical
+        steps.append(
+            f"""
+t{r} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e{p} e1
+        JOIN e{p} e2 ON e2.u = e1.v
+        JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v),
+s{r} AS (SELECT u, v, COUNT(*) AS c FROM (
+          SELECT a AS u, b AS v FROM t{r}
+          UNION ALL SELECT b, c FROM t{r}
+          UNION ALL SELECT a, c FROM t{r}) GROUP BY u, v),
+e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+        JOIN s{r} s ON s.u = e.u AND s.v = e.v WHERE s.c >= {k - 2})"""
+        )
+    return (
+        ",".join(steps)
+        + f"""
+SELECT part, CAST(COUNT(*) AS BIGINT) AS truss_deg
+FROM (SELECT u AS part FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY part"""
+    )
+
+
+# --------------------------------------------------------------------------
+# kg82 — harmonic closeness of the keystage nodes over the resolved
+# curriculum graph: per seed, BFS out to depth ≤ 10 and sum 1/depth
+# over reached nodes (harmonic centrality — defined even when
+# reachability is partial, unlike classic closeness). The Spark side is
+# kg66's frontier loop carrying a src column (multi-source labeled
+# BFS: one join per round, anti-join on the settled (src, id) set);
+# the oracle is a WITH RECURSIVE unfolding with MIN-depth collapse.
+# --------------------------------------------------------------------------
+
+_CLOSE_DEPTH = 10
+
+
+def kg82_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    seeds = (
+        e.select(F.col("subj").alias("id"))
+        .union(e.select(F.col("obj").alias("id")))
+        .distinct()
+        .filter(F.col("id").startswith("ks"))
+    )
+    dist = seeds.select(
+        F.col("id").alias("src"), "id", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint()
+    frontier = dist.select("src", "id")
+    for d in range(1, _CLOSE_DEPTH + 1):
+        nxt = (
+            e.join(frontier, e.subj == frontier.id)
+            .select("src", F.col("obj").alias("id"))
+            .distinct()
+            .join(dist, ["src", "id"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(
+            nxt.select("src", "id", F.lit(d).cast("long").alias("depth"))
+        ).localCheckpoint()
+        frontier = nxt
+    out = (
+        dist.filter(F.col("depth") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("depth")), 6).alias("harmonic"),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def _kg82_sql(max_depth: int = _CLOSE_DEPTH) -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+seeds AS (SELECT id FROM verts WHERE id LIKE 'ks%'),
+bfs AS (
+  SELECT id AS src, id, 0 AS depth FROM seeds
+  UNION
+  SELECT b.src, e.obj, b.depth + 1 FROM e JOIN bfs b ON e.subj = b.id
+  WHERE b.depth < {max_depth}
+),
+md AS (SELECT src, id, MIN(depth) AS d FROM bfs GROUP BY src, id)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       ROUND(SUM(CAST(1 AS DOUBLE) / d), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY src
+"""
+
+
 QUERIES = {
+    "q158_clustering_coeff": q158_clustering_coeff,
+    "q159_ktruss": q159_ktruss,
+    "kg82_closeness": kg82_closeness,
     "kg81_assortativity": kg81_assortativity,
     "kg74_topo_levels": kg74_topo_levels,
     "kg75_path_centrality": kg75_path_centrality,
@@ -2303,6 +2543,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q158_clustering_coeff": Q158_SQL,
+    "q159_ktruss": _q159_sql(),
+    "kg82_closeness": _kg82_sql(),
     "kg74_topo_levels": _kg74_sql(),
     "kg75_path_centrality": _kg75_sql(),
     "kg76_random_walks": _kg76_sql(),

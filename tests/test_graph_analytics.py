@@ -131,3 +131,26 @@ def test_kcore_handcrafted(spark):
     )
     got = {r["n"]: r["core_deg"] for r in kcore(edges, k=3, rounds=5).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_ktruss_handcrafted(spark):
+    """K5 with a shared-vertex triangle and a pendant: at k=4 every K5
+    edge has support 3 and survives, the side triangle's edges (support
+    1) peel in round one, the pendant (support 0) is dropped by the
+    inner support join. The diamond shows peeling CASCADES: its middle
+    edge survives round one (support 2) but loses both triangles to the
+    peel, so round two must remove it."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import ktruss
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges = spark.createDataFrame(
+        k5 + [(5, 6), (5, 7), (6, 7), (7, 8)], "u long, v long"
+    )
+    got = sorted((r["u"], r["v"]) for r in ktruss(edges, k=4, rounds=3).collect())
+    assert got == sorted(k5)
+
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "u long, v long"
+    )
+    assert ktruss(diamond, k=4, rounds=1).count() == 1
+    assert ktruss(diamond, k=4, rounds=2).count() == 0
