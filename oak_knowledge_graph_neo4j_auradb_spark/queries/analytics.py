@@ -1571,7 +1571,235 @@ FROM ranked GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q161 — three-stage chained funnel (view → click → purchase): each
+# stage's entry time is the MIN event time strictly after the previous
+# stage's entry — the "first qualifying event after" chain that
+# per-user sequence scans express with three conditional-min joins, no
+# row-by-row state. Latencies are integer epoch differences; the final
+# rollup counts stage survivors and averages the full traversal.
+# --------------------------------------------------------------------------
+
+
+def q161_funnel3_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+
+    def stage(prev: DataFrame, etype: str, out: str) -> DataFrame:
+        pcol = prev.columns[-1]
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("es") > F.col(pcol))
+            .groupBy("user_id", *prev.columns[1:])
+            .agg(F.min("es").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_view"))
+    )
+    s2 = stage(s1, "click", "t_click")
+    s3 = stage(s2, "purchase", "t_buy")
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3.select("user_id", "t_buy"), "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_viewed"),
+            F.count("t_click").cast("long").alias("n_clicked"),
+            F.count("t_buy").cast("long").alias("n_purchased"),
+            r4(F.avg(F.col("t_buy") - F.col("t_view"))).alias(
+                "avg_traversal_sec"
+            ),
+        )
+    )
+
+
+Q161_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), s1 AS (
+  SELECT user_id, MIN(es) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t_view, MIN(e.es) AS t_click
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.es > s1.t_view
+  GROUP BY e.user_id, s1.t_view
+), s3 AS (
+  SELECT e.user_id, s2.t_view, MIN(e.es) AS t_buy
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.es > s2.t_click
+  GROUP BY e.user_id, s2.t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed,
+       CAST(COUNT(s2.t_click) AS BIGINT) AS n_clicked,
+       CAST(COUNT(s3.t_buy) AS BIGINT) AS n_purchased,
+       ROUND(AVG(s3.t_buy - s3.t_view), 4) AS avg_traversal_sec
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q162 — multi-grain time rollup (hour → day → week), the continuous-
+# aggregate cascade a hypertable store maintains: the Spark side
+# aggregates the raw stream ONCE at hour grain, then re-aggregates the
+# hourly partial upward (sum-of-sums; two tiny extra shuffles on an
+# already-collapsed table). The oracle derives each grain independently
+# from the raw rows — a direct check that the cascade loses nothing.
+# Counts re-aggregate exactly; value sums differ only in association
+# order (r4-rendered).
+# --------------------------------------------------------------------------
+
+
+def q162_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(es / 3600).cast("long").alias("hour"),
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    hourly = ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+
+    def up(df: DataFrame, src: str, dst: str, k: int) -> DataFrame:
+        return (
+            df.withColumn(dst, F.floor(F.col(src) / k).cast("long"))
+            .groupBy(dst, "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+
+    daily = up(hourly, "hour", "day", 24)
+    weekly = up(daily, "day", "week", 7)
+
+    def render(df: DataFrame, grain: str, bucket: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col(bucket).alias("bucket"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            r4(F.col("s")).alias("sum_value"),
+        )
+
+    return (
+        render(hourly, "hour", "hour")
+        .unionByName(render(daily, "day", "day"))
+        .unionByName(render(weekly, "week", "week"))
+    )
+
+
+Q162_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT 'hour' AS grain, es // 3600 AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(v), 4) AS sum_value
+FROM ev GROUP BY 2, 3
+UNION ALL
+SELECT 'day', es // 86400, event_type,
+       CAST(COUNT(*) AS BIGINT), ROUND(SUM(v), 4)
+FROM ev GROUP BY 2, 3
+UNION ALL
+SELECT 'week', (es // 86400) // 7, event_type,
+       CAST(COUNT(*) AS BIGINT), ROUND(SUM(v), 4)
+FROM ev GROUP BY 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q163 — seasonal anomaly detection: daily event counts vs the same
+# day-of-week baseline (mean ± 2σ across the month's occurrences of
+# that weekday). Counts are integers, so the baseline moments are exact
+# integer sums and both engines assemble identical doubles; the 2σ gate
+# and the rendered z-score therefore agree bit-for-bit. Every scored
+# day is emitted with its anomaly flag (on this stable synthetic feed
+# no day trips 2σ — a flag-only output would be vacuously green).
+# σ = 0 cells are gated out before the division (ANSI mode turns x/0
+# into an error, not an Infinity).
+# --------------------------------------------------------------------------
+
+
+def q163_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor(es / 86400).cast("long").alias("day"), "event_type"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .withColumn("dow", (F.col("day") + 4) % 7)
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(base), ["event_type", "dow"]).filter(
+        F.col("c") > 1
+    )
+    mu = F.col("s") / F.col("c")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("c")) / (
+        F.col("c") - 1
+    )
+    sigma = F.sqrt(var)
+    return (
+        j.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "day",
+            F.col("v").cast("long").alias("n_events"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+            (F.abs(F.col("v") - F.col("mu")) > 2 * F.col("sigma")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+Q163_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), d2 AS (
+  SELECT *, (day + 4) % 7 AS dow FROM daily
+), base AS (
+  SELECT event_type, dow, COUNT(*) AS c, SUM(v) AS s, SUM(v * v) AS ss
+  FROM d2 GROUP BY 1, 2
+), j AS (
+  SELECT d2.event_type, d2.day, d2.v,
+         b.s / (1.0 * b.c) AS mu,
+         sqrt((b.ss - b.s * b.s / (1.0 * b.c)) / (b.c - 1)) AS sigma
+  FROM d2 JOIN base b USING (event_type, dow)
+  WHERE b.c > 1
+)
+SELECT event_type, day, CAST(v AS BIGINT) AS n_events,
+       ROUND((v - mu) / sigma, 4) AS zscore,
+       abs(v - mu) > 2 * sigma AS is_anomaly
+FROM j
+WHERE sigma > 0
+"""
+
+
 QUERIES = {
+    "q161_funnel3_chained": q161_funnel3_chained,
+    "q162_multigrain_rollup": q162_multigrain_rollup,
+    "q163_seasonal_anomaly": q163_seasonal_anomaly,
     "q108_regr_ols": q108_regr_ols,
     "q113_ewma": q113_ewma,
     "q114_assoc_rules": q114_assoc_rules,
@@ -1600,6 +1828,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q161_funnel3_chained": Q161_SQL,
+    "q162_multigrain_rollup": Q162_SQL,
+    "q163_seasonal_anomaly": Q163_SQL,
     "q108_regr_ols": Q108_SQL,
     "q113_ewma": Q113_SQL,
     "q114_assoc_rules": Q114_SQL,

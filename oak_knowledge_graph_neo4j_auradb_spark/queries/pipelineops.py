@@ -1980,7 +1980,102 @@ FROM checks
 """
 
 
+# --------------------------------------------------------------------------
+# q160 — snapshot diff: classify every row across two table versions as
+# added / removed / changed / unchanged by comparing row fingerprints
+# under a full-outer join on the key. v2 is derived deterministically
+# from v1 (md5-bucket: bucket 1 dropped, bucket 0 edited, bucket 2
+# duplicated under a shifted key) so both engines diff the same pair.
+# The fingerprint travels as one md5 string — at 100 TB the diff
+# shuffles 16-byte digests, never the payload columns; the same shape
+# backs a snapshot-to-snapshot Iceberg audit.
+# --------------------------------------------------------------------------
+
+_DIFF_KEY_SHIFT = 100_000_000
+
+
+def q160_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    h = v1.withColumn("h", md5long(F.col("text")) % 10)
+    v2 = (
+        h.filter(F.col("h") != 1)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.when(F.col("h") == 0, F.lit("edited"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            "n_chars",
+        )
+        .unionByName(
+            h.filter(F.col("h") == 2).select(
+                (F.col("doc_id") + _DIFF_KEY_SHIFT).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"id{name}"),
+            F.md5(
+                F.concat_ws("|", "text", "lang", "source", "n_chars")
+            ).alias(f"fp{name}"),
+        )
+
+    d = fp(v1, "1").join(
+        fp(v2, "2"), F.col("id1") == F.col("id2"), "full_outer"
+    )
+    status = (
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        d.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+Q160_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {MD5LONG_SQL.format(x='text')} % 10 AS h
+  FROM documents
+), v2 AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN h = 0 THEN 'edited' ELSE source END AS source, n_chars
+  FROM h WHERE h <> 1
+  UNION ALL
+  SELECT doc_id + {_DIFF_KEY_SHIFT}, text, lang, source, n_chars
+  FROM h WHERE h = 2
+), f1 AS (
+  SELECT doc_id, md5(concat_ws('|', text, lang, source, n_chars)) AS fp
+  FROM documents
+), f2 AS (
+  SELECT doc_id, md5(concat_ws('|', text, lang, source, n_chars)) AS fp
+  FROM v2
+), d AS (
+  SELECT CASE WHEN f1.doc_id IS NULL THEN 'added'
+              WHEN f2.doc_id IS NULL THEN 'removed'
+              WHEN f1.fp <> f2.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY status
+"""
+
+
 QUERIES = {
+    "q160_snapshot_diff": q160_snapshot_diff,
     "q136_weighted_sample": q136_weighted_sample,
     "q148_zipf_fit": q148_zipf_fit,
     "q149_fk_audit": q149_fk_audit,
@@ -2018,6 +2113,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q160_snapshot_diff": Q160_SQL,
     "q126_corpus_prep_stats": Q126_SQL,
     "q136_weighted_sample": Q136_SQL,
     "q148_zipf_fit": Q148_SQL,
