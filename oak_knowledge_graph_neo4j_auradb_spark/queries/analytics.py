@@ -1796,7 +1796,151 @@ WHERE sigma > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q164 — Markov chain over per-user event-type sequences: transition
+# matrix from consecutive pairs (total order: event second, event_id
+# tie-break), then the stationary distribution by 4 fixed power-
+# iteration rounds from the uniform start. The 5×5 matrix and 5-row
+# vector make each round a toy join — the pattern, not the size, is
+# the point (kg65's PageRank is the scaled form). P entries are
+# identical doubles in both engines (count/count); four rounds of
+# 5-term sums keep cross-engine ulp drift far below the 6dp rendering.
+# --------------------------------------------------------------------------
+
+_MK_ROUNDS = 4
+
+
+def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
+    P = pairs.join(tot, "a").select(
+        "a", "b", (F.col("c") / F.col("t")).alias("p")
+    ).persist()
+    n_states = P.select("a").distinct().count()
+    v = P.select("a").distinct().select(
+        F.col("a").alias("state"), F.lit(1.0 / n_states).alias("prob")
+    )
+    for _ in range(_MK_ROUNDS):
+        v = (
+            P.join(v, P.a == v.state)
+            .groupBy(F.col("b").alias("state"))
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
+        )
+    out = v.select("state", F.round("prob", 6).alias("prob"))
+    P.unpersist()
+    return out
+
+
+def _q164_sql(rounds: int = _MK_ROUNDS) -> str:
+    steps = [
+        """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), pr AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS b
+  FROM ev
+), cnt AS (
+  SELECT a, b, COUNT(*) AS c FROM pr WHERE b IS NOT NULL GROUP BY a, b
+), p AS MATERIALIZED (
+  SELECT cnt.a, cnt.b, cnt.c / (1.0 * t.t) AS p
+  FROM cnt JOIN (SELECT a, SUM(c) AS t FROM cnt GROUP BY a) t USING (a)
+), ns AS (SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS n FROM p),
+v0 AS (SELECT DISTINCT a AS state, (SELECT 1.0 / n FROM ns) AS prob
+       FROM p)"""
+    ]
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+v{k} AS (SELECT p.b AS state, SUM(v.prob * p.p) AS prob
+        FROM p JOIN v{k - 1} v ON p.a = v.state GROUP BY p.b)"""
+        )
+    return (
+        ",".join(steps)
+        + f"\nSELECT state, ROUND(prob, 6) AS prob FROM v{rounds}"
+    )
+
+
+# --------------------------------------------------------------------------
+# q165 — 2-D activity grid (hour × weekday) with a 3×3 wraparound
+# box-blur: the neighborhood-smoothing convolution a heatmap or
+# density-estimation stage runs, expressed as a 9-row offset explode +
+# re-aggregation (no self-join on the grid). Counts are integers;
+# smoothed = sum/9 divides identical integers. Toroidal wrap keeps
+# every cell's kernel mass equal.
+# --------------------------------------------------------------------------
+
+
+def q165_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    cells = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor((es % 86400) / F.lit(3600)).cast("long").alias("h"),
+            ((F.floor(es / 86400) + 4) % 7).cast("long").alias("w"),
+        )
+        .groupBy("h", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = cells.sparkSession.createDataFrame(
+        [(dh, dw) for dh in (-1, 0, 1) for dw in (-1, 0, 1)],
+        "dh long, dw long",
+    )
+    sm = (
+        cells.crossJoin(F.broadcast(offs))
+        .groupBy(
+            ((F.col("h") + F.col("dh") + 24) % 24).alias("h"),
+            ((F.col("w") + F.col("dw") + 7) % 7).alias("w"),
+        )
+        .agg(F.sum("n").alias("s"))
+    )
+    return cells.join(sm, ["h", "w"]).select(
+        F.col("h").alias("hour"),
+        F.col("w").alias("dow"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("s") / 9.0, 4).alias("smoothed"),
+    )
+
+
+Q165_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), cells AS (
+  SELECT (es % 86400) // 3600 AS h, (es // 86400 + 4) % 7 AS w,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+), offs AS (
+  SELECT o1.dh, o2.dw
+  FROM (VALUES (-1), (0), (1)) o1(dh), (VALUES (-1), (0), (1)) o2(dw)
+), sm AS (
+  SELECT (c.h + o.dh + 24) % 24 AS h, (c.w + o.dw + 7) % 7 AS w,
+         SUM(c.n) AS s
+  FROM cells c CROSS JOIN offs o GROUP BY 1, 2
+)
+SELECT c.h AS hour, c.w AS dow, CAST(c.n AS BIGINT) AS n,
+       ROUND(s / 9.0, 4) AS smoothed
+FROM cells c JOIN sm USING (h, w)
+"""
+
+
 QUERIES = {
+    "q164_markov_stationary": q164_markov_stationary,
+    "q165_grid_smooth": q165_grid_smooth,
     "q161_funnel3_chained": q161_funnel3_chained,
     "q162_multigrain_rollup": q162_multigrain_rollup,
     "q163_seasonal_anomaly": q163_seasonal_anomaly,
@@ -1828,6 +1972,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q164_markov_stationary": _q164_sql(),
+    "q165_grid_smooth": Q165_SQL,
     "q161_funnel3_chained": Q161_SQL,
     "q162_multigrain_rollup": Q162_SQL,
     "q163_seasonal_anomaly": Q163_SQL,

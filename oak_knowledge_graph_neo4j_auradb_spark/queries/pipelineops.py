@@ -661,23 +661,30 @@ FROM doc GROUP BY lang
 _QW = {"b": -2.0, "stop": 3.0, "wlen": 0.2, "loglen": 0.15}
 
 
-def q81_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "lang", tokens(F.col("text")).alias("t")
-    ).filter(F.size("t") > 0)
+def _quality_score(t) -> F.Column:
+    """Fixed-weight logistic quality score over token-list features —
+    shared verbatim by q81 (per-lang rollup) and q167 (calibration
+    bins) so the two stages can never drift apart."""
     stop = F.size(
-        F.filter(F.col("t"), lambda x: x.isin("the", "a", "and", "of", "to"))
-    ) / F.size("t")
+        F.filter(t, lambda x: x.isin("the", "a", "and", "of", "to"))
+    ) / F.size(t)
     wlen = F.aggregate(
-        F.col("t"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    ) / F.size("t")
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
     z = (
         F.lit(_QW["b"])
         + _QW["stop"] * stop
         + _QW["wlen"] * wlen
-        + _QW["loglen"] * F.log(F.lit(1.0) + F.size("t"))
+        + _QW["loglen"] * F.log(F.lit(1.0) + F.size(t))
     )
-    score = 1.0 / (1.0 + F.exp(-z))
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def q81_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    score = _quality_score(F.col("t"))
     return d.select("lang", score.alias("s")).groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         r4(F.avg("s")).alias("avg_score"),
@@ -685,11 +692,11 @@ def q81_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q81_SQL = f"""
+_QSCORE_CTES = f"""
 WITH d AS (
-  SELECT lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
 ), f AS (
-  SELECT lang,
+  SELECT doc_id, lang,
          CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to')))
               AS DOUBLE) / len(t) AS stop,
          CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
@@ -697,10 +704,13 @@ WITH d AS (
          ln(1.0 + len(t)) AS loglen
   FROM d WHERE len(t) > 0
 ), s AS (
-  SELECT lang, 1.0 / (1.0 + exp(-({_QW['b']} + {_QW['stop']} * stop +
+  SELECT doc_id, lang, 1.0 / (1.0 + exp(-({_QW['b']} + {_QW['stop']} * stop +
          {_QW['wlen']} * wlen + {_QW['loglen']} * loglen))) AS s
   FROM f
-)
+)"""
+
+Q81_SQL = f"""
+{_QSCORE_CTES}
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(s), 4) AS avg_score,
        CAST(COUNT(*) FILTER (WHERE s > 0.5) AS BIGINT) AS n_keep
@@ -2074,8 +2084,124 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY status
 """
 
 
+# --------------------------------------------------------------------------
+# q166 — quantile normalization across sources: each document's length
+# is replaced by the GLOBAL length at the same relative rank, so every
+# source's length distribution maps onto the corpus-wide one (the
+# batch-effect correction genomics pipelines run, applied to corpus
+# length skew). All index arithmetic is integer:
+# idx = ceil(r·N / n_s) = (r·N + n_s − 1) // n_s, ties broken by
+# doc_id. The global row_number is a single sort at this granularity;
+# the scale path replaces it with the q37-style pre-aggregated value
+# histogram + cumulative offsets per partition.
+# --------------------------------------------------------------------------
+
+
+def q166_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    g = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(wg).alias("gr"),
+    )
+    n_total = d.count()
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    )
+    idx = F.floor(
+        (F.col("r") * F.lit(n_total) + F.col("n_s") - 1) / F.col("n_s")
+    ).cast("int")
+    return (
+        s.withColumn("gr", idx)
+        .join(F.broadcast(g), "gr")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("gval").cast("long").alias("normalized"),
+        )
+    )
+
+
+Q166_SQL = """
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+g AS (
+  SELECT n_chars AS gval,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+  FROM d
+), nt AS (SELECT COUNT(*) AS n FROM d),
+s AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM d
+)
+SELECT s.doc_id, s.source, CAST(s.n_chars AS BIGINT) AS n_chars,
+       CAST(g.gval AS BIGINT) AS normalized
+FROM s CROSS JOIN nt
+JOIN g ON g.gr = (s.r * nt.n + s.n_s - 1) // s.n_s
+"""
+
+
+# --------------------------------------------------------------------------
+# q167 — calibration bins (reliability diagram) for q81's quality
+# model against the lang='en' pseudo-label: decile bins of the score,
+# each with its count, mean predicted score, and observed positive
+# rate. Reuses q81's `_quality_score` / `_QSCORE_CTES` VERBATIM so the
+# two stages score identically; the bin edge clamp mirrors q132's
+# histogram idiom. Bin membership compares a libm-computed double to a
+# decile edge — a 1-ulp engine divergence exactly on an edge is the
+# only (astronomically unlikely) mismatch channel, same exposure q81's
+# 0.5 keep-threshold already carries.
+# --------------------------------------------------------------------------
+
+
+def q167_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    scored = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        _quality_score(F.col("t")).alias("s"),
+    )
+    b = F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("frac_positive"),
+        )
+    )
+
+
+Q167_SQL = f"""
+{_QSCORE_CTES}
+SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS mean_score,
+       ROUND(AVG(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6)
+         AS frac_positive
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "q160_snapshot_diff": q160_snapshot_diff,
+    "q166_quantile_normalize": q166_quantile_normalize,
+    "q167_calibration": q167_calibration,
     "q136_weighted_sample": q136_weighted_sample,
     "q148_zipf_fit": q148_zipf_fit,
     "q149_fk_audit": q149_fk_audit,
@@ -2114,6 +2240,8 @@ QUERIES = {
 
 ORACLES = {
     "q160_snapshot_diff": Q160_SQL,
+    "q166_quantile_normalize": Q166_SQL,
+    "q167_calibration": Q167_SQL,
     "q126_corpus_prep_stats": Q126_SQL,
     "q136_weighted_sample": Q136_SQL,
     "q148_zipf_fit": Q148_SQL,
