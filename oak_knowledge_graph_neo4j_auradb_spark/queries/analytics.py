@@ -1938,7 +1938,78 @@ FROM cells c JOIN sm USING (h, w)
 """
 
 
+# --------------------------------------------------------------------------
+# q169 — STL-lite decomposition of daily event counts: trend = centered
+# 7-day moving average (full windows only), seasonal = mean detrended
+# value per weekday, residual = remainder. Counts are integers, so the
+# trend divides identical integer sums; the seasonal mean averages
+# identical doubles (order-only ulp, hidden by r4). The two windows and
+# the seasonal mean all share the event_type partitioning — one shuffle.
+# Every (type, day) cell is present in this feed, so the ROWS frame is
+# calendar-centered; a gappy feed would first densify via q99's grid.
+# --------------------------------------------------------------------------
+
+
+def q169_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(es / 86400).cast("long").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = (
+        daily.withColumn("n7", F.count("v").over(w7))
+        .withColumn("trend", F.sum("v").over(w7) / 7.0)
+        .filter(F.col("n7") == 7)
+        .withColumn("detr", F.col("v") - F.col("trend"))
+        .withColumn("dow", (F.col("day") + 4) % 7)
+    )
+    ws = Window.partitionBy("event_type", "dow")
+    return (
+        t.withColumn("seasonal", F.avg("detr").over(ws))
+        .select(
+            "event_type",
+            "day",
+            F.col("v").cast("long").alias("n_events"),
+            r4(F.col("trend")).alias("trend"),
+            r4(F.col("seasonal")).alias("seasonal"),
+            r4(F.col("detr") - F.col("seasonal")).alias("residual"),
+        )
+    )
+
+
+Q169_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, v,
+         COUNT(v) OVER w AS n7,
+         SUM(v) OVER w / 7.0 AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT event_type, day, v, trend, v - trend AS detr,
+         (day + 4) % 7 AS dow
+  FROM t WHERE n7 = 7
+)
+SELECT event_type, day, CAST(v AS BIGINT) AS n_events,
+       ROUND(trend, 4) AS trend,
+       ROUND(AVG(detr) OVER (PARTITION BY event_type, dow), 4) AS seasonal,
+       ROUND(detr - AVG(detr) OVER (PARTITION BY event_type, dow), 4)
+         AS residual
+FROM d
+"""
+
+
 QUERIES = {
+    "q169_stl_decompose": q169_stl_decompose,
     "q164_markov_stationary": q164_markov_stationary,
     "q165_grid_smooth": q165_grid_smooth,
     "q161_funnel3_chained": q161_funnel3_chained,
@@ -1972,6 +2043,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q169_stl_decompose": Q169_SQL,
     "q164_markov_stationary": _q164_sql(),
     "q165_grid_smooth": Q165_SQL,
     "q161_funnel3_chained": Q161_SQL,

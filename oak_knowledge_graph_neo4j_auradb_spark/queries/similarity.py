@@ -824,7 +824,85 @@ FROM carr a JOIN carr b ON a.label < b.label
 """
 
 
+# --------------------------------------------------------------------------
+# q168 — dominant principal direction of the embedding cloud by power
+# iteration on the 64×64 second-moment (Gram) matrix: S = Σ v·vᵀ built
+# with a double posexplode + per-(d,e) sum (the declarative form; at
+# 10⁹ rows the same matrix comes from a mapInPandas per-partition Gram
+# accumulation — 64×64 per task — tree-reduced by one tiny groupBy).
+# Three fixed max-abs-normalized iterations from the all-ones start;
+# S entries differ across engines only in summation order (~1e-15
+# relative), which the contraction preserves and the 6dp render hides.
+# --------------------------------------------------------------------------
+
+_PCA_ROUNDS = 3
+
+
+def q168_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select("vec_id", F.posexplode("v").alias("d", "x"))
+    y = x.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("d").alias("e"),
+        F.col("x").alias("y"),
+    )
+    S = (
+        x.join(y, x.vec_id == F.col("vid2"))
+        .groupBy("d", "e")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("s"))
+        .localCheckpoint()
+    )
+    v = spark.range(DIM).select(
+        F.col("id").cast("int").alias("e"), F.lit(1.0).alias("w")
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            S.join(v, "e")
+            .groupBy("d")
+            .agg(F.sum(F.col("s") * F.col("w")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("d").alias("e"), (F.col("w") / F.col("m")).alias("w")
+        )
+    return v.select(
+        F.col("e").cast("long").alias("dim"),
+        F.round("w", 6).alias("component"),
+    )
+
+
+def _q168_sql(rounds: int = _PCA_ROUNDS) -> str:
+    steps = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (
+  SELECT vec_id, unnest(v) AS x, unnest(range(0, {DIM})) AS d FROM e
+),
+S AS MATERIALIZED (
+  SELECT a.d AS d, b.d AS e, SUM(a.x * b.x) AS s
+  FROM expl a JOIN expl b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+v0 AS (SELECT unnest(range(0, {DIM})) AS e, CAST(1 AS DOUBLE) AS w)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(
+            f"""
+w{k} AS (SELECT S.d, SUM(S.s * v.w) AS w
+        FROM S JOIN v{p} v ON S.e = v.e GROUP BY S.d),
+v{k} AS (SELECT d AS e, w / (SELECT MAX(ABS(w)) FROM w{k}) AS w FROM w{k})"""
+        )
+    return (
+        ",".join(steps)
+        + f"""
+SELECT CAST(e AS BIGINT) AS dim, ROUND(w, 6) AS component FROM v{rounds}"""
+    )
+
+
 QUERIES = {
+    "q168_pca_power": q168_pca_power,
     "q140_label_centroids": q140_label_centroids,
     "q29_knn_bruteforce": q29_knn_bruteforce,
     "q30_lsh_neardup": q30_lsh_neardup,
@@ -835,6 +913,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q168_pca_power": _q168_sql(),
     "q140_label_centroids": _q140_sql(),
     "q29_knn_bruteforce": Q29_SQL,
     "q30_lsh_neardup": Q30_SQL,

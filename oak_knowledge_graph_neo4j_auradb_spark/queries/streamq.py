@@ -92,6 +92,52 @@ GROUP BY 1, 2
 """
 
 
+def q170_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (2 h windows every 1 h):
+    each event lands in exactly two overlapping windows. Drained
+    availableNow + complete mode gives batch-equal results; the oracle
+    replays the assignment by exploding each row onto its two
+    epoch-aligned window starts (q60's grid idiom, streamed)."""
+    agg = windowed_event_counts(
+        spark,
+        _as_stream_dir(f"{sf_dir}/events.parquet"),
+        window="2 hours",
+        watermark="2 hours",
+        slide="1 hour",
+    )
+    out = agg.select(
+        F.col("window.start").cast("long").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        r4(F.col("total_value")).alias("sum_value"),
+    )
+    name = f"q170_mem_{next(_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+Q170_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
+  FROM events
+), w AS (
+  SELECT (es // 3600) * 3600 + o.off AS window_start, event_type, value
+  FROM ev CROSS JOIN (VALUES (0), (-3600)) o(off)
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def q36_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming first-seen dedup (applyInPandasWithState)
     drained over the kg documents corpus: one row per distinct
@@ -501,6 +547,7 @@ FROM events GROUP BY user_id
 
 
 QUERIES = {
+    "q170_stream_sliding": q170_stream_sliding,
     "q115_stream_dedup_watermarked": q115_stream_dedup_watermarked,
     "q124_stream_stateful_counts": q124_stream_stateful_counts,
     "q35_stream_windowed_counts": q35_stream_windowed_counts,
@@ -512,6 +559,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q170_stream_sliding": Q170_SQL,
     "q115_stream_dedup_watermarked": Q115_SQL,
     "q124_stream_stateful_counts": Q124_SQL,
     "q35_stream_windowed_counts": Q35_SQL,

@@ -173,10 +173,13 @@ def windowed_event_counts(
     in_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts over a streaming events table
-    (late rows beyond the watermark dropped) — the standard streaming
-    agg shape (SURVEY.md §2.9 gap in the reference)."""
+    """Watermarked windowed counts over a streaming events table (late
+    rows beyond the watermark dropped) — the standard streaming agg
+    shape (SURVEY.md §2.9 gap in the reference). `slide` < `window`
+    turns the tumbling windows into overlapping sliding ones (each row
+    lands in window/slide buckets)."""
     ev = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, "
@@ -185,9 +188,14 @@ def windowed_event_counts(
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         ev.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("total_value"),
