@@ -2008,7 +2008,154 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q172 — RFM segmentation: per purchasing user, recency (days since
+# last purchase, vs the feed's last purchase day), frequency, and
+# monetary value in integer cents, each cut into NTILE(10) deciles
+# with user_id tie-breaks. Everything is integer, and NTILE's
+# first-(n mod k)-buckets-get-one-extra rule is the SQL standard in
+# both engines, so the segmentation matches exactly. The three global
+# ntile sorts run over the per-user rollup (user-cardinality), not the
+# raw stream.
+# --------------------------------------------------------------------------
+
+
+def q172_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(es / 86400).cast("long").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    agg = p.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    ref = agg.agg(F.max("last_day").alias("ref_day"))
+    a = agg.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.col("ref_day") - F.col("last_day")
+    )
+    r_d = F.ntile(10).over(Window.orderBy("recency_days", "user_id"))
+    f_d = F.ntile(10).over(
+        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    )
+    m_d = F.ntile(10).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    )
+    return a.select(
+        "user_id",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_cents").cast("long").alias("monetary_cents"),
+        (
+            r_d.cast("long") * 100 + f_d.cast("long") * 10 + m_d.cast("long")
+        ).alias("rfm_code"),
+    )
+
+
+Q172_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+         SUM(cents) AS monetary_cents
+  FROM p GROUP BY user_id
+), a AS (
+  SELECT user_id, (SELECT MAX(last_day) FROM agg) - last_day
+           AS recency_days,
+         frequency, monetary_cents
+  FROM agg
+)
+SELECT user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       CAST(NTILE(10) OVER (ORDER BY recency_days, user_id) * 100
+            + NTILE(10) OVER (ORDER BY frequency DESC, user_id) * 10
+            + NTILE(10) OVER (ORDER BY monetary_cents DESC, user_id)
+            AS BIGINT) AS rfm_code
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# q173 — share-of-parent rollup: each nation's revenue as a fraction of
+# its region and of the world — the nested contribution margins a
+# drill-down report runs, expressed as two window sums over the
+# nation-level rollup (no second aggregation pass). Revenue is summed
+# in integer cents (rounded per line item with an identical expression
+# in both engines), so the shares divide exact integers.
+# --------------------------------------------------------------------------
+
+
+def q173_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("cents").cast("long").alias("nation_cents"),
+        F.round(F.col("cents") / F.sum("cents").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("cents") / F.sum("cents").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+Q173_SQL = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, CAST(cents AS BIGINT) AS nation_cents,
+       ROUND(cents / (1.0 * SUM(cents) OVER (PARTITION BY region)), 6)
+         AS share_of_region,
+       ROUND(cents / (1.0 * SUM(cents) OVER ()), 6) AS share_of_total
+FROM rev
+"""
+
+
 QUERIES = {
+    "q172_rfm_scores": q172_rfm_scores,
+    "q173_share_of_parent": q173_share_of_parent,
     "q169_stl_decompose": q169_stl_decompose,
     "q164_markov_stationary": q164_markov_stationary,
     "q165_grid_smooth": q165_grid_smooth,
@@ -2043,6 +2190,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q172_rfm_scores": Q172_SQL,
+    "q173_share_of_parent": Q173_SQL,
     "q169_stl_decompose": Q169_SQL,
     "q164_markov_stationary": _q164_sql(),
     "q165_grid_smooth": Q165_SQL,

@@ -40,6 +40,8 @@ evaluate the identical expression on identical inputs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -540,7 +542,141 @@ LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# q171 — grouped OLS via applyInPandas: per event type, the slope and
+# intercept of value vs day, fitted inside an Arrow-batched pandas
+# function (one group per call — the "model per key" pattern a
+# per-domain calibration or per-tenant forecast stage uses). Days are
+# centered per group IN THE PLAN (JVM-side) so the UDF sees small
+# integers; the oracle states the identical closed form over the same
+# centered sums. numpy's pairwise summation and DuckDB's sequential
+# fold differ at ~1e-16 relative — far below the 6dp rendering of
+# O(1)-magnitude coefficients.
+# --------------------------------------------------------------------------
+
+
+def _ols_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = pdf["x"].to_numpy("float64")
+    y = pdf["v"].to_numpy("float64")
+    n = float(len(x))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [int(n)],
+            "slope": [round(slope, 6)],
+            "intercept": [round((sy - slope * sx) / n, 6)],
+        }
+    )
+
+
+def q171_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    w = Window.partitionBy("event_type")
+    centered = ev.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        "v",
+    )
+    return centered.groupBy("event_type").applyInPandas(
+        _ols_group, "event_type string, n long, slope double, intercept double"
+    )
+
+
+Q171_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), c AS (
+  SELECT event_type,
+         day - MIN(day) OVER (PARTITION BY event_type) AS x, v
+  FROM ev
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(v) AS sy,
+         SUM(x * v) AS sxy, SUM(x * x) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# q174 — cogrouped reconciliation via cogroup().applyInPandas: the
+# orders ledger and the event stream meet per user in one Arrow call
+# that sees BOTH sides' rows (the cross-system audit shape — neither a
+# join nor two independent aggregates). Keys from either side appear
+# (cogroup semantics = full outer); every output is an integer count
+# or cents sum, so the full-outer-join oracle matches exactly.
+# --------------------------------------------------------------------------
+
+
+def _reconcile(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_orders": [len(odf)],
+            "order_cents": [int(odf["cents"].sum()) if len(odf) else 0],
+            "n_events": [len(edf)],
+            "n_purchases": [
+                int((edf["event_type"] == "purchase").sum()) if len(edf) else 0
+            ],
+        }
+    )
+
+
+def q174_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_type"
+    )
+    return (
+        orders.groupBy("uid")
+        .cogroup(events.groupBy("uid"))
+        .applyInPandas(
+            _reconcile,
+            "user_id long, n_orders long, order_cents long, "
+            "n_events long, n_purchases long",
+        )
+    )
+
+
+Q174_SQL = """
+WITH o AS (
+  SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS order_cents
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT user_id AS uid, COUNT(*) AS n_events,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.uid, e.uid) AS user_id,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM o FULL OUTER JOIN e ON o.uid = e.uid
+"""
+
+
 QUERIES = {
+    "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
+    "q174_cogroup_reconcile": q174_cogroup_reconcile,
     "q151_auc_rank": q151_auc_rank,
     "q152_decision_stump": q152_decision_stump,
     "q153_pmi_cooccur": q153_pmi_cooccur,
@@ -551,6 +687,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q171_grouped_ols_pandas": Q171_SQL,
+    "q174_cogroup_reconcile": Q174_SQL,
     "q151_auc_rank": Q151_SQL,
     "q152_decision_stump": Q152_SQL,
     "q153_pmi_cooccur": Q153_SQL,
