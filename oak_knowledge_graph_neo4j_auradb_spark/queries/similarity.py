@@ -864,8 +864,15 @@ def q168_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("s") * F.col("w")).alias("w"))
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            F.col("d").alias("e"), (F.col("w") / F.col("m")).alias("w")
+        # eager per-round checkpoint (kg65's discipline): the 64-row
+        # vector is trivial to materialize and keeps the static plan
+        # from nesting each round's joins inside the next
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("d").alias("e"), (F.col("w") / F.col("m")).alias("w")
+            )
+            .localCheckpoint()
         )
     return v.select(
         F.col("e").cast("long").alias("dim"),

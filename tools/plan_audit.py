@@ -180,6 +180,32 @@ AUDIT = [
     ("q148_zipf_fit", 3, 0),  # vocab agg + one global rank sort + REGR
     ("q149_fk_audit", 7, 0),  # 3 anti-joins + per-check 1-row aggs
     ("q150_conversion_latency", 4, 0),  # two per-user aggs + 1-row rollup
+    ("q151_auc_rank", 4, 0),  # score-histogram agg + tiny cum window + 1-row
+    ("q152_decision_stump", 4, 0),  # value agg + shared cum windows + top-1
+    ("q153_pmi_cooccur", 8, 0),  # df-pruned doc self-join + pair agg + top-20
+    ("q154_skyline", 3, 0),  # the two dominance windows share the cents sort
+    ("q155_ridge_regression", 1, 0),  # five sufficient stats in ONE agg
+    ("q156_postings", 3, 0),  # (tok,doc) distinct + posting-list agg
+    ("q157_bm25", 8, 0),  # dl/tf/df aggs; stats + df broadcast back
+    ("q158_clustering_coeff", 14, 0),  # q51's oriented wedge join + deg join
+    ("q159_ktruss", 3, 0),  # peel rounds checkpointed; final degree agg
+    ("kg82_closeness", 3, 0),  # BFS rounds checkpointed; final harmonic agg
+    ("q160_snapshot_diff", 5, 0),  # two fingerprint branches + FO join + agg
+    ("q161_funnel3_chained", 8, 0),  # three chained mins share user_id key
+    ("q162_multigrain_rollup", 4, 0),  # hour agg; day/week re-agg the rollup
+    ("q163_seasonal_anomaly", 3, 0),  # daily agg + broadcast dow baseline
+    # P persisted; 4 tiny iteration joins remain in the static plan
+    ("q164_markov_stationary", 14, 0),
+    ("q165_grid_smooth", 4, 0),  # cell agg + offset re-agg + grid join
+    ("q166_quantile_normalize", 4, 0),  # global + per-source rank windows
+    ("q167_calibration", 2, 0),  # array-native features; single bin agg
+    # Gram matrix checkpointed; 3 power-iteration joins on 64-row tables
+    ("q168_pca_power", 10, 0),
+    ("q169_stl_decompose", 3, 0),  # daily agg + trend/seasonal windows share key
+    ("q171_grouped_ols_pandas", 4, 1),  # the grouped-OLS Arrow stage
+    ("q172_rfm_scores", 6, 0),  # purchase rollup + three ntile sorts
+    ("q173_share_of_parent", 7, 0),  # fact spine shuffle; dims broadcast
+    ("q174_cogroup_reconcile", 4, 1),  # cogrouped Arrow reconciliation
 ]
 
 
@@ -194,7 +220,7 @@ def audit_one(spark, name, fn, sf_dir, max_ex, py_allowed):
     # detail section); count operators in the tree section only.
     tree = plan.split("\n\n")[0]
     n_exchanges = len(re.findall(r"\bExchange\b", tree))
-    n_python = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", tree))
+    n_python = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)", tree))
     n_rowpython = len(re.findall(r"BatchEvalPython", tree))
     # formatted mode tags operators with "[codegen id : N]" rather than
     # printing WholeStageCodegen wrapper nodes; count distinct spans.
