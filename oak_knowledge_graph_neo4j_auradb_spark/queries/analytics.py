@@ -2153,7 +2153,144 @@ FROM rev
 """
 
 
+# --------------------------------------------------------------------------
+# q175 — largest-remainder (Hamilton) apportionment: allocate a fixed
+# integer budget across nations proportional to revenue. floor shares
+# come from exact 128-bit-safe integer division (cents·B < 2^63), the
+# leftover units go to the largest integer remainders (nation-name
+# tie-break) — the allocation every rounded percentage table needs to
+# sum exactly to 100%. Pure integer arithmetic end to end.
+# --------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 1_000_000
+
+
+def q175_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wt = Window.partitionBy()
+    b = F.lit(_ALLOC_BUDGET)
+    num = F.col("cents") * b
+    tot = F.sum("cents").over(wt)
+    a = rev.select(
+        "n_name",
+        "cents",
+        F.expr(f"cents * {_ALLOC_BUDGET} div sum(cents) over ()").alias(
+            "fl"
+        ),
+        (num % tot).alias("rem"),
+    )
+    leftover = b - F.sum("fl").over(wt)
+    ranked = a.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "n_name"))
+    ).withColumn("leftover", leftover)
+    return ranked.select(
+        F.col("n_name").alias("nation"),
+        F.col("cents").cast("long").alias("cents"),
+        (
+            F.col("fl") + (F.col("rk") <= F.col("leftover")).cast("long")
+        ).alias("alloc"),
+    )
+
+
+Q175_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+), a AS (
+  SELECT nation, cents,
+         (cents * {_ALLOC_BUDGET}) // SUM(cents) OVER () AS fl,
+         (cents * {_ALLOC_BUDGET}) % SUM(cents) OVER () AS rem
+  FROM rev
+), r AS (
+  SELECT nation, cents, fl,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rk,
+         {_ALLOC_BUDGET} - SUM(fl) OVER () AS leftover
+  FROM a
+)
+SELECT nation, CAST(cents AS BIGINT) AS cents,
+       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# q177 — Wilson 95% confidence interval on each source's share of
+# English documents: the score interval (not the normal approximation)
+# a guardrail metric or A/B readout should use at small n. k and n are
+# integers, so both engines assemble the identical doubles; z = 1.96
+# enters as the same literal.
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+
+
+def q177_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    z = F.lit(_WILSON_Z)
+    nn = F.col("n").cast("double")
+    p = F.col("k") / nn
+    z2 = z * z
+    denom = 1.0 + z2 / nn
+    center = p + z2 / (2.0 * nn)
+    half = z * F.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn))
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_en"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+Q177_SQL = f"""
+WITH g AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_en,
+       ROUND(k / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND((k / CAST(n AS DOUBLE) + {_WILSON_Z} * {_WILSON_Z}
+              / (2.0 * n)
+              - {_WILSON_Z} * sqrt(k / CAST(n AS DOUBLE)
+                * (1.0 - k / CAST(n AS DOUBLE)) / n
+                + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+       ROUND((k / CAST(n AS DOUBLE) + {_WILSON_Z} * {_WILSON_Z}
+              / (2.0 * n)
+              + {_WILSON_Z} * sqrt(k / CAST(n AS DOUBLE)
+                * (1.0 - k / CAST(n AS DOUBLE)) / n
+                + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+FROM g
+"""
+
+
 QUERIES = {
+    "q175_largest_remainder_alloc": q175_largest_remainder_alloc,
+    "q177_wilson_interval": q177_wilson_interval,
     "q172_rfm_scores": q172_rfm_scores,
     "q173_share_of_parent": q173_share_of_parent,
     "q169_stl_decompose": q169_stl_decompose,
@@ -2190,6 +2327,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q175_largest_remainder_alloc": Q175_SQL,
+    "q177_wilson_interval": Q177_SQL,
     "q172_rfm_scores": Q172_SQL,
     "q173_share_of_parent": Q173_SQL,
     "q169_stl_decompose": Q169_SQL,

@@ -1409,6 +1409,61 @@ FROM (SELECT uid FROM a UNION SELECT uid FROM b)
 
 
 # --------------------------------------------------------------------------
+# q176 — MULTISET set operations (bag semantics): q43 covers the
+# DISTINCT forms; this pins exceptAll/intersectAll — duplicate
+# multiplicities subtract/min instead of collapsing, the semantics a
+# resumable pipeline needs to reconcile at-least-once deliveries.
+# Bags: per-user click days vs view days (duplicates are real). The
+# oracle is DuckDB's EXCEPT ALL / INTERSECT ALL on the same bags, plus
+# a multiplicity identity check: |A| = |A∖B| + |A∩B| as a rows-equal
+# witness.
+# --------------------------------------------------------------------------
+
+
+def q176_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+    )
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "day")
+    b = ev.filter(F.col("event_type") == "view").select("user_id", "day")
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("setop"), "n"
+        )
+
+    out = tag("except_all", a.exceptAll(b))
+    for name, df in (
+        ("intersect_all", a.intersectAll(b)),
+        ("union_all", a.unionAll(b)),
+    ):
+        out = out.unionByName(tag(name, df))
+    return out
+
+
+Q176_SQL = """
+WITH a AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events WHERE event_type = 'view'
+)
+SELECT 'except_all' AS setop, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'union_all', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+
+# --------------------------------------------------------------------------
 # q121 — UNPIVOT/melt: the wide aggregate (one row per return flag,
 # three measure columns) relationally melted to (key, measure, value)
 # rows — Spark's DataFrame.unpivot (3.4+) vs DuckDB's UNPIVOT. The
@@ -1919,6 +1974,7 @@ FROM b GROUP BY 1, 2
 
 
 QUERIES = {
+    "q176_multiset_ops": q176_multiset_ops,
     "q125_salted_join": q125_salted_join,
     "q127_bpe_pairs": q127_bpe_pairs,
     "q128_hll_merge": q128_hll_merge,
@@ -1972,6 +2028,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q176_multiset_ops": Q176_SQL,
     "q125_salted_join": Q125_SQL,
     "q127_bpe_pairs": Q127_SQL,
     "q128_hll_merge": Q128_SQL,

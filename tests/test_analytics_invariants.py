@@ -74,3 +74,29 @@ def test_neighbor_features_bookkeeping(spark, sf_dir):
     bad = f.filter((F.col("outdeg") == 0) & (F.col("n_2hop") > 0)).count()
     assert bad == 0
     f.unpersist()
+
+
+def test_largest_remainder_sums_to_budget(spark, sf_dir):
+    """Hamilton apportionment's defining property: integer allocations
+    sum EXACTLY to the budget (no drift from floor rounding)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        _ALLOC_BUDGET,
+        q175_largest_remainder_alloc,
+    )
+
+    rows = q175_largest_remainder_alloc(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == _ALLOC_BUDGET
+    # every allocation within 1 unit of the exact proportional share
+    tot = sum(r["cents"] for r in rows)
+    for r in rows:
+        exact = r["cents"] * _ALLOC_BUDGET / tot
+        assert abs(r["alloc"] - exact) < 1.0
+
+
+def test_wilson_bounds_bracket_estimate(spark, sf_dir):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q177_wilson_interval,
+    )
+
+    for r in q177_wilson_interval(spark, sf_dir).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
