@@ -40,10 +40,13 @@ evaluate the identical expression on identical inputs.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from .common import TOKENS_SQL, load, tokens
 
@@ -674,7 +677,49 @@ FROM o FULL OUTER JOIN e ON o.uid = e.uid
 """
 
 
+# --------------------------------------------------------------------------
+# q178 — grouped-aggregate pandas UDF (Series → scalar): geometric mean
+# of event value per type. This is the third Arrow API shape the
+# surface exercises (after grouped-map q171 and cogroup q174) — a
+# custom UDAF that Catalyst plans as a first-class aggregate. The
+# oracle is exp(avg(ln x)); numpy's vectorized log/pairwise mean and
+# DuckDB's scalar fold differ at ~1e-15 relative, far under the 6dp
+# render. Values are strictly positive in this feed (min 0.01).
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def _geomean(v: pd.Series) -> float:
+    # DataType object, not a string: module-level string return types
+    # parse via the active session and crash before one exists
+    return float(np.exp(np.log(v.to_numpy("float64")).mean()))
+
+
+def q178_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    # Spark disallows mixing a group-agg pandas UDF with built-in
+    # aggregates in one agg() — the count comes from a sibling agg
+    # joined back on the (tiny) group key
+    geo = ev.groupBy("event_type").agg(
+        F.round(_geomean(F.col("v")), 6).alias("geo_mean")
+    )
+    cnt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cnt.join(geo, "event_type").select("event_type", "n", "geo_mean")
+
+
+Q178_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(exp(AVG(ln(CAST(value AS DOUBLE)))), 6) AS geo_mean
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q178_grouped_agg_udf": q178_grouped_agg_udf,
     "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
     "q174_cogroup_reconcile": q174_cogroup_reconcile,
     "q151_auc_rank": q151_auc_rank,
@@ -687,6 +732,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q178_grouped_agg_udf": Q178_SQL,
     "q171_grouped_ols_pandas": Q171_SQL,
     "q174_cogroup_reconcile": Q174_SQL,
     "q151_auc_rank": Q151_SQL,

@@ -2198,8 +2198,80 @@ FROM s GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q179 — snapshot time travel through the engine's snapshot store
+# (plans/snapshots.py — the Iceberg-semantics layer): create v0 from a
+# deterministic subset of documents, MERGE a deterministic update+insert
+# batch to make v1, then read BOTH versions back via `read(as_of=...)`
+# and report each version's row count and edited-row count. The same
+# md5-bucket derivation as q160, but routed through create/merge/
+# time-travel so the commit protocol itself sits inside the value-hash
+# gate (the pytest suite checks the store's mechanics; this checks its
+# arithmetic end to end against DuckDB's replay of the derivation).
+# --------------------------------------------------------------------------
+
+
+def q179_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.snapshots import SnapshotTable
+
+    v1 = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    h = v1.withColumn("h", md5long(F.col("text")) % 10)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="q179_"))
+    t.create(h.filter(F.col("h") != 1).drop("h"), keys="doc_id", n_buckets=8)
+    updates = (
+        h.filter(F.col("h") == 0)
+        .select(
+            "doc_id", "text", "lang", F.lit("edited").alias("source"),
+            "n_chars",
+        )
+        .unionByName(
+            h.filter(F.col("h") == 2).select(
+                (F.col("doc_id") + _DIFF_KEY_SHIFT).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    t.merge(updates)
+
+    def stats(version: int) -> DataFrame:
+        return t.read(as_of=version).agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_if(F.col("source") == "edited")
+            .cast("long")
+            .alias("n_edited"),
+        )
+
+    return stats(0).unionByName(stats(1))
+
+
+Q179_SQL = f"""
+WITH h AS (
+  SELECT {MD5LONG_SQL.format(x='text')} % 10 AS h FROM documents
+)
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST(COUNT(*) FILTER (WHERE h <> 1) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_edited
+FROM h
+UNION ALL
+SELECT 1,
+       CAST(COUNT(*) FILTER (WHERE h <> 1)
+            + COUNT(*) FILTER (WHERE h = 2) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE h = 0) AS BIGINT)
+FROM h
+"""
+
+
 QUERIES = {
     "q160_snapshot_diff": q160_snapshot_diff,
+    "q179_snapshot_timetravel": q179_snapshot_timetravel,
     "q166_quantile_normalize": q166_quantile_normalize,
     "q167_calibration": q167_calibration,
     "q136_weighted_sample": q136_weighted_sample,
@@ -2240,6 +2312,7 @@ QUERIES = {
 
 ORACLES = {
     "q160_snapshot_diff": Q160_SQL,
+    "q179_snapshot_timetravel": Q179_SQL,
     "q166_quantile_normalize": Q166_SQL,
     "q167_calibration": Q167_SQL,
     "q126_corpus_prep_stats": Q126_SQL,
