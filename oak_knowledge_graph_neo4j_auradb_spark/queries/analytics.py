@@ -2288,7 +2288,73 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q180 — Spearman rank correlation between order price and order date
+# per priority class: Pearson on ROW-NUMBER ranks (orderkey tie-break
+# gives a deterministic total order, so ranks are exact integers and
+# the whole correlation is integer arithmetic until the final
+# division). The rank-based complement of q58's Pearson family —
+# robust to the monotone-but-nonlinear relationships a raw-value
+# correlation misses.
+# --------------------------------------------------------------------------
+
+
+def q180_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    rx = F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+    ry = F.row_number().over(wp.orderBy("es", "o_orderkey"))
+    r = o.select(
+        "o_orderpriority", rx.alias("rx"), ry.alias("ry")
+    )
+    g = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+    )
+    # ranks are permutations of 1..n, so Σry = Σrx and Σry² = Σrx²
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+Q180_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es
+  FROM orders
+), r AS (
+  SELECT o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY es, o_orderkey) AS ry
+  FROM o
+), g AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(rx * ry) AS sxy,
+         SUM(rx) AS sx, SUM(rx * rx) AS sxx
+  FROM r GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sx) / (1.0 * (n * sxx - sx * sx)), 6)
+         AS spearman_rho
+FROM g
+"""
+
+
 QUERIES = {
+    "q180_spearman": q180_spearman,
     "q175_largest_remainder_alloc": q175_largest_remainder_alloc,
     "q177_wilson_interval": q177_wilson_interval,
     "q172_rfm_scores": q172_rfm_scores,
@@ -2327,6 +2393,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q180_spearman": Q180_SQL,
     "q175_largest_remainder_alloc": Q175_SQL,
     "q177_wilson_interval": Q177_SQL,
     "q172_rfm_scores": Q172_SQL,

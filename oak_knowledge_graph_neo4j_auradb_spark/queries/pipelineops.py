@@ -22,6 +22,8 @@ driver-side collection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2269,9 +2271,59 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# q181 — CSV sink→source round trip with byte-integrity proof: write
+# the documents table through the CSV writer (quoteAll + multiLine so
+# embedded quotes/newlines survive), read it back with an explicit
+# schema, and emit count / Σn_chars / bit_xor(md5long(text)) — the
+# text-hash XOR matches the oracle's direct parquet scan ONLY if every
+# byte of every document survived the quote/escape cycle. This puts
+# the CSV format surface (S6/S8's sink family) inside the value-hash
+# gate instead of pytest alone.
+# --------------------------------------------------------------------------
+
+
+def q181_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="q181_"), "docs_csv")
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, n_chars long")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10)"
+            " as bigint))"
+        ).alias("text_xor"),
+    )
+
+
+Q181_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor({MD5LONG_SQL.format(x='text')}) AS text_xor
+FROM documents
+"""
+
+
 QUERIES = {
     "q160_snapshot_diff": q160_snapshot_diff,
     "q179_snapshot_timetravel": q179_snapshot_timetravel,
+    "q181_csv_roundtrip": q181_csv_roundtrip,
     "q166_quantile_normalize": q166_quantile_normalize,
     "q167_calibration": q167_calibration,
     "q136_weighted_sample": q136_weighted_sample,
@@ -2313,6 +2365,7 @@ QUERIES = {
 ORACLES = {
     "q160_snapshot_diff": Q160_SQL,
     "q179_snapshot_timetravel": Q179_SQL,
+    "q181_csv_roundtrip": Q181_SQL,
     "q166_quantile_normalize": Q166_SQL,
     "q167_calibration": Q167_SQL,
     "q126_corpus_prep_stats": Q126_SQL,
