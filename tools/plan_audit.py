@@ -206,6 +206,11 @@ AUDIT = [
     ("q172_rfm_scores", 6, 0),  # purchase rollup + three ntile sorts
     ("q173_share_of_parent", 7, 0),  # fact spine shuffle; dims broadcast
     ("q174_cogroup_reconcile", 4, 1),  # cogrouped Arrow reconciliation
+    ("q175_largest_remainder_alloc", 6, 0),  # rev agg + tiny rank windows
+    ("q176_multiset_ops", 8, 0),  # except/intersect-all aggs per branch
+    ("q177_wilson_interval", 1, 0),  # one contingency agg
+    ("q178_grouped_agg_udf", 4, 1),  # the Series→scalar Arrow aggregate
+    ("q180_spearman", 3, 0),  # both rank windows share the priority key
 ]
 
 
@@ -220,7 +225,7 @@ def audit_one(spark, name, fn, sf_dir, max_ex, py_allowed):
     # detail section); count operators in the tree section only.
     tree = plan.split("\n\n")[0]
     n_exchanges = len(re.findall(r"\bExchange\b", tree))
-    n_python = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)", tree))
+    n_python = len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|AggregateInPandas)", tree))
     n_rowpython = len(re.findall(r"BatchEvalPython", tree))
     # formatted mode tags operators with "[codegen id : N]" rather than
     # printing WholeStageCodegen wrapper nodes; count distinct spans.
