@@ -2353,7 +2353,342 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q182 — burstiness (Fano factor) of daily event counts per type:
+# variance-to-mean ratio of an integer count series. 1 ≈ Poisson,
+# > 1 bursty, < 1 regular — the dispersion diagnostic a rate-limiter
+# or anomaly baseline needs before assuming Poisson. Integer sums
+# throughout; both engines assemble the identical doubles.
+# --------------------------------------------------------------------------
+
+
+def q182_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(es / 86400).cast("long").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("d")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("d")) / (
+        F.col("d") - 1
+    )
+    return g.select(
+        "event_type",
+        F.col("d").cast("long").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
+Q182_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, COUNT(*) AS d, SUM(v) AS s, SUM(v * v) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(d AS BIGINT) AS n_days,
+       ROUND(s / (1.0 * d), 4) AS mean_daily,
+       ROUND(((ss - s * s / (1.0 * d)) / (d - 1)) / (s / (1.0 * d)), 6)
+         AS fano_factor
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q183 — Jensen-Shannon divergence between the first and last week's
+# event-type mix: JS = H(M) − (H(P)+H(Q))/2 with M the even mixture —
+# the bounded, symmetric drift metric that complements q117's χ² and
+# q120's KS (which test counts and CDFs; JS compares distributions as
+# distributions). Probabilities are integer-count ratios, so both
+# engines feed identical doubles into ln.
+# --------------------------------------------------------------------------
+
+
+def q183_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(es / 86400).cast("long").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    tagged = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "wk",
+            F.when(F.col("day") < F.col("d0") + 7, F.lit("p"))
+            .when(F.col("day") > F.col("d1") - 7, F.lit("q"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("wk").isNotNull())
+    )
+    c = (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("wk") == "p").alias("cp"),
+            F.count_if(F.col("wk") == "q").alias("cq"),
+        )
+    )
+    tot = c.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"))
+    j = c.crossJoin(F.broadcast(tot))
+    p = F.col("cp") / F.col("np")
+    q = F.col("cq") / F.col("nq")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return j.agg(
+        F.sum("cp").cast("long").alias("n_first_week"),
+        F.sum("cq").cast("long").alias("n_last_week"),
+        F.round(F.sum(term), 6).alias("js_divergence"),
+    )
+
+
+Q183_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+t AS (
+  SELECT event_type,
+         CASE WHEN day < b.d0 + 7 THEN 'p'
+              WHEN day > b.d1 - 7 THEN 'q' END AS wk
+  FROM ev, b
+  WHERE day < b.d0 + 7 OR day > b.d1 - 7
+), c AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE wk = 'p') AS cp,
+         COUNT(*) FILTER (WHERE wk = 'q') AS cq
+  FROM t GROUP BY 1
+), tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq FROM c)
+SELECT CAST(SUM(cp) AS BIGINT) AS n_first_week,
+       CAST(SUM(cq) AS BIGINT) AS n_last_week,
+       ROUND(SUM(
+         (CASE WHEN cp > 0 THEN (cp / (1.0 * np))
+               * ln((cp / (1.0 * np))
+                    / ((cp / (1.0 * np) + cq / (1.0 * nq)) / 2))
+               ELSE 0 END
+          + CASE WHEN cq > 0 THEN (cq / (1.0 * nq))
+               * ln((cq / (1.0 * nq))
+                    / ((cp / (1.0 * np) + cq / (1.0 * nq)) / 2))
+               ELSE 0 END) / 2), 6) AS js_divergence
+FROM c, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q184 — top-k contributors with an OTHER rollup: the 5 biggest
+# spenders per market segment keep their identity, the long tail
+# collapses into one OTHER row per segment — the reporting shape every
+# "top customers" dashboard needs, built from ONE rank window and a
+# conditional re-group (no anti-join pass). Integer cents; rank ties
+# break on custkey.
+# --------------------------------------------------------------------------
+
+
+def q184_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    ranked = spend.withColumn("rk", F.row_number().over(w))
+    bucket = F.when(
+        F.col("rk") <= 5, F.col("o_custkey").cast("string")
+    ).otherwise(F.lit("OTHER"))
+    return (
+        ranked.groupBy(
+            F.col("c_mktsegment").alias("segment"), bucket.alias("who")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+Q184_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cents DESC, o_custkey) AS rk
+  FROM spend
+)
+SELECT c_mktsegment AS segment,
+       CASE WHEN rk <= 5 THEN CAST(o_custkey AS VARCHAR)
+            ELSE 'OTHER' END AS who,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q185 — forecasting feature table: per (event_type, day), the lag-1 /
+# lag-7 counts and the trailing-28-day mean — the feature
+# materialization step ahead of any AR-style model (q138/q171 fit on
+# exactly these shapes). One window partitioning serves all three
+# features; counts are integers and the trailing mean divides the
+# actual window row count (no edge-padding fabrication).
+# --------------------------------------------------------------------------
+
+
+def q185_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(es / 86400).cast("long").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w28 = w.rowsBetween(-28, -1)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("v").cast("long").alias("n"),
+        F.lag("v", 1).over(w).cast("long").alias("lag1"),
+        F.lag("v", 7).over(w).cast("long").alias("lag7"),
+        F.round(F.avg("v").over(w28), 4).alias("trailing28_mean"),
+    )
+
+
+Q185_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(v AS BIGINT) AS n,
+       CAST(LAG(v, 1) OVER w AS BIGINT) AS lag1,
+       CAST(LAG(v, 7) OVER w AS BIGINT) AS lag7,
+       ROUND(AVG(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING), 4)
+         AS trailing28_mean
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+# --------------------------------------------------------------------------
+# q187 — population stability index (PSI) of event value between the
+# first and last week, over 10 equal-width bins of the observed range:
+# PSI = Σ (p−q)·ln(p/q) — the binned-continuous drift score that
+# complements χ² (q117, counts), KS (q120, CDFs), and JS (q183,
+# categories). Bin edges come from integer-exact min/max; empty cells
+# get the standard 0.5-count smoothing so the log is always finite,
+# keeping both engines on identical doubles.
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def q187_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("x"),
+        F.floor(es / 86400).cast("long").alias("day"),
+    )
+    b = ev.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    t = (
+        ev.crossJoin(F.broadcast(b))
+        .withColumn(
+            "wk",
+            F.when(F.col("day") < F.col("d0") + 7, F.lit("p"))
+            .when(F.col("day") > F.col("d1") - 7, F.lit("q"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("wk").isNotNull())
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+                ),
+                F.lit(_PSI_BINS - 1),
+            ).cast("long"),
+        )
+    )
+    c = t.groupBy("bin").agg(
+        F.count_if(F.col("wk") == "p").alias("cp"),
+        F.count_if(F.col("wk") == "q").alias("cq"),
+    )
+    tot = c.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"))
+    j = c.crossJoin(F.broadcast(tot))
+    p = (F.col("cp") + 0.5) / (F.col("np") + 0.5 * _PSI_BINS)
+    q = (F.col("cq") + 0.5) / (F.col("nq") + 0.5 * _PSI_BINS)
+    return j.agg(
+        F.sum("cp").cast("long").alias("n_first_week"),
+        F.sum("cq").cast("long").alias("n_last_week"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
+
+
+Q187_SQL = f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS x,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), b AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1, MIN(x) AS lo, MAX(x) AS hi
+  FROM ev
+), t AS (
+  SELECT CASE WHEN day < b.d0 + 7 THEN 'p'
+              WHEN day > b.d1 - 7 THEN 'q' END AS wk,
+         LEAST(CAST(floor((x - b.lo) / ((b.hi - b.lo) / {_PSI_BINS}))
+                    AS BIGINT), {_PSI_BINS - 1}) AS bin
+  FROM ev, b
+  WHERE day < b.d0 + 7 OR day > b.d1 - 7
+), c AS (
+  SELECT bin,
+         COUNT(*) FILTER (WHERE wk = 'p') AS cp,
+         COUNT(*) FILTER (WHERE wk = 'q') AS cq
+  FROM t GROUP BY 1
+), tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq FROM c)
+SELECT CAST(SUM(cp) AS BIGINT) AS n_first_week,
+       CAST(SUM(cq) AS BIGINT) AS n_last_week,
+       ROUND(SUM(((cp + 0.5) / (np + 0.5 * {_PSI_BINS})
+                  - (cq + 0.5) / (nq + 0.5 * {_PSI_BINS}))
+                 * ln(((cp + 0.5) / (np + 0.5 * {_PSI_BINS}))
+                      / ((cq + 0.5) / (nq + 0.5 * {_PSI_BINS})))), 6)
+         AS psi
+FROM c, tot
+"""
+
+
 QUERIES = {
+    "q185_lag_features": q185_lag_features,
+    "q187_psi": q187_psi,
+    "q182_burstiness": q182_burstiness,
+    "q183_js_divergence": q183_js_divergence,
+    "q184_topk_with_other": q184_topk_with_other,
     "q180_spearman": q180_spearman,
     "q175_largest_remainder_alloc": q175_largest_remainder_alloc,
     "q177_wilson_interval": q177_wilson_interval,
@@ -2393,6 +2728,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q185_lag_features": Q185_SQL,
+    "q187_psi": Q187_SQL,
+    "q182_burstiness": Q182_SQL,
+    "q183_js_divergence": Q183_SQL,
+    "q184_topk_with_other": Q184_SQL,
     "q180_spearman": Q180_SQL,
     "q175_largest_remainder_alloc": Q175_SQL,
     "q177_wilson_interval": Q177_SQL,

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.reconstruct import media_assets, reconstruct_wide
@@ -374,6 +374,64 @@ WHERE kind = 'media' AND k = 'lesson_video_id'
 """
 
 
+def kg83_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-difference scene-cut detection over sampled video frames:
+    per media asset, sample 8 frames (Arrow mapInPandas expansion —
+    decode stubbed deterministically like kg41), reduce each frame to a
+    60-bit signature, and mark a cut wherever adjacent frames' Hamming
+    distance exceeds the threshold. The real-codec variant swaps the
+    hash for a perceptual frame hash; the plumbing — UDTF-shaped
+    expansion, per-asset ordered window, integer Hamming gate — is the
+    production shape. All arithmetic integer ⇒ exact."""
+    from ..operators.multimodal import fetch_payload, sample_frames
+
+    refs = (
+        media_assets(docs_df(spark, sf_dir))
+        .select("media_ref")
+        .distinct()
+        .select(
+            F.col("media_ref").alias("doc_id"),
+            F.lit("").alias("field"),
+            "media_ref",
+        )
+    )
+    frames = sample_frames(fetch_payload(refs), n_frames=8)
+    sig = F.conv(F.substring("frame_md5", 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("media_ref").orderBy("frame_idx")
+    d = (
+        frames.select("media_ref", "frame_idx", sig.alias("sig"))
+        .withColumn("prev", F.lag("sig").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("prev")))
+    return d.select(
+        "media_ref",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        ham.cast("long").alias("hamming"),
+        (ham > 34).alias("is_cut"),
+    )
+
+
+KG83_SQL = f"""
+{_KV_SQL},
+refs AS (SELECT DISTINCT v AS media_ref FROM kv WHERE kind = 'media'),
+fr AS (
+  SELECT media_ref, CAST(f AS INT) AS frame_idx,
+         CAST('0x' || substr(md5(media_ref || CAST(f AS VARCHAR)), 1, 15)
+              AS BIGINT) AS sig
+  FROM refs, range(8) AS t(f)
+), d AS (
+  SELECT media_ref, frame_idx, sig,
+         LAG(sig) OVER (PARTITION BY media_ref ORDER BY frame_idx) AS prev
+  FROM fr
+)
+SELECT media_ref, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(bit_count(xor(sig, prev)) AS BIGINT) AS hamming,
+       bit_count(xor(sig, prev)) > 34 AS is_cut
+FROM d WHERE prev IS NOT NULL
+"""
+
+
 def kg42_media_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → ANN integration: distinct media assets → Arrow
     embedding stage (`operators/multimodal.py:embed_media`) → banded
@@ -544,6 +602,7 @@ QUERIES = {
     "kg40_media_features": kg40_media_features,
     "kg41_frame_samples": kg41_frame_samples,
     "kg42_media_embedding_neardup": kg42_media_embedding_neardup,
+    "kg83_scene_cuts": kg83_scene_cuts,
     "kg36_node_histogram": kg36_node_histogram,
     "kg37_edge_histogram": kg37_edge_histogram,
     "kg99_flagship": kg_flagship,
@@ -762,6 +821,7 @@ ORACLES = {
     "kg40_media_features": KG40_SQL,
     "kg41_frame_samples": KG41_SQL,
     "kg42_media_embedding_neardup": _kg42_sql(),
+    "kg83_scene_cuts": KG83_SQL,
     # kg99: full-pipeline triple stream with per-edge props — golden-tested
     # against the reference-semantics oracle in tests/test_golden_graph.py
 }

@@ -19,7 +19,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
@@ -1151,7 +1151,71 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q186 — sorted-neighborhood dedup (the classic entity-resolution
+# blocking alternative to LSH): sort the corpus by a normalized sort
+# key (first 3 tokens), compare each document only to its immediate
+# neighbor in that order, and score the pair by exact token-set
+# Jaccard. O(n log n + n) comparisons instead of O(n²); the window
+# scan over the sorted order replaces any pair join. ALL adjacent
+# pairs are emitted with their score (this corpus has no near-dups —
+# a threshold-only output would be vacuously green). Jaccard counts
+# are distinct-token integers, so the ratio is exact. Scale path:
+# range-partitioned sort with w−1 rows of boundary overlap per
+# partition instead of the single global window.
+# --------------------------------------------------------------------------
+
+
+def q186_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    d = d.select(
+        "doc_id",
+        F.array_distinct("t").alias("dt"),
+        F.array_join(F.slice("t", 1, 3), " ").alias("skey"),
+    )
+    w = Window.orderBy("skey", "doc_id")
+    pairs = (
+        d.withColumn("nid", F.lead("doc_id").over(w))
+        .withColumn("nt", F.lead("dt").over(w))
+        .filter(F.col("nid").isNotNull())
+    )
+    inter = F.size(F.array_intersect("dt", "nt"))
+    union = F.size(F.array_union("dt", "nt"))
+    return pairs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nid").alias("doc_b"),
+        inter.cast("long").alias("n_common"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+Q186_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({TOKENS_SQL.format(x='text')}) AS dt,
+         array_to_string(({TOKENS_SQL.format(x='text')})[1:3], ' ')
+           AS skey
+  FROM documents
+), p AS (
+  SELECT doc_id AS doc_a, dt,
+         LEAD(doc_id) OVER w AS doc_b,
+         LEAD(dt) OVER w AS nt
+  FROM d
+  WINDOW w AS (ORDER BY skey, doc_id)
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(dt, nt)) AS BIGINT) AS n_common,
+       ROUND(len(list_intersect(dt, nt))
+             / (1.0 * (len(dt) + len(nt) - len(list_intersect(dt, nt)))),
+             6) AS jaccard
+FROM p WHERE doc_b IS NOT NULL
+"""
+
+
 QUERIES = {
+    "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q137_simhash_pairs": q137_simhash_pairs,
     "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1172,6 +1236,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q186_sorted_neighborhood": Q186_SQL,
     "q20_exact_dedup": Q20_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
