@@ -2683,7 +2683,102 @@ FROM c, tot
 """
 
 
+# --------------------------------------------------------------------------
+# q188 — Tukey fences per event type: Q1/Q3 by exact linear-interpolated
+# quantiles (F.percentile ↔ quantile_cont, the q37 idiom), outliers
+# beyond 1.5·IQR counted on both tails. The boxplot/robust-fence
+# complement of q73's z-score and q105's MAD outliers. Fence compares
+# run on identical doubles (quantiles of the same value multiset).
+# --------------------------------------------------------------------------
+
+
+def q188_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("x")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("x"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("x"), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    j = ev.join(F.broadcast(q), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            r4(F.min("q1")).alias("q1"),
+            r4(F.min("q3")).alias("q3"),
+            F.count_if(F.col("x") < lo).cast("long").alias("n_low"),
+            F.count_if(F.col("x") > hi).cast("long").alias("n_high"),
+        )
+    )
+
+
+Q188_SQL = """
+WITH q AS (
+  SELECT event_type, COUNT(*) AS n,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, CAST(MIN(q.n) AS BIGINT) AS n,
+       ROUND(MIN(q.q1), 4) AS q1, ROUND(MIN(q.q3), 4) AS q3,
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(e.value AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1))
+         AS BIGINT) AS n_low,
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(e.value AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1))
+         AS BIGINT) AS n_high
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q189 — exponentially decayed engagement score: per user,
+# Σ 2^(−⌊age_weeks⌋) over their events, newest events counting full
+# weight. Flooring the age to whole weeks makes every weight an exact
+# dyadic (1, ½, ¼, ⅛, 1/16) — the sum is EXACT in IEEE double in any
+# association order, so no rounding discipline is needed at all (the
+# only such double aggregation on the surface besides q113's EWMA).
+# --------------------------------------------------------------------------
+
+
+def q189_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.floor(es / 86400).cast("long").alias("day")
+    )
+    ref = ev.agg(F.max("day").alias("ref_day"))
+    w = F.pow(F.lit(2.0), -F.floor((F.col("ref_day") - F.col("day")) / 7))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w).alias("decayed_score"),
+        )
+    )
+
+
+Q189_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), r AS (SELECT MAX(day) AS ref_day FROM ev)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(pow(2.0, -((r.ref_day - day) // 7))) AS decayed_score
+FROM ev, r
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "q188_tukey_fences": q188_tukey_fences,
+    "q189_decayed_engagement": q189_decayed_engagement,
     "q185_lag_features": q185_lag_features,
     "q187_psi": q187_psi,
     "q182_burstiness": q182_burstiness,
@@ -2728,6 +2823,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q188_tukey_fences": Q188_SQL,
+    "q189_decayed_engagement": Q189_SQL,
     "q185_lag_features": Q185_SQL,
     "q187_psi": Q187_SQL,
     "q182_burstiness": Q182_SQL,

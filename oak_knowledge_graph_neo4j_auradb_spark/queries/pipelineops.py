@@ -2320,10 +2320,90 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q190 — data-contract audit (expectations-lite): one scan of the fact
+# table evaluates the whole rule book — not-null, key-uniqueness,
+# timestamp-range, enum-membership, and non-negativity — as conditional
+# counts in a single aggregate, then melts the wide result to
+# (col_name, rule, n_violations) rows with stack(). The per-rule
+# quarantine variant routes failing ROWS to plans/sinks.py's
+# quarantine side-output; this is the summary face. All counts exact.
+# --------------------------------------------------------------------------
+
+_CONTRACT_TYPES = ("click", "view", "purchase", "signup", "error")
+_TS_LO, _TS_HI = 1_577_836_800, 1_893_456_000  # [2020-01-01, 2030-01-01)
+
+
+def q190_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", es.alias("es")
+    )
+    a = ev.agg(
+        F.count_if(F.col("event_id").isNull()).alias("id_null"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("id_dup"),
+        F.count_if(F.col("es").isNull()).alias("ts_null"),
+        F.count_if(
+            (F.col("es") < _TS_LO) | (F.col("es") >= _TS_HI)
+        ).alias("ts_range"),
+        F.count_if(
+            ~F.col("event_type").isin(*_CONTRACT_TYPES)
+        ).alias("type_enum"),
+        F.count_if(F.col("value").isNull()).alias("val_null"),
+        F.count_if(F.col("value") < 0).alias("val_neg"),
+        F.count_if(F.col("user_id").isNull()).alias("uid_null"),
+    )
+    return a.selectExpr(
+        "stack(8, "
+        "'event_id', 'not_null', id_null, "
+        "'event_id', 'unique', id_dup, "
+        "'ts', 'not_null', ts_null, "
+        "'ts', 'in_range', ts_range, "
+        "'event_type', 'in_enum', type_enum, "
+        "'value', 'not_null', val_null, "
+        "'value', 'non_negative', val_neg, "
+        "'user_id', 'not_null', uid_null"
+        ") as (col_name, rule, n_violations)"
+    ).selectExpr(
+        "col_name", "rule", "CAST(n_violations AS BIGINT) AS n_violations"
+    )
+
+
+_CONTRACT_IN = ", ".join(f"'{t}'" for t in _CONTRACT_TYPES)
+
+Q190_SQL = f"""
+WITH a AS (
+  SELECT
+    COUNT(*) FILTER (WHERE event_id IS NULL) AS id_null,
+    COUNT(*) - COUNT(DISTINCT event_id) AS id_dup,
+    COUNT(*) FILTER (WHERE ts IS NULL) AS ts_null,
+    COUNT(*) FILTER (WHERE CAST(floor(epoch(ts)) AS BIGINT) < {_TS_LO}
+                        OR CAST(floor(epoch(ts)) AS BIGINT) >= {_TS_HI})
+      AS ts_range,
+    COUNT(*) FILTER (WHERE event_type NOT IN ({_CONTRACT_IN}))
+      AS type_enum,
+    COUNT(*) FILTER (WHERE value IS NULL) AS val_null,
+    COUNT(*) FILTER (WHERE value < 0) AS val_neg,
+    COUNT(*) FILTER (WHERE user_id IS NULL) AS uid_null
+  FROM events
+)
+SELECT 'event_id' AS col_name, 'not_null' AS rule,
+       CAST(id_null AS BIGINT) AS n_violations FROM a
+UNION ALL SELECT 'event_id', 'unique', CAST(id_dup AS BIGINT) FROM a
+UNION ALL SELECT 'ts', 'not_null', CAST(ts_null AS BIGINT) FROM a
+UNION ALL SELECT 'ts', 'in_range', CAST(ts_range AS BIGINT) FROM a
+UNION ALL SELECT 'event_type', 'in_enum', CAST(type_enum AS BIGINT) FROM a
+UNION ALL SELECT 'value', 'not_null', CAST(val_null AS BIGINT) FROM a
+UNION ALL SELECT 'value', 'non_negative', CAST(val_neg AS BIGINT) FROM a
+UNION ALL SELECT 'user_id', 'not_null', CAST(uid_null AS BIGINT) FROM a
+"""
+
+
 QUERIES = {
     "q160_snapshot_diff": q160_snapshot_diff,
     "q179_snapshot_timetravel": q179_snapshot_timetravel,
     "q181_csv_roundtrip": q181_csv_roundtrip,
+    "q190_data_contract": q190_data_contract,
     "q166_quantile_normalize": q166_quantile_normalize,
     "q167_calibration": q167_calibration,
     "q136_weighted_sample": q136_weighted_sample,
@@ -2366,6 +2446,7 @@ ORACLES = {
     "q160_snapshot_diff": Q160_SQL,
     "q179_snapshot_timetravel": Q179_SQL,
     "q181_csv_roundtrip": Q181_SQL,
+    "q190_data_contract": Q190_SQL,
     "q166_quantile_normalize": Q166_SQL,
     "q167_calibration": Q167_SQL,
     "q126_corpus_prep_stats": Q126_SQL,

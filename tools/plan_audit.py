@@ -211,6 +211,13 @@ AUDIT = [
     ("q177_wilson_interval", 1, 0),  # one contingency agg
     ("q178_grouped_agg_udf", 4, 1),  # the Series→scalar Arrow aggregate
     ("q180_spearman", 3, 0),  # both rank windows share the priority key
+    ("q182_burstiness", 2, 0),  # daily agg + per-type moments
+    ("q183_js_divergence", 4, 0),  # 1-row bounds broadcast + mix agg
+    ("q184_topk_with_other", 2, 0),  # spend agg + rank window share segment
+    ("kg83_scene_cuts", 2, 2),  # payload-fetch + frame-sampling Arrow stages
+    ("q185_lag_features", 2, 0),  # all three features share one type sort
+    ("q186_sorted_neighborhood", 1, 0),  # ONE global sort, no pair join
+    ("q187_psi", 4, 0),  # bounds broadcast + bin agg + 1-row combine
 ]
 
 
