@@ -718,7 +718,80 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q193 — Cohen's kappa between two labelers: the quality model's keep
+# decision (score > 0.45) vs the lang='en' pseudo-label — the
+# chance-corrected agreement statistic an annotation-QA stage reports.
+# Reuses q81's `_quality_score` verbatim (q167's discipline). The 2×2
+# contingency is integer; kappa = (p_o − p_e)/(1 − p_e) divides
+# identical doubles, rendered at 6dp. The 0.45 threshold carries the
+# same (negligible) libm edge exposure as q81's 0.5 gate.
+# --------------------------------------------------------------------------
+
+_KAPPA_THRESH = 0.45
+
+
+def q193_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelineops import _quality_score
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    r = d.select(
+        (_quality_score(F.col("t")) > _KAPPA_THRESH).alias("ra"),
+        (F.col("lang") == "en").alias("rb"),
+    )
+    c = r.agg(
+        F.count_if(F.col("ra") & F.col("rb")).alias("a"),
+        F.count_if(F.col("ra") & ~F.col("rb")).alias("b"),
+        F.count_if(~F.col("ra") & F.col("rb")).alias("c"),
+        F.count_if(~F.col("ra") & ~F.col("rb")).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    po = (F.col("a") + F.col("d")) / n
+    pe = (
+        (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
+    ) / (n * n)
+    return c.select(
+        n.cast("long").alias("n"),
+        F.col("a").cast("long").alias("both_keep"),
+        F.col("d").cast("long").alias("both_drop"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+def _q193_sql() -> str:
+    from .pipelineops import _QSCORE_CTES
+
+    return f"""
+{_QSCORE_CTES}, r AS (
+  SELECT s > {_KAPPA_THRESH} AS ra, lang = 'en' AS rb FROM s
+), c AS (
+  SELECT COUNT(*) FILTER (WHERE ra AND rb) AS a,
+         COUNT(*) FILTER (WHERE ra AND NOT rb) AS b,
+         COUNT(*) FILTER (WHERE NOT ra AND rb) AS c,
+         COUNT(*) FILTER (WHERE NOT ra AND NOT rb) AS d
+  FROM r
+)
+SELECT CAST(a + b + c + d AS BIGINT) AS n,
+       CAST(a AS BIGINT) AS both_keep,
+       CAST(d AS BIGINT) AS both_drop,
+       ROUND((a + d) / (1.0 * (a + b + c + d)), 6) AS observed_agreement,
+       ROUND(((a + d) / (1.0 * (a + b + c + d))
+              - ((a + b) * (a + c) + (c + d) * (b + d))
+                / (1.0 * (a + b + c + d) * (a + b + c + d)))
+             / (1.0 - ((a + b) * (a + c) + (c + d) * (b + d))
+                / (1.0 * (a + b + c + d) * (a + b + c + d))), 6) AS kappa
+FROM c
+"""
+
+
 QUERIES = {
+    "q193_cohens_kappa": q193_cohens_kappa,
     "q178_grouped_agg_udf": q178_grouped_agg_udf,
     "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
     "q174_cogroup_reconcile": q174_cogroup_reconcile,
@@ -732,6 +805,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q193_cohens_kappa": _q193_sql(),
     "q178_grouped_agg_udf": Q178_SQL,
     "q171_grouped_ols_pandas": Q171_SQL,
     "q174_cogroup_reconcile": Q174_SQL,

@@ -2399,11 +2399,121 @@ UNION ALL SELECT 'user_id', 'not_null', CAST(uid_null AS BIGINT) FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# q191 — overlapping-window chunking (RAG/retrieval prep): each document
+# split into 50-token windows at stride 40 (10-token overlap), emitting
+# per-chunk token counts and a 60-bit fingerprint. The chunk grid is a
+# `sequence()` explode over start offsets — array-native, no Python —
+# and the fingerprint reuses the md5long idiom so chunk-level dedup
+# (q101's containment audit) can run directly on this table. Trailing
+# windows shorter than half the width are dropped identically in both
+# engines (integer arithmetic on sizes).
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 50, 40
+
+
+def q191_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("t") - _CHUNK_W + _CHUNK_STRIDE, F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    c = d.select("doc_id", "t", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("t"), F.col("start"), _CHUNK_W)
+    return (
+        c.select(
+            "doc_id",
+            # chunk_idx derivable from the stride — no ordinality needed
+            ((F.col("start") - 1) / _CHUNK_STRIDE)
+            .cast("long")
+            .alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            md5long(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+        .filter(F.col("n_tokens") * 2 >= _CHUNK_W)
+    )
+
+
+Q191_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), c AS (
+  SELECT doc_id, t, CAST(u.s AS BIGINT) AS start_tok
+  FROM d, UNNEST(generate_series(1,
+         greatest(len(t) - {_CHUNK_W} + {_CHUNK_STRIDE}, 1),
+         {_CHUNK_STRIDE})) AS u(s)
+)
+SELECT doc_id, (start_tok - 1) // {_CHUNK_STRIDE} AS chunk_idx, start_tok,
+       CAST(len(t[start_tok:start_tok + {_CHUNK_W} - 1]) AS BIGINT)
+         AS n_tokens,
+       {MD5LONG_SQL.format(
+           x=f"array_to_string(t[start_tok:start_tok + {_CHUNK_W} - 1], ' ')"
+       )} AS chunk_fp
+FROM c
+WHERE len(t[start_tok:start_tok + {_CHUNK_W} - 1]) * 2 >= {_CHUNK_W}
+"""
+
+
+# --------------------------------------------------------------------------
+# q192 — stable train/val/test split assignment: split = md5(doc_id)
+# mod 10 → 8/1/1, stratification REPORTED per (lang, split) with each
+# stratum's achieved fraction. Hash-based assignment is reproducible
+# across runs/engines and independent of row order — the property a
+# resumable pipeline needs so re-runs never migrate a document across
+# splits. Counts exact; fractions divide integers.
+# --------------------------------------------------------------------------
+
+
+def q192_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = md5long(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(b <= 7, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    g = d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wl), 6).alias("frac_of_lang"),
+    )
+
+
+Q192_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 10 <= 7
+              THEN 'train'
+              WHEN {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')} % 10 = 8
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), g AS (
+  SELECT lang, split, COUNT(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT lang, split, CAST(n AS BIGINT) AS n,
+       ROUND(n / (1.0 * SUM(n) OVER (PARTITION BY lang)), 6)
+         AS frac_of_lang
+FROM g
+"""
+
+
 QUERIES = {
     "q160_snapshot_diff": q160_snapshot_diff,
     "q179_snapshot_timetravel": q179_snapshot_timetravel,
     "q181_csv_roundtrip": q181_csv_roundtrip,
     "q190_data_contract": q190_data_contract,
+    "q191_chunk_overlap": q191_chunk_overlap,
+    "q192_split_assign": q192_split_assign,
     "q166_quantile_normalize": q166_quantile_normalize,
     "q167_calibration": q167_calibration,
     "q136_weighted_sample": q136_weighted_sample,

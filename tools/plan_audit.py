@@ -218,6 +218,9 @@ AUDIT = [
     ("q185_lag_features", 2, 0),  # all three features share one type sort
     ("q186_sorted_neighborhood", 1, 0),  # ONE global sort, no pair join
     ("q187_psi", 4, 0),  # bounds broadcast + bin agg + 1-row combine
+    ("q188_tukey_fences", 4, 0),  # quartile agg broadcast back + fence agg
+    ("q189_decayed_engagement", 2, 0),  # 1-row ref broadcast + user agg
+    ("q190_data_contract", 3, 0),  # whole rule book in ONE scan + agg
 ]
 
 
