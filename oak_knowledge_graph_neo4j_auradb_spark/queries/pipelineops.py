@@ -2557,6 +2557,8 @@ ORACLES = {
     "q179_snapshot_timetravel": Q179_SQL,
     "q181_csv_roundtrip": Q181_SQL,
     "q190_data_contract": Q190_SQL,
+    "q191_chunk_overlap": Q191_SQL,
+    "q192_split_assign": Q192_SQL,
     "q166_quantile_normalize": Q166_SQL,
     "q167_calibration": Q167_SQL,
     "q126_corpus_prep_stats": Q126_SQL,
