@@ -2776,7 +2776,163 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q194 — absorption probabilities on the event-type Markov chain:
+# P(reach 'purchase' before 'error' | current state), by 6 rounds of
+# value iteration v ← P·[b absorbing ? 0/1 : v(b)] from v₀ = 0 — the
+# fixed-point linear solve (I−Q)v = R·1 a funnel-escape analysis needs,
+# without matrix inversion. q164's transition machinery reused; the
+# oracle unrolls the same recurrence. Transition probabilities are
+# count ratios (identical doubles); six 5-term contractions stay far
+# inside the 6dp render.
+# --------------------------------------------------------------------------
+
+_ABS_WIN, _ABS_LOSS = "purchase", "error"
+_ABS_ROUNDS = 6
+
+
+def q194_absorption_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
+    P = (
+        pairs.join(tot, "a")
+        .filter(~F.col("a").isin(_ABS_WIN, _ABS_LOSS))
+        .select("a", "b", (F.col("c") / F.col("t")).alias("p"))
+        .localCheckpoint()
+    )
+    v = P.select(F.col("a").alias("state")).distinct().select(
+        "state", F.lit(0.0).alias("v")
+    )
+    for _ in range(_ABS_ROUNDS):
+        vb = F.when(F.col("b") == _ABS_WIN, F.lit(1.0)).when(
+            F.col("b") == _ABS_LOSS, F.lit(0.0)
+        )
+        j = P.join(
+            v.select(F.col("state").alias("_bs"), F.col("v").alias("_bv")),
+            P.b == F.col("_bs"),
+            "left",
+        )
+        v = (
+            j.groupBy(F.col("a").alias("state"))
+            .agg(
+                F.sum(
+                    F.col("p")
+                    * F.coalesce(vb, F.coalesce("_bv", F.lit(0.0)))
+                ).alias("v")
+            )
+            .localCheckpoint()
+        )
+    return v.select("state", F.round("v", 6).alias("p_win"))
+
+
+def _q194_sql(rounds: int = _ABS_ROUNDS) -> str:
+    steps = [
+        f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), pr AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS b
+  FROM ev
+), cnt AS (
+  SELECT a, b, COUNT(*) AS c FROM pr WHERE b IS NOT NULL GROUP BY a, b
+), p AS MATERIALIZED (
+  SELECT cnt.a, cnt.b, cnt.c / (1.0 * t.t) AS p
+  FROM cnt JOIN (SELECT a, SUM(c) AS t FROM cnt GROUP BY a) t USING (a)
+  WHERE cnt.a NOT IN ('{_ABS_WIN}', '{_ABS_LOSS}')
+),
+v0 AS (SELECT DISTINCT a AS state, CAST(0 AS DOUBLE) AS v FROM p)"""
+    ]
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+v{k} AS (SELECT p.a AS state,
+        SUM(p.p * CASE WHEN p.b = '{_ABS_WIN}' THEN 1.0
+                       WHEN p.b = '{_ABS_LOSS}' THEN 0.0
+                       ELSE COALESCE(v.v, 0) END) AS v
+        FROM p LEFT JOIN v{k - 1} v ON p.b = v.state GROUP BY p.a)"""
+        )
+    return (
+        ",".join(steps)
+        + f"\nSELECT state, ROUND(v, 6) AS p_win FROM v{rounds}"
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — longest same-event streak per user (gaps-and-islands with the
+# row_number-difference island key, q90's idiom turned on run-length):
+# the distribution of each user's maximum consecutive-repeat run — the
+# repetition diagnostic for bot/replay detection. Two window passes
+# share the user partitioning; everything integer.
+# --------------------------------------------------------------------------
+
+
+def q195_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "es", "event_id"
+    )
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w) - F.row_number().over(wt)).alias("isl"),
+    )
+    streaks = isl.groupBy("user_id", "event_type", "isl").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    mx = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return mx.groupBy("max_streak").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(F.col("max_streak").cast("long").alias("max_streak"), "n_users")
+
+
+Q195_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), isl AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY es, event_id) AS isl
+  FROM ev
+), streaks AS (
+  SELECT user_id, COUNT(*) AS len
+  FROM isl GROUP BY user_id, event_type, isl
+), mx AS (
+  SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q194_absorption_prob": q194_absorption_prob,
+    "q195_longest_streak": q195_longest_streak,
     "q188_tukey_fences": q188_tukey_fences,
     "q189_decayed_engagement": q189_decayed_engagement,
     "q185_lag_features": q185_lag_features,
@@ -2823,6 +2979,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q194_absorption_prob": _q194_sql(),
+    "q195_longest_streak": Q195_SQL,
     "q188_tukey_fences": Q188_SQL,
     "q189_decayed_engagement": Q189_SQL,
     "q185_lag_features": Q185_SQL,
