@@ -2508,7 +2508,68 @@ FROM md WHERE d > 0 GROUP BY src
 """
 
 
+# --------------------------------------------------------------------------
+# kg84 — endpoint label-contract audit: for every (subj_label, pred,
+# obj_label) edge type, check that each endpoint id is a member of the
+# TYPED node table of its declared label. The engine resolves endpoints
+# against the global id dimension (one semi-join, mapper.resolve_
+# triples) — this audit proves the per-label (stricter) property holds,
+# i.e. no cross-label id collision slipped an edge through. The oracle
+# derives edges with per-label IN-dim filters, so its ok-counts equal
+# n_edges and endpoint_clean is TRUE by construction — the Spark side
+# must EARN the same numbers through real per-label membership joins
+# (the q44/q110 asserted-invariant oracle pattern).
+# --------------------------------------------------------------------------
+
+
+def kg84_endpoint_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    nodes_all = None
+    for label, df in gb.nodes.items():
+        part = df.select(
+            F.lit(label).alias("label"),
+            F.col("id").cast("string").alias("id"),
+        )
+        nodes_all = part if nodes_all is None else nodes_all.unionByName(part)
+    e = gb.resolved.select(
+        "subj_label", "pred", "obj_label", "subj", "obj"
+    ).distinct()
+    sdim = nodes_all.select(
+        F.col("label").alias("subj_label"), F.col("id").alias("subj")
+    ).withColumn("s_ok", F.lit(1))
+    odim = nodes_all.select(
+        F.col("label").alias("obj_label"), F.col("id").alias("obj")
+    ).withColumn("o_ok", F.lit(1))
+    j = e.join(sdim, ["subj_label", "subj"], "left").join(
+        odim, ["obj_label", "obj"], "left"
+    )
+    g = j.groupBy("subj_label", "pred", "obj_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce("s_ok", F.lit(0))).cast("long").alias("n_subj_ok"),
+        F.sum(F.coalesce("o_ok", F.lit(0))).cast("long").alias("n_obj_ok"),
+    )
+    clean = (F.col("n_subj_ok") == F.col("n_edges")) & (
+        F.col("n_obj_ok") == F.col("n_edges")
+    )
+    return g.withColumn("endpoint_clean", clean)
+
+
+def _kg84_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()}
+SELECT subj_label, pred, obj_label,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_subj_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_obj_ok,
+       TRUE AS endpoint_clean
+FROM edges GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "kg84_endpoint_contract": kg84_endpoint_contract,
     "q158_clustering_coeff": q158_clustering_coeff,
     "q159_ktruss": q159_ktruss,
     "kg82_closeness": kg82_closeness,
@@ -2543,6 +2604,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg84_endpoint_contract": _kg84_sql(),
     "q158_clustering_coeff": Q158_SQL,
     "q159_ktruss": _q159_sql(),
     "kg82_closeness": _kg82_sql(),

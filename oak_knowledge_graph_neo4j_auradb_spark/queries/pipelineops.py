@@ -2405,9 +2405,11 @@ UNION ALL SELECT 'user_id', 'not_null', CAST(uid_null AS BIGINT) FROM a
 # per-chunk token counts and a 60-bit fingerprint. The chunk grid is a
 # `sequence()` explode over start offsets — array-native, no Python —
 # and the fingerprint reuses the md5long idiom so chunk-level dedup
-# (q101's containment audit) can run directly on this table. Trailing
-# windows shorter than half the width are dropped identically in both
-# engines (integer arithmetic on sizes).
+# (q101's containment audit) can run directly on this table. A trailing
+# window is dropped only when the previous chunk already covers all of
+# it (n_tokens ≤ width − stride), so the kept chunks cover EVERY token
+# of every document — the invariant tests/test_analytics_invariants.py
+# pins (a half-width drop rule measurably lost document tails).
 # --------------------------------------------------------------------------
 
 _CHUNK_W, _CHUNK_STRIDE = 50, 40
@@ -2435,7 +2437,7 @@ def q191_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).cast("long").alias("n_tokens"),
             md5long(F.array_join(chunk, " ")).alias("chunk_fp"),
         )
-        .filter(F.col("n_tokens") * 2 >= _CHUNK_W)
+        .filter(F.col("n_tokens") > _CHUNK_W - _CHUNK_STRIDE)
     )
 
 
@@ -2455,7 +2457,8 @@ SELECT doc_id, (start_tok - 1) // {_CHUNK_STRIDE} AS chunk_idx, start_tok,
            x=f"array_to_string(t[start_tok:start_tok + {_CHUNK_W} - 1], ' ')"
        )} AS chunk_fp
 FROM c
-WHERE len(t[start_tok:start_tok + {_CHUNK_W} - 1]) * 2 >= {_CHUNK_W}
+WHERE len(t[start_tok:start_tok + {_CHUNK_W} - 1])
+      > {_CHUNK_W} - {_CHUNK_STRIDE}
 """
 
 

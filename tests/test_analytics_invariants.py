@@ -100,3 +100,68 @@ def test_wilson_bounds_bracket_estimate(spark, sf_dir):
 
     for r in q177_wilson_interval(spark, sf_dir).collect():
         assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_absorption_prob_crafted(spark, tmp_path):
+    """Crafted chain: every 'signup' goes half to purchase, half to
+    error (absorbing) — v(signup) must be exactly 0.5; 'view' always
+    precedes signup, so v(view) = 0.5 after round 2. Pins the
+    absorbing-state semantics (win=1, loss=0, transient=recurse)."""
+    import datetime as dt
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q194_absorption_prob,
+    )
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(8):
+        seq = ["view", "signup", "purchase" if u % 2 == 0 else "error"]
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, et, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["state"]: r["p_win"]
+        for r in q194_absorption_prob(spark, str(tmp_path)).collect()
+    }
+    assert got == {"view": 0.5, "signup": 0.5}
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Chunking invariants: chunk starts advance by the stride, full
+    chunks are exactly the window width, and the kept chunks cover
+    every token of every document (the short-tail drop rule may only
+    discard positions already covered by the previous overlap)."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        q191_chunk_overlap,
+    )
+
+    chunks = q191_chunk_overlap(spark, sf_dir)
+    rows = chunks.collect()
+    for r in rows:
+        assert (r["start_tok"] - 1) % _CHUNK_STRIDE == 0
+        assert r["n_tokens"] <= _CHUNK_W
+    # coverage: per doc, max(start+len-1) must reach the token count
+    # whenever the doc produced any chunk
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import tokens
+
+    ntok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+    )
+    cov = chunks.groupBy("doc_id").agg(
+        F.max(F.col("start_tok") + F.col("n_tokens") - 1).alias("covered")
+    )
+    bad = cov.join(ntok, "doc_id").filter(F.col("covered") < F.col("n")).count()
+    assert bad == 0

@@ -221,6 +221,11 @@ AUDIT = [
     ("q188_tukey_fences", 4, 0),  # quartile agg broadcast back + fence agg
     ("q189_decayed_engagement", 2, 0),  # 1-row ref broadcast + user agg
     ("q190_data_contract", 3, 0),  # whole rule book in ONE scan + agg
+    ("q191_chunk_overlap", 0, 0),  # pure explode projection, zero shuffles
+    ("q192_split_assign", 2, 0),  # split agg + per-lang share window
+    ("q193_cohens_kappa", 1, 0),  # one contingency agg
+    ("q194_absorption_prob", 2, 0),  # P checkpointed; final round remains
+    ("q195_longest_streak", 4, 0),  # both rank windows share user key
 ]
 
 
