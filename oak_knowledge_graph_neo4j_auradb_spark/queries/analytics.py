@@ -2930,7 +2930,93 @@ FROM mx GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q196 — contribution analysis / delta decomposition: the week-over-
+# week change in total purchase value broken down by (event_type ×
+# weekday-vs-weekend) cell, with each cell's share of the total delta.
+# The additivity property (cell deltas sum exactly to the total delta)
+# holds because everything is integer cents — the root-cause drill-down
+# a metrics dashboard runs when a topline moves.
+# --------------------------------------------------------------------------
+
+
+def q196_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    t = (
+        ev.crossJoin(F.broadcast(b))
+        .withColumn(
+            "wk",
+            F.when(F.col("day") < F.col("d0") + 7, F.lit("p"))
+            .when(F.col("day") > F.col("d1") - 7, F.lit("q"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("wk").isNotNull())
+        .withColumn(
+            "daypart",
+            F.when((F.col("day") + 4) % 7 >= 5, F.lit("weekend")).otherwise(
+                F.lit("weekday")
+            ),
+        )
+    )
+    g = t.groupBy("event_type", "daypart").agg(
+        F.sum(F.when(F.col("wk") == "p", F.col("cents")).otherwise(0)).alias(
+            "cents_first"
+        ),
+        F.sum(F.when(F.col("wk") == "q", F.col("cents")).otherwise(0)).alias(
+            "cents_last"
+        ),
+    )
+    delta = F.col("cents_last") - F.col("cents_first")
+    wt = Window.partitionBy()
+    return g.select(
+        "event_type",
+        "daypart",
+        F.col("cents_first").cast("long").alias("cents_first"),
+        F.col("cents_last").cast("long").alias("cents_last"),
+        delta.cast("long").alias("delta_cents"),
+        F.round(delta / F.sum(delta).over(wt), 6).alias("share_of_delta"),
+    )
+
+
+Q196_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+t AS (
+  SELECT event_type, cents,
+         CASE WHEN day < b.d0 + 7 THEN 'p'
+              WHEN day > b.d1 - 7 THEN 'q' END AS wk,
+         CASE WHEN (day + 4) % 7 >= 5 THEN 'weekend'
+              ELSE 'weekday' END AS daypart
+  FROM ev, b
+  WHERE day < b.d0 + 7 OR day > b.d1 - 7
+), g AS (
+  SELECT event_type, daypart,
+         SUM(CASE WHEN wk = 'p' THEN cents ELSE 0 END) AS cents_first,
+         SUM(CASE WHEN wk = 'q' THEN cents ELSE 0 END) AS cents_last
+  FROM t GROUP BY 1, 2
+)
+SELECT event_type, daypart,
+       CAST(cents_first AS BIGINT) AS cents_first,
+       CAST(cents_last AS BIGINT) AS cents_last,
+       CAST(cents_last - cents_first AS BIGINT) AS delta_cents,
+       ROUND((cents_last - cents_first)
+             / (1.0 * SUM(cents_last - cents_first) OVER ()), 6)
+         AS share_of_delta
+FROM g
+"""
+
+
 QUERIES = {
+    "q196_delta_decomposition": q196_delta_decomposition,
     "q194_absorption_prob": q194_absorption_prob,
     "q195_longest_streak": q195_longest_streak,
     "q188_tukey_fences": q188_tukey_fences,
@@ -2979,6 +3065,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q196_delta_decomposition": Q196_SQL,
     "q194_absorption_prob": _q194_sql(),
     "q195_longest_streak": Q195_SQL,
     "q188_tukey_fences": Q188_SQL,

@@ -432,6 +432,66 @@ FROM d WHERE prev IS NOT NULL
 """
 
 
+def kg85_subset_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-growth audit: rebuild the graph over the 80%
+    document subset (doc sequence number % 5 ≠ 0) and diff per-label
+    node counts against the full build — the checkpoint/backfill sanity
+    check 'how much graph does the next 20% of the feed add'. Node
+    counts can only grow with more documents (first-seen dedup is
+    monotone), which the delta column witnesses. The oracle re-derives
+    both histograms by injecting the same subset predicate into the
+    node-histogram SQL's span CTE."""
+    from ..plans.pipeline import build_graph
+
+    docs = docs_df(spark, sf_dir)
+    subset = docs.filter(
+        F.substring("doc_id", 5, 20).cast("long") % 5 != 0
+    )
+    full_n = {
+        label: df.count() for label, df in _wide(spark, sf_dir).nodes.items()
+    }
+    gb_sub = build_graph(spark, subset)
+    rows = []
+    for label, df in gb_sub.nodes.items():
+        rows.append((label, full_n.get(label, 0), df.count()))
+    out = spark.createDataFrame(
+        rows, "label string, n_full long, n_subset long"
+    )
+    return out.select(
+        "label",
+        "n_full",
+        "n_subset",
+        (F.col("n_full") - F.col("n_subset")).alias("delta"),
+    ).filter(F.col("n_full") > 0)
+
+
+def _kg85_sql() -> str:
+    # the subset histogram = the SAME generated node-histogram SQL with
+    # the subset predicate injected into its span CTE (one anchored
+    # replace on the generated string — both variants stay derived from
+    # the single config-driven generator)
+    full = _node_hist_sql()
+    anchor = "unnest(spans) AS s FROM"
+    sub = full.replace(
+        anchor,
+        "unnest(spans) AS s FROM (SELECT * FROM",
+        1,
+    ).replace(
+        f"FROM (SELECT * FROM '{ORACLE_DOCS}'",
+        f"FROM (SELECT * FROM '{ORACLE_DOCS}' "
+        "WHERE CAST(substring(doc_id, 5) AS BIGINT) % 5 <> 0)",
+        1,
+    )
+    return f"""
+WITH f AS ({full}), s AS ({sub})
+SELECT f.label, f.n_nodes AS n_full,
+       COALESCE(s.n_nodes, 0) AS n_subset,
+       f.n_nodes - COALESCE(s.n_nodes, 0) AS delta
+FROM f LEFT JOIN s ON f.label = s.label
+WHERE f.n_nodes > 0
+"""
+
+
 def kg42_media_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → ANN integration: distinct media assets → Arrow
     embedding stage (`operators/multimodal.py:embed_media`) → banded
@@ -603,6 +663,7 @@ QUERIES = {
     "kg41_frame_samples": kg41_frame_samples,
     "kg42_media_embedding_neardup": kg42_media_embedding_neardup,
     "kg83_scene_cuts": kg83_scene_cuts,
+    "kg85_subset_growth": kg85_subset_growth,
     "kg36_node_histogram": kg36_node_histogram,
     "kg37_edge_histogram": kg37_edge_histogram,
     "kg99_flagship": kg_flagship,
@@ -822,6 +883,7 @@ ORACLES = {
     "kg41_frame_samples": KG41_SQL,
     "kg42_media_embedding_neardup": _kg42_sql(),
     "kg83_scene_cuts": KG83_SQL,
+    "kg85_subset_growth": _kg85_sql(),
     # kg99: full-pipeline triple stream with per-edge props — golden-tested
     # against the reference-semantics oracle in tests/test_golden_graph.py
 }
