@@ -226,6 +226,12 @@ AUDIT = [
     ("q193_cohens_kappa", 1, 0),  # one contingency agg
     ("q194_absorption_prob", 2, 0),  # P checkpointed; final round remains
     ("q195_longest_streak", 4, 0),  # both rank windows share user key
+    ("q196_delta_decomposition", 4, 0),  # bounds broadcast + cell agg
+    # kg84 unions all 13 TYPED node tables + the resolved edges — the
+    # static plan embeds the kg build (and its 3 sanctioned Arrow
+    # stages) once per label branch; the persisted wide/resolved tables
+    # collapse them at run time (cf. kg78/kg79/kg80)
+    ("kg84_endpoint_contract", 50, 40),
 ]
 
 
