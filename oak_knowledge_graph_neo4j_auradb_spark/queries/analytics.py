@@ -3015,7 +3015,148 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q198 — naive-forecast error metrics: score lag-7 (same weekday last
+# week) as a forecaster of daily counts, per event type — WAPE, sMAPE,
+# and bias over the days where the lag exists. Closes the forecasting
+# loop opened by q185's feature table: feature → naive baseline →
+# error metric. Counts are integers, so |v − lag7| sums exactly and
+# every metric divides integers (sMAPE denominators are integer sums
+# of integer pairs).
+# --------------------------------------------------------------------------
+
+
+def q198_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(es / 86400).cast("long").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("yhat", F.lag("v", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("v") - F.col("yhat"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum(err) / F.sum("v"), 6).alias("wape"),
+        F.round(
+            F.sum(2.0 * err / (F.col("v") + F.col("yhat")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("smape"),
+        (F.sum("yhat") - F.sum("v")).cast("long").alias("bias_units"),
+    )
+
+
+Q198_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, v,
+         LAG(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+  FROM daily
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(abs(v - yhat)) / (1.0 * SUM(v)), 6) AS wape,
+       ROUND(SUM(2.0 * abs(v - yhat) / (v + yhat)) / COUNT(*), 6)
+         AS smape,
+       CAST(SUM(yhat) - SUM(v) AS BIGINT) AS bias_units
+FROM f WHERE yhat IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q199 — Cohen's d effect size of weekend vs weekday event values per
+# type: mean difference over the pooled standard deviation — the
+# magnitude companion to q131's significance z-test (significant ≠
+# large). Moments come from one grouped pass; the pooled variance
+# assembles sums of doubles into the identical expression in both
+# engines, rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q199_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("x"),
+        ((F.floor(es / 86400) + 4) % 7 >= 5).alias("wk"),
+    )
+    g = ev.groupBy("event_type", "wk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    a = g.filter(F.col("wk")).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = g.filter(~F.col("wk")).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    j = a.join(b, "event_type")
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("ss2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    return j.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round((m1 - m2) / pooled, 6).alias("cohens_d"),
+    )
+
+
+Q199_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) >= 5 AS wk
+  FROM events
+), g AS (
+  SELECT event_type, wk, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS n1, a.s AS s1, a.ss AS ss1,
+         b.n AS n2, b.s AS s2, b.ss AS ss2
+  FROM g a JOIN g b ON a.event_type = b.event_type
+  WHERE a.wk AND NOT b.wk
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       ROUND(s1 / n1 - s2 / n2, 4) AS mean_diff,
+       ROUND((s1 / n1 - s2 / n2)
+             / sqrt(((n1 - 1) * ((ss1 - s1 * s1 / n1) / (n1 - 1))
+                     + (n2 - 1) * ((ss2 - s2 * s2 / n2) / (n2 - 1)))
+                    / (n1 + n2 - 2)), 6) AS cohens_d
+FROM j
+"""
+
+
 QUERIES = {
+    "q198_naive_forecast_error": q198_naive_forecast_error,
+    "q199_cohens_d": q199_cohens_d,
     "q196_delta_decomposition": q196_delta_decomposition,
     "q194_absorption_prob": q194_absorption_prob,
     "q195_longest_streak": q195_longest_streak,
@@ -3066,6 +3207,8 @@ QUERIES = {
 
 ORACLES = {
     "q196_delta_decomposition": Q196_SQL,
+    "q198_naive_forecast_error": Q198_SQL,
+    "q199_cohens_d": Q199_SQL,
     "q194_absorption_prob": _q194_sql(),
     "q195_longest_streak": Q195_SQL,
     "q188_tukey_fences": Q188_SQL,

@@ -323,6 +323,42 @@ Q23_SQL = _langid_sql()
 
 
 # --------------------------------------------------------------------------
+# q197 — language-ID confusion matrix: q23's marker-token classifier
+# evaluated against the true lang label, as (actual, predicted) counts
+# with per-actual recall shares — the eval half that closes the loop on
+# the classifier (every per-class error mode visible, not just
+# accuracy). Reuses q23's predictor and its SQL twin VERBATIM (q119's
+# reuse discipline); counts integer, shares divide integers.
+# --------------------------------------------------------------------------
+
+
+def q197_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q23_langid(spark, sf_dir)
+    g = base.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wa = Window.partitionBy("lang_actual")
+    return g.select(
+        "lang_actual",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wa), 6).alias(
+            "share_of_actual"
+        ),
+    )
+
+
+def _q197_sql() -> str:
+    return f"""
+WITH base AS ({_langid_sql()})
+SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / (1.0 * SUM(COUNT(*))
+             OVER (PARTITION BY lang_actual)), 6) AS share_of_actual
+FROM base GROUP BY lang_actual, lang_pred
+"""
+
+
+# --------------------------------------------------------------------------
 # q24 — MinHash signatures (the scale path to near-dedup)
 # --------------------------------------------------------------------------
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,6 +1252,7 @@ FROM p WHERE doc_b IS NOT NULL
 
 QUERIES = {
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
+    "q197_langid_confusion": q197_langid_confusion,
     "q137_simhash_pairs": q137_simhash_pairs,
     "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1237,6 +1274,7 @@ QUERIES = {
 
 ORACLES = {
     "q186_sorted_neighborhood": Q186_SQL,
+    "q197_langid_confusion": _q197_sql(),
     "q20_exact_dedup": Q20_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
