@@ -2568,7 +2568,57 @@ FROM edges GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q200 — graph connectivity fraction: from q32's connected components,
+# the share of node pairs that are connected = Σ c·(c−1) / (n·(n−1))
+# over component sizes c — the single scalar a percolation/fragmentation
+# monitor tracks. Pure integers until the final division; the oracle
+# wraps q32's recursive-CTE closure.
+# --------------------------------------------------------------------------
+
+
+def q200_connectivity_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    cc = connected_components(e0, max_iter=30)
+    sizes = cc.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("c"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("c").cast("long").alias("n_nodes"),
+        F.max("c").cast("long").alias("max_component"),
+        F.round(
+            F.sum(F.col("c") * (F.col("c") - 1))
+            / (F.sum("c") * (F.sum("c") - 1)),
+            6,
+        ).alias("connected_pair_frac"),
+    )
+
+
+Q200_SQL = f"""
+WITH cc AS ({Q32_SQL}),
+sizes AS (SELECT canonical_id, COUNT(*) AS c FROM cc GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(c) AS BIGINT) AS n_nodes,
+       CAST(MAX(c) AS BIGINT) AS max_component,
+       ROUND(SUM(c * (c - 1)) / (1.0 * SUM(c) * (SUM(c) - 1)), 6)
+         AS connected_pair_frac
+FROM sizes
+"""
+
+
 QUERIES = {
+    "q200_connectivity_fraction": q200_connectivity_fraction,
     "kg84_endpoint_contract": kg84_endpoint_contract,
     "q158_clustering_coeff": q158_clustering_coeff,
     "q159_ktruss": q159_ktruss,
@@ -2604,6 +2654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q200_connectivity_fraction": Q200_SQL,
     "kg84_endpoint_contract": _kg84_sql(),
     "q158_clustering_coeff": Q158_SQL,
     "q159_ktruss": _q159_sql(),

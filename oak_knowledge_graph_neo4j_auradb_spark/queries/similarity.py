@@ -908,7 +908,79 @@ SELECT CAST(e AS BIGINT) AS dim, ROUND(w, 6) AS component FROM v{rounds}"""
     )
 
 
+# --------------------------------------------------------------------------
+# q202 — embedding-quality eval: label recall@5 under brute-force
+# cosine — for each vector, does any of its 5 nearest neighbors share
+# its label? The retrieval-eval harness run at sample scale (this
+# corpus); at production scale the same eval feeds candidates from
+# q33's IVF probe instead of the full cross join. Norms are
+# precomputed per side (the q30 lesson), similarities use the
+# bit-identical sequential fold, and ranks tie-break on candidate id.
+# --------------------------------------------------------------------------
+
+
+def q202_label_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    wn = e.select("vec_id", "v", "label", norm(F.col("v")).alias("nm"))
+    a = wn.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlab"),
+        F.col("nm").alias("qn"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("clab"),
+        F.col("nm").alias("cn"),
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    p = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qlab", "cid", "clab", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    top = p.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    hits = top.groupBy("qid", "qlab").agg(
+        F.max((F.col("clab") == F.col("qlab")).cast("int")).alias("hit")
+    )
+    return hits.groupBy(F.col("qlab").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("hit"), 6).alias("recall_at5"),
+    )
+
+
+Q202_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), p AS (
+  SELECT a.vec_id AS qid, a.label AS qlab,
+         b.vec_id AS cid, b.label AS clab,
+         {_cos_sql('a.v', 'b.v')} AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), top AS (
+  SELECT qid, qlab, clab,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, cid) AS rk
+  FROM p
+), hits AS (
+  SELECT qid, qlab,
+         MAX(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS hit
+  FROM top WHERE rk <= 5 GROUP BY 1, 2
+)
+SELECT qlab AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(hit), 6) AS recall_at5
+FROM hits GROUP BY qlab
+"""
+
+
 QUERIES = {
+    "q202_label_recall_at5": q202_label_recall_at5,
     "q168_pca_power": q168_pca_power,
     "q140_label_centroids": q140_label_centroids,
     "q29_knn_bruteforce": q29_knn_bruteforce,
@@ -920,6 +992,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q202_label_recall_at5": Q202_SQL,
     "q168_pca_power": _q168_sql(),
     "q140_label_centroids": _q140_sql(),
     "q29_knn_bruteforce": Q29_SQL,

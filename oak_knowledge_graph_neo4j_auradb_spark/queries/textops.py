@@ -359,6 +359,81 @@ FROM base GROUP BY lang_actual, lang_pred
 
 
 # --------------------------------------------------------------------------
+# q201 — knee detection on the rank-frequency curve ("kneedle"-lite):
+# the rank whose log-log point lies farthest from the chord between
+# the curve's endpoints — the cutoff-picking step after q148's Zipf
+# fit (how many head tokens to treat specially). Distance is the
+# unnormalized cross-product magnitude; both engines evaluate it on
+# identical ln(rank)/ln(count) doubles, so the argmax (rank tie-break)
+# is engine-portable.
+# --------------------------------------------------------------------------
+
+
+def q201_zipf_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = d.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    r = vocab.withColumn("rank", F.row_number().over(w))
+    b = r.agg(
+        F.max("rank").alias("rn"),
+        F.max(F.when(F.col("rank") == 1, F.log("cnt"))).alias("ly1"),
+        F.min(F.when(F.col("rank") == 1, F.lit(0.0))).alias("lx1"),
+    )
+    j = r.crossJoin(F.broadcast(b))
+    lx = F.log("rank")
+    ly = F.log("cnt")
+    lyn = F.max(F.when(F.col("rank") == F.col("rn"), F.log("cnt")))
+    # second pass carries ln(cnt) at rank rn via a window over the tiny
+    # vocab table (one partition of |vocab| rows)
+    wv = Window.partitionBy(F.lit(1))
+    j = j.withColumn("lyn", lyn.over(wv)).withColumn(
+        "lxn", F.log(F.col("rn"))
+    )
+    dist = F.abs(
+        (F.col("lxn") - F.col("lx1")) * (F.col("ly1") - ly)
+        - (F.col("lx1") - lx) * (F.col("lyn") - F.col("ly1"))
+    )
+    return (
+        j.select(
+            "tok",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(dist, 6).alias("chord_dist"),
+        )
+        .orderBy(F.desc("chord_dist"), "rank")
+        .limit(1)
+    )
+
+
+Q201_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), r AS (
+  SELECT tok, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM vocab
+), b AS (
+  SELECT MAX(rank) AS rn,
+         MAX(CASE WHEN rank = 1 THEN ln(cnt) END) AS ly1,
+         MAX(CASE WHEN rank = (SELECT MAX(rank) FROM r)
+                  THEN ln(cnt) END) AS lyn
+  FROM r
+)
+SELECT tok, CAST(rank AS BIGINT) AS rank, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(abs((ln(b.rn) - 0.0) * (b.ly1 - ln(cnt))
+                 - (0.0 - ln(rank)) * (b.lyn - b.ly1)), 6) AS chord_dist
+FROM r, b
+ORDER BY ROUND(abs((ln(b.rn) - 0.0) * (b.ly1 - ln(cnt))
+               - (0.0 - ln(rank)) * (b.lyn - b.ly1)), 6) DESC, rank
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q24 — MinHash signatures (the scale path to near-dedup)
 # --------------------------------------------------------------------------
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,6 +1328,7 @@ FROM p WHERE doc_b IS NOT NULL
 QUERIES = {
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q197_langid_confusion": q197_langid_confusion,
+    "q201_zipf_knee": q201_zipf_knee,
     "q137_simhash_pairs": q137_simhash_pairs,
     "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1275,6 +1351,7 @@ QUERIES = {
 ORACLES = {
     "q186_sorted_neighborhood": Q186_SQL,
     "q197_langid_confusion": _q197_sql(),
+    "q201_zipf_knee": Q201_SQL,
     "q20_exact_dedup": Q20_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
