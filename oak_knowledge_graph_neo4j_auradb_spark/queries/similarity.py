@@ -979,8 +979,210 @@ FROM hits GROUP BY qlab
 """
 
 
+# --------------------------------------------------------------------------
+# q203 — precision/recall curve for the banded SRP-LSH candidate
+# generator against brute-force ground truth: at each cosine threshold,
+# what fraction of retrieved candidates are true near-pairs (precision)
+# and what fraction of true near-pairs the bands retrieved (recall) —
+# the tuning table that justifies N_BANDS × BITS_PER_BAND before
+# scaling the index. Ground truth is the exact all-pairs sweep (sample
+# scale only — the thing LSH exists to avoid); similarities are the
+# bit-identical folds, so threshold membership matches exactly across
+# engines. Empty-truth thresholds render NULL recall, not an error.
+# --------------------------------------------------------------------------
+
+_PR_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+
+
+def q203_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    sigs = e.select(
+        "vec_id", _band_sigs_pd(N_BANDS, BITS_PER_BAND)(F.col("v")).alias("s")
+    )
+    keys = sigs.select("vec_id", F.posexplode("s").alias("band", "sig"))
+    a = keys.select("band", "sig", F.col("vec_id").alias("id1"))
+    b = keys.select("band", "sig", F.col("vec_id").alias("id2"))
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    withn = e.select(
+        "vec_id", "v", F.sqrt(dot_seq(F.col("v"), F.col("v"))).alias("n")
+    )
+    v1 = withn.select(
+        F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    v2 = withn.select(
+        F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("n").alias("n2"),
+    )
+    sim = dot_seq(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    exact = (
+        v1.crossJoin(v2)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("sim"))
+        .join(cand.withColumn("is_cand", F.lit(1)), ["id1", "id2"], "left")
+        .localCheckpoint()
+    )
+    rows = []
+    for t in _PR_THRESHOLDS:
+        g = exact.agg(
+            F.lit(t).alias("threshold"),
+            F.count_if(F.col("is_cand").isNotNull())
+            .cast("long")
+            .alias("n_candidates"),
+            F.count_if(F.col("sim") >= t).cast("long").alias("n_truth"),
+            F.count_if(
+                (F.col("sim") >= t) & F.col("is_cand").isNotNull()
+            )
+            .cast("long")
+            .alias("n_tp"),
+        )
+        rows.append(g)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "threshold",
+        "n_candidates",
+        "n_truth",
+        "n_tp",
+        F.round(F.col("n_tp") / F.col("n_candidates"), 6).alias(
+            "precision"
+        ),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_tp") / F.col("n_truth"), 6),
+        ).alias("recall"),
+    )
+
+
+def _q203_sql() -> str:
+    thresh_rows = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    sig_cols = ", ".join(
+        f"{_band_sig_sql(b, bits=BITS_PER_BAND)} AS sig{b}"
+        for b in range(N_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS id1, b.vec_id AS id2 FROM hashed a "
+        f"JOIN hashed b ON a.sig{b} = b.sig{b} AND a.vec_id < b.vec_id"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), hashed AS (
+  SELECT vec_id, v, {sig_cols} FROM e
+), cand AS (
+{cand_union}
+), exact AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_cos_sql('a.v', 'b.v')} AS sim,
+         EXISTS (SELECT 1 FROM cand c
+                 WHERE c.id1 = a.vec_id AND c.id2 = b.vec_id) AS is_cand
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), th AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+          FROM (VALUES {thresh_rows}) t(threshold))
+SELECT th.threshold,
+       CAST(COUNT(*) FILTER (WHERE is_cand) AS BIGINT) AS n_candidates,
+       CAST(COUNT(*) FILTER (WHERE sim >= th.threshold) AS BIGINT)
+         AS n_truth,
+       CAST(COUNT(*) FILTER (WHERE sim >= th.threshold AND is_cand)
+            AS BIGINT) AS n_tp,
+       ROUND(COUNT(*) FILTER (WHERE sim >= th.threshold AND is_cand)
+             / (1.0 * COUNT(*) FILTER (WHERE is_cand)), 6) AS precision,
+       CASE WHEN COUNT(*) FILTER (WHERE sim >= th.threshold) > 0 THEN
+         ROUND(COUNT(*) FILTER (WHERE sim >= th.threshold AND is_cand)
+               / (1.0 * COUNT(*) FILTER (WHERE sim >= th.threshold)), 6)
+       END AS recall
+FROM exact CROSS JOIN th
+GROUP BY th.threshold
+"""
+
+
+# --------------------------------------------------------------------------
+# q204 — external cluster validation of the IVF assignment (q31):
+# purity (Σ max-label count per assigned cluster / n) and normalized
+# mutual information between assignment and true label, from one
+# confusion-matrix aggregation. Counts are integers; the entropies
+# assemble identical doubles (integer-ratio logs), rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q204_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = q31_ivf_assign(spark, sf_dir).select("vec_id", "assigned")
+    truth = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    conf = (
+        assign.join(truth, "vec_id")
+        .groupBy("assigned", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    n = conf.agg(F.sum("c")).collect()[0][0]
+    per_a = conf.groupBy("assigned").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("ca")
+    )
+    per_l = conf.groupBy("label").agg(F.sum("c").alias("cl"))
+    h_a = per_a.agg(
+        (-F.sum((F.col("ca") / n) * F.log(F.col("ca") / n))).alias("h")
+    )
+    h_l = per_l.agg(
+        (-F.sum((F.col("cl") / n) * F.log(F.col("cl") / n))).alias("h")
+    )
+    h_al = conf.agg(
+        (-F.sum((F.col("c") / n) * F.log(F.col("c") / n))).alias("h")
+    )
+    purity = per_a.agg(
+        (F.sum("mx") / F.lit(n).cast("double")).alias("p")
+    )
+    out = (
+        purity.crossJoin(h_a.withColumnRenamed("h", "ha"))
+        .crossJoin(h_l.withColumnRenamed("h", "hl"))
+        .crossJoin(h_al.withColumnRenamed("h", "hal"))
+    )
+    nmi = (F.col("ha") + F.col("hl") - F.col("hal")) / (
+        (F.col("ha") + F.col("hl")) / 2
+    )
+    return out.select(
+        F.lit(n).cast("long").alias("n"),
+        F.round("p", 6).alias("purity"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
+def _q204_sql() -> str:
+    return f"""
+WITH assign AS ({Q31_SQL}),
+conf AS (
+  SELECT a.assigned, e.label, COUNT(*) AS c
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+), nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM conf),
+pa AS (SELECT assigned, MAX(c) AS mx, SUM(c) AS ca FROM conf GROUP BY 1),
+pl AS (SELECT label, SUM(c) AS cl FROM conf GROUP BY 1),
+ents AS (
+  SELECT
+    (SELECT -SUM((ca / n) * ln(ca / n)) FROM pa, nn) AS ha,
+    (SELECT -SUM((cl / n) * ln(cl / n)) FROM pl, nn) AS hl,
+    (SELECT -SUM((c / n) * ln(c / n)) FROM conf, nn) AS hal,
+    (SELECT SUM(mx) / MIN(n) FROM pa, nn) AS p,
+    (SELECT CAST(n AS BIGINT) FROM nn) AS n
+)
+SELECT n, ROUND(p, 6) AS purity,
+       ROUND((ha + hl - hal) / ((ha + hl) / 2), 6) AS nmi
+FROM ents
+"""
+
+
 QUERIES = {
     "q202_label_recall_at5": q202_label_recall_at5,
+    "q203_lsh_pr_curve": q203_lsh_pr_curve,
+    "q204_assignment_purity": q204_assignment_purity,
     "q168_pca_power": q168_pca_power,
     "q140_label_centroids": q140_label_centroids,
     "q29_knn_bruteforce": q29_knn_bruteforce,
@@ -993,6 +1195,8 @@ QUERIES = {
 
 ORACLES = {
     "q202_label_recall_at5": Q202_SQL,
+    "q203_lsh_pr_curve": _q203_sql(),
+    "q204_assignment_purity": _q204_sql(),
     "q168_pca_power": _q168_sql(),
     "q140_label_centroids": _q140_sql(),
     "q29_knn_bruteforce": Q29_SQL,

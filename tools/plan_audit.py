@@ -232,6 +232,12 @@ AUDIT = [
     # stages) once per label branch; the persisted wide/resolved tables
     # collapse them at run time (cf. kg78/kg79/kg80)
     ("kg84_endpoint_contract", 50, 40),
+    ("q197_langid_confusion", 4, 0),  # marker scores + confusion agg
+    ("q198_naive_forecast_error", 3, 0),  # daily agg + lag + metric agg
+    ("q199_cohens_d", 4, 0),  # one moments agg; tiny self-join
+    ("q200_connectivity_fraction", 4, 0),  # CC rounds checkpointed
+    ("q201_zipf_knee", 6, 0),  # vocab agg + rank/chord windows + top-1
+    ("q202_label_recall_at5", 5, 0),  # corpus cross join + rank window
 ]
 
 
