@@ -238,6 +238,11 @@ AUDIT = [
     ("q200_connectivity_fraction", 4, 0),  # CC rounds checkpointed
     ("q201_zipf_knee", 6, 0),  # vocab agg + rank/chord windows + top-1
     ("q202_label_recall_at5", 5, 0),  # corpus cross join + rank window
+    # q203 checkpoints the scored pair table; the 4 threshold branches
+    # re-aggregate the checkpointed scan (sig/norm Arrow stages appear
+    # per static branch before the checkpoint cut)
+    ("q203_lsh_pr_curve", 10, 8),
+    ("q204_assignment_purity", 10, 0),  # embeds q31's centroid build
 ]
 
 
