@@ -3154,7 +3154,127 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# q205 — velocity check (fraud-ops): events per user in the TRAILING
+# hour at row grain, via an event-time RANGE frame — the windowed form
+# of a rate limiter. Rows whose trailing-hour count crosses the
+# threshold are flagged; output is the per-user maximum velocity and
+# flag count (row-grain output would be the quarantine side). q122
+# exercised RANGE frames at daily grain; this is the per-event form
+# every abuse pipeline runs. Integer counts, exact.
+# --------------------------------------------------------------------------
+
+_VELOCITY_MAX = 4
+
+
+def q205_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select("user_id", es.alias("es"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, 0)
+    )
+    v = ev.withColumn("vel", F.count(F.lit(1)).over(w))
+    return v.groupBy("user_id").agg(
+        F.max("vel").cast("long").alias("max_velocity"),
+        F.count_if(F.col("vel") > _VELOCITY_MAX)
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+Q205_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), v AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           AS vel
+  FROM ev
+)
+SELECT user_id, CAST(MAX(vel) AS BIGINT) AS max_velocity,
+       CAST(COUNT(*) FILTER (WHERE vel > {_VELOCITY_MAX}) AS BIGINT)
+         AS n_flagged
+FROM v GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q206 — activity bitmask: each user's 30-day presence packed into one
+# int64 via bit_or(1 << day_offset) — the bitmap-index representation
+# (roaring-lite) that makes retention/overlap queries single-AND
+# operations. Emitted per user with the popcount (active days) and the
+# longest run of consecutive active days decoded from the mask by a
+# shift-AND fold — all integer, exact.
+# --------------------------------------------------------------------------
+
+
+def q206_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.floor(es / 86400).cast("long").alias("day")
+    )
+    b = ev.distinct().crossJoin(
+        F.broadcast(ev.agg(F.min("day").alias("d0")))
+    )
+    mask = b.groupBy("user_id").agg(
+        F.expr("bit_or(shiftleft(1L, cast(day - d0 as int)))").alias("mask")
+    )
+    return mask.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("long").alias("days_active"),
+        _longest_run(F.col("mask")).alias("longest_streak_days"),
+    )
+
+
+def _longest_run(mask) -> F.Column:
+    """Length of the longest 1-run in a 30-bit mask: run ≥ k iff
+    mask & (mask<<1) & … & (mask<<(k−1)) is nonzero. Each step ANDs the
+    PREVIOUS accumulator with a fresh shift of the base mask — the
+    self-referential form m = m & (m<<1) duplicates the whole subtree
+    per step (2³⁰ expression nodes → JVM OOM while building the plan);
+    this linear chain is O(steps)."""
+    m = mask
+    run = F.when(mask != 0, F.lit(1)).otherwise(F.lit(0))
+    for k in range(2, 31):
+        m = m.bitwiseAND(F.shiftleft(mask, k - 1))
+        run = F.when(m != 0, F.lit(k)).otherwise(run)
+    return run.cast("long")
+
+
+def _q206_sql() -> str:
+    # DuckDB twin of the shift-AND fold, unrolled as nested CASE steps
+    steps = ["m1 AS (SELECT user_id, mask, mask AS m, CASE WHEN mask <> 0 THEN 1 ELSE 0 END AS run FROM mask)"]
+    for k in range(2, 31):
+        steps.append(
+            f"m{k} AS (SELECT user_id, mask, m & (mask << {k - 1}) AS m, "
+            f"CASE WHEN (m & (mask << {k - 1})) <> 0 THEN {k} ELSE run "
+            f"END AS run FROM m{k - 1})"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), d0 AS (SELECT MIN(day) AS d0 FROM ev),
+mask AS (
+  SELECT user_id, bit_or(1::BIGINT << CAST(day - d0.d0 AS INT)) AS mask
+  FROM ev, d0 GROUP BY user_id
+),
+{chain}
+SELECT user_id, mask, CAST(bit_count(mask) AS BIGINT) AS days_active,
+       CAST(run AS BIGINT) AS longest_streak_days
+FROM m30
+"""
+
+
 QUERIES = {
+    "q205_velocity_flags": q205_velocity_flags,
+    "q206_activity_bitmask": q206_activity_bitmask,
     "q198_naive_forecast_error": q198_naive_forecast_error,
     "q199_cohens_d": q199_cohens_d,
     "q196_delta_decomposition": q196_delta_decomposition,
@@ -3206,6 +3326,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q205_velocity_flags": Q205_SQL,
+    "q206_activity_bitmask": _q206_sql(),
     "q196_delta_decomposition": Q196_SQL,
     "q198_naive_forecast_error": Q198_SQL,
     "q199_cohens_d": Q199_SQL,

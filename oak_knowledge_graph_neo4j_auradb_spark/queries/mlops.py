@@ -790,8 +790,84 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q207 — cumulative gains / lift table for the quality model against
+# the lang='en' pseudo-label: documents ranked by score into NTILE(10)
+# deciles (doc_id tie-break), each decile reporting its positives, the
+# cumulative capture rate, and lift over the base rate — the
+# model-triage chart that says "the top 20% of scores contains X% of
+# the positives". Integer counts; divisions rendered at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q207_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelineops import _quality_score
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    scored = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("y"),
+        _quality_score(F.col("t")).alias("s"),
+    )
+    dec = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos = F.sum("pos").over(wc)
+    cum_n = F.sum("n").over(wc)
+    all_pos = F.sum("pos").over(tot)
+    all_n = F.sum("n").over(tot)
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("n_positive"),
+        F.round(cum_pos / all_pos, 6).alias("cum_gain"),
+        F.round(
+            (cum_pos / cum_n) / (all_pos / all_n), 6
+        ).alias("cum_lift"),
+    )
+
+
+def _q207_sql() -> str:
+    from .pipelineops import _QSCORE_CTES
+
+    return f"""
+{_QSCORE_CTES}, dec AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         NTILE(10) OVER (ORDER BY s DESC, doc_id) AS decile
+  FROM s
+), g AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS pos FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS n_positive,
+       ROUND(SUM(pos) OVER w / (1.0 * SUM(pos) OVER ()), 6) AS cum_gain,
+       ROUND((SUM(pos) OVER w / (1.0 * SUM(n) OVER w))
+             / (SUM(pos) OVER () / (1.0 * SUM(n) OVER ())), 6)
+         AS cum_lift
+FROM g
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q193_cohens_kappa": q193_cohens_kappa,
+    "q207_decile_lift": q207_decile_lift,
     "q178_grouped_agg_udf": q178_grouped_agg_udf,
     "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
     "q174_cogroup_reconcile": q174_cogroup_reconcile,
@@ -806,6 +882,7 @@ QUERIES = {
 
 ORACLES = {
     "q193_cohens_kappa": _q193_sql(),
+    "q207_decile_lift": _q207_sql(),
     "q178_grouped_agg_udf": Q178_SQL,
     "q171_grouped_ols_pandas": Q171_SQL,
     "q174_cogroup_reconcile": Q174_SQL,

@@ -165,3 +165,26 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     )
     bad = cov.join(ntok, "doc_id").filter(F.col("covered") < F.col("n")).count()
     assert bad == 0
+
+
+def test_longest_run_decode(spark):
+    """Shift-AND run decoding on handcrafted masks: 0b0111011 has runs
+    of 2 and 3 (longest 3); a single bit is a run of 1; zero mask is 0;
+    30 consecutive bits decode to exactly 30 (the unroll bound)."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        _longest_run,
+    )
+
+    df = spark.createDataFrame(
+        [(0b0111011,), (0b1,), (0,), ((1 << 30) - 1,)], "mask long"
+    )
+    got = [
+        r["run"]
+        for r in df.select(_longest_run(F.col("mask")).alias("run"))
+        .orderBy("mask")
+        .collect()
+    ]
+    # ordered by mask value: 0, 1, 0b0111011=59, 2^30-1
+    assert got == [0, 1, 3, 30]
