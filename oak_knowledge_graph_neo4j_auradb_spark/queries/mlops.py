@@ -865,9 +865,59 @@ WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
 """
 
 
+# --------------------------------------------------------------------------
+# q208 — Python UDTF (Spark 4 user-defined TABLE function) invoked via
+# SQL LATERAL: a row-to-rows tokenizer emitting (doc_id, pos, tok) —
+# the UDTF API surface the grouped-pandas shapes don't cover. The
+# Python regex mirrors the shared `tokens()` semantics (lowercase,
+# [^a-z0-9]+ split, drop empties) and the oracle replays it with the
+# indexed-unnest idiom; a 1-in-50 doc sample bounds the expansion.
+# UDTFs run row-at-a-time Python — eval/inference surface only, never
+# a hot-path operator (the audit's rowwise-python gate stays at 0 for
+# everything else).
+# --------------------------------------------------------------------------
+
+
+def q208_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, tok: string")
+    class _Tokenize:
+        def eval(self, doc_id: int, text: str):
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", (text or "").lower())
+                if t != ""
+            ]
+            for i, t in enumerate(toks):
+                yield doc_id, i, t
+
+    spark.udtf.register("q208_tokenize", _Tokenize)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("q208_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.tok "
+        "FROM q208_docs v, LATERAL q208_tokenize(v.doc_id, v.text) t"
+    )
+
+
+Q208_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {TOKENS_SQL.format(x='text')} AS t
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS tok
+FROM d, UNNEST(generate_series(1, len(t))) AS u(i)
+"""
+
+
 QUERIES = {
     "q193_cohens_kappa": q193_cohens_kappa,
     "q207_decile_lift": q207_decile_lift,
+    "q208_udtf_tokenize": q208_udtf_tokenize,
     "q178_grouped_agg_udf": q178_grouped_agg_udf,
     "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
     "q174_cogroup_reconcile": q174_cogroup_reconcile,
@@ -883,6 +933,7 @@ QUERIES = {
 ORACLES = {
     "q193_cohens_kappa": _q193_sql(),
     "q207_decile_lift": _q207_sql(),
+    "q208_udtf_tokenize": Q208_SQL,
     "q178_grouped_agg_udf": Q178_SQL,
     "q171_grouped_ols_pandas": Q171_SQL,
     "q174_cogroup_reconcile": Q174_SQL,
