@@ -244,7 +244,7 @@ AUDIT = [
     ("q203_lsh_pr_curve", 10, 8),
     ("q204_assignment_purity", 10, 0),  # embeds q31's centroid build
     ("q205_velocity_flags", 2, 0),  # one user-keyed RANGE window + agg
-    ("q206_activity_bitmask", 2, 0),  # bit_or agg; run decode is projection
+    ("q206_activity_bitmask", 3, 0),  # distinct + bit_or agg + 1-row d0
     ("q207_decile_lift", 4, 0),  # ntile sort + cumulative windows
     # q208 (Python UDTF tokenizer) is deliberately row-wise Python —
     # an eval-surface API pin, excluded from the rowwise-python gate
