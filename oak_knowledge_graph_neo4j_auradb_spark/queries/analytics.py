@@ -3272,7 +3272,76 @@ FROM m30
 """
 
 
+# --------------------------------------------------------------------------
+# q211 — maximum concurrency via sweep line: give every event a fixed
+# 300 s duration and find, per event type, the peak number of
+# simultaneously open intervals — the interval-scheduling/occupancy
+# operator (sessions in flight, connections open). Each interval emits
+# a +1 at start and a −1 at end; a cumulative sum over the merged
+# boundary stream (ends sort BEFORE starts at the same instant — the
+# half-open [s, e) convention) peaks at the answer. Rows tied on
+# (t, kind) all carry the SAME delta, so the peak is invariant to
+# intra-tie order — MAX(open) is engine-deterministic even though
+# per-row prefix values are not. One window per type; all integer.
+# --------------------------------------------------------------------------
+
+_CONC_DURATION = 300
+
+
+def q211_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", es.alias("s"), (es + _CONC_DURATION).alias("e")
+    )
+    starts = ev.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("kind"),  # starts after ends at the same t
+    )
+    ends = ev.select(
+        "event_type",
+        F.col("e").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("kind"),
+    )
+    sweep = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = sweep.withColumn("open", F.sum("delta").over(w))
+    return conc.groupBy("event_type").agg(
+        F.max("open").cast("long").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+Q211_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_CONC_DURATION} AS e
+  FROM events
+), sweep AS (
+  SELECT event_type, s AS t, 1 AS delta, 1 AS kind FROM ev
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, 0 AS kind FROM ev
+), conc AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, kind
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS open
+  FROM sweep
+)
+SELECT event_type, CAST(MAX(open) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM conc GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q211_max_concurrency": q211_max_concurrency,
     "q205_velocity_flags": q205_velocity_flags,
     "q206_activity_bitmask": q206_activity_bitmask,
     "q198_naive_forecast_error": q198_naive_forecast_error,
@@ -3326,6 +3395,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q211_max_concurrency": Q211_SQL,
     "q205_velocity_flags": Q205_SQL,
     "q206_activity_bitmask": _q206_sql(),
     "q196_delta_decomposition": Q196_SQL,

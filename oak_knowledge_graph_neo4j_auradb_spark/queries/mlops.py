@@ -914,10 +914,83 @@ FROM d, UNNEST(generate_series(1, len(t))) AS u(i)
 """
 
 
+# --------------------------------------------------------------------------
+# q210 — McNemar's test between two classifiers of "is this document
+# English": the marker-token language-ID (q23's predictor) vs a
+# fixed length rule (n_chars ≤ 150 → en). Only the DISAGREEMENT cells
+# matter: b = langid right & rule wrong, c = the reverse; the statistic
+# (b−c)²/(b+c) is the paired-classifier significance check an eval
+# harness runs before swapping models. Pure integers until the final
+# division; degenerate b+c=0 renders NULL, not an error.
+# --------------------------------------------------------------------------
+
+_MCNEMAR_LEN = 150
+
+
+def q210_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import q23_langid
+
+    base = q23_langid(spark, sf_dir).select(
+        "doc_id", "lang_actual", "lang_pred"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = base.join(docs, "doc_id")
+    truth = F.col("lang_actual") == "en"
+    a_ok = (F.col("lang_pred") == "en") == truth
+    b_ok = (F.col("n_chars") <= _MCNEMAR_LEN) == truth
+    c = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(a_ok & ~b_ok).alias("b"),
+        F.count_if(~a_ok & b_ok).alias("c"),
+    )
+    stat = F.when(
+        F.col("b") + F.col("c") > 0,
+        F.round(
+            (F.col("b") - F.col("c"))
+            * (F.col("b") - F.col("c"))
+            / (F.col("b") + F.col("c")),
+            6,
+        ),
+    )
+    return c.select(
+        "n",
+        F.col("b").cast("long").alias("langid_only_right"),
+        F.col("c").cast("long").alias("rule_only_right"),
+        stat.alias("mcnemar_stat"),
+    )
+
+
+def _q210_sql() -> str:
+    from .textops import _langid_sql
+
+    return f"""
+WITH base AS ({_langid_sql()}),
+j AS (
+  SELECT b.lang_actual = 'en' AS truth,
+         b.lang_pred = 'en' AS pa,
+         d.n_chars <= {_MCNEMAR_LEN} AS pb
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+), c AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE (pa = truth) AND NOT (pb = truth)) AS b,
+         COUNT(*) FILTER (WHERE NOT (pa = truth) AND (pb = truth)) AS c
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(b AS BIGINT) AS langid_only_right,
+       CAST(c AS BIGINT) AS rule_only_right,
+       CASE WHEN b + c > 0
+            THEN ROUND((b - c) * (b - c) / (1.0 * (b + c)), 6)
+       END AS mcnemar_stat
+FROM c
+"""
+
+
 QUERIES = {
     "q193_cohens_kappa": q193_cohens_kappa,
     "q207_decile_lift": q207_decile_lift,
     "q208_udtf_tokenize": q208_udtf_tokenize,
+    "q210_mcnemar": q210_mcnemar,
     "q178_grouped_agg_udf": q178_grouped_agg_udf,
     "q171_grouped_ols_pandas": q171_grouped_ols_pandas,
     "q174_cogroup_reconcile": q174_cogroup_reconcile,
@@ -934,6 +1007,7 @@ ORACLES = {
     "q193_cohens_kappa": _q193_sql(),
     "q207_decile_lift": _q207_sql(),
     "q208_udtf_tokenize": Q208_SQL,
+    "q210_mcnemar": _q210_sql(),
     "q178_grouped_agg_udf": Q178_SQL,
     "q171_grouped_ols_pandas": Q171_SQL,
     "q174_cogroup_reconcile": Q174_SQL,

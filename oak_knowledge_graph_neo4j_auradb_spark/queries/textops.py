@@ -434,6 +434,91 @@ LIMIT 1
 
 
 # --------------------------------------------------------------------------
+# q209 — weighted (multiset) Jaccard between sources on their token
+# COUNT vectors: Σ min(cₐ,c_b) / Σ max(cₐ,c_b) over the vocab — the
+# multiplicity-aware similarity q119's set-overlap matrix ignores
+# (a source that repeats the same tokens 10× is NOT identical to one
+# that uses them once). Full-outer join per source pair on the token
+# key, missing side counts as 0; all integers, exact ratio.
+# --------------------------------------------------------------------------
+
+
+def q209_weighted_jaccard_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    c = d.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    a = c.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    tot = c.groupBy("source").agg(F.sum("c").alias("tot"))
+    # Σ max over the vocab UNION = Σ max over common tokens
+    #   + (tot_a − Σ ca over common) + (tot_b − Σ cb over common);
+    # one pair join carries all four sums
+    common = (
+        a.join(b, "tok", "inner")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.least("ca", "cb")).alias("s_min"),
+            F.sum(F.greatest("ca", "cb")).alias("s_max_common"),
+            F.sum("ca").alias("ca_c"),
+            F.sum("cb").alias("cb_c"),
+        )
+    )
+    j = (
+        common.join(tot.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("tot", "tot_a")
+        .join(tot.withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("tot", "tot_b")
+    )
+    s_max = (
+        F.col("s_max_common")
+        + (F.col("tot_a") - F.col("ca_c"))
+        + (F.col("tot_b") - F.col("cb_c"))
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        F.col("s_min").cast("long").alias("sum_min"),
+        s_max.cast("long").alias("sum_max"),
+        F.round(F.col("s_min") / s_max, 6).alias("weighted_jaccard"),
+    )
+
+
+Q209_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL.format(x='text')}) AS tok
+  FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (SELECT source, SUM(c) AS tot FROM c GROUP BY 1),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(LEAST(a.c, b.c)) AS s_min,
+         SUM(GREATEST(a.c, b.c)) AS s_max_common,
+         SUM(a.c) AS ca_c, SUM(b.c) AS cb_c
+  FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(s_min AS BIGINT) AS sum_min,
+       CAST(s_max_common + (ta.tot - ca_c) + (tb.tot - cb_c) AS BIGINT)
+         AS sum_max,
+       ROUND(s_min / (1.0 * (s_max_common + (ta.tot - ca_c)
+                             + (tb.tot - cb_c))), 6) AS weighted_jaccard
+FROM common
+JOIN tot ta ON ta.source = common.src_a
+JOIN tot tb ON tb.source = common.src_b
+"""
+
+
+# --------------------------------------------------------------------------
 # q24 — MinHash signatures (the scale path to near-dedup)
 # --------------------------------------------------------------------------
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1414,7 @@ QUERIES = {
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q197_langid_confusion": q197_langid_confusion,
     "q201_zipf_knee": q201_zipf_knee,
+    "q209_weighted_jaccard_sources": q209_weighted_jaccard_sources,
     "q137_simhash_pairs": q137_simhash_pairs,
     "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1352,6 +1438,7 @@ ORACLES = {
     "q186_sorted_neighborhood": Q186_SQL,
     "q197_langid_confusion": _q197_sql(),
     "q201_zipf_knee": Q201_SQL,
+    "q209_weighted_jaccard_sources": Q209_SQL,
     "q20_exact_dedup": Q20_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,
