@@ -3340,8 +3340,97 @@ FROM conc GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q213 — interval-union coverage (the complement of q211's peak): total
+# seconds each event type has AT LEAST ONE open 300 s interval, plus
+# the merged-interval count. Boundary deltas are NETTED per distinct
+# timestamp BEFORE the cumulative sum, so the running open-count is a
+# function of (type, t) alone — fully order-deterministic — and
+# coverage = Σ (next_t − t) over segments with open > 0; merged
+# intervals = number of 0→positive transitions. All integer.
+# --------------------------------------------------------------------------
+
+
+def q213_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", es.alias("s"), (es + _CONC_DURATION).alias("e")
+    )
+    deltas = (
+        ev.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            ev.select(
+                "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("nd"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    seg = (
+        deltas.withColumn(
+            "open",
+            F.sum("nd").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("next_t", F.lead("t").over(w))
+        .withColumn(
+            "prev_open", F.coalesce(F.lag("open").over(w), F.lit(0))
+        )
+    )
+    return seg.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("open") > 0) & F.col("next_t").isNotNull(),
+                F.col("next_t") - F.col("t"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("covered_sec"),
+        F.count_if((F.col("open") > 0) & (F.col("prev_open") == 0))
+        .cast("long")
+        .alias("n_merged_intervals"),
+    )
+
+
+Q213_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {_CONC_DURATION} AS e
+  FROM events
+), deltas AS (
+  SELECT event_type, t, SUM(d) AS nd FROM (
+    SELECT event_type, s AS t, 1 AS d FROM ev
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS d FROM ev
+  ) GROUP BY 1, 2
+), opened AS (
+  SELECT event_type, t,
+         SUM(nd) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open
+  FROM deltas
+), seg AS (
+  SELECT event_type, t, open,
+         LEAD(t) OVER (PARTITION BY event_type ORDER BY t) AS next_t,
+         COALESCE(LAG(open) OVER (PARTITION BY event_type ORDER BY t), 0)
+           AS prev_open
+  FROM opened
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN open > 0 AND next_t IS NOT NULL
+                     THEN next_t - t ELSE 0 END) AS BIGINT)
+         AS covered_sec,
+       CAST(COUNT(*) FILTER (WHERE open > 0 AND prev_open = 0)
+            AS BIGINT) AS n_merged_intervals
+FROM seg GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q211_max_concurrency": q211_max_concurrency,
+    "q213_interval_union": q213_interval_union,
     "q205_velocity_flags": q205_velocity_flags,
     "q206_activity_bitmask": q206_activity_bitmask,
     "q198_naive_forecast_error": q198_naive_forecast_error,
@@ -3396,6 +3485,7 @@ QUERIES = {
 
 ORACLES = {
     "q211_max_concurrency": Q211_SQL,
+    "q213_interval_union": Q213_SQL,
     "q205_velocity_flags": Q205_SQL,
     "q206_activity_bitmask": _q206_sql(),
     "q196_delta_decomposition": Q196_SQL,

@@ -519,6 +519,71 @@ JOIN tot tb ON tb.source = common.src_b
 
 
 # --------------------------------------------------------------------------
+# q212 — per-class precision/recall/F1 + macro-F1 for the language-ID
+# classifier: the metric rollup over q197's confusion matrix (reusing
+# q23's predictor verbatim). Per class c: P = tp/(tp+fp), R =
+# tp/(tp+fn); macro-F1 averages the per-class F1s. All integer counts;
+# classes never predicted render NULL precision rather than erroring.
+# --------------------------------------------------------------------------
+
+
+def q212_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q23_langid(spark, sf_dir).select("lang_actual", "lang_pred")
+    per = base.groupBy(F.col("lang_actual").alias("cls")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.count_if(F.col("lang_pred") == F.col("lang_actual")).alias("tp"),
+    )
+    pred = base.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = per.join(pred, "cls", "left").select(
+        "cls",
+        "support",
+        "tp",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.col("tp") / F.col("support")
+    f1 = F.when(
+        F.col("tp") > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "cls",
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def _q212_sql() -> str:
+    return f"""
+WITH base AS ({_langid_sql()}),
+per AS (
+  SELECT lang_actual AS cls, COUNT(*) AS support,
+         COUNT(*) FILTER (WHERE lang_pred = lang_actual) AS tp
+  FROM base GROUP BY 1
+), pred AS (
+  SELECT lang_pred AS cls, COUNT(*) AS n_pred FROM base GROUP BY 1
+), j AS (
+  SELECT per.cls, per.support, per.tp,
+         COALESCE(pred.n_pred, 0) AS n_pred
+  FROM per LEFT JOIN pred USING (cls)
+)
+SELECT cls, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+       ROUND(CASE WHEN n_pred > 0 THEN tp / (1.0 * n_pred) END, 6)
+         AS precision,
+       ROUND(tp / (1.0 * support), 6) AS recall,
+       ROUND(CASE WHEN tp > 0 THEN
+         2 * (tp / (1.0 * n_pred)) * (tp / (1.0 * support))
+         / (tp / (1.0 * n_pred) + tp / (1.0 * support))
+       ELSE 0.0 END, 6) AS f1
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # q24 — MinHash signatures (the scale path to near-dedup)
 # --------------------------------------------------------------------------
 def q24_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,6 +1480,7 @@ QUERIES = {
     "q197_langid_confusion": q197_langid_confusion,
     "q201_zipf_knee": q201_zipf_knee,
     "q209_weighted_jaccard_sources": q209_weighted_jaccard_sources,
+    "q212_macro_f1": q212_macro_f1,
     "q137_simhash_pairs": q137_simhash_pairs,
     "q144_minhash_accuracy": q144_minhash_accuracy,
     "q20_exact_dedup": q20_exact_dedup,
@@ -1439,6 +1505,7 @@ ORACLES = {
     "q197_langid_confusion": _q197_sql(),
     "q201_zipf_knee": Q201_SQL,
     "q209_weighted_jaccard_sources": Q209_SQL,
+    "q212_macro_f1": _q212_sql(),
     "q20_exact_dedup": Q20_SQL,
     "q21_token_stats": Q21_SQL,
     "q22_quality_score": Q22_SQL,

@@ -248,6 +248,11 @@ AUDIT = [
     ("q207_decile_lift", 4, 0),  # ntile sort + cumulative windows
     # q208 (Python UDTF tokenizer) is deliberately row-wise Python —
     # an eval-surface API pin, excluded from the rowwise-python gate
+    ("q209_weighted_jaccard_sources", 5, 0),  # count agg + pair join + tots
+    ("q210_mcnemar", 3, 0),  # langid scores + one contingency agg
+    ("q211_max_concurrency", 3, 0),  # boundary union + one type window
+    ("q212_macro_f1", 4, 0),  # actual/pred rollups share the cls key
+    ("q213_interval_union", 3, 0),  # netted deltas + shared type window
 ]
 
 
