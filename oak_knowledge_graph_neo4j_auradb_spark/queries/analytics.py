@@ -3428,8 +3428,102 @@ FROM seg GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q214 — entropy rate of the event-type Markov chain:
+# H = −Σₐ π(a) Σ_b P(a,b)·ln P(a,b), with π from q164's 4 fixed power
+# rounds — how predictable the NEXT event is given the current one,
+# the sequence-compressibility scalar that complements q97's
+# independence-assuming token entropy. Transition probabilities and
+# the stationary vector are the same count-ratio doubles in both
+# engines; the oracle unrolls the identical recurrence.
+# --------------------------------------------------------------------------
+
+
+def q214_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
+    P = (
+        pairs.join(tot, "a")
+        .select("a", "b", (F.col("c") / F.col("t")).alias("p"))
+        .localCheckpoint()
+    )
+    n_states = P.select("a").distinct().count()
+    v = P.select("a").distinct().select(
+        F.col("a").alias("state"), F.lit(1.0 / n_states).alias("prob")
+    )
+    for _ in range(_MK_ROUNDS):
+        v = (
+            P.join(v, P.a == v.state)
+            .groupBy(F.col("b").alias("state"))
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
+            .localCheckpoint()
+        )
+    h_cond = P.groupBy("a").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("h")
+    )
+    return (
+        v.join(h_cond, v.state == h_cond.a)
+        .agg(
+            F.lit(n_states).cast("long").alias("n_states"),
+            F.round(F.sum(F.col("prob") * F.col("h")), 6).alias(
+                "entropy_rate_nats"
+            ),
+        )
+    )
+
+
+def _q214_sql(rounds: int = _MK_ROUNDS) -> str:
+    steps = [
+        """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), pr AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS b
+  FROM ev
+), cnt AS (
+  SELECT a, b, COUNT(*) AS c FROM pr WHERE b IS NOT NULL GROUP BY a, b
+), p AS MATERIALIZED (
+  SELECT cnt.a, cnt.b, cnt.c / (1.0 * t.t) AS p
+  FROM cnt JOIN (SELECT a, SUM(c) AS t FROM cnt GROUP BY a) t USING (a)
+), ns AS (SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS n FROM p),
+v0 AS (SELECT DISTINCT a AS state, (SELECT 1.0 / n FROM ns) AS prob
+       FROM p)"""
+    ]
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+v{k} AS (SELECT p.b AS state, SUM(v.prob * p.p) AS prob
+        FROM p JOIN v{k - 1} v ON p.a = v.state GROUP BY p.b)"""
+        )
+    return (
+        ",".join(steps)
+        + f""",
+hc AS (SELECT a, -SUM(p * ln(p)) AS h FROM p GROUP BY a)
+SELECT (SELECT CAST(n AS BIGINT) FROM ns) AS n_states,
+       ROUND(SUM(v.prob * hc.h), 6) AS entropy_rate_nats
+FROM v{rounds} v JOIN hc ON v.state = hc.a"""
+    )
+
+
 QUERIES = {
     "q211_max_concurrency": q211_max_concurrency,
+    "q214_entropy_rate": q214_entropy_rate,
     "q213_interval_union": q213_interval_union,
     "q205_velocity_flags": q205_velocity_flags,
     "q206_activity_bitmask": q206_activity_bitmask,
@@ -3486,6 +3580,7 @@ QUERIES = {
 ORACLES = {
     "q211_max_concurrency": Q211_SQL,
     "q213_interval_union": Q213_SQL,
+    "q214_entropy_rate": _q214_sql(),
     "q205_velocity_flags": Q205_SQL,
     "q206_activity_bitmask": _q206_sql(),
     "q196_delta_decomposition": Q196_SQL,

@@ -253,6 +253,7 @@ AUDIT = [
     ("q211_max_concurrency", 3, 0),  # boundary union + one type window
     ("q212_macro_f1", 4, 0),  # actual/pred rollups share the cls key
     ("q213_interval_union", 3, 0),  # netted deltas + shared type window
+    ("q214_entropy_rate", 4, 0),  # P checkpointed; final join + 1-row agg
 ]
 
 
