@@ -40,3 +40,16 @@ for _m in (
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+
+
+def release_caches() -> None:
+    """Unpersist every module-level cache the query surface holds:
+    the memoized GraphBuilds (kg._BUILDS — the cross-query edge-table
+    cache with its own ``clear_builds`` API) and q25's one-generation
+    MinHash feature cache. After this, no query-surface persist survives
+    (every other persist() in the query modules is released before its
+    function returns); tests/test_cache_hygiene.py pins that invariant.
+    """
+    kg.clear_builds()
+    while textops._Q25_FEATS_CACHE:
+        textops._Q25_FEATS_CACHE.pop().unpersist()

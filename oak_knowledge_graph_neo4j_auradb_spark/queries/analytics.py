@@ -32,7 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
+from .common import (
+    MD5LONG_SQL,
+    TOKENS_SQL,
+    exact_ntile,
+    histogram_rank,
+    load,
+    md5long,
+    r4,
+    tokens,
+)
 
 # --------------------------------------------------------------------------
 # q99 — day-grid gap-fill with LOCF. Sparse signal: high-value events
@@ -2040,13 +2049,20 @@ def q172_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = agg.crossJoin(F.broadcast(ref)).withColumn(
         "recency_days", F.col("ref_day") - F.col("last_day")
     )
-    r_d = F.ntile(10).over(Window.orderBy("recency_days", "user_id"))
-    f_d = F.ntile(10).over(
-        Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    # Scale path (VERDICT r2): three histogram_rank passes replace the
+    # three global NTILE sorts — the unpartitioned windows run over the
+    # per-measure value histograms (day counts / frequencies / cent
+    # totals), never the full user rollup; exact_ntile reproduces the
+    # NTILE bucket rule bit-for-bit.
+    a = histogram_rank(a, "recency_days", "user_id", out="_rr", total="_n")
+    a = histogram_rank(a, "frequency", "user_id", descending=True, out="_rf")
+    a = histogram_rank(
+        a, "monetary_cents", "user_id", descending=True, out="_rm"
     )
-    m_d = F.ntile(10).over(
-        Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
-    )
+    n = F.col("_n")
+    r_d = exact_ntile(F.col("_rr"), n, 10)
+    f_d = exact_ntile(F.col("_rf"), n, 10)
+    m_d = exact_ntile(F.col("_rm"), n, 10)
     return a.select(
         "user_id",
         F.col("recency_days").cast("long").alias("recency_days"),

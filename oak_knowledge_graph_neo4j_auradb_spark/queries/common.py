@@ -51,3 +51,116 @@ def tokens(col: Column) -> Column:
 
 
 TOKENS_SQL = "list_filter(string_split_regex(lower({x}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# Scale-path ranking helpers (VERDICT r2 item 1): global ROW_NUMBER /
+# NTILE over corpus-cardinality data WITHOUT a single-partition
+# WindowExec. Spark warns "No Partition Defined ... moving all data to
+# a single partition" on Window.orderBy(...) with no partitionBy — fine
+# over small aggregates (day grids, distinct scores), fatal over raw
+# docs/users at 100 TB. These helpers keep the single-partition window
+# strictly on the pre-aggregated value histogram (one row per DISTINCT
+# value) and distribute the per-value tie-break across executors.
+# --------------------------------------------------------------------------
+
+
+def histogram_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    descending: bool = False,
+    out: str = "r",
+    total: str | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (ORDER BY value [DESC], tie)`` — distributed.
+
+    (a) Pre-aggregate a value histogram (one row per distinct value);
+    the only unpartitioned window runs over THAT small aggregate to get
+    each value's cumulative offset. (b) Per-value ``row_number`` over
+    ``Window.partitionBy(value_col)`` — distributed. rank = offset +
+    within-value rank: bit-identical to the single-sort form for any
+    input. ``total`` optionally attaches the global row count (needed
+    by :func:`exact_ntile`) from the same histogram — no extra scan.
+    The histogram join is left unhinted so AQE can broadcast it when
+    small and shuffle it when a 100-TB corpus has many distinct values.
+    """
+    from pyspark.sql import Window
+
+    order = F.desc(value_col) if descending else F.asc(value_col)
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs_cols = [
+        F.col(value_col),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    ]
+    if total is not None:
+        offs_cols.append(F.sum("_cnt").over(w_all).alias(total))
+    offs = hist.select(*offs_cols)
+    w_val = Window.partitionBy(value_col).orderBy(F.asc(tie_col))
+    return (
+        df.join(offs, value_col)
+        .withColumn(
+            out, (F.col("_off") + F.row_number().over(w_val)).cast("long")
+        )
+        .drop("_off")
+    )
+
+
+def exact_ntile(r: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` bucket from a precomputed global rank.
+
+    The first ``n % k`` buckets get ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)`` — exactly Spark's and DuckDB's NTILE rule — so
+    deciles computed from :func:`histogram_rank` match
+    ``NTILE() OVER (ORDER BY ...)`` bit-for-bit. Long arithmetic with
+    one exactly-representable double division (exact below 2^53 rows).
+    """
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (q + F.lit(1))
+    first = (F.floor((r - 1) / (q + F.lit(1))) + 1).cast("long")
+    rest = (
+        rem + F.floor((r - big - 1) / F.greatest(q, F.lit(1))) + 1
+    ).cast("long")
+    return F.when(r <= big, first).otherwise(rest)
+
+
+def sorted_rank(
+    df: DataFrame, col: str, out: str = "idx", parts: int = 32
+) -> DataFrame:
+    """Distributed zipWithIndex over the sorted order (1-based).
+
+    ``repartitionByRange`` gives contiguous, ordered key ranges per
+    partition; rank = per-partition ``row_number`` (distributed window
+    keyed by partition id) + that partition's cumulative offset (a
+    window over the tiny per-partition count table). Output equals
+    ``ROW_NUMBER() OVER (ORDER BY col)`` exactly — requires ``col``
+    values be unique (ties could straddle a range boundary), which
+    holds for the distinct-key dimensions this numbers.
+    """
+    from pyspark.sql import Window
+
+    t = df.repartitionByRange(parts, F.asc(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = pc.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_pid = Window.partitionBy("_pid").orderBy(F.asc(col))
+    return (
+        t.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            out, (F.col("_off") + F.row_number().over(w_pid)).cast("long")
+        )
+        .drop("_pid", "_off")
+    )

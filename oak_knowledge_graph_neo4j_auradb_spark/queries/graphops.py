@@ -1985,11 +1985,11 @@ JOIN (SELECT pred, MAX(d) AS max_in FROM idg GROUP BY pred) mi USING (pred)
 # the kg76 trick again, so samples are identical across engines and
 # cluster sizes) and anti-join the true edges away — the
 # (positive, negatives) construction every KG-embedding trainer (TransE
-# et al.) runs. Sandbox: the sorted node list broadcasts as one row (|V|
-# is node-scale, not edge-scale); at 10^12 edges the draw becomes a
-# hash-bucketed join against a node table keyed by the same mod — same
-# arithmetic, no single-row array. Output: per-pred accounting of drawn
-# vs collided-with-true vs kept, all integers.
+# et al.) runs. The draw indexes a NUMBERED node dimension (sorted_rank
+# — distributed zipWithIndex, no single-row array, no global sort) via
+# an equi-join on idx = hash % |V| + 1, so at 10^12 edges the candidate
+# stream is an ordinary hash join against the node table. Output:
+# per-pred accounting of drawn vs collided-with-true vs kept, integers.
 # --------------------------------------------------------------------------
 
 _NEG_K = 4
@@ -1997,44 +1997,53 @@ _NEG_K = 4
 
 def _draw_negatives(e: DataFrame):
     """(drawn, kept): K deterministic corruption candidates per
-    (subj, pred), and those that are not true edges."""
-    from .common import md5long
+    (subj, pred), and those that are not true edges.
+
+    Scale path (VERDICT r2): the node vocabulary is a NUMBERED node
+    dimension — ``sorted_rank`` gives each distinct node its 1-based
+    rank in sorted order without any single-row array or global sort —
+    and the draw is ``idx = md5long(subj|pred|i) % |V| + 1`` equi-joined
+    against that dimension. Identical candidates to indexing a sorted
+    array (rank r IS the sorted position), so the DuckDB twin is
+    unchanged; no collect_list-of-all-nodes anywhere in the plan.
+    """
+    from .common import md5long, sorted_rank
 
     nodes = (
         e.select(F.col("subj").alias("n"))
         .unionByName(e.select(F.col("obj").alias("n")))
         .distinct()
-        .agg(F.array_sort(F.collect_list("n")).alias("arr"))
     )
+    ndim = sorted_rank(nodes, "n", out="idx")
+    nv = nodes.agg(F.count(F.lit(1)).alias("_nv"))
     pairs = e.select("subj", "pred").distinct()
     drawn = (
-        pairs.crossJoin(F.broadcast(nodes))
+        pairs.crossJoin(F.broadcast(nv))
         .select(
             "subj",
             "pred",
+            "_nv",
             F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("i"),
-            F.col("arr"),
         )
         .select(
             "subj",
             "pred",
-            F.element_at(
-                "arr",
-                (
-                    md5long(
-                        F.concat(
-                            F.col("subj"),
-                            F.lit("|"),
-                            F.col("pred"),
-                            F.lit("|"),
-                            F.col("i").cast("string"),
-                        )
+            (
+                md5long(
+                    F.concat(
+                        F.col("subj"),
+                        F.lit("|"),
+                        F.col("pred"),
+                        F.lit("|"),
+                        F.col("i").cast("string"),
                     )
-                    % F.size("arr")
-                    + 1
-                ).cast("int"),
-            ).alias("cand"),
+                )
+                % F.col("_nv")
+                + 1
+            ).alias("idx"),
         )
+        .join(ndim, "idx")
+        .select("subj", "pred", F.col("n").alias("cand"))
     )
     kept = drawn.join(
         e.select("subj", "pred", F.col("obj").alias("cand")),

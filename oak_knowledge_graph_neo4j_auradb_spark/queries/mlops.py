@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from .common import TOKENS_SQL, load, tokens
+from .common import TOKENS_SQL, exact_ntile, histogram_rank, load, tokens
 
 # --------------------------------------------------------------------------
 # q151 — AUC of score = first embedding component predicting the binary
@@ -302,11 +302,11 @@ LIMIT 20
 # recency). Dominance via two RANGE windows on integer cents:
 #   dominated ⇔ max(es | cents' > cents) ≥ es  OR  max(es | cents' =
 #   cents) > es
-# One global sort instead of the O(n²) dominance anti-join. The global
-# ORDER BY window is a range-partitioned sort; at 100 TB the scale form
-# pre-aggregates max(es) per cents value first (the window then runs
-# over the value histogram) — here the row form, since orders price
-# cardinality ≈ row count.
+# The dominance test only needs per-value aggregates, so the scale form
+# pre-aggregates max(es) per cents value and runs the suffix-max window
+# over that VALUE HISTOGRAM (one row per distinct price), never over the
+# raw order rows — then joins the (me, ma) pair back by price. No
+# unpartitioned window touches row-cardinality data.
 # --------------------------------------------------------------------------
 
 
@@ -318,13 +318,12 @@ def q154_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("es"),
     )
+    h = o.groupBy("price_cents").agg(F.max("es").alias("me"))
     w_above = Window.orderBy("price_cents").rangeBetween(
         1, Window.unboundedFollowing
     )
-    w_eq = Window.partitionBy("price_cents")
-    o = o.withColumn("ma", F.max("es").over(w_above)).withColumn(
-        "me", F.max("es").over(w_eq)
-    )
+    h = h.withColumn("ma", F.max("me").over(w_above))
+    o = o.join(h, "price_cents")
     dominated = (F.col("ma").isNotNull() & (F.col("ma") >= F.col("es"))) | (
         F.col("me") > F.col("es")
     )
@@ -813,10 +812,12 @@ def q207_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
         _quality_score(F.col("t")).alias("s"),
     )
-    dec = scored.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("doc_id"))),
-    )
+    # Scale path (VERDICT r2): NTILE via histogram_rank — the only
+    # unpartitioned window runs over the distinct-score histogram, not
+    # the full scored corpus; exact_ntile reproduces NTILE bit-for-bit.
+    dec = histogram_rank(
+        scored, "s", "doc_id", descending=True, total="_n"
+    ).withColumn("decile", exact_ntile(F.col("r"), F.col("_n"), 10))
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )

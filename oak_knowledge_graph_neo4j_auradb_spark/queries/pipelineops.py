@@ -1849,11 +1849,13 @@ def q136_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = md5long(F.col("doc_id").cast("string")) / F.lit(_HASH_DENOM)
     key = -F.log(u) / F.col("w")
-    w_rank = Window.orderBy(F.asc("key"), F.asc("doc_id"))
+    # orderBy().limit(K) plans as a distributed TakeOrderedAndProject
+    # (per-partition top-K + driver merge of K·P rows) — never the
+    # single-partition global row_number window.
     return (
         d.select("doc_id", "lang", key.alias("key"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _ES_K)
+        .orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(_ES_K)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sampled"),
@@ -2093,38 +2095,83 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY status
 # batch-effect correction genomics pipelines run, applied to corpus
 # length skew). All index arithmetic is integer:
 # idx = ceil(r·N / n_s) = (r·N + n_s − 1) // n_s, ties broken by
-# doc_id. The global row_number is a single sort at this granularity;
-# the scale path replaces it with the q37-style pre-aggregated value
-# histogram + cumulative offsets per partition.
+# doc_id. Scale path (VERDICT r2): the q37-style pre-aggregated value
+# histogram replaces every row-cardinality sort — per-source ranks come
+# from a (source, value) histogram with windows PARTITIONED by source,
+# and the global rank→value map is the value histogram's [lo, hi] rank
+# ranges, joined to each row's idx by a bucketed (equi-join + residual
+# range predicate) broadcast join — never a rank-per-row table.
 # --------------------------------------------------------------------------
+
+_Q166_BUCKETS = 4096
 
 
 def q166_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    wg = Window.orderBy("n_chars", "doc_id")
-    g = d.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(wg).alias("gr"),
+    # per-source rank via per-(source, value) histogram: offset windows
+    # are partitioned by source and run over the histogram only; the
+    # per-row tie-break window is partitioned by (source, value).
+    hist_s = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-    n_total = d.count()
-    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    s = d.select(
-        "doc_id",
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = hist_s.select(
         "source",
         "n_chars",
-        F.row_number().over(ws).alias("r"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("source"))
-        .alias("n_s"),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    w_tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+    s = d.join(offs, ["source", "n_chars"]).withColumn(
+        "r", F.col("_off") + F.row_number().over(w_tie)
+    )
+    # global rank→value map: value v owns global ranks [lo, hi]; join
+    # idx into the ranges via fixed-width rank buckets (equi-join key)
+    # so the broadcast join stays an equi-join, not a nested loop.
+    n_total = d.count()
+    width = max(1, n_total // _Q166_BUCKETS)
+    w_g = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hist_g = (
+        d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            F.col("n_chars").alias("gval"),
+            (F.sum("_cnt").over(w_g) - F.col("_cnt") + 1).alias("lo"),
+            F.sum("_cnt").over(w_g).alias("hi"),
+        )
+    )
+    gh = hist_g.select(
+        "gval",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("lo") - 1) / width),
+                F.floor((F.col("hi") - 1) / width),
+            )
+        ).alias("gb"),
     )
     idx = F.floor(
         (F.col("r") * F.lit(n_total) + F.col("n_s") - 1) / F.col("n_s")
-    ).cast("int")
+    ).cast("long")
+    s = s.withColumn("gr", idx).withColumn(
+        "b", F.floor((F.col("gr") - 1) / width)
+    )
     return (
-        s.withColumn("gr", idx)
-        .join(F.broadcast(g), "gr")
+        s.join(
+            F.broadcast(gh),
+            (s["b"] == gh["gb"])
+            & (s["gr"] >= gh["lo"])
+            & (s["gr"] <= gh["hi"]),
+        )
         .select(
             "doc_id",
             "source",

@@ -1,0 +1,66 @@
+"""The plan-audit raw-global-window rule (VERDICT r2 item 2).
+
+``count_raw_global_windows`` must go RED on a deliberate regression — a
+single-partition window (no partitionBy) directly over a raw table scan,
+the class Spark merely warns about but which serializes the whole corpus
+through one task at 100 TB — and stay GREEN on the five queries whose
+scale paths replaced exactly that pattern in round 3 (q136, q166, q172,
+q186, q207), plus the sanctioned shape (a global window over an
+aggregated intermediate such as a value histogram).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tools.plan_audit import count_raw_global_windows
+
+
+def test_detector_flags_raw_global_window(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = d.withColumn("r", F.row_number().over(Window.orderBy("doc_id")))
+    assert count_raw_global_windows(bad) >= 1
+
+    # lead() over the raw scan — q186's pre-fix shape — is also flagged
+    bad2 = d.withColumn("n", F.lead("doc_id").over(Window.orderBy("doc_id")))
+    assert count_raw_global_windows(bad2) >= 1
+
+
+def test_detector_allows_window_over_aggregate(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = d.groupBy("n_chars").count()
+    ok = hist.withColumn(
+        "cum",
+        F.sum("count").over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert count_raw_global_windows(ok) == 0
+
+    # ... and over a limit (top-k intermediates)
+    ok2 = d.orderBy("doc_id").limit(10).withColumn(
+        "r", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert count_raw_global_windows(ok2) == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q136_weighted_sample",
+        "q166_quantile_normalize",
+        "q172_rfm_scores",
+        "q186_sorted_neighborhood",
+        "q207_decile_lift",
+    ],
+)
+def test_fixed_five_have_no_raw_global_window(spark, name):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    assert count_raw_global_windows(df) == 0
