@@ -2533,13 +2533,14 @@ FROM md WHERE d > 0 GROUP BY src
 
 def kg84_endpoint_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = _wide(spark, sf_dir)
-    nodes_all = None
-    for label, df in gb.nodes.items():
-        part = df.select(
-            F.lit(label).alias("label"),
-            F.col("id").cast("string").alias("id"),
-        )
-        nodes_all = part if nodes_all is None else nodes_all.unionByName(part)
+    # the fused (label, nid) melt the resolver itself consumes — ONE
+    # scan/exchange for all 13 labels (and already persisted by the
+    # build) instead of re-deriving 13 typed node tables; node_dims'
+    # distinct→clean→distinct contract makes its per-label ID set
+    # exactly the typed tables' id set (operators/mapper.py:node_dims)
+    nodes_all = gb.extras["dims"].select(
+        "label", F.col("nid").cast("string").alias("id")
+    )
     e = gb.resolved.select(
         "subj_label", "pred", "obj_label", "subj", "obj"
     ).distinct()
