@@ -2307,11 +2307,15 @@ FROM g
 # --------------------------------------------------------------------------
 # q180 — Spearman rank correlation between order price and order date
 # per priority class: Pearson on ROW-NUMBER ranks (orderkey tie-break
-# gives a deterministic total order, so ranks are exact integers and
-# the whole correlation is integer arithmetic until the final
-# division). The rank-based complement of q58's Pearson family —
-# robust to the monotone-but-nonlinear relationships a raw-value
-# correlation misses.
+# gives a deterministic total order). Rank moments are summed as
+# DOUBLES: integer sums overflow int64 near n≈86k per group (sx≈n²/2
+# so sx·sx≈n⁴/4 > 2⁶³ — ANSI Spark throws while DuckDB silently
+# promotes to HUGEINT, diverging the twins at scale). Rank products
+# are integer-valued doubles, exact (and order-independent) while the
+# running sums stay below 2⁵³ — n ≤ ~3·10⁵ per group for Σrx²; beyond
+# that IEEE rounding error is ~n·2⁻⁵³ relative, far inside the 6dp
+# render until n≈10¹⁰. The rank-based complement of q58's Pearson
+# family — robust to monotone-but-nonlinear relationships.
 # --------------------------------------------------------------------------
 
 
@@ -2326,7 +2330,9 @@ def q180_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = F.row_number().over(wp.orderBy("cents", "o_orderkey"))
     ry = F.row_number().over(wp.orderBy("es", "o_orderkey"))
     r = o.select(
-        "o_orderpriority", rx.alias("rx"), ry.alias("ry")
+        "o_orderpriority",
+        rx.cast("double").alias("rx"),
+        ry.cast("double").alias("ry"),
     )
     g = r.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2358,12 +2364,14 @@ WITH o AS (
                             ORDER BY es, o_orderkey) AS ry
   FROM o
 ), g AS (
-  SELECT o_orderpriority, COUNT(*) AS n, SUM(rx * ry) AS sxy,
-         SUM(rx) AS sx, SUM(rx * rx) AS sxx
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(rx AS DOUBLE) * ry) AS sxy,
+         SUM(CAST(rx AS DOUBLE)) AS sx,
+         SUM(CAST(rx AS DOUBLE) * rx) AS sxx
   FROM r GROUP BY 1
 )
 SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-       ROUND((n * sxy - sx * sx) / (1.0 * (n * sxx - sx * sx)), 6)
+       ROUND((n * sxy - sx * sx) / (n * sxx - sx * sx), 6)
          AS spearman_rho
 FROM g
 """
@@ -2391,6 +2399,10 @@ def q182_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("s"),
         F.sum(F.col("v") * F.col("v")).alias("ss"),
     )
+    # a type active on a single day has no sample variance — (d-1)=0
+    # would render 0/0 NaN here while the SQL twin may error (q163's
+    # c>1 gate, same reasoning)
+    g = g.filter(F.col("d") > 1)
     mean = F.col("s") / F.col("d")
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("d")) / (
         F.col("d") - 1
@@ -2416,7 +2428,7 @@ SELECT event_type, CAST(d AS BIGINT) AS n_days,
        ROUND(s / (1.0 * d), 4) AS mean_daily,
        ROUND(((ss - s * s / (1.0 * d)) / (d - 1)) / (s / (1.0 * d)), 6)
          AS fano_factor
-FROM g
+FROM g WHERE d > 1
 """
 
 
@@ -3121,7 +3133,11 @@ def q199_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("s2"),
         F.col("ss").alias("ss2"),
     )
-    j = a.join(b, "event_type")
+    # single-observation sides have no sample variance — (n-1)=0 NaNs
+    # the pooled sd (q182's d>1 gate, same reasoning)
+    j = a.join(b, "event_type").filter(
+        (F.col("n1") > 1) & (F.col("n2") > 1)
+    )
     m1 = F.col("s1") / F.col("n1")
     m2 = F.col("s2") / F.col("n2")
     v1 = (F.col("ss1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
@@ -3156,7 +3172,7 @@ WITH ev AS (
          a.n AS n1, a.s AS s1, a.ss AS ss1,
          b.n AS n2, b.s AS s2, b.ss AS ss2
   FROM g a JOIN g b ON a.event_type = b.event_type
-  WHERE a.wk AND NOT b.wk
+  WHERE a.wk AND NOT b.wk AND a.n > 1 AND b.n > 1
 )
 SELECT event_type,
        CAST(n1 AS BIGINT) AS n_weekend,
@@ -3218,8 +3234,9 @@ FROM v GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
-# q206 — activity bitmask: each user's 30-day presence packed into one
-# int64 via bit_or(1 << day_offset) — the bitmap-index representation
+# q206 — activity bitmask: each user's presence over the feed's FIRST
+# 64 DAYS packed into one int64 via bit_or(1 << day_offset) — the
+# bitmap-index representation
 # (roaring-lite) that makes retention/overlap queries single-AND
 # operations. Emitted per user with the popcount (active days) and the
 # longest run of consecutive active days decoded from the mask by a
@@ -3235,6 +3252,12 @@ def q206_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.distinct().crossJoin(
         F.broadcast(ev.agg(F.min("day").alias("d0")))
     )
+    # the mask window is EXPLICITLY the first 64 days: Spark's
+    # shiftleft wraps the shift amount mod 64 (day 64 would alias day
+    # 0, silently corrupting masks/popcounts/streaks) while DuckDB's
+    # << does not — clamp in both twins so a longer feed narrows the
+    # window instead of aliasing
+    b = b.filter(F.col("day") - F.col("d0") < 64)
     mask = b.groupBy("user_id").agg(
         F.expr("bit_or(shiftleft(1L, cast(day - d0 as int)))").alias("mask")
     )
@@ -3279,7 +3302,7 @@ WITH ev AS (
 ), d0 AS (SELECT MIN(day) AS d0 FROM ev),
 mask AS (
   SELECT user_id, bit_or(1::BIGINT << CAST(day - d0.d0 AS INT)) AS mask
-  FROM ev, d0 GROUP BY user_id
+  FROM ev, d0 WHERE day - d0.d0 < 64 GROUP BY user_id
 ),
 {chain}
 SELECT user_id, mask, CAST(bit_count(mask) AS BIGINT) AS days_active,

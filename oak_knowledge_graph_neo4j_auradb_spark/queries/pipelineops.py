@@ -2454,9 +2454,12 @@ UNION ALL SELECT 'user_id', 'not_null', CAST(uid_null AS BIGINT) FROM a
 # and the fingerprint reuses the md5long idiom so chunk-level dedup
 # (q101's containment audit) can run directly on this table. A trailing
 # window is dropped only when the previous chunk already covers all of
-# it (n_tokens ≤ width − stride), so the kept chunks cover EVERY token
-# of every document — the invariant tests/test_analytics_invariants.py
-# pins (a half-width drop rule measurably lost document tails).
+# it (n_tokens ≤ width − stride AND a previous chunk exists — the first
+# chunk is exempt so short documents keep their single chunk), so the
+# kept chunks cover EVERY token of every document and every tokenized
+# document appears — the invariants tests/test_analytics_invariants.py
+# pins (a half-width drop rule measurably lost document tails; the
+# unexempted first chunk lost ≤10-token documents entirely).
 # --------------------------------------------------------------------------
 
 _CHUNK_W, _CHUNK_STRIDE = 50, 40
@@ -2484,7 +2487,10 @@ def q191_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).cast("long").alias("n_tokens"),
             md5long(F.array_join(chunk, " ")).alias("chunk_fp"),
         )
-        .filter(F.col("n_tokens") > _CHUNK_W - _CHUNK_STRIDE)
+        .filter(
+            ((F.col("start_tok") == 1) & (F.col("n_tokens") > 0))
+            | (F.col("n_tokens") > _CHUNK_W - _CHUNK_STRIDE)
+        )
     )
 
 
@@ -2504,7 +2510,8 @@ SELECT doc_id, (start_tok - 1) // {_CHUNK_STRIDE} AS chunk_idx, start_tok,
            x=f"array_to_string(t[start_tok:start_tok + {_CHUNK_W} - 1], ' ')"
        )} AS chunk_fp
 FROM c
-WHERE len(t[start_tok:start_tok + {_CHUNK_W} - 1])
+WHERE (start_tok = 1 AND len(t[start_tok:start_tok + {_CHUNK_W} - 1]) > 0)
+   OR len(t[start_tok:start_tok + {_CHUNK_W} - 1])
       > {_CHUNK_W} - {_CHUNK_STRIDE}
 """
 

@@ -163,7 +163,18 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     cov = chunks.groupBy("doc_id").agg(
         F.max(F.col("start_tok") + F.col("n_tokens") - 1).alias("covered")
     )
-    bad = cov.join(ntok, "doc_id").filter(F.col("covered") < F.col("n")).count()
+    # left join from the document table: every tokenized doc must
+    # appear in the chunk table (the first chunk is exempt from the
+    # tail-drop rule, so ≤(W−stride)-token docs keep their one chunk)
+    # and its chunks must reach its last token
+    bad = (
+        ntok.filter(F.col("n") > 0)
+        .join(cov, "doc_id", "left")
+        .filter(
+            F.col("covered").isNull() | (F.col("covered") < F.col("n"))
+        )
+        .count()
+    )
     assert bad == 0
 
 
