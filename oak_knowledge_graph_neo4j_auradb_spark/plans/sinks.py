@@ -29,12 +29,25 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import RUN_TS, GraphBuild, build_graph
+
+#: Stage names ``write_graph(stages=[...])`` accepts — the engine's
+#: analogue of the reference's run_partial_pipeline stage registry
+#: (pipeline/pipeline.py:506-513: config/extract/validate/map/
+#: transform/load). "nodes" selects every per-label node table.
+GRAPH_STAGES = (
+    "wide",
+    "triples",
+    "resolved",
+    "nodes",
+    "quarantine",
+    "field_lineage",
+)
 
 
 def _committed(path: str) -> bool:
@@ -66,6 +79,20 @@ class WriteReport:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
+@dataclass
+class StageProgress:
+    """One progress event — the reference's PipelineProgress protocol
+    (pipeline/pipeline.py:26-41): stage name, percent, human message,
+    and record counts where known. Emitted at stage start (0%) and
+    completion (100%), plus a final ``complete`` event."""
+
+    stage: str
+    progress_percent: float
+    message: str
+    records_processed: int = 0
+    total_records: int = 0
+
+
 def write_graph(
     spark: SparkSession,
     docs: DataFrame,
@@ -73,6 +100,8 @@ def write_graph(
     run_ts: str = RUN_TS,
     max_records_per_file: int = 1_000_000,
     config: str | dict | None = None,
+    stages: list[str] | None = None,
+    progress: Callable[[StageProgress], None] | None = None,
 ) -> WriteReport:
     """Materialize the full graph build under ``out_dir``, stage by
     stage, resuming from any committed checkpoint.
@@ -83,7 +112,36 @@ def write_graph(
 
     ``config`` (a reference-dialect JSON path or dict) routes through
     the config-as-program loader, so one JSON drives extraction AND
-    materialization with no code changes (reference README.md:10)."""
+    materialization with no code changes (reference README.md:10).
+
+    ``stages`` runs only the named subset of :data:`GRAPH_STAGES` — the
+    reference's ``run_partial_pipeline`` (pipeline/pipeline.py:502-544),
+    with one Spark-first difference: a selected stage never needs its
+    upstream stages *materialized*. Upstream state is a lazy plan, so
+    ``stages=["resolved"]`` on a fresh directory computes the
+    extraction prefix in-flight and writes only the resolved table;
+    when an upstream checkpoint IS committed it is read instead
+    (resume semantics unchanged). Unknown names raise ``ValueError``
+    (pipeline.py:522-525).
+
+    ``progress`` receives a :class:`StageProgress` at each stage's
+    start and completion plus a final ``complete`` event — the
+    reference's progress-callback protocol (pipeline.py:26-41,
+    ``_report_progress`` :89-104)."""
+    if stages is not None:
+        bad = [s for s in stages if s not in GRAPH_STAGES]
+        if bad:
+            raise ValueError(
+                f"Invalid stage(s): {bad}. Valid stages: {list(GRAPH_STAGES)}"
+            )
+    selected = set(GRAPH_STAGES if stages is None else stages)
+
+    def report_progress(
+        stage: str, pct: float, msg: str, done: int = 0, total: int = 0
+    ) -> None:
+        if progress is not None:
+            progress(StageProgress(stage, pct, msg, done, total))
+
     if config is not None:
         from ..config.manager import (
             compile_config,
@@ -110,7 +168,9 @@ def write_graph(
         full = os.path.join(out_dir, path)
         if _committed(full):
             report.stages_skipped.append(stage)
+            report_progress(stage, 100.0, "checkpoint hit — skipped")
             return spark.read.parquet(full)
+        report_progress(stage, 0.0, f"writing {path}")
         t0 = time.monotonic()
         # the row-count metric rides the WRITE job itself (observe),
         # instead of a second count() job per table — with ~19 output
@@ -129,9 +189,11 @@ def write_graph(
         w.parquet(full)
         out = spark.read.parquet(full)
         report.stages_run.append(stage)
-        report.metrics[f"{stage}_rows"] = obs.get["n"]
+        n = int(obs.get["n"])
+        report.metrics[f"{stage}_rows"] = n
         report.metrics[f"{stage}_sec"] = round(time.monotonic() - t0, 3)
         lineage_parts.append(partition_lineage(out, stage, key))
+        report_progress(stage, 100.0, f"wrote {path}", n, n)
         return out
 
     gb: GraphBuild = build_graph(
@@ -143,39 +205,58 @@ def write_graph(
         filters=filters,
     )
 
-    wide = emit("wide", gb.wide, "wide", "doc_id")
-    # later stages read the *checkpointed* wide table — a resumed run
-    # never recomputes the reconstruction+join prefix
+    wide_path = os.path.join(out_dir, "wide")
+    if "wide" in selected:
+        wide = emit("wide", gb.wide, "wide", "doc_id")
+    elif _committed(wide_path):
+        # later stages read the *checkpointed* wide table — a resumed
+        # run never recomputes the reconstruction+join prefix
+        wide = spark.read.parquet(wide_path)
+    else:
+        # stage subset with no wide checkpoint: downstream stages plan
+        # over the lazy extraction prefix — nothing extra materializes
+        wide = gb.wide
     gb2 = _rebind(spark, gb, wide, run_ts, node_cfgs, rel_cfgs)
-    emit("triples", gb2.triples, "triples", "subj", partition_by="config_key")
-    emit("resolved", gb2.resolved, "resolved", "subj", partition_by="config_key")
-    for label, ndf in gb2.nodes.items():
-        emit(f"nodes/{label}", ndf, f"nodes/{label}", "id")
+    if "triples" in selected:
+        emit(
+            "triples", gb2.triples, "triples", "subj",
+            partition_by="config_key",
+        )
+    if "resolved" in selected:
+        emit(
+            "resolved", gb2.resolved, "resolved", "subj",
+            partition_by="config_key",
+        )
+    if "nodes" in selected:
+        for label, ndf in gb2.nodes.items():
+            emit(f"nodes/{label}", ndf, f"nodes/{label}", "id")
 
-    # validation side-output: every row a mapping rule dropped, with
-    # (rule, reason, source ref) — validators.py:8-67 as a table
-    from ..operators.quarantine import quarantine, validation_summary
+    if "quarantine" in selected:
+        # validation side-output: every row a mapping rule dropped,
+        # with (rule, reason, source ref) — validators.py:8-67 as a table
+        from ..operators.quarantine import quarantine, validation_summary
 
-    q = emit(
-        "quarantine",
-        quarantine(
-            gb2.wide, gb2.triples, node_cfgs, rel_cfgs, gb2.extras["dims"]
-        ),
-        "quarantine",
-        "rule",
-        partition_by="rule",
-    )
-    report.metrics.update(
-        validation_summary(q, int(report.metrics.get("wide_rows", 0)))
-    )
-    # rule-level field lineage: which config rule produced which
-    # property (pipeline/mappers.py:8-39)
-    emit(
-        "field_lineage",
-        field_lineage(spark, node_cfgs, rel_cfgs),
-        "field_lineage",
-        "config",
-    )
+        q = emit(
+            "quarantine",
+            quarantine(
+                gb2.wide, gb2.triples, node_cfgs, rel_cfgs, gb2.extras["dims"]
+            ),
+            "quarantine",
+            "rule",
+            partition_by="rule",
+        )
+        report.metrics.update(
+            validation_summary(q, int(report.metrics.get("wide_rows", 0)))
+        )
+    if "field_lineage" in selected:
+        # rule-level field lineage: which config rule produced which
+        # property (pipeline/mappers.py:8-39)
+        emit(
+            "field_lineage",
+            field_lineage(spark, node_cfgs, rel_cfgs),
+            "field_lineage",
+            "config",
+        )
 
     # metrics + lineage tables (append a fresh snapshot per run)
     report.metrics["total_sec"] = round(time.monotonic() - t_all, 3)
@@ -191,6 +272,12 @@ def write_graph(
             os.path.join(out_dir, "lineage")
         )
     gb.unpersist()
+    report_progress(
+        "complete",
+        100.0,
+        f"{len(report.stages_run)} stages run, "
+        f"{len(report.stages_skipped)} skipped",
+    )
     return report
 
 

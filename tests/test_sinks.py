@@ -92,3 +92,66 @@ def test_config_routed_write_matches_default(spark, out, tmp_path):
     report = write_graph(spark, docs, out2, config=cfg_path)
     assert report.metrics["resolved_rows"] == first.metrics["resolved_rows"]
     assert report.metrics["triples_rows"] == first.metrics["triples_rows"]
+
+
+def test_partial_stages_and_progress(spark, out, tmp_path):
+    """Stage-subset runs with the progress-callback protocol
+    (reference pipeline/pipeline.py:502-544 run_partial_pipeline,
+    :26-41 PipelineProgress): each stage reports 0% then 100% in
+    order, subsets write only what they name, a later full run
+    resumes past them, and unknown stage names raise."""
+    import os
+
+    import pytest as _pytest
+
+    docs, _, first = out
+    events = []
+    out_dir = str(tmp_path / "partial")
+    r1 = write_graph(
+        spark, docs, out_dir, stages=["wide"], progress=events.append
+    )
+    assert r1.stages_run == ["wide"]
+    assert [(e.stage, e.progress_percent) for e in events] == [
+        ("wide", 0.0),
+        ("wide", 100.0),
+        ("complete", 100.0),
+    ]
+    assert events[1].records_processed == first.metrics["wide_rows"]
+
+    # downstream-only subset reads the committed wide checkpoint
+    events.clear()
+    r2 = write_graph(
+        spark, docs, out_dir, stages=["resolved"], progress=events.append
+    )
+    assert r2.stages_run == ["resolved"] and r2.stages_skipped == []
+    assert [e.stage for e in events] == ["resolved", "resolved", "complete"]
+    assert os.path.exists(f"{out_dir}/resolved/_SUCCESS")
+    assert not os.path.exists(f"{out_dir}/triples")
+
+    # a later FULL run resumes: the subset-written stages skip (and
+    # report 100% "skipped" progress), the rest run
+    events.clear()
+    r3 = write_graph(spark, docs, out_dir, progress=events.append)
+    assert "wide" in r3.stages_skipped and "resolved" in r3.stages_skipped
+    assert "triples" in r3.stages_run
+    skipped = {e.stage for e in events if "skipped" in e.message}
+    assert {"wide", "resolved"} <= skipped
+
+    with _pytest.raises(ValueError, match="Invalid stage"):
+        write_graph(spark, docs, out_dir, stages=["extract"])
+
+
+def test_stage_subset_without_upstream_checkpoint(spark, out, tmp_path):
+    """A selected stage never needs its upstream materialized: on a
+    fresh directory, stages=["resolved"] plans the extraction prefix
+    lazily and writes ONLY the resolved table — same rows as a full
+    run's."""
+    import os
+
+    docs, _, first = out
+    out_dir = str(tmp_path / "lazy")
+    r = write_graph(spark, docs, out_dir, stages=["resolved"])
+    assert r.stages_run == ["resolved"]
+    assert not os.path.exists(f"{out_dir}/wide")
+    got = spark.read.parquet(f"{out_dir}/resolved").count()
+    assert got == first.metrics["resolved_rows"]
