@@ -76,6 +76,11 @@ class Snapshot:
     keys: list[str]
     n_buckets: int
     committed_at: float
+    #: JSON-serialized StructType — lets a snapshot with zero data files
+    #: (empty create, merge of an empty table) read back as a typed
+    #: empty DataFrame instead of failing (Iceberg tables likewise keep
+    #: their schema in metadata, independent of data files)
+    schema: str | None = None
 
     @property
     def n_files(self) -> int:
@@ -116,6 +121,7 @@ class SnapshotTable:
             keys=m["keys"],
             n_buckets=m["n_buckets"],
             committed_at=m["committed_at"],
+            schema=m.get("schema"),
         )
 
     def history(self) -> list[Snapshot]:
@@ -135,6 +141,7 @@ class SnapshotTable:
         files: list[dict[str, Any]],
         keys: list[str],
         n_buckets: int,
+        schema: str | None = None,
     ) -> Snapshot:
         """Write manifest v{parent+1} then atomically swing HEAD."""
         os.makedirs(self._snap_dir, exist_ok=True)
@@ -144,6 +151,8 @@ class SnapshotTable:
                 f"planned against {parent}"
             )
         version = 0 if parent is None else parent + 1
+        if schema is None and parent is not None:
+            schema = self.snapshot(parent).schema
         manifest = {
             "version": version,
             "operation": operation,
@@ -152,6 +161,7 @@ class SnapshotTable:
             "keys": keys,
             "n_buckets": n_buckets,
             "committed_at": time.time(),
+            "schema": schema,
         }
         mpath = os.path.join(self._snap_dir, f"v{version}.json")
         tmp = mpath + ".tmp"
@@ -215,7 +225,10 @@ class SnapshotTable:
             raise FileExistsError(f"table already exists at {self.path}")
         dedup = df.dropDuplicates(key_list)
         files = self._stage(dedup, key_list, n_buckets, 0, max_records_per_file)
-        return self._commit(None, "create", files, key_list, n_buckets)
+        return self._commit(
+            None, "create", files, key_list, n_buckets,
+            schema=df.schema.json(),
+        )
 
     def append(
         self, df: DataFrame, max_records_per_file: int = 1_000_000
@@ -307,7 +320,7 @@ class SnapshotTable:
         old = self.snapshot(version)
         return self._commit(
             cur.version, f"rollback:{version}", old.files, old.keys,
-            old.n_buckets,
+            old.n_buckets, schema=old.schema,
         )
 
     # -- read path ----------------------------------------------------------
@@ -336,6 +349,12 @@ class SnapshotTable:
             }
             files = [e for e in files if e["bucket"] in want]
         if not files:
+            if snap.schema:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap.schema))
+                )
             raise FileNotFoundError(
                 f"{self.path}: snapshot {snap.version} has no data files"
             )

@@ -2627,9 +2627,95 @@ FROM sizes
 """
 
 
+# --------------------------------------------------------------------------
+# kg86 — incremental-maintenance convergence audit: split the corpus
+# 3:1 on a doc-id hash, batch-build a GraphStore from the base, absorb
+# the remainder as a delta MERGE commit (plans/graph_store.py), and
+# prove the incrementally-maintained graph equals one batch build over
+# the union — edge identity set and per-label node-id set both earned
+# through real two-sided anti-joins, with the update committing as ONE
+# aligned snapshot version. The oracle asserts the invariants hold
+# (the q44/kg84 asserted-TRUE pattern — GraphStore's mechanics aren't
+# SQL-replayable, but the convergence contract is checkable).
+# --------------------------------------------------------------------------
+
+
+def kg86_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.scalars import normalize_unit_slug
+    from ..plans.graph_store import EDGE_KEYS, GraphStore
+    from .kg import _wide, docs_df
+
+    docs = docs_df(spark, sf_dir)
+    # join-group-aligned split (graph_store.py caller contract): every
+    # document of a (normalized) unit_slug ships in the same segment,
+    # so the primary⋈supplementary join never straddles the boundary
+    raw = F.element_at(
+        F.expr("filter(spans, s -> s.text LIKE 'unit_slug=%')"), 1
+    )["text"]
+    val = F.regexp_replace(raw, "^unit_slug=", "")
+    # the join normalizes ONLY the supplementary side's variant suffix
+    # (joins.py:prepare_supplementary) — normalizing the primary side
+    # too would over-strip slugs that naturally end in digits and
+    # re-split the groups
+    group_key = F.coalesce(
+        F.when(
+            F.col("doc_id").startswith("sup-"), normalize_unit_slug(val)
+        ).otherwise(val),
+        F.col("doc_id"),
+    )
+    is_delta = F.pmod(F.xxhash64(group_key), F.lit(4)) == 0
+    store = GraphStore(
+        spark, os.path.join(tempfile.mkdtemp(prefix="kg86_"), "g")
+    )
+    store.init(docs.filter(~is_delta), n_buckets=8)
+    upd = store.update(docs.filter(is_delta))
+
+    gb = _wide(spark, sf_dir)  # memoized batch build over the union
+    inc_e = store.edges().select(*EDGE_KEYS)
+    full_e = gb.resolved.select(*EDGE_KEYS)
+    edges_converge = (
+        inc_e.exceptAll(full_e).count() == 0
+        and full_e.exceptAll(inc_e).count() == 0
+    )
+    inc_n = None
+    for label in store.labels():
+        part = store.nodes(label).select(
+            F.lit(label).alias("label"), F.col("id").cast("string").alias("id")
+        )
+        inc_n = part if inc_n is None else inc_n.unionByName(part)
+    full_n = gb.extras["dims"].select(
+        "label", F.col("nid").cast("string").alias("id")
+    )
+    nodes_converge = (
+        inc_n.exceptAll(full_n).count() == 0
+        and full_n.exceptAll(inc_n).count() == 0
+    )
+    rows = [
+        ("edges_converge_to_batch", bool(edges_converge)),
+        ("nodes_converge_to_batch", bool(nodes_converge)),
+        ("update_added_edges", store.edges(as_of=0).count() < inc_e.count()),
+        ("one_aligned_commit", upd["version"] == 1 == store.version()),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean")
+
+
+KG86_SQL = """
+SELECT * FROM (VALUES
+  ('edges_converge_to_batch', TRUE),
+  ('nodes_converge_to_batch', TRUE),
+  ('update_added_edges', TRUE),
+  ('one_aligned_commit', TRUE)
+) AS t(chk, ok)
+"""
+
+
 QUERIES = {
     "q200_connectivity_fraction": q200_connectivity_fraction,
     "kg84_endpoint_contract": kg84_endpoint_contract,
+    "kg86_incremental_update": kg86_incremental_update,
     "q158_clustering_coeff": q158_clustering_coeff,
     "q159_ktruss": q159_ktruss,
     "kg82_closeness": kg82_closeness,
@@ -2666,6 +2752,7 @@ QUERIES = {
 ORACLES = {
     "q200_connectivity_fraction": Q200_SQL,
     "kg84_endpoint_contract": _kg84_sql(),
+    "kg86_incremental_update": KG86_SQL,
     "q158_clustering_coeff": Q158_SQL,
     "q159_ktruss": _q159_sql(),
     "kg82_closeness": _kg82_sql(),

@@ -1,0 +1,130 @@
+"""Incremental graph maintenance (plans/graph_store.py): a delta-fed
+GraphStore converges to the full batch build's node/edge identity sets,
+every update is one aligned snapshot commit across all tables (graph-
+level time travel), merges rewrite only the buckets the delta touches,
+and re-applying a delta is content-idempotent — the reference's
+monotone MERGE semantics (pipeline/auradb_loader.py:136-310) at
+delta-proportional cost."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oak_knowledge_graph_neo4j_auradb_spark.plans.graph_store import (
+    EDGE_KEYS,
+    GraphStore,
+)
+from oak_knowledge_graph_neo4j_auradb_spark.plans.pipeline import build_graph
+from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import ensure_documents
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    from oak_knowledge_graph_neo4j_auradb_spark.functions.scalars import (
+        normalize_unit_slug,
+    )
+
+    full = spark.read.parquet(
+        ensure_documents(str(tmp_path_factory.mktemp("docs")), N_DOCS)
+    )
+    # deterministic ~3:1 JOIN-GROUP-ALIGNED split (the update contract:
+    # all documents of a normalized unit_slug ship together) — the
+    # delta stands in for "documents that arrived after the initial
+    # batch build"
+    raw = F.element_at(
+        F.expr("filter(spans, s -> s.text LIKE 'unit_slug=%')"), 1
+    )["text"]
+    val = F.regexp_replace(raw, "^unit_slug=", "")
+    # normalize ONLY the supplementary side — mirroring the join
+    # (joins.py:prepare_supplementary strips the variant suffix there,
+    # never on the primary side)
+    key = F.coalesce(
+        F.when(
+            F.col("doc_id").startswith("sup-"), normalize_unit_slug(val)
+        ).otherwise(val),
+        F.col("doc_id"),
+    )
+    is_delta = F.pmod(F.xxhash64(key), F.lit(4)) == 0
+    return full, full.filter(~is_delta), full.filter(is_delta)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory, corpus):
+    _, base, delta = corpus
+    s = GraphStore(spark, str(tmp_path_factory.mktemp("store") / "g"))
+    created = s.init(base)
+    assert created["version"] == 0
+    upd = s.update(delta)
+    return s, upd
+
+
+def _edge_keyset(df):
+    return {tuple(r) for r in df.select(*EDGE_KEYS).distinct().collect()}
+
+
+def test_incremental_converges_to_batch(spark, corpus, store):
+    """init(base) + update(delta) covers the same node ids and edge
+    identities as one batch build over base ∪ delta."""
+    full, _, _ = corpus
+    s, _ = store
+    gb_full = build_graph(spark, full)
+    assert _edge_keyset(s.edges()) == _edge_keyset(gb_full.resolved)
+    for label in s.labels():
+        got = {r["id"] for r in s.nodes(label).select("id").collect()}
+        want = {
+            r["id"] for r in gb_full.nodes[label].select("id").collect()
+        }
+        assert got == want, label
+    gb_full.unpersist()
+
+
+def test_update_is_one_aligned_commit(store):
+    """Every table sits at the same version after an update — one
+    integer addresses a consistent cross-table graph state."""
+    s, upd = store
+    assert upd["version"] == 1 == s.version()
+    for label in s.labels():
+        assert s._table(f"nodes/{label}").current_version() == 1
+    ops = [h.operation for h in s.history()]
+    assert ops == ["create", "merge"]
+
+
+def test_time_travel_reads_pre_update_graph(spark, corpus, store):
+    """as_of=0 is the graph exactly as the base build committed it."""
+    _, base, _ = corpus
+    s, _ = store
+    gb_base = build_graph(spark, base)
+    assert _edge_keyset(s.edges(as_of=0)) == _edge_keyset(gb_base.resolved)
+    # and the update really added something
+    assert s.edges(as_of=0).count() < s.edges().count()
+    gb_base.unpersist()
+
+
+def test_merge_touches_only_delta_buckets(store):
+    """A merge rewrites only the buckets the delta's keys hash into:
+    the Keystage delta carries at most 4 distinct ids, so at most 4 of
+    the 64 bucket dirs may be rewritten — the rest carried forward by
+    file reference."""
+    s, upd = store
+    meta = s._meta()
+    rw = upd["buckets_rewritten"]["nodes/Keystage"]
+    assert 0 < rw <= 4 < meta["n_buckets"]
+
+
+def test_reapplying_delta_is_content_idempotent(corpus, store):
+    _, _, delta = corpus
+    s, _ = store
+    before = _edge_keyset(s.edges())
+    n_before = {lb: s.nodes(lb).count() for lb in s.labels()}
+    r = s.update(delta)
+    assert r["version"] == 2
+    assert _edge_keyset(s.edges()) == before
+    assert {lb: s.nodes(lb).count() for lb in s.labels()} == n_before
+
+
+def test_second_init_refuses(spark, store, corpus):
+    _, base, _ = corpus
+    s, _ = store
+    with pytest.raises(FileExistsError):
+        s.init(base)

@@ -79,8 +79,14 @@ def canon_pdf_strict(pdf):
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
+    manifest_path = None
+    if "--manifest" in argv:
+        i = argv.index("--manifest")
+        manifest_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    manifest: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
@@ -103,11 +109,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            manifest[name] = {
+                "status": "fail",
+                "err": f"spark: {type(e).__name__}: {str(e)[:200]}",
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
+            manifest[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -115,6 +126,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            manifest[name] = {"status": "fail", "err": f"duckdb: {str(e)[:200]}"}
             n_fail += 1
             continue
         problems = []
@@ -140,10 +152,40 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
+            manifest[name] = {"status": "fail", "err": " | ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            manifest[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "strict": strict,
+                "sec": round(time.time() - t0, 2),
+            }
     print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    if manifest_path:
+        import datetime
+        import json
+
+        counts: dict[str, int] = {}
+        for m in manifest.values():
+            counts[m["status"]] = counts.get(m["status"], 0) + 1
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "strict": strict,
+                    "generated_at": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                    "totals": counts,
+                    "queries": manifest,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"manifest → {manifest_path}")
     return 1 if n_fail else 0
 
 
