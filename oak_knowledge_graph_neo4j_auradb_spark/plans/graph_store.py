@@ -192,14 +192,14 @@ class GraphStore:
         produced no rows for it; untouched buckets carried by
         reference).
 
-        Scale note: building the resolution dimension scans ONLY the
-        ``id`` column of each node table (parquet column pruning) —
-        O(|nodes|) ids per update with a small constant. When node
-        cardinality dwarfs typical deltas, the upgrade path is
-        bucket-pruned dimension reads (``SnapshotTable.read(
-        key_values=candidate endpoint ids)``) to make it
-        O(touched buckets); the semi-join itself is already AQE-planned
-        and delta-sized on the probe side."""
+        Scale note: the resolution dimension is BUCKET-PRUNED — the
+        candidates' endpoint ids are hashed (with each table's own id
+        dtype, matching its bucketing) into a distinct (label, bucket)
+        set of at most labels × n_buckets ints, and each node table is
+        read only at those bucket directories, ``id`` column only
+        (parquet column pruning). Dimension read cost is
+        O(touched buckets), not O(|nodes|); the semi-join itself is
+        AQE-planned with a delta-sized probe side."""
         meta = self._meta()
         gb = self._build(docs_delta, config, run_ts)
         delta_nodes = gb.nodes
@@ -222,13 +222,15 @@ class GraphStore:
         for label in meta["labels"]:
             _merge(f"nodes/{label}", delta_nodes[label])
 
-        # (delta triples ∪ backlog) vs the post-merge node dimension
-        candidates = gb.triples.unionByName(
-            self._table("dangling").read()
-        ).dropDuplicates(EDGE_KEYS)
-        nodes_now = {
-            label: self.nodes(label).select("id") for label in meta["labels"]
-        }
+        # (delta triples ∪ backlog) vs the post-merge node dimension.
+        # One evaluation feeds the bucket probe, the resolve semi-join,
+        # and the backlog complement.
+        candidates = (
+            gb.triples.unionByName(self._table("dangling").read())
+            .dropDuplicates(EDGE_KEYS)
+            .localCheckpoint(eager=True)
+        )
+        nodes_now = self._pruned_dims(candidates, meta)
         resolved = resolve_triples(
             candidates, nodes_now, self._node_configs(config)
         )
@@ -246,6 +248,58 @@ class GraphStore:
     def dangling(self, as_of: int | None = None) -> DataFrame:
         """The parked resolution backlog (audit surface)."""
         return self._table("dangling").read(as_of=as_of)
+
+    def _pruned_dims(
+        self, candidates: DataFrame, meta: dict[str, Any]
+    ) -> dict[str, DataFrame]:
+        """Per-label node-id frames pruned to the buckets the
+        candidates' endpoints hash into.
+
+        Bucket ids are derived DISTRIBUTEDLY (the only collect is the
+        distinct (label, bucket) set, ≤ labels × n_buckets ints) and
+        each endpoint id is hashed at the table's own id dtype —
+        bucketing hashed the stored column type, so a string endpoint
+        probing a bigint-keyed table (Unitvariant) must cast first;
+        try_cast keeps junk ids from throwing under ANSI (a junk id
+        matches nothing, its bucket read is just wasted IO)."""
+        from pyspark.sql.types import StructType
+
+        nb = meta["n_buckets"]
+        ep = candidates.select(
+            F.col("subj_label").alias("label"), F.col("subj").alias("id")
+        ).unionByName(
+            candidates.select(
+                F.col("obj_label").alias("label"), F.col("obj").alias("id")
+            )
+        )
+        tables = {lb: self._table(f"nodes/{lb}") for lb in meta["labels"]}
+        id_types = {}
+        for lb, t in tables.items():
+            schema = t.snapshot().schema
+            if schema is None:  # pre-schema-manifest store: no pruning
+                return {lb2: self.nodes(lb2).select("id") for lb2 in tables}
+            st = StructType.fromJson(json.loads(schema))
+            id_types[lb] = next(f.dataType for f in st.fields if f.name == "id")
+        bucket = None
+        for lb, dt in id_types.items():
+            b = F.pmod(
+                F.xxhash64(F.col("id").try_cast(dt)), F.lit(nb)
+            ).cast("int")
+            bucket = (
+                F.when(F.col("label") == lb, b)
+                if bucket is None
+                else bucket.when(F.col("label") == lb, b)
+            )
+        touched: dict[str, set[int]] = {lb: set() for lb in tables}
+        for r in (
+            ep.select("label", bucket.alias("b")).distinct().collect()
+        ):
+            if r["label"] in touched and r["b"] is not None:
+                touched[r["label"]].add(r["b"])
+        return {
+            lb: t.read(buckets=sorted(touched[lb])).select("id")
+            for lb, t in tables.items()
+        }
 
     def expire(self, keep_last: int = 2) -> dict[str, int]:
         """Expire old snapshots across every table (storage bound)."""

@@ -326,13 +326,22 @@ class SnapshotTable:
     # -- read path ----------------------------------------------------------
 
     def read(
-        self, as_of: int | None = None, key_values: list | None = None
+        self,
+        as_of: int | None = None,
+        key_values: list | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Scan a snapshot. ``key_values`` (single-key tables) prunes the
         scan to the buckets those keys hash into — file skipping from
-        the manifest, the planner never opens the other buckets."""
+        the manifest, the planner never opens the other buckets.
+        ``buckets`` prunes to an explicit bucket-id set (for callers
+        that derive touched buckets distributedly, e.g. GraphStore's
+        delta resolution)."""
         snap = self.snapshot(as_of)
         files = snap.files
+        if buckets is not None:
+            want_b = set(buckets)
+            files = [e for e in files if e["bucket"] in want_b]
         if key_values is not None:
             if len(snap.keys) != 1:
                 raise ValueError("key_values pruning needs a single-key table")
