@@ -122,6 +122,9 @@ class GraphStore:
 
     # -- public surface ------------------------------------------------------
 
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path())
+
     def labels(self) -> list[str]:
         return list(self._meta()["labels"])
 

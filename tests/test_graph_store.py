@@ -128,3 +128,48 @@ def test_second_init_refuses(spark, store, corpus):
     s, _ = store
     with pytest.raises(FileExistsError):
         s.init(base)
+
+
+def test_streaming_cdc_converges(spark, corpus, tmp_path):
+    """Two micro-batch deliveries through the streaming entry point
+    (init batch, then a delta drain) leave the store equal to a batch
+    build over everything delivered — and a no-new-files drain changes
+    nothing (exactly-once ingest + content-idempotent updates)."""
+    import glob
+    import os
+    import shutil
+
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_graph_store_updates,
+    )
+
+    full, base, delta = corpus
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+
+    def land(df, name):
+        staged = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(staged)
+        shutil.copy(
+            glob.glob(f"{staged}/part-*.parquet")[0], f"{in_dir}/{name}.parquet"
+        )
+
+    store_path = str(tmp_path / "g")
+    ckpt = str(tmp_path / "ckpt")
+
+    land(base, "b0")
+    stream_graph_store_updates(spark, in_dir, store_path, ckpt)
+    s = GraphStore(spark, store_path)
+    assert s.version() == 0  # first delivery initialized the store
+
+    land(delta, "b1")
+    stream_graph_store_updates(spark, in_dir, store_path, ckpt)
+    assert s.version() == 1
+
+    gb_full = build_graph(spark, full)
+    assert _edge_keyset(s.edges()) == _edge_keyset(gb_full.resolved)
+    gb_full.unpersist()
+
+    # drain again with nothing new: checkpoint says all files processed
+    stream_graph_store_updates(spark, in_dir, store_path, ckpt)
+    assert s.version() == 1
