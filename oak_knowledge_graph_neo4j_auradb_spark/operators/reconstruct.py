@@ -43,6 +43,7 @@ from ..config.curriculum_schema import (
     SUPPLEMENTARY_COLUMNS,
     column_dtype,
 )
+from ..functions.xxh64 import xxhash64_str
 
 SPAN_STRUCT = StructType(
     [
@@ -97,24 +98,12 @@ _KV_ENTRIES_HASHED = f"""
         END AS v))
 """
 
-_KEY_HASH_MEMO: dict[str, int] = {}
-
-
 def _key_hashes(docs: DataFrame, keys: list[str]) -> dict[str, int]:
-    """xxhash64 of each column name, computed JVM-side once per process
-    (must match the executor's xxhash64 exactly; memoized)."""
-    missing = [k for k in keys if k not in _KEY_HASH_MEMO]
-    if missing:
-        row = (
-            docs.sparkSession.range(1)
-            .selectExpr(
-                *[f"xxhash64('{k}') AS h{i}" for i, k in enumerate(missing)]
-            )
-            .first()
-        )
-        for i, k in enumerate(missing):
-            _KEY_HASH_MEMO[k] = row[f"h{i}"]
-    return {k: _KEY_HASH_MEMO[k] for k in keys}
+    """xxhash64 of each column name, computed driver-side in pure
+    Python (functions/xxh64.py is pytest-pinned bit-equal to the
+    executor's xxhash64) — the JVM round trip this used to cost was a
+    real Spark job on every cold plan build."""
+    return {k: xxhash64_str(k) for k in keys}
 
 
 def _typed(col: Column, dtype: str) -> Column:
