@@ -22,7 +22,7 @@ variant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default mention patterns per target node label
@@ -73,3 +73,67 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     return mentions.join(d, on=["label", "mention"], how="left").withColumn(
         "linked", F.coalesce(F.col("linked"), F.lit(False))
     )
+
+
+def deletion_variants(col: Column) -> Column:
+    """The string plus every single-character deletion, deduped —
+    the SymSpell deletion neighborhood at edit radius 1."""
+    return F.array_union(
+        F.array(col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substr(col, F.lit(1), i - 1),
+                F.substr(col, i + 1, F.length(col)),
+            ),
+        ),
+    )
+
+
+def link_candidates(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    max_edit: int = 1,
+    top_k: int = 1,
+) -> DataFrame:
+    """Fuzzy **candidate** entity linking: SymSpell-style blocking +
+    exact levenshtein rerank (north_star's "candidate entity linking").
+
+    Both sides expand to their radius-1 deletion neighborhood
+    ({s} ∪ del1(s)); a shared variant is a superset certificate for
+    edit distance ≤ 1 (substitution → same-position deletions match;
+    insertion/deletion → one side IS the other's deletion), so the
+    equi-join on (label, variant) generates every true candidate and
+    the exact ``levenshtein`` filter prunes the false ones. At scale
+    the dictionary side (|dict| × avg_len rows after expansion)
+    broadcasts; the 10^12-row mention stream fans out ×(len+1) in-place
+    and never shuffles for the join — the only shuffles are the
+    candidate dedup and the per-mention top-k window, both over the
+    matched-candidate stream (≪ mention stream), partitioned by
+    mention key (never global). A naive levenshtein theta-join would
+    be a full broadcast-nested-loop over every mention × every entry.
+
+    Input mentions must be distinct per (doc_id, label, mention) —
+    the rank window treats that triple as the candidate group.
+    Returns (doc_id, label, mention, nid, dist, rank) with
+    ``rank <= top_k``, ties broken by (dist, nid).
+    """
+    m = mentions.select("doc_id", "label", "mention").withColumn(
+        "variant", F.explode(deletion_variants(F.col("mention")))
+    )
+    d = F.broadcast(
+        dictionary.select("label", "nid")
+        .distinct()
+        .withColumn("variant", F.explode(deletion_variants(F.col("nid"))))
+    )
+    cand = (
+        m.join(d, on=["label", "variant"])
+        .select("doc_id", "label", "mention", "nid")
+        .distinct()  # a pair can collide on several shared variants
+        .withColumn("dist", F.levenshtein("mention", "nid").cast("long"))
+        .filter(F.col("dist") <= max_edit)
+    )
+    w = Window.partitionBy("doc_id", "label", "mention").orderBy("dist", "nid")
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= top_k)

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
-from ..operators.linking import extract_mentions, link_mentions
+from ..operators.linking import (
+    extract_mentions,
+    link_candidates,
+    link_mentions,
+)
 from ..operators.mapper import node_dims
 from .common import load
 from .kg import _KV_SQL, ORACLE_DOCS, _wide, docs_df
@@ -118,7 +122,11 @@ def kg39_mention_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(m, dims)
 
 
-def _kg39_sql() -> str:
+def _mention_dict_sql() -> str:
+    """Shared oracle chain: spans → kv → wide → mention stream +
+    (Unit ∪ Thread) entity dictionary. Ends at the ``dict`` CTE so
+    kg39 (exact links) and kg87 (fuzzy candidates) twin from the same
+    independently-derived dictionary."""
     from .kg import _wide_sql
 
     wide = _wide_sql(
@@ -178,11 +186,102 @@ thread_dict AS (
   )
   WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''
 ),
-dict AS (SELECT * FROM unit_dict UNION ALL SELECT * FROM thread_dict)
+dict AS (SELECT * FROM unit_dict UNION ALL SELECT * FROM thread_dict)"""
+
+
+def _kg39_sql() -> str:
+    return (
+        _mention_dict_sql()
+        + """
 SELECT m.doc_id, m.label, m.mention,
        (d.nid IS NOT NULL) AS linked
 FROM mention m LEFT JOIN dict d ON m.label = d.label AND m.mention = d.nid
 """
+    )
+
+
+def kg87_candidate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy candidate entity linking (north_star stage L, the
+    "candidate" half): every distinct prose mention is corrupted by a
+    deterministic single-character deletion at position
+    (length % 5) + 2 — a reproducible typo model both engines can
+    derive — then re-linked against the broadcast entity dictionary
+    via the SymSpell deletion-neighborhood join + levenshtein rerank
+    (operators/linking.py:link_candidates). Output is each noisy
+    mention's best candidate (ties by nid); a value match checks the
+    blocking is complete AND the rerank is exact."""
+    from ..config.curriculum_schema import NODES
+
+    gb = _wide(spark, sf_dir)
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select("doc_id", "label", "mention")
+        .distinct()
+    )
+    p = (F.length("mention") % F.lit(5)) + F.lit(2)
+    noisy = m.select(
+        "doc_id",
+        "label",
+        F.concat(
+            F.substr(F.col("mention"), F.lit(1), p - 1),
+            F.substr(F.col("mention"), p + 1, F.length("mention")),
+        ).alias("mention"),
+    ).distinct()
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    return link_candidates(noisy, dims, max_edit=1, top_k=1).select(
+        "doc_id", "label", "mention", "nid", "dist"
+    )
+
+
+def _kg87_sql() -> str:
+    return (
+        _mention_dict_sql()
+        + """,
+noisy AS (
+  SELECT DISTINCT doc_id, label,
+         substr(mention, 1, (length(mention) % 5) + 1)
+           || substr(mention, (length(mention) % 5) + 3) AS mention
+  FROM (SELECT DISTINCT doc_id, label, mention FROM mention)
+),
+ser AS (
+  -- DuckDB's generate_series table function rejects lateral column
+  -- args and subquery bounds; cross-join a constant-bounded series
+  -- (slug mentions are far shorter than 512) and filter per-row
+  SELECT g.i FROM generate_series(1, 512) AS g(i)
+),
+mvar AS (
+  SELECT doc_id, label, mention, mention AS variant FROM noisy
+  UNION
+  SELECT n.doc_id, n.label, n.mention,
+         substr(n.mention, 1, g.i - 1) || substr(n.mention, g.i + 1)
+  FROM noisy n JOIN ser g ON g.i <= length(n.mention)
+),
+dvar AS (
+  SELECT label, nid, nid AS variant FROM dict
+  UNION
+  SELECT d.label, d.nid,
+         substr(d.nid, 1, g.i - 1) || substr(d.nid, g.i + 1)
+  FROM dict d JOIN ser g ON g.i <= length(d.nid)
+),
+cand AS (
+  SELECT DISTINCT m.doc_id, m.label, m.mention, d.nid
+  FROM mvar m JOIN dvar d ON m.label = d.label AND m.variant = d.variant
+),
+scored AS (
+  SELECT doc_id, label, mention, nid,
+         CAST(levenshtein(mention, nid) AS BIGINT) AS dist
+  FROM cand WHERE levenshtein(mention, nid) <= 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, label, mention ORDER BY dist, nid) AS rn
+  FROM scored
+)
+SELECT doc_id, label, mention, nid, dist FROM ranked WHERE rn = 1
+"""
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2730,6 +2829,7 @@ QUERIES = {
     "q32_connected_components": q32_connected_components,
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
+    "kg87_candidate_links": kg87_candidate_links,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
@@ -2767,6 +2867,7 @@ ORACLES = {
     "q32_connected_components": Q32_SQL,
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),
+    "kg87_candidate_links": _kg87_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),
