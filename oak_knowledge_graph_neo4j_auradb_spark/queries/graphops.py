@@ -235,10 +235,15 @@ def kg87_candidate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg87_sql() -> str:
+def _noisy_cand_sql(top_k: int) -> str:
+    """Shared fuzzy-candidate oracle chain: dictionary → deterministic
+    single-deletion noisy mentions → deletion-variant block join →
+    levenshtein rerank. Ends at the ``ranked`` CTE (rn ≤ top_k) so kg87
+    (best candidate per mention) and kg88 (similarity-edge
+    canonicalization) twin from the same candidate stream."""
     return (
         _mention_dict_sql()
-        + """,
+        + f""",
 noisy AS (
   SELECT DISTINCT doc_id, label,
          substr(mention, 1, (length(mention) % 5) + 1)
@@ -274,12 +279,88 @@ scored AS (
          CAST(levenshtein(mention, nid) AS BIGINT) AS dist
   FROM cand WHERE levenshtein(mention, nid) <= 1
 ),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY doc_id, label, mention ORDER BY dist, nid) AS rn
-  FROM scored
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id, label, mention ORDER BY dist, nid) AS rn
+    FROM scored
+  ) WHERE rn <= {top_k}
+)"""
+    )
+
+
+def _kg87_sql() -> str:
+    return (
+        _noisy_cand_sql(1)
+        + """
+SELECT doc_id, label, mention, nid, dist FROM topk
+"""
+    )
+
+
+def kg88_er_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization over the fuzzy-candidate similarity
+    graph — the north_star's stage-L→K composition end-to-end: noisy
+    mentions (kg87's deterministic typo model) link to their ≤10 best
+    dictionary candidates at edit distance ≤ 1; each (mention, entry)
+    candidate pair becomes an undirected similarity edge; salted
+    connected components assign every surface form and dictionary
+    entry in a cluster one canonical id. Near-identical dictionary
+    entries (e.g. thread slugs one deletion apart) collapse into the
+    same component via shared noisy surface forms — exactly the
+    duplicate-entity absorption ER needs. Node ids are prefixed m:/e:
+    so surface forms and entries stay distinguishable in the output."""
+    from ..config.curriculum_schema import NODES
+
+    gb = _wide(spark, sf_dir)
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select("label", "mention")
+        .distinct()
+    )
+    p = (F.length("mention") % F.lit(5)) + F.lit(2)
+    noisy = m.select(
+        F.lit("x").alias("doc_id"),
+        "label",
+        F.concat(
+            F.substr(F.col("mention"), F.lit(1), p - 1),
+            F.substr(F.col("mention"), p + 1, F.length("mention")),
+        ).alias("mention"),
+    ).distinct()
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    edges = (
+        link_candidates(noisy, dims, max_edit=1, top_k=10)
+        .select(
+            F.concat(F.lit("m:"), "mention").alias("src"),
+            F.concat(F.lit("e:"), "nid").alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges, max_iter=30, salt=4)
+
+
+def _kg88_sql() -> str:
+    return (
+        _noisy_cand_sql(10).replace(
+            "  WITH sp AS", "WITH RECURSIVE sp AS", 1
+        )
+        + """,
+e0 AS (
+  SELECT DISTINCT 'm:' || mention AS src, 'e:' || nid AS dst FROM topk
+),
+edges AS (
+  SELECT src AS n, dst AS m FROM e0
+  UNION
+  SELECT dst AS n, src AS m FROM e0
+),
+reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM edges)
+  UNION
+  SELECT e.n, r.m FROM edges e JOIN reach r ON e.m = r.n
 )
-SELECT doc_id, label, mention, nid, dist FROM ranked WHERE rn = 1
+SELECT n AS id, min(m) AS canonical_id FROM reach GROUP BY n
 """
     )
 
@@ -2830,6 +2911,7 @@ QUERIES = {
     "kg38_comention_components": kg38_comention_components,
     "kg39_mention_links": kg39_mention_links,
     "kg87_candidate_links": kg87_candidate_links,
+    "kg88_er_canonicalize": kg88_er_canonicalize,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
@@ -2868,6 +2950,7 @@ ORACLES = {
     "kg38_comention_components": KG38_SQL,
     "kg39_mention_links": _kg39_sql(),
     "kg87_candidate_links": _kg87_sql(),
+    "kg88_er_canonicalize": _kg88_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),

@@ -258,6 +258,12 @@ AUDIT = [
     ("q212_macro_f1", 4, 0),  # actual/pred rollups share the cls key
     ("q213_interval_union", 3, 0),  # netted deltas + shared type window
     ("q214_entropy_rate", 4, 0),  # P checkpointed; final join + 1-row agg
+    # deletion-variant explode is in-place; dict side broadcasts; the
+    # only shuffles are candidate dedup + per-mention rank window (the
+    # kg-build wide melt contributes its 3 sanctioned Arrow stages)
+    ("kg87_candidate_links", 5, 3),
+    # CC rounds are localCheckpointed; the final plan is a scan
+    ("kg88_er_canonicalize", 0, 0),
 ]
 
 
