@@ -76,6 +76,15 @@ def _tune(builder, shuffle_partitions: int):
         # plan-construction latency; the only cost is losing Python
         # call-site lines inside JVM AnalysisException messages.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Constraint propagation is superlinear in predicate/alias count
+        # and re-runs inside AQE's per-stage re-optimization; on the
+        # flagship's 61-branch melt it costs ~4.5 s of plan build plus
+        # ~5 s across AQE re-plans (profiled: build 5.8→1.3 s, exec
+        # 13.3→8.1 s, identical results — it is an optimizer-cost knob,
+        # not a semantics knob). Our queries state their IsNotNull /
+        # join-key filters explicitly, so the inferred constraints it
+        # would add are already in the plans.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
 
 

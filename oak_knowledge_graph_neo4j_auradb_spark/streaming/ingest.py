@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.linking import extract_mentions
+from ..operators.linking import extract_mentions, link_candidates
 from ..operators.reconstruct import DOCS_SCHEMA, span_fingerprint
 
 
@@ -114,6 +114,53 @@ def stream_graph_updates(
             "append"
         ).parquet(f"{out_dir}/triples")
         gb.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_entity_links(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dictionary: DataFrame,
+    max_edit: int = 1,
+    top_k: int = 1,
+):
+    """Streaming fuzzy entity linking: each micro-batch of NEW document
+    files runs span-wise mention detection + the SymSpell
+    deletion-neighborhood candidate join + levenshtein rerank against
+    the static (broadcast) entity ``dictionary``, appending
+    (doc_id, label, mention, nid, dist, rank) rows.
+
+    The per-mention top-k rank window cannot run on an unbounded
+    stream, but its groups are (doc_id, label, mention) and a
+    document's spans never straddle files — so batch-local ranking
+    inside ``foreachBatch`` is EXACTLY global ranking, no cross-batch
+    state needed. The dictionary side is a plain batch DataFrame and
+    re-broadcasts per micro-batch (at cluster scale: a dimension
+    refreshable between triggers). Checkpoint/offset log gives
+    exactly-once over input files; re-drains append nothing."""
+    docs = stream_documents(spark, in_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = (
+            extract_mentions(batch_df)
+            .select("doc_id", "label", "mention")
+            .distinct()
+        )
+        link_candidates(m, dictionary, max_edit=max_edit, top_k=top_k).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = (
         docs.writeStream.foreachBatch(process)

@@ -6,12 +6,14 @@ import shutil
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import (
     make_universe,
     universe_to_arrow,
 )
 from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+    stream_entity_links,
     stream_graph_updates,
     stream_mentions,
     windowed_event_counts,
@@ -56,6 +58,56 @@ def test_incremental_mentions_exactly_once(spark, dirs):
 
     batch = extract_mentions(spark.read.parquet(dirs["in"])).count()
     assert n2 == batch
+
+
+def test_stream_entity_links_matches_batch(spark, dirs):
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.linking import (
+        extract_mentions,
+        link_candidates,
+    )
+
+    _write_docs(f"{dirs['in']}/part1.parquet", 80, seed=42)
+    dictionary = (
+        extract_mentions(spark.read.parquet(dirs["in"]))
+        .select("label", F.col("mention").alias("nid"))
+        .distinct()
+    )
+
+    stream_entity_links(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], dictionary, top_k=2
+    )
+    n1 = spark.read.parquet(dirs["out"]).count()
+    assert n1 > 0
+
+    # re-drain with no new files: exactly-once, nothing appended
+    stream_entity_links(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], dictionary, top_k=2
+    )
+    assert spark.read.parquet(dirs["out"]).count() == n1
+
+    # new file lands → only the delta; streamed rows == batch linking
+    _write_docs(f"{dirs['in']}/part2.parquet", 50, seed=7)
+    stream_entity_links(
+        spark, dirs["in"], dirs["out"], dirs["ckpt"], dictionary, top_k=2
+    )
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(dirs["out"])
+        .select("doc_id", "label", "mention", "nid", "dist", "rank")
+        .collect()
+    }
+    m = (
+        extract_mentions(spark.read.parquet(dirs["in"]))
+        .select("doc_id", "label", "mention")
+        .distinct()
+    )
+    batch = {
+        tuple(r)
+        for r in link_candidates(m, dictionary, top_k=2)
+        .select("doc_id", "label", "mention", "nid", "dist", "rank")
+        .collect()
+    }
+    assert streamed == batch
 
 
 def test_stream_graph_updates_foreachbatch(spark, dirs):
