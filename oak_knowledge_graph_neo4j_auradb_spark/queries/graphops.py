@@ -365,6 +365,131 @@ SELECT n AS id, min(m) AS canonical_id FROM reach GROUP BY n
     )
 
 
+def kg89_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linking QUALITY eval — the tuning loop for stage L: every
+    gold surface form (a prose mention that exactly matches a dictionary
+    entry) is corrupted by kg87's deterministic single-deletion typo
+    model, fuzzy-linked back (top-10 candidates), and scored by whether
+    / where the original entry ranks: per label hits@1/3/10 and MRR
+    (missed golds contribute 0). The candidate group key is the gold
+    form itself, so each gold ranks against exactly its own noisy
+    form's candidates. All joins are against the broadcast dictionary;
+    the per-gold rank window partitions on the gold key (never global).
+    MRR is an average of small rationals rounded at 6dp (sum-order
+    tolerant, same rendering as kg80).
+
+    On slug vocabularies the expected score IS saturation (hits@1 ==
+    n_gold, MRR 1.0): no other entry sits within edit distance 1 of a
+    corrupted slug. That makes this a recall CERTIFICATE — any value
+    below 1.0 means the deletion-neighborhood blocking dropped a true
+    candidate or the rerank misordered an exact tie (q111's
+    no-false-negative bloom proof is the same pattern); kg90 is the
+    discriminative ranking eval."""
+    from ..config.curriculum_schema import NODES
+
+    gb = _wide(spark, sf_dir)
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select("label", "mention")
+        .distinct()
+    )
+    gold = m.join(
+        dims.select("label", F.col("nid").alias("mention")).distinct(),
+        ["label", "mention"],
+    )
+    p = (F.length("mention") % F.lit(5)) + F.lit(2)
+    noisy = gold.select(
+        F.col("mention").alias("doc_id"),
+        "label",
+        F.concat(
+            F.substr(F.col("mention"), F.lit(1), p - 1),
+            F.substr(F.col("mention"), p + 1, F.length("mention")),
+        ).alias("mention"),
+    )
+    correct = (
+        link_candidates(noisy, dims, max_edit=1, top_k=10)
+        .filter(F.col("nid") == F.col("doc_id"))
+        .select(F.col("doc_id").alias("gold_nid"), "label", "rank")
+    )
+    ev = gold.select(F.col("mention").alias("gold_nid"), "label").join(
+        correct, ["gold_nid", "label"], "left"
+    )
+    return ev.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.count_if(F.col("rank") == 1).cast("long").alias("hits1"),
+        F.count_if(F.col("rank") <= 3).cast("long").alias("hits3"),
+        F.count_if(F.col("rank").isNotNull()).cast("long").alias("hits10"),
+        F.round(
+            F.avg(F.coalesce(F.lit(1.0) / F.col("rank"), F.lit(0.0))), 6
+        ).alias("mrr"),
+    )
+
+
+def _kg89_sql() -> str:
+    return (
+        _mention_dict_sql()
+        + """,
+orig AS (SELECT DISTINCT label, mention FROM mention),
+gold AS (
+  SELECT o.label, o.mention
+  FROM orig o JOIN dict d ON o.label = d.label AND o.mention = d.nid
+),
+noisy AS (
+  SELECT label, mention AS gold_nid,
+         substr(mention, 1, (length(mention) % 5) + 1)
+           || substr(mention, (length(mention) % 5) + 3) AS mention
+  FROM gold
+),
+ser AS (SELECT g.i FROM generate_series(1, 512) AS g(i)),
+mvar AS (
+  SELECT gold_nid, label, mention, mention AS variant FROM noisy
+  UNION
+  SELECT n.gold_nid, n.label, n.mention,
+         substr(n.mention, 1, g.i - 1) || substr(n.mention, g.i + 1)
+  FROM noisy n JOIN ser g ON g.i <= length(n.mention)
+),
+dvar AS (
+  SELECT label, nid, nid AS variant FROM dict
+  UNION
+  SELECT d.label, d.nid,
+         substr(d.nid, 1, g.i - 1) || substr(d.nid, g.i + 1)
+  FROM dict d JOIN ser g ON g.i <= length(d.nid)
+),
+cand AS (
+  SELECT DISTINCT m.gold_nid, m.label, m.mention, d.nid
+  FROM mvar m JOIN dvar d ON m.label = d.label AND m.variant = d.variant
+),
+scored AS (
+  SELECT gold_nid, label, mention, nid,
+         CAST(levenshtein(mention, nid) AS BIGINT) AS dist
+  FROM cand WHERE levenshtein(mention, nid) <= 1
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY gold_nid, label, mention ORDER BY dist, nid) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+correct AS (
+  SELECT g.label, g.mention AS gold_nid, t.rn
+  FROM gold g LEFT JOIN topk t
+    ON t.gold_nid = g.mention AND t.label = g.label AND t.nid = g.mention
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_gold,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS hits1,
+       CAST(COUNT(*) FILTER (WHERE rn <= 3) AS BIGINT) AS hits3,
+       CAST(COUNT(*) FILTER (WHERE rn IS NOT NULL) AS BIGINT) AS hits10,
+       ROUND(AVG(COALESCE(CAST(1 AS DOUBLE) / rn, 0)), 6) AS mrr
+FROM correct GROUP BY label
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # kg64 — out-degree distribution of the resolved curriculum graph, per
 # relationship type (documented "Analysis Queries" family,
@@ -2417,6 +2542,212 @@ FROM pos JOIN neg ON pos.pred = neg.pred
 """
 
 
+def kg90_kgc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion LINK-PREDICTION eval over the TransE energies —
+    the ranking pass that closes the embedding loop (kg79 negatives →
+    kg80 energies → kg90 metrics): each positive (subj, pred, obj)
+    ranks its true object against that pair's kept corruption
+    candidates by energy (filtered setting — ``kept`` already excludes
+    every true edge), rank = 1 + |{better-scoring negatives}|, ties
+    broken by candidate id. Per pred: mean rank, MRR, hits@1.
+
+    Energies are rounded to 6dp BEFORE comparison in both engines so
+    the rank counts never hinge on last-ulp fold-order differences
+    (kg80 rounds only the averages; a < compare needs the operands
+    themselves pinned). Scale shape: the pos ⋈ kept join fans out at
+    most K=4 rows per positive on the (subj, pred) key, the rank is a
+    bounded per-positive aggregate, per-pred metrics are partial-agg —
+    no window, no global sort anywhere."""
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "pred", "obj").distinct().persist()
+    _, kept = _draw_negatives(e)
+    pos = e.withColumn(
+        "pen",
+        F.round(
+            _transe_energy(
+                _hash_vec(F.col("subj")),
+                _hash_vec(F.col("pred")),
+                _hash_vec(F.col("obj")),
+            ),
+            6,
+        ),
+    )
+    neg = kept.withColumn(
+        "nen",
+        F.round(
+            _transe_energy(
+                _hash_vec(F.col("subj")),
+                _hash_vec(F.col("pred")),
+                _hash_vec(F.col("cand")),
+            ),
+            6,
+        ),
+    )
+    ranked = (
+        pos.join(neg, ["subj", "pred"], "left")
+        .groupBy("subj", "pred", "obj", "pen")
+        .agg(
+            (
+                1
+                + F.count_if(
+                    (F.col("nen") < F.col("pen"))
+                    | (
+                        (F.col("nen") == F.col("pen"))
+                        & (F.col("cand") < F.col("obj"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    out = ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.count_if(F.col("rnk") == 1).cast("long").alias("hits1"),
+        F.round(F.avg("rnk"), 4).alias("mean_rank"),
+        F.round(F.avg(F.lit(1.0) / F.col("rnk")), 6).alias("mrr"),
+    )
+    e.unpersist()
+    return out
+
+
+def _kg90_sql() -> str:
+    from .common import MD5LONG_SQL
+    from .kg import _edges_union_sql
+
+    def vec(x):
+        return (
+            f"list_transform(generate_series(1, {_EMB_D}), i -> "
+            f"CAST(CAST('0x' || substr(md5({x}), (i - 1) * 2 + 1, 2) AS INT)"
+            f" AS DOUBLE) / 255.0 - 0.5)"
+        )
+
+    def energy(h, r, t):
+        return (
+            f"sqrt(list_sum(list_transform("
+            f"list_zip({vec(h)}, {vec(r)}, {vec(t)}), "
+            f"z -> (z[1] + z[2] - z[3]) * (z[1] + z[2] - z[3]))))"
+        )
+
+    pick = MD5LONG_SQL.format(
+        x="p.subj || '|' || p.pred || '|' || CAST(u.i AS VARCHAR)"
+    )
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM edges),
+nodes AS (
+  SELECT list_sort(list(DISTINCT n)) AS arr FROM (
+    SELECT subj AS n FROM e UNION SELECT obj FROM e)
+),
+drawn AS (
+  SELECT p.subj, p.pred,
+         arr[CAST({pick} % len(arr) AS BIGINT) + 1] AS cand
+  FROM (SELECT DISTINCT subj, pred FROM e) p
+  CROSS JOIN nodes
+  CROSS JOIN unnest(generate_series(0, {_NEG_K - 1})) AS u(i)
+),
+kept AS (
+  SELECT d.* FROM drawn d
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.subj = d.subj
+                    AND e.pred = d.pred AND e.obj = d.cand)
+),
+pe AS (
+  SELECT subj, pred, obj,
+         ROUND({energy('subj', 'pred', 'obj')}, 6) AS pen
+  FROM e
+),
+ne AS (
+  SELECT subj, pred, cand,
+         ROUND({energy('subj', 'pred', 'cand')}, 6) AS nen
+  FROM kept
+),
+ranked AS (
+  SELECT p.pred, p.subj, p.obj,
+         1 + COUNT(*) FILTER (
+           WHERE n.nen < p.pen
+              OR (n.nen = p.pen AND n.cand < p.obj)) AS rnk
+  FROM pe p LEFT JOIN ne n ON p.subj = n.subj AND p.pred = n.pred
+  GROUP BY p.pred, p.subj, p.obj, p.pen
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) FILTER (WHERE rnk = 1) AS BIGINT) AS hits1,
+       ROUND(AVG(rnk), 4) AS mean_rank,
+       ROUND(AVG(CAST(1 AS DOUBLE) / rnk), 6) AS mrr
+FROM ranked GROUP BY pred
+"""
+
+
+def kg91_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW audit — the diagnostic that decides where the
+    north_star's salted-key treatment is needed ("hot curriculum units
+    like 'lesson' and 'keystage'"): per relationship type, the top-5
+    hottest object endpoints by row count, each with its skew ratio
+    (rows on this key ÷ per-key average for the pred) and a
+    ``needs_salt`` flag at the 10× threshold the engine's salted joins
+    use (q125's replicate factor). One partial-agg groupBy over the
+    edge stream, a broadcast join against the tiny per-pred totals,
+    and a per-pred (bounded-group) top-5 window — no global sort.
+    Ratio arithmetic is double (exact below 2^53 rows·keys; at larger
+    products the 0.5×/10× threshold compares are approximate, which an
+    audit tolerates)."""
+    gb = _wide(spark, sf_dir)
+    per = gb.resolved.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per.groupBy("pred").agg(
+        F.sum("n_rows").alias("_tot"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    ratio = (
+        F.col("n_rows").cast("double")
+        * F.col("_nkeys").cast("double")
+        / F.col("_tot").cast("double")
+    )
+    w = Window.partitionBy("pred").orderBy(F.desc("n_rows"), F.asc("obj"))
+    return (
+        per.join(F.broadcast(tot), "pred")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "pred",
+            "obj",
+            "n_rows",
+            "rk",
+            F.round(ratio, 4).alias("skew_ratio"),
+            (ratio > 10.0).alias("needs_salt"),
+        )
+    )
+
+
+def _kg91_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+per AS (
+  SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM edges GROUP BY pred, obj
+),
+tot AS (
+  SELECT pred, SUM(n_rows) AS _tot, COUNT(*) AS _nkeys
+  FROM per GROUP BY pred
+),
+ranked AS (
+  SELECT p.pred, p.obj, p.n_rows,
+         CAST(row_number() OVER (
+           PARTITION BY p.pred ORDER BY p.n_rows DESC, p.obj) AS BIGINT)
+           AS rk,
+         CAST(p.n_rows AS DOUBLE) * CAST(t._nkeys AS DOUBLE)
+           / CAST(t._tot AS DOUBLE) AS ratio
+  FROM per p JOIN tot t ON p.pred = t.pred
+)
+SELECT pred, obj, n_rows, rk,
+       ROUND(ratio, 4) AS skew_ratio,
+       ratio > 10.0 AS needs_salt
+FROM ranked WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # kg81 — DEGREE ASSORTATIVITY of the curriculum graph: the Pearson
 # correlation between the total degrees of edge endpoints — the one-
@@ -2912,6 +3243,9 @@ QUERIES = {
     "kg39_mention_links": kg39_mention_links,
     "kg87_candidate_links": kg87_candidate_links,
     "kg88_er_canonicalize": kg88_er_canonicalize,
+    "kg89_linking_eval": kg89_linking_eval,
+    "kg90_kgc_ranking": kg90_kgc_ranking,
+    "kg91_skew_audit": kg91_skew_audit,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
@@ -2951,6 +3285,9 @@ ORACLES = {
     "kg39_mention_links": _kg39_sql(),
     "kg87_candidate_links": _kg87_sql(),
     "kg88_er_canonicalize": _kg88_sql(),
+    "kg89_linking_eval": _kg89_sql(),
+    "kg90_kgc_ranking": _kg90_sql(),
+    "kg91_skew_audit": _kg91_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),
