@@ -2748,6 +2748,126 @@ FROM ranked WHERE rk <= 5
 """
 
 
+_ANF_ROUNDS = 3
+_ANF_LGK = 14
+
+
+def kg92_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF-style NEIGHBORHOOD FUNCTION — the classic web-scale
+    graph-distance estimator (Boldi/Rosa/Vigna WWW'11; the ANF/HLL
+    counting idea from Palmer et al. KDD'02): every node carries an HLL
+    sketch of its ≤t-hop out-reachable set, one round is
+    sketch_{t+1}(v) = sketch_t(v) ∪ ⋃_{(v,u)∈E} sketch_t(u) — a join
+    on the edge key + hll_union_agg (register-max, so the result is
+    SET-deterministic regardless of arrival order) — and
+    N(t) = Σ_v |sketch_t(v)| estimates the number of node pairs within
+    distance t. Per-round cost is one bounded join + one partial-agg
+    combine on |V|·(sketch bytes) state: THE scale path where exact
+    pairwise reachability is quadratic.
+
+    Output uses q44's error-bound-boolean trick: an exact pair-count
+    branch (iterated distinct frontier joins — the small-scale
+    verification harness, quadratic by design) runs beside the sketch
+    branch, and the query emits (t, n_pairs_exact, within_10pct) where
+    the boolean pins the HLL estimate to ±10% of exact. Both branches
+    are deterministic, so the DuckDB twin re-derives the exact counts
+    with a recursive CTE and asserts the boolean TRUE."""
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    nodes = (
+        e.select(F.col("subj").alias("id"))
+        .unionByName(e.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    reach = nodes.select(
+        F.col("id").alias("src"), F.col("id").alias("node")
+    ).localCheckpoint()
+    sk = nodes.groupBy("id").agg(
+        F.hll_sketch_agg("id", F.lit(_ANF_LGK)).alias("sk")
+    ).localCheckpoint()
+    exact_rounds = [
+        reach.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_exact"))
+        .withColumn("t", F.lit(0).cast("long"))
+    ]
+    est_rounds = [
+        sk.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n_est"))
+        .withColumn("t", F.lit(0).cast("long"))
+    ]
+    for t in range(1, _ANF_ROUNDS + 1):
+        reach = (
+            reach.unionByName(
+                reach.join(e, reach.node == e.subj).select(
+                    "src", F.col("obj").alias("node")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        nb = sk.select(F.col("id").alias("_nb"), "sk")
+        sk = (
+            e.join(nb, e.obj == nb._nb)
+            .select(F.col("subj").alias("id"), "sk")
+            .unionByName(sk)
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint()
+        )
+        exact_rounds.append(
+            reach.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs_exact")
+            ).withColumn("t", F.lit(t).cast("long"))
+        )
+        est_rounds.append(
+            sk.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n_est"))
+            .withColumn("t", F.lit(t).cast("long"))
+        )
+    exact = exact_rounds[0]
+    for x in exact_rounds[1:]:
+        exact = exact.unionByName(x)
+    est = est_rounds[0]
+    for x in est_rounds[1:]:
+        est = est.unionByName(x)
+    out = exact.join(est, "t").select(
+        "t",
+        "n_pairs_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_pairs_exact"))
+            <= 0.10 * F.col("n_pairs_exact")
+        ).alias("within_10pct"),
+    )
+    e.unpersist()
+    return out
+
+
+def _kg92_sql() -> str:
+    from .kg import _edges_union_sql
+
+    rounds = "".join(
+        f""",
+r{t} AS (
+  SELECT DISTINCT src, node FROM (
+    SELECT src, node FROM r{t - 1}
+    UNION ALL
+    SELECT r.src, e.obj FROM r{t - 1} r JOIN e ON r.node = e.subj)
+)"""
+        for t in range(1, _ANF_ROUNDS + 1)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT)"
+        f" AS n_pairs_exact, TRUE AS within_10pct FROM r{t}"
+        for t in range(_ANF_ROUNDS + 1)
+    )
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+nodes AS (
+  SELECT DISTINCT id FROM (SELECT subj AS id FROM e UNION SELECT obj FROM e)
+),
+r0 AS (SELECT id AS src, id AS node FROM nodes){rounds}
+{selects}
+"""
+
+
 # --------------------------------------------------------------------------
 # kg81 — DEGREE ASSORTATIVITY of the curriculum graph: the Pearson
 # correlation between the total degrees of edge endpoints — the one-
@@ -3246,6 +3366,7 @@ QUERIES = {
     "kg89_linking_eval": kg89_linking_eval,
     "kg90_kgc_ranking": kg90_kgc_ranking,
     "kg91_skew_audit": kg91_skew_audit,
+    "kg92_neighborhood_function": kg92_neighborhood_function,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
@@ -3288,6 +3409,7 @@ ORACLES = {
     "kg89_linking_eval": _kg89_sql(),
     "kg90_kgc_ranking": _kg90_sql(),
     "kg91_skew_audit": _kg91_sql(),
+    "kg92_neighborhood_function": _kg92_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),

@@ -264,6 +264,17 @@ AUDIT = [
     ("kg87_candidate_links", 5, 3),
     # CC rounds are localCheckpointed; the final plan is a scan
     ("kg88_er_canonicalize", 0, 0),
+    # gold join rides the broadcast dict; shuffles = candidate dedup,
+    # rank window, correct-rank join, per-label agg
+    ("kg89_linking_eval", 8, 3),
+    # static plan embeds the kg build + sorted_rank node dim per branch
+    # (kg80's pattern — AQE ReuseExchange dedups at runtime); rank agg
+    # and per-pred metrics ride the (subj, pred) key
+    ("kg90_kgc_ranking", 36, 9),
+    # per-key agg + broadcast totals + bounded per-pred top-5 window
+    ("kg91_skew_audit", 13, 3),
+    # rounds are localCheckpointed; final plan = 8 per-round 1-row aggs
+    ("kg92_neighborhood_function", 9, 0),
 ]
 
 
