@@ -90,6 +90,27 @@ def deletion_variants(col: Column) -> Column:
     )
 
 
+def block_candidates(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """The BLOCKING stage alone: deduped (doc_id, label, mention, nid)
+    candidate pairs from the radius-1 deletion-neighborhood equi-join,
+    before the exact levenshtein filter. Exposed separately so blocking
+    quality (reduction ratio, block precision — kg93) can be measured
+    against the candidate volume the rerank actually sees."""
+    m = mentions.select("doc_id", "label", "mention").withColumn(
+        "variant", F.explode(deletion_variants(F.col("mention")))
+    )
+    d = F.broadcast(
+        dictionary.select("label", "nid")
+        .distinct()
+        .withColumn("variant", F.explode(deletion_variants(F.col("nid"))))
+    )
+    return (
+        m.join(d, on=["label", "variant"])
+        .select("doc_id", "label", "mention", "nid")
+        .distinct()  # a pair can collide on several shared variants
+    )
+
+
 def link_candidates(
     mentions: DataFrame,
     dictionary: DataFrame,
@@ -118,18 +139,8 @@ def link_candidates(
     Returns (doc_id, label, mention, nid, dist, rank) with
     ``rank <= top_k``, ties broken by (dist, nid).
     """
-    m = mentions.select("doc_id", "label", "mention").withColumn(
-        "variant", F.explode(deletion_variants(F.col("mention")))
-    )
-    d = F.broadcast(
-        dictionary.select("label", "nid")
-        .distinct()
-        .withColumn("variant", F.explode(deletion_variants(F.col("nid"))))
-    )
     cand = (
-        m.join(d, on=["label", "variant"])
-        .select("doc_id", "label", "mention", "nid")
-        .distinct()  # a pair can collide on several shared variants
+        block_candidates(mentions, dictionary)
         .withColumn("dist", F.levenshtein("mention", "nid").cast("long"))
         .filter(F.col("dist") <= max_edit)
     )

@@ -490,6 +490,139 @@ FROM correct GROUP BY label
     )
 
 
+def kg93_blocking_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER BLOCKING-QUALITY metrics (Christen's pair measures) — the
+    complement of kg89: where kg89 certifies pair COMPLETENESS (the
+    deletion-neighborhood block never misses a true candidate), this
+    measures pair EFFICIENCY — per label, how much of the naive
+    |mentions| × |entries| theta-join the block eliminates
+    (reduction_ratio) and what fraction of surviving pairs the exact
+    levenshtein rerank keeps (block_precision). These two numbers ARE
+    the blocking-tuning loop a production linker runs: a block with
+    low reduction ratio shuffles too many candidates at 10^12 rows; a
+    block with low precision wastes rerank compute. All counts are
+    exact integers; the two ratios are single divisions of identical
+    longs, so the 6dp rendering is bit-portable."""
+    from ..config.curriculum_schema import NODES
+    from ..operators.linking import block_candidates
+
+    gb = _wide(spark, sf_dir)
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select("label", "mention")
+        .distinct()
+    )
+    p = (F.length("mention") % F.lit(5)) + F.lit(2)
+    noisy = m.select(
+        "label",
+        F.concat(
+            F.substr(F.col("mention"), F.lit(1), p - 1),
+            F.substr(F.col("mention"), p + 1, F.length("mention")),
+        ).alias("mention"),
+    ).distinct()
+    blk = block_candidates(
+        noisy.withColumn("doc_id", F.lit("x")), dims
+    )
+    mm = noisy.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    dd = (
+        dims.select("label", "nid")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
+    )
+    bb = blk.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_block_pairs"),
+        F.count_if(F.levenshtein("mention", "nid") <= 1)
+        .cast("long")
+        .alias("n_true_pairs"),
+    )
+    return (
+        mm.join(dd, "label")
+        .join(bb, "label")
+        .select(
+            "label",
+            "n_mentions",
+            "n_entries",
+            (F.col("n_mentions") * F.col("n_entries"))
+            .cast("long")
+            .alias("n_cross_pairs"),
+            "n_block_pairs",
+            "n_true_pairs",
+            F.round(
+                1
+                - F.col("n_block_pairs")
+                / (F.col("n_mentions") * F.col("n_entries")),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_true_pairs") / F.col("n_block_pairs"), 6
+            ).alias("block_precision"),
+        )
+    )
+
+
+def _kg93_sql() -> str:
+    return (
+        _mention_dict_sql()
+        + """,
+orig AS (SELECT DISTINCT label, mention FROM mention),
+noisy AS (
+  SELECT DISTINCT label,
+         substr(mention, 1, (length(mention) % 5) + 1)
+           || substr(mention, (length(mention) % 5) + 3) AS mention
+  FROM orig
+),
+ser AS (SELECT g.i FROM generate_series(1, 512) AS g(i)),
+mvar AS (
+  SELECT label, mention, mention AS variant FROM noisy
+  UNION
+  SELECT n.label, n.mention,
+         substr(n.mention, 1, g.i - 1) || substr(n.mention, g.i + 1)
+  FROM noisy n JOIN ser g ON g.i <= length(n.mention)
+),
+dvar AS (
+  SELECT label, nid, nid AS variant FROM dict
+  UNION
+  SELECT d.label, d.nid,
+         substr(d.nid, 1, g.i - 1) || substr(d.nid, g.i + 1)
+  FROM dict d JOIN ser g ON g.i <= length(d.nid)
+),
+blk AS (
+  SELECT DISTINCT m.label, m.mention, d.nid
+  FROM mvar m JOIN dvar d ON m.label = d.label AND m.variant = d.variant
+),
+mm AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM noisy GROUP BY label
+),
+dd AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_entries
+  FROM dict GROUP BY label
+),
+bb AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_block_pairs,
+         CAST(COUNT(*) FILTER (WHERE levenshtein(mention, nid) <= 1)
+              AS BIGINT) AS n_true_pairs
+  FROM blk GROUP BY label
+)
+SELECT mm.label, n_mentions, n_entries,
+       n_mentions * n_entries AS n_cross_pairs,
+       n_block_pairs, n_true_pairs,
+       ROUND(1 - CAST(n_block_pairs AS DOUBLE)
+                 / CAST(n_mentions * n_entries AS DOUBLE), 6)
+         AS reduction_ratio,
+       ROUND(CAST(n_true_pairs AS DOUBLE) / CAST(n_block_pairs AS DOUBLE), 6)
+         AS block_precision
+FROM mm JOIN dd ON mm.label = dd.label JOIN bb ON mm.label = bb.label
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # kg64 — out-degree distribution of the resolved curriculum graph, per
 # relationship type (documented "Analysis Queries" family,
@@ -3367,6 +3500,7 @@ QUERIES = {
     "kg90_kgc_ranking": kg90_kgc_ranking,
     "kg91_skew_audit": kg91_skew_audit,
     "kg92_neighborhood_function": kg92_neighborhood_function,
+    "kg93_blocking_efficiency": kg93_blocking_efficiency,
     "kg64_degree_distribution": kg64_degree_distribution,
     "kg65_pagerank": kg65_pagerank,
     "kg66_bfs_depth": kg66_bfs_depth,
@@ -3410,6 +3544,7 @@ ORACLES = {
     "kg90_kgc_ranking": _kg90_sql(),
     "kg91_skew_audit": _kg91_sql(),
     "kg92_neighborhood_function": _kg92_sql(),
+    "kg93_blocking_efficiency": _kg93_sql(),
     "kg64_degree_distribution": _kg64_sql(),
     "kg65_pagerank": _kg65_sql(),
     "kg66_bfs_depth": _kg66_sql(),

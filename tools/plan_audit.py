@@ -275,6 +275,8 @@ AUDIT = [
     ("kg91_skew_audit", 13, 3),
     # rounds are localCheckpointed; final plan = 8 per-round 1-row aggs
     ("kg92_neighborhood_function", 9, 0),
+    # three per-label aggs joined on the 2-row label key
+    ("kg93_blocking_efficiency", 9, 3),
 ]
 
 
