@@ -169,6 +169,66 @@ FROM kv WHERE kind = 'media'
 """
 
 
+def kg94_media_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media→caption ALIGNMENT over the interleaved span sequence — the
+    image/caption pairing a multimodal training pipeline derives from
+    interleaved documents (north_star's "interleaved text + media"):
+    each media span takes the nearest PRECEDING prose span (kind='text')
+    in offset order as its caption; leading media with no prose before
+    it stays uncaptioned (``has_caption=false`` is the curation signal).
+    One spans explode + one window PARTITIONED BY doc_id (per-document
+    groups — never global), `last(..., ignorenulls)` over the strictly-
+    preceding frame; offsets are unique within a document so the order
+    is total."""
+    docs = docs_df(spark, sf_dir)
+    sp = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("off"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = F.last(
+        F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True
+    ).over(w)
+    return (
+        sp.withColumn("caption", cap)
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("off").alias("media_off"),
+            "caption",
+            F.col("caption").isNotNull().alias("has_caption"),
+        )
+    )
+
+
+KG94_SQL = f"""
+WITH sp AS (
+  SELECT doc_id, unnest(spans) AS s FROM '{ORACLE_DOCS}'
+), seq AS (
+  SELECT doc_id, s.kind AS kind, s."text" AS text, s.media_ref AS media_ref,
+         CAST(s."offset" AS BIGINT) AS off
+  FROM sp
+), ann AS (
+  SELECT doc_id, kind, media_ref, off,
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption
+  FROM seq
+)
+SELECT doc_id, media_ref, off AS media_off, caption,
+       caption IS NOT NULL AS has_caption
+FROM ann WHERE kind = 'media'
+"""
+
+
 # --------------------------------------------------------------------------
 # kg33 — node extraction with first-seen dedup (schema_mapper.py:86,172-176):
 # Unit nodes' numeric properties, winner = lowest extraction order among
@@ -656,6 +716,7 @@ QUERIES = {
     "kg30_reconstruct_wide": kg30_reconstruct_wide,
     "kg31_span_fingerprint": kg31_span_fingerprint,
     "kg32_media_assets": kg32_media_assets,
+    "kg94_media_alignment": kg94_media_alignment,
     "kg33_unit_nodes": kg33_unit_nodes,
     "kg34_has_lesson_triples": kg34_has_lesson_triples,
     "kg35_thread_nodes": kg35_thread_nodes,
@@ -874,6 +935,7 @@ ORACLES = {
     "kg30_reconstruct_wide": KG30_SQL,
     "kg31_span_fingerprint": KG31_SQL,
     "kg32_media_assets": KG32_SQL,
+    "kg94_media_alignment": KG94_SQL,
     "kg33_unit_nodes": KG33_SQL,
     "kg34_has_lesson_triples": KG34_SQL,
     "kg35_thread_nodes": KG35_SQL,

@@ -277,6 +277,8 @@ AUDIT = [
     ("kg92_neighborhood_function", 9, 0),
     # three per-label aggs joined on the 2-row label key
     ("kg93_blocking_efficiency", 9, 3),
+    # one spans explode + ONE per-doc window shuffle, no Python
+    ("kg94_media_alignment", 1, 0),
 ]
 
 
