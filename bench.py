@@ -77,15 +77,25 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
         warm_dir = sf_dir
     for name in names:
         run_noop(QUERIES[name](spark, warm_dir))
-    # drop the warm-up's memoized GraphBuild so the timed flagship
-    # rebuilds from scratch and its cache blocks don't hold memory
-    clear_builds()
-
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.monotonic()
-        run_noop(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    # two timed passes, best per query (flagship_at's practice): a
+    # single-JVM local run shares the host with whatever else it is
+    # doing — same-day swings of 1.5-2× with every query proportionally
+    # slower are documented in BASELINE.md, and min-of-2 recovers the
+    # machine's actual capability. clear_builds() between passes drops
+    # the memoized GraphBuild (and its persisted resolved table) so the
+    # second pass re-executes the full pipeline honestly.
+    passes: list[dict[str, float]] = []
+    for _ in range(2):
+        clear_builds()
+        t: dict[str, float] = {}
+        for name in names:
+            t0 = time.monotonic()
+            run_noop(QUERIES[name](spark, sf_dir))
+            t[name] = time.monotonic() - t0
+        passes.append(t)
+    timings = {
+        name: round(min(p[name] for p in passes), 3) for name in names
+    }
 
     total = round(sum(timings.values()), 3)
     n_docs = n_docs_for(sf_dir)
