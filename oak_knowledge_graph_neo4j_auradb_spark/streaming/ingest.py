@@ -172,6 +172,64 @@ def stream_entity_links(
     return q
 
 
+def stream_entity_links_merged(
+    spark: SparkSession,
+    in_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    dictionary: DataFrame,
+    max_edit: int = 1,
+    top_k: int = 1,
+    n_buckets: int = 16,
+):
+    """Streaming fuzzy entity linking into a snapshot-versioned LINK
+    TABLE: each micro-batch's candidates MERGE into a ``SnapshotTable``
+    keyed on the full link identity (doc_id, label, mention, nid), so
+    the sink is idempotent at the STORAGE level — replaying a batch
+    (e.g. after losing the offset log) updates matched keys with
+    identical values instead of double-appending. This is the
+    at-least-once → exactly-once-on-content bridge
+    ``stream_graph_store_updates`` uses for the graph itself, applied
+    to the mention→entity link table; the table's snapshot history is
+    the delivery history (time travel reads any prefix of drains).
+    Batch-local top-k ranking is exact for the same reason as
+    :func:`stream_entity_links` — a document's spans never straddle
+    input files."""
+    from ..plans.snapshots import SnapshotTable
+
+    docs = stream_documents(spark, in_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = (
+            extract_mentions(batch_df)
+            .select("doc_id", "label", "mention")
+            .distinct()
+        )
+        links = link_candidates(
+            m, dictionary, max_edit=max_edit, top_k=top_k
+        )
+        t = SnapshotTable(spark, table_path)
+        if t.current_version() is None:
+            t.create(
+                links,
+                keys=["doc_id", "label", "mention", "nid"],
+                n_buckets=n_buckets,
+            )
+        else:
+            t.merge(links)
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_merge_nodes(
     spark: SparkSession,
     in_dir: str,

@@ -263,3 +263,72 @@ def test_stream_merge_nodes_upserts(spark, dirs, tmp_path):
     t2 = read_merged(spark, tbl)
     n2 = t2.count()
     assert n2 == t2.select("id").distinct().count() >= n1
+
+
+def test_stream_entity_links_merged_storage_idempotent(spark, dirs, tmp_path):
+    """The link-table sink must be exactly-once-on-content even when the
+    offset log is LOST: replaying an already-delivered batch MERGEs
+    identical values into matched keys instead of double-appending."""
+    import shutil
+
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.linking import (
+        extract_mentions,
+        link_candidates,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.snapshots import (
+        SnapshotTable,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.streaming.ingest import (
+        stream_entity_links_merged,
+    )
+
+    table = str(tmp_path / "links")
+    _write_docs(f"{dirs['in']}/part1.parquet", 80, seed=42)
+    dictionary = (
+        extract_mentions(spark.read.parquet(dirs["in"]))
+        .select("label", F.col("mention").alias("nid"))
+        .distinct()
+    )
+
+    def rows():
+        return {
+            tuple(r)
+            for r in SnapshotTable(spark, table)
+            .read()
+            .select("doc_id", "label", "mention", "nid", "dist", "rank")
+            .collect()
+        }
+
+    stream_entity_links_merged(
+        spark, dirs["in"], table, dirs["ckpt"], dictionary, top_k=2
+    )
+    first = rows()
+    assert first
+    v0 = SnapshotTable(spark, table).current_version()
+
+    # lose the offset log entirely → the drain re-delivers part1; the
+    # keyed MERGE must leave the row set bit-identical
+    shutil.rmtree(dirs["ckpt"])
+    stream_entity_links_merged(
+        spark, dirs["in"], table, dirs["ckpt"], dictionary, top_k=2
+    )
+    assert rows() == first
+    assert SnapshotTable(spark, table).current_version() == v0 + 1
+
+    # new file → only the delta inserts; table equals batch linking
+    _write_docs(f"{dirs['in']}/part2.parquet", 50, seed=7)
+    stream_entity_links_merged(
+        spark, dirs["in"], table, dirs["ckpt"], dictionary, top_k=2
+    )
+    m = (
+        extract_mentions(spark.read.parquet(dirs["in"]))
+        .select("doc_id", "label", "mention")
+        .distinct()
+    )
+    batch = {
+        tuple(r)
+        for r in link_candidates(m, dictionary, top_k=2)
+        .select("doc_id", "label", "mention", "nid", "dist", "rank")
+        .collect()
+    }
+    assert rows() == batch
