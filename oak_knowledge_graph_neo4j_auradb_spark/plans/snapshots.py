@@ -313,6 +313,38 @@ class SnapshotTable:
             cur.version, "merge", keep + files, key_list, cur.n_buckets
         )
 
+    def compact(
+        self,
+        min_files_per_bucket: int = 2,
+        max_records_per_file: int = 1_000_000,
+    ) -> Snapshot:
+        """Iceberg ``rewrite_data_files``: rewrite buckets fragmented
+        by appends into one file entry each, content-identical — the
+        maintenance pass a streaming sink needs so per-bucket read
+        fan-in stays O(1) instead of O(drains). Untouched buckets carry
+        forward by reference; the rewrite commits as its own snapshot
+        (operation "compact"), so time travel and ``expire()`` keep
+        their semantics. No dedup happens here — rows are rewritten
+        exactly as stored (``merge`` is the keyed upsert)."""
+        from collections import Counter
+
+        cur = self.snapshot()
+        per = Counter(e["bucket"] for e in cur.files)
+        frag = {b for b, c in per.items() if c >= min_files_per_bucket}
+        if not frag:
+            return cur
+        keep = [e for e in cur.files if e["bucket"] not in frag]
+        old = [e for e in cur.files if e["bucket"] in frag]
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, e["path"]) for e in old]
+        )
+        files = self._stage(
+            df, cur.keys, cur.n_buckets, cur.version + 1, max_records_per_file
+        )
+        return self._commit(
+            cur.version, "compact", keep + files, cur.keys, cur.n_buckets
+        )
+
     def rollback(self, version: int) -> Snapshot:
         """Commit a NEW snapshot whose state is an old snapshot's —
         history stays intact (Iceberg rollback semantics)."""

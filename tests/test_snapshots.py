@@ -164,3 +164,33 @@ def test_manifest_shape(table):
         m = json.load(f)
     assert m["operation"] == "create" and m["keys"] == ["id"]
     assert all({"path", "bucket"} <= set(e) for e in m["files"])
+
+
+def test_compact_rewrites_fragmented_buckets(table, spark):
+    """Appends fragment a bucket across stage dirs; compact() must fold
+    each fragmented bucket back to one file entry, leave content
+    bit-identical, and commit as its own snapshot so history/expire
+    semantics hold."""
+    from collections import Counter
+
+    table.append(
+        spark.createDataFrame([("a2", 4, "y")], "id string, n int, s string")
+    )
+    table.append(
+        spark.createDataFrame([("a3", 5, None)], "id string, n int, s string")
+    )
+    before = _rows(table.read())
+    per = Counter(e["bucket"] for e in table.snapshot().files)
+    assert max(per.values()) >= 2  # fragmentation exists
+    v = table.current_version()
+
+    snap = table.compact()
+    assert snap.operation == "compact"
+    assert table.current_version() == v + 1
+    after_per = Counter(e["bucket"] for e in table.snapshot().files)
+    assert max(after_per.values()) == 1
+    assert _rows(table.read()) == before
+    # time travel still reads the pre-compact state
+    assert _rows(table.read(as_of=v)) == before
+    # idempotent: nothing fragmented → no new commit
+    assert table.compact().version == snap.version
