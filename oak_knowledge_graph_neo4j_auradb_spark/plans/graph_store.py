@@ -42,12 +42,15 @@ deletes (Neo4j MERGE is monotone) and triples carry no per-document
 provenance by design — a triple asserted by any document stays
 asserted until a compaction rebuild.
 
-Every ``update`` advances EVERY table by exactly one snapshot version,
-so one integer *graph version* addresses a consistent cross-table
-state: ``store.nodes("Lesson", as_of=g)`` and ``store.edges(as_of=g)``
-read the graph exactly as update *g* committed it — time travel over
-the whole graph (docs/iceberg_parity.md maps the per-table mechanics
-onto Iceberg).
+Every ``update`` (and ``compact``) advances EVERY table by exactly one
+snapshot version, so one integer *graph version* addresses a consistent
+cross-table state: ``store.nodes("Lesson", as_of=g)`` and
+``store.edges(as_of=g)`` read the graph exactly as update *g* committed
+it — time travel over the whole graph (docs/iceberg_parity.md maps the
+per-table mechanics onto Iceberg). Each commit also appends one row per
+table to an append-only ``metrics`` table (rows written / total rows /
+file count / rewritten buckets, all from manifest footer counts — the
+north rule's metrics table for the incremental path).
 
 Scale contract: extraction runs only over the delta (the batch plan's
 own ``hash(doc_id)`` partitioning); each MERGE reads and rewrites only
@@ -145,6 +148,43 @@ class GraphStore:
     def edges(self, as_of: int | None = None) -> DataFrame:
         return self._table("edges").read(as_of=as_of)
 
+    def metrics(self) -> DataFrame:
+        """Per-commit, per-table maintenance metrics (north-rule metrics
+        table for the incremental path): one row per table per graph
+        version with rows written / total live rows / live file count /
+        rewritten buckets, all derived from manifest footer counts —
+        no data scan. Append-only; survives ``expire``."""
+        return self.spark.read.parquet(os.path.join(self.path, "metrics"))
+
+    def _record_metrics(
+        self, graph_version: int, snaps: dict[str, Snapshot]
+    ) -> None:
+        rows = []
+        for name, snap in sorted(snaps.items()):
+            prefix = os.path.join("data", f"s{snap.version}")
+            new = [e for e in snap.files if e["path"].startswith(prefix)]
+            rows.append(
+                (
+                    graph_version,
+                    name,
+                    snap.operation,
+                    sum(e.get("rows", 0) for e in new),
+                    snap.n_rows,
+                    snap.n_files,
+                    len(new),
+                    float(snap.committed_at),
+                )
+            )
+        df = self.spark.createDataFrame(
+            rows,
+            "graph_version int, table string, operation string, "
+            "rows_written long, rows_total long, n_files int, "
+            "buckets_rewritten int, committed_at double",
+        )
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.path, "metrics")
+        )
+
     def init(
         self,
         docs: DataFrame,
@@ -157,13 +197,16 @@ class GraphStore:
             raise FileExistsError(f"graph store already exists at {self.path}")
         gb = self._build(docs, config, run_ts)
         labels = sorted(gb.nodes)
+        snaps: dict[str, Snapshot] = {}
         for label in labels:
-            self._table(f"nodes/{label}").create(
+            snaps[f"nodes/{label}"] = self._table(f"nodes/{label}").create(
                 gb.nodes[label], "id", n_buckets
             )
-        self._table("edges").create(gb.resolved, EDGE_KEYS, n_buckets)
+        snaps["edges"] = self._table("edges").create(
+            gb.resolved, EDGE_KEYS, n_buckets
+        )
         # the resolution complement parks for later updates to retry
-        self._table("dangling").create(
+        snaps["dangling"] = self._table("dangling").create(
             gb.triples.join(gb.resolved, on=EDGE_KEYS, how="left_anti"),
             EDGE_KEYS,
             n_buckets,
@@ -172,6 +215,7 @@ class GraphStore:
         os.makedirs(self.path, exist_ok=True)
         with open(self._meta_path(), "w") as f:
             json.dump({"labels": labels, "n_buckets": n_buckets}, f)
+        self._record_metrics(0, snaps)
         return {"version": 0, "labels": labels}
 
     def update(
@@ -213,6 +257,7 @@ class GraphStore:
                 "changes need a config migration, not an update"
             )
         rewritten: dict[str, int] = {}
+        snaps: dict[str, Snapshot] = {}
 
         def _merge(name: str, upd: DataFrame) -> Snapshot:
             snap = self._table(name).merge(upd)
@@ -220,6 +265,7 @@ class GraphStore:
             rewritten[name] = sum(
                 1 for e in snap.files if e["path"].startswith(new_prefix)
             )
+            snaps[name] = snap
             return snap
 
         for label in meta["labels"]:
@@ -244,8 +290,9 @@ class GraphStore:
         still_dangling = candidates.join(
             resolved, on=EDGE_KEYS, how="left_anti"
         )
-        self._table("dangling").overwrite(still_dangling)
+        snaps["dangling"] = self._table("dangling").overwrite(still_dangling)
         gb.unpersist()
+        self._record_metrics(esnap.version, snaps)
         return {"version": esnap.version, "buckets_rewritten": rewritten}
 
     def dangling(self, as_of: int | None = None) -> DataFrame:
@@ -303,6 +350,37 @@ class GraphStore:
             lb: t.read(buckets=sorted(touched[lb])).select("id")
             for lb, t in tables.items()
         }
+
+    def compact(self, min_files_per_bucket: int = 2) -> dict[str, Any]:
+        """Graph-level ``rewrite_data_files``: fold append/merge
+        fragmentation in every table back to one file entry per bucket.
+        EVERY table commits exactly one new version — fragmented tables
+        a real rewrite, the rest a by-reference no-op commit — so the
+        one-integer graph version stays aligned and ``as_of`` reads
+        across tables remain consistent through maintenance."""
+        meta = self._meta()
+        tables = [f"nodes/{lb}" for lb in meta["labels"]] + [
+            "edges",
+            "dangling",
+        ]
+        snaps: dict[str, Snapshot] = {}
+        rewritten: dict[str, int] = {}
+        for name in tables:
+            t = self._table(name)
+            before = t.current_version()
+            snap = t.compact(min_files_per_bucket=min_files_per_bucket)
+            if snap.version == before:  # nothing fragmented — stay aligned
+                snap = t.noop("compact-noop")
+                rewritten[name] = 0
+            else:
+                prefix = os.path.join("data", f"s{snap.version}")
+                rewritten[name] = sum(
+                    1 for e in snap.files if e["path"].startswith(prefix)
+                )
+            snaps[name] = snap
+        version = snaps["edges"].version
+        self._record_metrics(version, snaps)
+        return {"version": version, "buckets_rewritten": rewritten}
 
     def expire(self, keep_last: int = 2) -> dict[str, int]:
         """Expire old snapshots across every table (storage bound)."""

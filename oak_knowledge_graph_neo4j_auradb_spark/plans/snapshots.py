@@ -61,6 +61,18 @@ class CommitConflict(RuntimeError):
     """HEAD moved between planning and publish — retry the operation."""
 
 
+def _dir_rows(d: str) -> int:
+    """Row count of every parquet file under ``d``, from footers only."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _, names in os.walk(d):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, nm)).metadata.num_rows
+    return n
+
+
 def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
@@ -85,6 +97,14 @@ class Snapshot:
     @property
     def n_files(self) -> int:
         return len(self.files)
+
+    @property
+    def n_rows(self) -> int | None:
+        """Total live rows per the manifest — the commit-time footer
+        counts, no data read (None for pre-rows manifests)."""
+        if any("rows" not in e for e in self.files):
+            return None
+        return sum(e["rows"] for e in self.files)
 
 
 class SnapshotTable:
@@ -207,7 +227,14 @@ class SnapshotTable:
         for name in sorted(os.listdir(stage_dir)):
             if name.startswith("_pb="):
                 entries.append(
-                    {"path": os.path.join(rel, name), "bucket": int(name[4:])}
+                    {
+                        "path": os.path.join(rel, name),
+                        "bucket": int(name[4:]),
+                        # Iceberg manifests carry per-file record counts;
+                        # same here, from the parquet footers at commit
+                        # time — a metadata-only read, no data scanned.
+                        "rows": _dir_rows(os.path.join(stage_dir, name)),
+                    }
                 )
         return entries
 
@@ -343,6 +370,16 @@ class SnapshotTable:
         )
         return self._commit(
             cur.version, "compact", keep + files, cur.keys, cur.n_buckets
+        )
+
+    def noop(self, operation: str = "noop") -> Snapshot:
+        """Commit a new snapshot identical to HEAD — every file carried
+        by reference, nothing staged. Multi-table stores use this to
+        keep per-table versions ALIGNED when a maintenance pass rewrites
+        only some tables (GraphStore's one-integer graph version)."""
+        cur = self.snapshot()
+        return self._commit(
+            cur.version, operation, cur.files, cur.keys, cur.n_buckets
         )
 
     def rollback(self, version: int) -> Snapshot:

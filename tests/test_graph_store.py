@@ -173,3 +173,62 @@ def test_streaming_cdc_converges(spark, corpus, tmp_path):
     # drain again with nothing new: checkpoint says all files processed
     stream_graph_store_updates(spark, in_dir, store_path, ckpt)
     assert s.version() == 1
+
+
+def test_metrics_table(spark, store):
+    """Every graph commit appends one metrics row per table — rows
+    written, total live rows, live files, rewritten buckets — derived
+    from manifest footer counts (the north rule's metrics table on the
+    incremental path). Totals must agree with the real tables."""
+    s, _ = store
+    m = s.metrics()
+    tables = {f"nodes/{lb}" for lb in s.labels()} | {"edges", "dangling"}
+    per_version = {
+        (r["graph_version"], r["table"]): r for r in m.collect()
+    }
+    for g in (0, 1):
+        assert {t for (v, t) in per_version if v == g} == tables, g
+    assert per_version[(0, "edges")]["operation"] == "create"
+    assert per_version[(1, "edges")]["operation"] == "merge"
+    # manifest-derived totals equal the actual table cardinalities
+    assert per_version[(1, "edges")]["rows_total"] == s.edges().count()
+    lb = s.labels()[0]
+    assert (
+        per_version[(1, f"nodes/{lb}")]["rows_total"]
+        == s.nodes(lb).count()
+    )
+    # version 0 creates write everything as "new"
+    assert (
+        per_version[(0, "edges")]["rows_written"]
+        == per_version[(0, "edges")]["rows_total"]
+    )
+
+
+def test_graph_compact_stays_aligned(spark, store):
+    """Graph-level compact advances EVERY table by exactly one version
+    (rewrite or by-reference no-op), leaves every read identical, and
+    records a metrics row per table."""
+    s, _ = store
+    v = s.version()
+    before_edges = _edge_keyset(s.edges())
+    before_files = {
+        lb: s._table(f"nodes/{lb}").snapshot().n_files for lb in s.labels()
+    }
+    r = s.compact(min_files_per_bucket=2)
+    assert r["version"] == v + 1 == s.version()
+    for lb in s.labels():
+        t = s._table(f"nodes/{lb}")
+        assert t.current_version() == v + 1, lb  # aligned
+        assert t.snapshot().n_files <= before_files[lb], lb
+    assert _edge_keyset(s.edges()) == before_edges
+    # time travel across the maintenance commit still consistent
+    assert _edge_keyset(s.edges(as_of=v)) == before_edges
+    ops = {
+        r["table"]: r["operation"]
+        for r in s.metrics().filter(F.col("graph_version") == v + 1).collect()
+    }
+    assert set(ops) == {f"nodes/{lb}" for lb in s.labels()} | {
+        "edges",
+        "dangling",
+    }
+    assert set(ops.values()) <= {"compact", "compact-noop"}

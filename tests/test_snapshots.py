@@ -194,3 +194,22 @@ def test_compact_rewrites_fragmented_buckets(table, spark):
     assert _rows(table.read(as_of=v)) == before
     # idempotent: nothing fragmented → no new commit
     assert table.compact().version == snap.version
+
+
+def test_manifest_rows_and_noop(table, spark):
+    """Manifests carry per-entry footer row counts (Iceberg record
+    counts), n_rows sums them across carried + staged entries, and
+    noop() commits an identical by-reference snapshot."""
+    assert table.snapshot().n_rows == 3
+    assert all(e["rows"] >= 1 for e in table.snapshot().files)
+    table.merge(
+        spark.createDataFrame([("d", 4, "w")], "id string, n int, s string")
+    )
+    snap = table.snapshot()
+    assert snap.n_rows == 4  # carried entries kept their counts
+
+    v = table.current_version()
+    nsnap = table.noop("compact-noop")
+    assert nsnap.version == v + 1 and nsnap.operation == "compact-noop"
+    assert nsnap.files == snap.files  # by reference, nothing staged
+    assert _rows(table.read()) == _rows(table.read(as_of=v))

@@ -279,6 +279,100 @@ AUDIT = [
     ("kg93_blocking_efficiency", 9, 3),
     # one spans explode + ONE per-doc window shuffle, no Python
     ("kg94_media_alignment", 1, 0),
+    # ------------------------------------------------------------------
+    # Full-surface extension (round 3): every remaining BATCH query,
+    # ratcheted at its measured static-plan stats (AQE off, sf0.01) —
+    # regression pins, not hand-derived budgets. All measured clean:
+    # rowwise_python=0 and raw_global_window=0 across the board. The
+    # large kg5x/kg6x budgets are the uncached-worst-case pattern of
+    # kg72/kg77/kg84: each curriculum traversal's static plan embeds
+    # the full kg build once per consumer branch, which persist +
+    # ReuseExchange collapse at run time.
+    ("q02_topk_orders", 0, 0),
+    ("q03_region_rollup", 2, 0),
+    ("q04_filter_predicates", 0, 0),
+    ("q06_first_seen_dedup", 1, 0),
+    ("q07_token_explode", 1, 0),
+    ("q08_having", 1, 0),
+    ("q09_union", 0, 0),
+    ("q10_anti_join", 1, 0),
+    ("q11_window_topn", 1, 0),
+    ("q12_collect_distinct", 2, 0),
+    ("q13_synthetic_id", 0, 0),
+    ("q14_regex_normalize", 1, 0),
+    ("q15_cast_chain", 1, 0),
+    ("q16_string_transforms", 0, 0),
+    ("q17_json_props", 2, 0),
+    ("q18_tumbling_window", 1, 0),
+    ("q19_sessionize", 1, 0),
+    ("q37_group_percentiles", 1, 0),
+    ("q43_set_ops", 6, 0),
+    ("q44_approx_distinct", 2, 0),
+    ("q45_quantile_sketch", 1, 0),
+    ("q46_pivot", 2, 0),
+    ("q47_customers_without_orders", 1, 0),
+    ("q48_above_customer_avg", 1, 0),
+    ("q49_datetime_family", 1, 0),
+    ("q56_cube_totals", 1, 0),
+    ("q57_rank_family", 1, 0),
+    ("q58_stats_family", 1, 0),
+    ("q59_string_agg", 2, 0),
+    ("q60_sliding_windows", 1, 0),
+    ("q61_session_windows", 1, 0),
+    ("q63_json_path", 2, 0),
+    ("q64_array_functions", 1, 0),
+    ("q65_conditional_agg", 1, 0),
+    ("q67_skew_distinct", 2, 0),
+    ("q21_token_stats", 0, 0),
+    ("q22_quality_score", 0, 0),
+    ("q23_langid", 0, 0),
+    ("q24_minhash_signature", 0, 0),
+    ("q26_simhash", 0, 0),
+    ("q27_ngram_jaccard", 3, 0),
+    ("q28_fingerprint", 0, 0),
+    ("q34_bpe_token_count", 0, 0),
+    ("q50_neardup_clusters", 1, 0),
+    ("q31_ivf_assign", 3, 0),
+    ("q33_ivf_probe_knn", 4, 0),
+    ("kg31_span_fingerprint", 0, 0),
+    ("kg32_media_assets", 0, 0),
+    ("kg33_unit_nodes", 3, 2),
+    ("kg34_has_lesson_triples", 3, 1),
+    ("kg35_thread_nodes", 3, 2),
+    ("kg41_frame_samples", 0, 2),
+    ("kg42_media_embedding_neardup", 2, 6),
+    ("kg85_subset_growth", 0, 0),
+    ("kg36_node_histogram", 5, 2),
+    ("kg37_edge_histogram", 11, 3),
+    ("kg99_flagship", 9, 3),
+    ("q32_connected_components", 0, 0),
+    ("kg38_comention_components", 0, 0),
+    ("kg39_mention_links", 4, 2),
+    ("kg64_degree_distribution", 11, 3),
+    ("kg65_pagerank", 0, 0),
+    ("kg66_bfs_depth", 0, 0),
+    ("kg67_orphan_nodes", 284, 101),
+    ("q54_kcore", 1, 0),
+    ("q55_link_prediction", 6, 0),
+    ("q62_shortest_paths", 0, 0),
+    ("kg69_hits", 0, 0),
+    ("kg70_neighbor_features", 7, 0),
+    ("kg71_personalized_pagerank", 0, 0),
+    ("kg73_root_paths", 1, 0),
+    ("kg50_lessons_of_subject", 40, 14),
+    ("kg51_year_curriculum", 29, 9),
+    ("kg52_examboard_comparison", 29, 9),
+    ("kg53_coverage_analysis", 42, 14),
+    ("kg54_content_gaps", 29, 9),
+    ("kg55_lesson_complexity", 3, 2),
+    ("kg56_keyword_search", 3, 3),
+    ("kg57_subject_directory", 3, 2),
+    ("kg58_keystage_years", 12, 5),
+    ("kg59_unit_hierarchy", 41, 14),
+    ("kg60_unit_prerequisites", 3, 2),
+    ("kg61_thematic_connections", 14, 6),
+    ("kg62_cross_curricular", 29, 9),
+    ("kg63_lesson_details", 3, 3),
 ]
 
 
@@ -381,7 +475,66 @@ def audit_one(spark, name, fn, sf_dir, max_ex, py_allowed):
     }
 
 
+# Not statically auditable: streaming queries execute a stream to
+# completion inside the callable (the returned DF is the drained sink,
+# not the streaming plan), and the snapshot/CSV round-trip + incremental
+# GraphStore queries write real output tables as a side effect. q208 is
+# the deliberately row-wise Python UDTF eval-surface pin.
+UNAUDITABLE = {
+    "q35_stream_windowed_counts",
+    "q36_stream_first_seen",
+    "q66_stream_static_join",
+    "q83_stream_dedup",
+    "q92_stream_merge",
+    "q102_stream_stream_join",
+    "q115_stream_dedup_watermarked",
+    "q124_stream_stateful_counts",
+    "q170_stream_sliding",
+    "q179_snapshot_timetravel",
+    "q181_csv_roundtrip",
+    "kg86_incremental_update",
+    "q208_udtf_tokenize",
+}
+
+
+def measure_missing(sf_dir: str) -> int:
+    """Print suggested AUDIT tuples for every query not yet listed:
+    run each callable, capture the static-plan stats with effectively
+    unbounded budgets, and emit ``(name, measured_ex, measured_py)``
+    lines to ratchet in as regression pins."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+    from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
+
+    spark = get_spark(
+        "plan-audit-measure",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    listed = {name for name, _, _ in AUDIT}
+    todo = [q for q in QUERIES if q not in listed and q not in UNAUDITABLE]
+    for name in todo:
+        try:
+            r = audit_one(spark, name, QUERIES[name], sf_dir, 10**6, 10**6)
+        except Exception as exc:  # noqa: BLE001 — report and move on
+            print(f"# {name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        vals = {k: v for k, v, _ in r["checks"]}
+        flag = "" if vals["rowwise_python"] == 0 else "  # ROWWISE PYTHON!"
+        rawf = "" if vals["raw_global_window"] == 0 else (
+            f"  # RAW GLOBAL WINDOW x{vals['raw_global_window']}!"
+        )
+        print(
+            f'    ("{name}", {vals["exchanges"]}, {vals["python_stages"]}),'
+            f"{flag}{rawf}"
+        )
+    return 0
+
+
 def main() -> int:
+    if "--measure-missing" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "--measure-missing"]
+        return measure_missing(args[0] if args else "/root/testdata/sf0.01")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
