@@ -3398,7 +3398,10 @@ FROM sizes
 # prove the incrementally-maintained graph equals one batch build over
 # the union — edge identity set and per-label node-id set both earned
 # through real two-sided anti-joins, with the update committing as ONE
-# aligned snapshot version. The oracle asserts the invariants hold
+# aligned snapshot version. Also gates the maintenance surface: every
+# commit's per-table metrics rows (manifest footer counts) match the
+# real tables, and a graph-level compact() advances every table by one
+# aligned version leaving reads identical. The oracle asserts the invariants hold
 # (the q44/kg84 asserted-TRUE pattern — GraphStore's mechanics aren't
 # SQL-replayable, but the convergence contract is checkable).
 # --------------------------------------------------------------------------
@@ -3457,11 +3460,47 @@ def kg86_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc_n.exceptAll(full_n).count() == 0
         and full_n.exceptAll(inc_n).count() == 0
     )
+    # maintenance surface: every commit wrote one metrics row per table
+    # with manifest-derived totals matching the real tables, and a
+    # graph-level compact advances EVERY table by one aligned version
+    # while leaving reads identical (plans/graph_store.py)
+    all_tables = {f"nodes/{lb}" for lb in store.labels()} | {
+        "edges",
+        "dangling",
+    }
+    mrows = store.metrics().collect()
+    per_v = {}
+    for r in mrows:
+        per_v.setdefault(r["graph_version"], {})[r["table"]] = r
+    metrics_complete = all(
+        set(per_v.get(g, {})) == all_tables for g in (0, 1)
+    )
+    metrics_match = (
+        per_v[1]["edges"]["rows_total"] == inc_e.count()
+        and per_v[0]["edges"]["rows_total"] == store.edges(as_of=0).count()
+    )
+    pre_compact = store.version()
+    aligned_update = upd["version"] == 1 == pre_compact
+    store.compact()
+    post_e = store.edges().select(*EDGE_KEYS)
+    pre_e = store.edges(as_of=pre_compact).select(*EDGE_KEYS)
+    compact_ok = (
+        store.version() == pre_compact + 1
+        and post_e.exceptAll(pre_e).count() == 0
+        and store.edges().count() == store.edges(as_of=pre_compact).count()
+        and all(
+            store._table(t).current_version() == pre_compact + 1
+            for t in all_tables
+        )
+    )
     rows = [
         ("edges_converge_to_batch", bool(edges_converge)),
         ("nodes_converge_to_batch", bool(nodes_converge)),
         ("update_added_edges", store.edges(as_of=0).count() < inc_e.count()),
-        ("one_aligned_commit", upd["version"] == 1 == store.version()),
+        ("one_aligned_commit", bool(aligned_update)),
+        ("metrics_row_per_table", bool(metrics_complete)),
+        ("metrics_totals_match", bool(metrics_match)),
+        ("compact_aligned_identical", bool(compact_ok)),
     ]
     return spark.createDataFrame(rows, "chk string, ok boolean")
 
@@ -3471,7 +3510,10 @@ SELECT * FROM (VALUES
   ('edges_converge_to_batch', TRUE),
   ('nodes_converge_to_batch', TRUE),
   ('update_added_edges', TRUE),
-  ('one_aligned_commit', TRUE)
+  ('one_aligned_commit', TRUE),
+  ('metrics_row_per_table', TRUE),
+  ('metrics_totals_match', TRUE),
+  ('compact_aligned_identical', TRUE)
 ) AS t(chk, ok)
 """
 
