@@ -35,7 +35,8 @@ the kg86 oracle gate):
   rows no later update revisits. Ship every document of a touched
   join group in the same delta — the per-entity consistency contract
   every CDC feed has. (Document-level hashes do NOT respect this;
-  split on the join key, as kg86 does.)
+  split on :func:`join_group_key`, as kg86 does, or repair a
+  doc-level feed with :func:`align_delta`.)
 
 Deletion is intentionally out of scope: the reference's loader never
 deletes (Neo4j MERGE is monotone) and triples carry no per-document
@@ -77,6 +78,53 @@ from .snapshots import Snapshot, SnapshotTable
 EDGE_KEYS = ["config_key", "pred", "subj", "obj"]
 
 _META = "_graph_meta.json"
+
+
+def join_group_key():
+    """The consolidation join group of a document, as a Column over the
+    interleaved-doc schema.
+
+    ``operators/joins.py:consolidate`` joins primary and supplementary
+    documents on the unit slug, normalizing the variant suffix ONLY on
+    the supplementary side (unit slugs naturally end in digits —
+    normalizing both sides over-strips and re-splits groups). Documents
+    sharing this key must ship in the same delta (module docstring);
+    docs with no unit_slug span fall back to their own doc_id (they
+    join nothing)."""
+    from ..functions.scalars import normalize_unit_slug
+
+    raw = F.element_at(
+        F.expr("filter(spans, s -> s.text LIKE 'unit_slug=%')"), 1
+    )["text"]
+    val = F.regexp_replace(raw, "^unit_slug=", "")
+    return F.coalesce(
+        F.when(
+            F.col("doc_id").startswith("sup-"), normalize_unit_slug(val)
+        ).otherwise(val),
+        F.col("doc_id"),
+    )
+
+
+def align_delta(docs_delta: DataFrame, docs_full: DataFrame) -> DataFrame:
+    """Expand a document delta to its JOIN-GROUP CLOSURE: every document
+    of ``docs_full`` whose join group intersects the delta's.
+
+    ``GraphStore.update`` requires join-group-aligned deltas — a delta
+    that splits a group extracts incomplete wide rows no later update
+    revisits. CDC feeds keyed per-document (file drops, doc-id hash
+    shards) do NOT respect that; this helper repairs such a feed by
+    pulling in the group siblings. Re-shipping a sibling that was
+    already absorbed is harmless — extraction is deterministic and the
+    MERGE is idempotent on identical rows. Cost: one semi-join of the
+    corpus against the delta's distinct group keys (delta-sized probe,
+    AQE picks broadcast when small)."""
+    key = join_group_key()
+    touched = docs_delta.select(key.alias("_jg")).distinct()
+    return (
+        docs_full.withColumn("_jg", key)
+        .join(touched, "_jg", "leftsemi")
+        .drop("_jg")
+    )
 
 
 class GraphStore:

@@ -3411,29 +3411,14 @@ def kg86_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..functions.scalars import normalize_unit_slug
-    from ..plans.graph_store import EDGE_KEYS, GraphStore
+    from ..plans.graph_store import EDGE_KEYS, GraphStore, join_group_key
     from .kg import _wide, docs_df
 
     docs = docs_df(spark, sf_dir)
     # join-group-aligned split (graph_store.py caller contract): every
-    # document of a (normalized) unit_slug ships in the same segment,
+    # document of a consolidation join group ships in the same segment,
     # so the primary⋈supplementary join never straddles the boundary
-    raw = F.element_at(
-        F.expr("filter(spans, s -> s.text LIKE 'unit_slug=%')"), 1
-    )["text"]
-    val = F.regexp_replace(raw, "^unit_slug=", "")
-    # the join normalizes ONLY the supplementary side's variant suffix
-    # (joins.py:prepare_supplementary) — normalizing the primary side
-    # too would over-strip slugs that naturally end in digits and
-    # re-split the groups
-    group_key = F.coalesce(
-        F.when(
-            F.col("doc_id").startswith("sup-"), normalize_unit_slug(val)
-        ).otherwise(val),
-        F.col("doc_id"),
-    )
-    is_delta = F.pmod(F.xxhash64(group_key), F.lit(4)) == 0
+    is_delta = F.pmod(F.xxhash64(join_group_key()), F.lit(4)) == 0
     store = GraphStore(
         spark, os.path.join(tempfile.mkdtemp(prefix="kg86_"), "g")
     )

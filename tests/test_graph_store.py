@@ -21,31 +21,18 @@ N_DOCS = 400
 
 @pytest.fixture(scope="module")
 def corpus(spark, tmp_path_factory):
-    from oak_knowledge_graph_neo4j_auradb_spark.functions.scalars import (
-        normalize_unit_slug,
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.graph_store import (
+        join_group_key,
     )
 
     full = spark.read.parquet(
         ensure_documents(str(tmp_path_factory.mktemp("docs")), N_DOCS)
     )
     # deterministic ~3:1 JOIN-GROUP-ALIGNED split (the update contract:
-    # all documents of a normalized unit_slug ship together) — the
+    # all documents of a consolidation join group ship together) — the
     # delta stands in for "documents that arrived after the initial
     # batch build"
-    raw = F.element_at(
-        F.expr("filter(spans, s -> s.text LIKE 'unit_slug=%')"), 1
-    )["text"]
-    val = F.regexp_replace(raw, "^unit_slug=", "")
-    # normalize ONLY the supplementary side — mirroring the join
-    # (joins.py:prepare_supplementary strips the variant suffix there,
-    # never on the primary side)
-    key = F.coalesce(
-        F.when(
-            F.col("doc_id").startswith("sup-"), normalize_unit_slug(val)
-        ).otherwise(val),
-        F.col("doc_id"),
-    )
-    is_delta = F.pmod(F.xxhash64(key), F.lit(4)) == 0
+    is_delta = F.pmod(F.xxhash64(join_group_key()), F.lit(4)) == 0
     return full, full.filter(~is_delta), full.filter(is_delta)
 
 
@@ -232,3 +219,39 @@ def test_graph_compact_stays_aligned(spark, store):
         "dangling",
     }
     assert set(ops.values()) <= {"compact", "compact-noop"}
+
+
+def test_align_delta_repairs_doc_level_feed(spark, corpus, tmp_path):
+    """A doc-id-hash split VIOLATES the join-group contract (primary
+    and supplementary halves of a unit can land on opposite sides).
+    align_delta expands the delta to its join-group closure; the store
+    then converges to the batch build even from the unaligned feed."""
+    from oak_knowledge_graph_neo4j_auradb_spark.plans.graph_store import (
+        align_delta,
+        join_group_key,
+    )
+
+    full, _, _ = corpus
+    # doc-level split — the contract-violating feed shape
+    is_delta = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) == 0
+    base_raw, delta_raw = full.filter(~is_delta), full.filter(is_delta)
+    # the raw split genuinely splits at least one join group (else this
+    # test proves nothing)
+    k = join_group_key().alias("k")
+    straddling = (
+        base_raw.select(k).join(delta_raw.select(k), "k", "leftsemi")
+        .distinct().count()
+    )
+    assert straddling > 0, "split never straddles a group — regen corpus"
+
+    s = GraphStore(spark, str(tmp_path / "g"))
+    s.init(align_delta(base_raw, full))
+    s.update(align_delta(delta_raw, full))
+
+    gb_full = build_graph(spark, full)
+    assert _edge_keyset(s.edges()) == _edge_keyset(gb_full.resolved)
+    for label in s.labels():
+        got = {r["id"] for r in s.nodes(label).select("id").collect()}
+        want = {r["id"] for r in gb_full.nodes[label].select("id").collect()}
+        assert got == want, label
+    gb_full.unpersist()
