@@ -294,7 +294,11 @@ def stream_graph_store_updates(
 
     Micro-batches must be join-group-aligned (graph_store.py caller
     contract), which CDC feeds that partition by entity satisfy by
-    construction."""
+    construction. A producer that shards per document instead must
+    repair each drop to its join-group closure before landing it
+    (``plans.graph_store.align_delta`` — needs the producer's corpus
+    view, which only the producer has; the sink cannot reconstruct
+    group siblings it was never sent)."""
     from ..plans.graph_store import GraphStore
 
     store = GraphStore(spark, store_path)
