@@ -255,3 +255,22 @@ def test_align_delta_repairs_doc_level_feed(spark, corpus, tmp_path):
         want = {r["id"] for r in gb_full.nodes[label].select("id").collect()}
         assert got == want, label
     gb_full.unpersist()
+
+
+def test_expire_bounds_storage_keeps_metrics(spark, store):
+    """After maintenance, expire(keep_last=2) drops old manifests and
+    unreferenced files but current reads are unchanged and the
+    append-only metrics audit trail keeps every version's rows."""
+    s, _ = store
+    v = s.version()  # ≥ 3 by now (update, re-update, compact ran)
+    assert v >= 2
+    before = _edge_keyset(s.edges())
+    r = s.expire(keep_last=2)
+    assert r["manifests_removed"] > 0
+    assert _edge_keyset(s.edges()) == before
+    assert _edge_keyset(s.edges(as_of=v)) == before
+    # metrics survive expiry for EVERY version ever committed
+    versions = {
+        row["graph_version"] for row in s.metrics().select("graph_version").collect()
+    }
+    assert versions == set(range(v + 1))
