@@ -106,6 +106,177 @@ def connected_components(
     return labels.select(F.col("n").alias("id"), F.col("comp").alias("canonical_id"))
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+    max_fixpoint_iter: int = 200,
+) -> DataFrame:
+    """(id, scc_id) over a DIRECTED edge list — scc_id is the min node
+    id of the strongly connected component.
+
+    FW-BW-Trim coloring (Slota, Rajamanickam & Madduri, "BFS and
+    Coloring-Based Parallel Algorithms for Strongly Connected
+    Components", IPDPS 2014), expressed as DataFrame joins:
+
+    each outer round
+      1. **Trim** to fixpoint: a node with no in-edge or no out-edge in
+         the remaining subgraph is its own SCC (it can sit on no cycle).
+         Trimming alone dissolves any DAG region, so outer rounds pay
+         only for genuinely nested cycle structure.
+      2. **Color** forward to fixpoint: color(v) = max id over
+         ancestors(v) ∪ {v}, propagated along out-edges (one join + one
+         max-aggregate per iteration — the same map-side-combine shape
+         as ``connected_components``, so hub skew collapses before the
+         exchange and AQE splits what remains).
+      3. **Backward containment**: within each color class c the node
+         with id == c is the class root (its max ancestor is itself);
+         SCC(c) = nodes of class c that REACH c, found by backward BFS
+         along in-edges restricted to the class. Every nonempty class
+         settles one SCC per round, so distinct classes make parallel
+         progress.
+      4. Settled nodes and their edges leave the remaining subgraph.
+
+    Scale notes: every step is a key-partitioned join/aggregate (no
+    global sort, no driver-side adjacency); per-iteration lineage is cut
+    with ``localCheckpoint`` exactly as in ``connected_components``. The
+    count() per iteration is O(1) driver data. Rounds are bounded by the
+    SCC-condensation nesting depth observed through max-id roots, not by
+    |V|; ``max_rounds`` is a safety net that raises rather than returns
+    a partial answer.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    schema = nodes.select(
+        "id", F.col("id").alias("scc_id")
+    ).schema
+    assigned = spark.createDataFrame([], schema)
+    rem_n, rem_e = nodes, e
+    n_rem = rem_n.count()
+    for _ in range(max_rounds):
+        if n_rem == 0:
+            return assigned
+        # -- 1. trim zero-in/zero-out nodes (singleton SCCs) to fixpoint
+        for _t in range(max_fixpoint_iter):
+            keep = (
+                rem_n.join(
+                    rem_e.select(F.col("dst").alias("id")).distinct(),
+                    "id",
+                    "semi",
+                )
+                .join(
+                    rem_e.select(F.col("src").alias("id")).distinct(),
+                    "id",
+                    "semi",
+                )
+                .localCheckpoint()
+            )
+            k = keep.count()
+            if k == n_rem:
+                break
+            peeled = rem_n.join(keep, "id", "anti")
+            assigned = assigned.unionByName(
+                peeled.select("id", F.col("id").alias("scc_id"))
+            ).localCheckpoint()
+            rem_n = keep
+            rem_e = (
+                rem_e.join(
+                    keep.select(F.col("id").alias("src")), "src", "semi"
+                )
+                .join(keep.select(F.col("id").alias("dst")), "dst", "semi")
+                .localCheckpoint()
+            )
+            n_rem = k
+        if n_rem == 0:
+            return assigned
+        # -- 2. forward max-color propagation to fixpoint
+        color = rem_n.select("id", F.col("id").alias("color")).localCheckpoint()
+        for _c in range(max_fixpoint_iter):
+            pred_max = (
+                rem_e.join(
+                    color.withColumnRenamed("id", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("pcolor"))
+            )
+            new = (
+                color.join(pred_max, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(
+                        "color", F.coalesce("pcolor", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.join(
+                    color.withColumnRenamed("color", "old"), "id"
+                )
+                .filter(F.col("color") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: coloring fixpoint did not "
+                f"converge in {max_fixpoint_iter} iterations"
+            )
+        # -- 3. backward BFS from each class root, inside the class
+        members = color.filter(F.col("id") == F.col("color")).localCheckpoint()
+        frontier = members
+        for _b in range(max_fixpoint_iter):
+            preds = (
+                rem_e.join(
+                    frontier.withColumnRenamed("id", "dst"), "dst"
+                )
+                .select(F.col("src").alias("id"), "color")
+                .join(color, ["id", "color"], "semi")
+                .distinct()
+                .join(members, ["id"], "anti")
+                .localCheckpoint()
+            )
+            if preds.limit(1).count() == 0:
+                break
+            members = members.unionByName(preds).localCheckpoint()
+            frontier = preds
+        scc_rep = members.groupBy("color").agg(F.min("id").alias("scc_id"))
+        assigned = assigned.unionByName(
+            members.join(scc_rep, "color").select("id", "scc_id")
+        ).localCheckpoint()
+        # -- 4. settled nodes leave the remaining subgraph
+        rem_n = rem_n.join(members.select("id"), "id", "anti").localCheckpoint()
+        rem_e = (
+            rem_e.join(
+                members.select(F.col("id").alias("src")), "src", "anti"
+            )
+            .join(members.select(F.col("id").alias("dst")), "dst", "anti")
+            .localCheckpoint()
+        )
+        n_rem = rem_n.count()
+    if n_rem != 0:
+        raise RuntimeError(
+            f"strongly_connected_components: {n_rem} nodes unsettled after "
+            f"{max_rounds} rounds"
+        )
+    return assigned
+
+
 def canonicalize(
     df: DataFrame,
     components: DataFrame,

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.components import connected_components
+from ..operators.components import (
+    connected_components,
+    strongly_connected_components,
+)
 from ..operators.linking import (
     extract_mentions,
     link_candidates,
@@ -3503,7 +3506,67 @@ SELECT * FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# q215 — strongly connected components over a DIRECTED lineitem-derived
+# graph: odd-suppkey lineitems point order→part, even-suppkey lineitems
+# point part→order, so alternating o→p→o'→p'→o chains close real cycles
+# (one giant SCC plus small ones — the web-graph bowtie shape). Engine:
+# FW-BW-Trim coloring (operators/components.py:strongly_connected_
+# components) — trim dissolves the DAG fringe, forward max-coloring +
+# backward containment settle the cyclic core; every step a partitioned
+# join/aggregate, no global sort. Oracle: recursive-CTE transitive
+# closure, SCC(v) = min{w : reach(v,w) ∧ reach(w,v)} — exact but
+# O(closure) memory, small graphs only; the Spark side is the scale
+# path. Output: one row per SCC (scc_id = min member id, size).
+# --------------------------------------------------------------------------
+
+
+def q215_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 20 == 0)
+    o_id = (F.col("l_orderkey") * 2).cast("long")
+    p_id = (F.col("l_partkey") * 2 + 1).cast("long")
+    odd = F.col("l_suppkey") % 2 == 1
+    edges = li.select(
+        F.when(odd, o_id).otherwise(p_id).alias("src"),
+        F.when(odd, p_id).otherwise(o_id).alias("dst"),
+    ).distinct()
+    scc = strongly_connected_components(edges)
+    return scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+
+
+Q215_SQL = """
+WITH RECURSIVE
+li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey % 20 = 0
+),
+e AS (
+  SELECT DISTINCT
+    CASE WHEN l_suppkey % 2 = 1 THEN l_orderkey * 2
+         ELSE l_partkey * 2 + 1 END AS src,
+    CASE WHEN l_suppkey % 2 = 1 THEN l_partkey * 2 + 1
+         ELSE l_orderkey * 2 END AS dst
+  FROM li
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+pairs AS (
+  SELECT r1.src AS v, r1.dst AS w
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+),
+scc AS (SELECT v, MIN(w) AS scc_id FROM pairs GROUP BY v)
+SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q215_scc": q215_scc,
     "q200_connectivity_fraction": q200_connectivity_fraction,
     "kg84_endpoint_contract": kg84_endpoint_contract,
     "kg86_incremental_update": kg86_incremental_update,
@@ -3548,6 +3611,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q215_scc": Q215_SQL,
     "q200_connectivity_fraction": Q200_SQL,
     "kg84_endpoint_contract": _kg84_sql(),
     "kg86_incremental_update": KG86_SQL,
