@@ -3565,8 +3565,64 @@ SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q216 — native Spark 4 recursive CTE (SPARK-24497): multi-hop
+# reachability from the keystage roots expressed as WITH RECURSIVE ...
+# UNION ALL and executed by Catalyst's iterative UnionLoop — no Python
+# driver loop at all. Both engines run the IDENTICAL recursive core
+# (_Q216_CORE below, depth-guarded UNION ALL walks + MIN(depth)
+# regroup, the standard cycle-safe min-depth idiom since neither engine
+# allows UNION-dedup recursion); they differ only in the prologue that
+# derives the edge set (Spark: a temp view over the resolved KG edge
+# table; DuckDB: the shared docs-parquet edge reconstruction). Output:
+# per keystage root, the number of nodes first reached at each depth —
+# the BFS level profile. Scale: the recursion carries (src, id, depth)
+# keys through hash joins; walk counts stay near pair counts on the
+# curriculum DAG (measured 2402 walks vs 1072 pairs at depth 4), and
+# the depth guard bounds the iteration count statically.
+# --------------------------------------------------------------------------
+
+_Q216_CORE = """
+walk(src, id, depth) AS (
+  SELECT id, id, 0 FROM q216_seeds
+  UNION ALL
+  SELECT w.src, g.obj, w.depth + 1
+  FROM walk w JOIN q216_edges g ON g.subj = w.id
+  WHERE w.depth < 4
+),
+md AS (SELECT src, id, MIN(depth) AS d FROM walk GROUP BY src, id)
+SELECT src, d AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM md WHERE d > 0 GROUP BY src, d
+"""
+
+
+def q216_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct()
+    e.createOrReplaceTempView("q216_edges")
+    e.filter(F.col("subj").startswith("ks")).select(
+        F.col("subj").alias("id")
+    ).distinct().createOrReplaceTempView("q216_seeds")
+    return spark.sql("WITH RECURSIVE " + _Q216_CORE)
+
+
+def _q216_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+q216_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+q216_seeds AS (
+  SELECT DISTINCT subj AS id FROM q216_edges WHERE subj LIKE 'ks%'
+),
+{_Q216_CORE}
+"""
+
+
 QUERIES = {
     "q215_scc": q215_scc,
+    "q216_recursive_reach": q216_recursive_reach,
     "q200_connectivity_fraction": q200_connectivity_fraction,
     "kg84_endpoint_contract": kg84_endpoint_contract,
     "kg86_incremental_update": kg86_incremental_update,
@@ -3612,6 +3668,7 @@ QUERIES = {
 
 ORACLES = {
     "q215_scc": Q215_SQL,
+    "q216_recursive_reach": _q216_sql(),
     "q200_connectivity_fraction": Q200_SQL,
     "kg84_endpoint_contract": _kg84_sql(),
     "kg86_incremental_update": KG86_SQL,

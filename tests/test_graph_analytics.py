@@ -102,6 +102,35 @@ def test_orphans_only_schemaversion(spark, sf_dir):
     assert {(r["label"], r["n_orphans"]) for r in rows} == {("Schemaversion", 1)}
 
 
+def test_recursive_reach_native_and_consistent(spark, sf_dir):
+    """q216 must execute through Catalyst's native recursive-CTE
+    machinery (UnionLoop in the optimized plan — no Python driver
+    loop), and its depth-1 counts must equal each keystage's distinct
+    out-neighborhood computed independently."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        q216_recursive_reach,
+    )
+
+    df = q216_recursive_reach(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan
+    rows = df.collect()
+    assert rows and all(1 <= r["depth"] <= 4 and r["n_nodes"] > 0 for r in rows)
+    got_d1 = {r["src"]: r["n_nodes"] for r in rows if r["depth"] == 1}
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct()
+    want_d1 = {
+        r["subj"]: r["n"]
+        for r in e.filter(
+            F.col("subj").startswith("ks") & (F.col("subj") != F.col("obj"))
+        )
+        .groupBy("subj")
+        .agg(F.countDistinct("obj").alias("n"))
+        .collect()
+    }
+    assert got_d1 == want_d1
+
+
 def test_triangle_counts_handcrafted(spark):
     """K4 plus a pendant: every K4 vertex sits in C(3,2)=3 triangles,
     the pendant in none — checks the degree-ordered orientation counts
