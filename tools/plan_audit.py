@@ -258,6 +258,12 @@ AUDIT = [
     ("q212_macro_f1", 4, 0),  # actual/pred rollups share the cls key
     ("q213_interval_union", 3, 0),  # netted deltas + shared type window
     ("q214_entropy_rate", 4, 0),  # P checkpointed; final join + 1-row agg
+    # FW-BW rounds are localCheckpointed; the final plan is a size agg
+    ("q215_scc", 1, 0),
+    # native UNION recursion: per-level BFS joins + the level profile
+    # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
+    # feeding both anchor and recursive branches
+    ("q216_recursive_reach", 20, 6),
     # deletion-variant explode is in-place; dict side broadcasts; the
     # only shuffles are candidate dedup + per-mention rank window (the
     # kg-build wide melt contributes its 3 sanctioned Arrow stages)
