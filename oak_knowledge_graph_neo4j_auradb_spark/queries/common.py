@@ -80,7 +80,11 @@ def histogram_rank(
     each value's cumulative offset. (b) Per-value ``row_number`` over
     ``Window.partitionBy(value_col)`` — distributed. rank = offset +
     within-value rank: bit-identical to the single-sort form for any
-    input. ``total`` optionally attaches the global row count (needed
+    input with NON-NULL ``value_col`` — the histogram equi-join drops
+    NULL values where ``ROW_NUMBER() OVER (ORDER BY ...)`` would rank
+    them (NULLS FIRST asc); callers rank derived, never-null measures,
+    so filter or coalesce NULLs before calling with a nullable column.
+    ``total`` optionally attaches the global row count (needed
     by :func:`exact_ntile`) from the same histogram — no extra scan.
     The histogram join is left unhinted so AQE can broadcast it when
     small and shuffle it when a 100-TB corpus has many distinct values.
