@@ -42,7 +42,7 @@ because curriculum alias clusters are shallow (diameter ≤ 4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -295,3 +295,148 @@ def canonicalize(
         .withColumn(id_col, F.coalesce(F.col("_canon"), F.col(id_col)))
         .drop("_canon")
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    priority=None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(id, round) — deterministic Luby maximal independent set.
+
+    Luby's algorithm (Luby 1986, the textbook O(log n)-round parallel
+    MIS): each round, every still-active vertex whose priority is
+    strictly below every active neighbor's joins the set; winners and
+    their neighborhoods retire. ``priority`` is a Column function of
+    the node id — pass a deterministic hash (callers wanting an
+    engine-portable oracle twin pass the shared md5-based hash) so the
+    "random" draw is a pure function of the id and both the rounds and
+    the final set replay bit-identically anywhere.
+
+    Scale shape per round: one join (active adjacency ⨝ active
+    priorities) + one min-aggregate for the neighborhood minimum, one
+    broadcast-able anti-join to retire vertices, two semi-joins to
+    shrink the adjacency — all partitioned on node id, map-side
+    combined, no global structure. ``localCheckpoint`` truncates the
+    per-round lineage exactly as ``connected_components`` does. The
+    reference engine has no MIS operator; this is the standard
+    distributed formulation over the same edge shape its linking
+    stages emit.
+    """
+    if priority is None:
+        priority = F.xxhash64
+    fwd = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    rev = edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    adj = (
+        fwd.unionByName(rev)
+        .filter(F.col("n") != F.col("m"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    act = (
+        adj.select("n")
+        .distinct()
+        .withColumn("p", priority(F.col("n")))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for r in range(max_rounds):
+        if act.isEmpty():
+            break
+        mn = (
+            adj.join(
+                act.select(F.col("n").alias("m"), F.col("p").alias("pm")),
+                "m",
+            )
+            .groupBy("n")
+            .agg(F.min("pm").alias("mn"))
+        )
+        winners = (
+            act.join(mn, "n", "left")
+            .filter(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("n", F.lit(r).cast("int").alias("round"))
+            .localCheckpoint()
+        )
+        out = winners if out is None else out.unionByName(winners)
+        nbrs = adj.join(winners.select(F.col("n").alias("m")), "m").select("n")
+        removed = winners.select("n").unionByName(nbrs).distinct()
+        act = act.join(removed, "n", "anti").localCheckpoint()
+        keep = act.select("n")
+        adj = (
+            adj.join(keep, "n", "semi")
+            .join(keep.withColumnRenamed("n", "m"), "m", "semi")
+            .localCheckpoint(eager=False)
+        )
+    if out is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "n string, round int")
+    return out.withColumnRenamed("n", "id")
+
+
+def maximal_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    priority=None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(s, d, round) — deterministic distributed greedy maximal matching.
+
+    Hoepman-style proposal rounds: each active vertex proposes its
+    minimum-priority incident edge; an edge proposed by BOTH endpoints
+    is matched and its endpoints retire. With a deterministic edge
+    priority (a hash of the canonical endpoint pair) every round is a
+    pure function of the surviving graph, so the result replays
+    bit-identically and an unrolled-round SQL twin can re-derive it.
+
+    Scale shape per round: the per-vertex argmin is a window
+    ROW_NUMBER partitioned BY VERTEX (never global), the mutual check
+    is one count-2 aggregate on the proposed edge key, retirement is
+    an anti-join — everything keyed, nothing single-partition.
+    """
+    if priority is None:
+        priority = F.xxhash64
+    s, d = F.col(src), F.col(dst)
+    canon = edges.select(
+        F.least(s, d).alias("s"), F.greatest(s, d).alias("d")
+    ).filter(F.col("s") != F.col("d")).distinct()
+    canon = canon.withColumn(
+        "q", priority(F.concat_ws("|", "s", "d"))
+    ).localCheckpoint(eager=False)
+
+    out = None
+    for r in range(max_rounds):
+        if canon.isEmpty():
+            break
+        inc = canon.select(F.col("s").alias("v"), "s", "d", "q").unionByName(
+            canon.select(F.col("d").alias("v"), "s", "d", "q")
+        )
+        w = Window.partitionBy("v").orderBy("q", "s", "d")
+        prop = inc.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        matched = (
+            prop.groupBy("s", "d")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 2)
+            .select("s", "d", F.lit(r).cast("int").alias("round"))
+            .localCheckpoint()
+        )
+        if matched.isEmpty():
+            break
+        out = matched if out is None else out.unionByName(matched)
+        gone = matched.select(F.col("s").alias("v")).unionByName(
+            matched.select(F.col("d").alias("v"))
+        )
+        canon = (
+            canon.join(gone.withColumnRenamed("v", "s"), "s", "anti")
+            .join(gone.withColumnRenamed("v", "d"), "d", "anti")
+            .select("s", "d", "q")
+            .localCheckpoint()
+        )
+    if out is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "s string, d string, round int")
+    return out

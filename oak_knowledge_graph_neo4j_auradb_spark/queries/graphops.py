@@ -3620,7 +3620,178 @@ q216_seeds AS (
 """
 
 
+# --------------------------------------------------------------------------
+# q217 — Luby maximal independent set over the q32 order↔part bipartite
+# graph. Engine: operators/components.py:luby_mis — per round ONE
+# adjacency⋈priority join + min-aggregate (map-side combined), an
+# anti-join retire, two semi-join shrinks; priorities are the shared
+# engine-portable md5 hash so the rounds replay bit-identically in the
+# oracle. Oracle: the identical algorithm unrolled round-by-round in
+# SQL (_q217_sql) — same graph, same hash, same strict-< winner rule.
+# Scale: every step is keyed on node id; no global sort, no broadcast
+# of anything data-proportional; O(log n) expected rounds (Luby 1986).
+# --------------------------------------------------------------------------
+
+_MIS_ROUNDS = 12
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+
+
+def q217_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import luby_mis
+    from .common import md5long
+
+    return luby_mis(
+        _bipartite_edges(spark, sf_dir),
+        priority=md5long,
+        max_rounds=_MIS_ROUNDS,
+    )
+
+
+_Q_BIPARTITE_SQL = """
+e0 AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey % 50 = 0
+)"""
+
+
+def _q217_sql(rounds: int = _MIS_ROUNDS) -> str:
+    from .common import MD5LONG_SQL
+
+    parts = [
+        _Q_BIPARTITE_SQL,
+        """
+sym0 AS MATERIALIZED (
+  SELECT src AS n, dst AS m FROM e0
+  UNION
+  SELECT dst AS n, src AS m FROM e0
+),
+act0 AS MATERIALIZED (
+  SELECT n, {p} AS p FROM (SELECT DISTINCT n FROM sym0)
+)""".format(p=MD5LONG_SQL.format(x="n")),
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+mn{r} AS MATERIALIZED (
+  SELECT s.n, MIN(a.p) AS mn
+  FROM sym{r} s JOIN act{r} a ON a.n = s.m GROUP BY s.n
+),
+mis{r} AS MATERIALIZED (
+  SELECT a.n, CAST({r} AS INT) AS round
+  FROM act{r} a LEFT JOIN mn{r} m ON m.n = a.n
+  WHERE m.mn IS NULL OR a.p < m.mn
+),
+rem{r} AS MATERIALIZED (
+  SELECT n FROM mis{r}
+  UNION
+  SELECT s.n FROM sym{r} s JOIN mis{r} w ON w.n = s.m
+),
+act{r + 1} AS MATERIALIZED (
+  SELECT a.n, a.p FROM act{r} a
+  WHERE NOT EXISTS (SELECT 1 FROM rem{r} x WHERE x.n = a.n)
+),
+sym{r + 1} AS MATERIALIZED (
+  SELECT s.n, s.m FROM sym{r} s
+  WHERE EXISTS (SELECT 1 FROM act{r + 1} x WHERE x.n = s.n)
+    AND EXISTS (SELECT 1 FROM act{r + 1} y WHERE y.n = s.m)
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT n, round FROM mis{r}" for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT n AS id, round FROM ({union})"
+    )
+
+
+# --------------------------------------------------------------------------
+# q218 — deterministic distributed maximal matching over the same
+# bipartite graph (Hoepman-style mutual-proposal rounds). Engine:
+# operators/components.py:maximal_matching — the per-vertex argmin is a
+# ROW_NUMBER window PARTITIONED BY VERTEX (never global), the mutual
+# check a count-2 aggregate on the edge key, retirement an anti-join.
+# The globally minimum-priority surviving edge is matched every round,
+# so progress is guaranteed and rounds are O(log n) in practice.
+# Oracle: the identical rounds unrolled in SQL with the same md5 edge
+# priority.
+# --------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 12
+
+
+def q218_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import maximal_matching
+    from .common import md5long
+
+    return maximal_matching(
+        _bipartite_edges(spark, sf_dir),
+        priority=md5long,
+        max_rounds=_MATCH_ROUNDS,
+    )
+
+
+def _q218_sql(rounds: int = _MATCH_ROUNDS) -> str:
+    from .common import MD5LONG_SQL
+
+    parts = [
+        _Q_BIPARTITE_SQL,
+        """
+canon0 AS MATERIALIZED (
+  SELECT s, d, {q} AS q FROM (
+    SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+    FROM e0 WHERE src <> dst
+  )
+)""".format(q=MD5LONG_SQL.format(x="s || '|' || d")),
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+inc{r} AS MATERIALIZED (
+  SELECT s AS v, s, d, q FROM canon{r}
+  UNION ALL
+  SELECT d AS v, s, d, q FROM canon{r}
+),
+prop{r} AS MATERIALIZED (
+  SELECT v, s, d FROM (
+    SELECT v, s, d,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY q, s, d) AS rn
+    FROM inc{r}
+  ) WHERE rn = 1
+),
+mat{r} AS MATERIALIZED (
+  SELECT s, d, CAST({r} AS INT) AS round
+  FROM prop{r} GROUP BY s, d HAVING COUNT(*) = 2
+),
+gone{r} AS MATERIALIZED (SELECT s AS v FROM mat{r} UNION SELECT d FROM mat{r}),
+canon{r + 1} AS MATERIALIZED (
+  SELECT c.s, c.d, c.q FROM canon{r} c
+  WHERE NOT EXISTS (SELECT 1 FROM gone{r} g WHERE g.v = c.s)
+    AND NOT EXISTS (SELECT 1 FROM gone{r} g WHERE g.v = c.d)
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT s, d, round FROM mat{r}" for r in range(rounds)
+    )
+    return "WITH " + ",".join(parts) + f"\nSELECT s, d, round FROM ({union})"
+
+
 QUERIES = {
+    "q217_luby_mis": q217_luby_mis,
+    "q218_maximal_matching": q218_maximal_matching,
     "q215_scc": q215_scc,
     "q216_recursive_reach": q216_recursive_reach,
     "q200_connectivity_fraction": q200_connectivity_fraction,
@@ -3667,6 +3838,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q217_luby_mis": _q217_sql(),
+    "q218_maximal_matching": _q218_sql(),
     "q215_scc": Q215_SQL,
     "q216_recursive_reach": _q216_sql(),
     "q200_connectivity_fraction": Q200_SQL,
