@@ -440,3 +440,104 @@ def maximal_matching(
         spark = edges.sparkSession
         return spark.createDataFrame([], "s string, d string, round int")
     return out
+
+
+def source_betweenness(
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """(v, delta_sum, stress) — Brandes dependency + Shimbel stress from
+    a seed set, exact within a fixed BFS horizon.
+
+    ``edges`` is a directed (eu, ev) list, ``seeds`` a (s) column of
+    source ids. Forward pass: level-synchronous BFS carrying INTEGER
+    shortest-path counts sigma (one join + one partial-agg sum per
+    level; the visited set advances by anti-join). Backward pass: the
+    Brandes accumulation delta(v) = Σ_w sigma_v/sigma_w · (1+delta_w)
+    over shortest-DAG successors, alongside the integer continuation
+    count c(v) = Σ_w (1+c_w); stress(v) = sigma_v · c(v) stays
+    integer-exact end to end. Each round is keyed on (source, node) —
+    no global sort, no driver state; ``localCheckpoint`` bounds the
+    lineage exactly as ``connected_components`` does.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).alias("eu"),
+        F.col(edges.columns[1]).alias("ev"),
+    ).distinct().localCheckpoint(eager=False)
+    levels = [
+        seeds.select(
+            F.col(seeds.columns[0]).alias("s"),
+            F.col(seeds.columns[0]).alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint()
+    ]
+    visited = levels[0].select("s", "v").localCheckpoint()
+    for _ in range(depth):
+        fr = levels[-1]
+        msgs = fr.join(e, fr["v"] == e["eu"]).select(
+            "s", F.col("ev").alias("v"), "sigma"
+        )
+        nxt = (
+            msgs.join(visited, ["s", "v"], "anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint()
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint()
+
+    deltas: list[DataFrame | None] = [None] * len(levels)
+    deltas[-1] = levels[-1].select(
+        "s",
+        "v",
+        "sigma",
+        F.lit(0.0).alias("delta"),
+        F.lit(0).cast("long").alias("c"),
+    )
+    for lv in range(len(levels) - 2, -1, -1):
+        w = deltas[lv + 1].select(
+            F.col("s").alias("ws"),
+            F.col("v").alias("wv"),
+            F.col("sigma").alias("wsig"),
+            F.col("delta").alias("wdelta"),
+            F.col("c").alias("wc"),
+        )
+        f = levels[lv]
+        deltas[lv] = (
+            f.join(e, f["v"] == e["eu"], "left")
+            .join(
+                w,
+                (F.col("s") == F.col("ws")) & (F.col("ev") == F.col("wv")),
+                "left",
+            )
+            .groupBy("s", "v", "sigma")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("wsig")
+                        * (F.lit(1.0) + F.col("wdelta"))
+                    ),
+                    F.lit(0.0),
+                ).alias("delta"),
+                F.coalesce(F.sum(F.lit(1) + F.col("wc")), F.lit(0))
+                .cast("long")
+                .alias("c"),
+            )
+            .localCheckpoint()
+        )
+    allv = None
+    for lv in range(1, len(levels)):
+        part = deltas[lv].select(
+            "v", "delta", (F.col("sigma") * F.col("c")).alias("st")
+        )
+        allv = part if allv is None else allv.unionByName(part)
+    if allv is None:
+        return edges.sparkSession.createDataFrame(
+            [], "v string, delta_sum double, stress long"
+        )
+    return allv.groupBy("v").agg(
+        F.sum("delta").alias("delta_sum"),
+        F.sum("st").cast("long").alias("stress"),
+    )

@@ -22,7 +22,7 @@ from ..operators.linking import (
     link_mentions,
 )
 from ..operators.mapper import node_dims
-from .common import load
+from .common import load, r4
 from .kg import _KV_SQL, ORACLE_DOCS, _wide, docs_df
 
 # --------------------------------------------------------------------------
@@ -3789,9 +3789,104 @@ canon{r + 1} AS MATERIALIZED (
     return "WITH " + ",".join(parts) + f"\nSELECT s, d, round FROM ({union})"
 
 
+# --------------------------------------------------------------------------
+# q219 — Brandes betweenness + Shimbel stress centrality from the
+# keystage roots over the curriculum DAG, exact within a fixed BFS
+# horizon (depth 4 = the curriculum hierarchy's height). Forward pass:
+# level-synchronous BFS carrying INTEGER shortest-path counts sigma
+# (one join + one partial-agg sum per level, visited maintained by
+# anti-join). Backward pass: Brandes dependency accumulation
+# delta(v) = sum_w sigma_v/sigma_w * (1 + delta_w) over shortest-DAG
+# successors, plus the integer continuation count c(v) = sum_w (1+c_w)
+# giving stress(v) = sigma_v * c(v) — stress is integer-exact, so the
+# oracle comparison does not rest on float summation order; bc renders
+# at 4dp. Every step is keyed on (source, node): no global sort, no
+# driver-side state, O(depth) rounds. Oracle: the identical recurrence
+# unrolled level-by-level in SQL over the independently re-derived
+# edge set (same prologue as q216/kg65).
+# --------------------------------------------------------------------------
+
+_BC_DEPTH = 4
+
+
+def q219_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import source_betweenness
+
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select(
+        F.col("subj").alias("eu"), F.col("obj").alias("ev")
+    ).distinct()
+    seeds = (
+        e.filter(F.col("eu").startswith("ks"))
+        .select(F.col("eu").alias("s"))
+        .distinct()
+    )
+    bc = source_betweenness(e, seeds, depth=_BC_DEPTH)
+    return bc.select(
+        F.col("v").alias("id"),
+        r4(F.col("delta_sum")).alias("bc"),
+        "stress",
+    )
+
+
+def _q219_sql(depth: int = _BC_DEPTH) -> str:
+    from .kg import _edges_union_sql
+
+    parts = [
+        """
+ed AS MATERIALIZED (SELECT DISTINCT subj AS eu, obj AS ev FROM edges),
+seeds AS (SELECT DISTINCT eu AS s FROM ed WHERE eu LIKE 'ks%'),
+f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for lv in range(depth):
+        parts.append(f"""
+f{lv + 1} AS MATERIALIZED (
+  SELECT m.s, m.v, CAST(SUM(m.sigma) AS BIGINT) AS sigma FROM (
+    SELECT fr.s AS s, e.ev AS v, fr.sigma
+    FROM f{lv} fr JOIN ed e ON e.eu = fr.v
+  ) m
+  WHERE NOT EXISTS (SELECT 1 FROM vis{lv} x WHERE x.s = m.s AND x.v = m.v)
+  GROUP BY m.s, m.v
+),
+vis{lv + 1} AS MATERIALIZED (
+  SELECT s, v FROM vis{lv} UNION ALL SELECT s, v FROM f{lv + 1}
+)""")
+    parts.append(f"""
+d{depth} AS MATERIALIZED (
+  SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta, CAST(0 AS BIGINT) AS c
+  FROM f{depth}
+)""")
+    for lv in range(depth - 1, 0, -1):
+        parts.append(f"""
+d{lv} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma,
+         COALESCE(SUM(CAST(f.sigma AS DOUBLE) / w.sigma * (1 + w.delta)),
+                  0) AS delta,
+         CAST(COALESCE(SUM(1 + w.c), 0) AS BIGINT) AS c
+  FROM f{lv} f
+  LEFT JOIN ed e ON e.eu = f.v
+  LEFT JOIN d{lv + 1} w ON w.s = f.s AND w.v = e.ev
+  GROUP BY f.s, f.v, f.sigma
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, delta, sigma * c AS st FROM d{lv}"
+        for lv in range(1, depth + 1)
+    )
+    base = _edges_union_sql()
+    return f"""
+{base},
+{",".join(parts)}
+SELECT v AS id, ROUND(SUM(delta), 4) AS bc,
+       CAST(SUM(st) AS BIGINT) AS stress
+FROM ({union}) GROUP BY v
+"""
+
+
 QUERIES = {
     "q217_luby_mis": q217_luby_mis,
     "q218_maximal_matching": q218_maximal_matching,
+    "q219_betweenness": q219_betweenness,
     "q215_scc": q215_scc,
     "q216_recursive_reach": q216_recursive_reach,
     "q200_connectivity_fraction": q200_connectivity_fraction,
@@ -3839,6 +3934,7 @@ QUERIES = {
 
 ORACLES = {
     "q217_luby_mis": _q217_sql(),
+    "q219_betweenness": _q219_sql(),
     "q218_maximal_matching": _q218_sql(),
     "q215_scc": Q215_SQL,
     "q216_recursive_reach": _q216_sql(),

@@ -183,3 +183,84 @@ def test_ktruss_handcrafted(spark):
     )
     assert ktruss(diamond, k=4, rounds=1).count() == 1
     assert ktruss(diamond, k=4, rounds=2).count() == 0
+
+
+# ------------------------------------------------- source betweenness
+
+
+def _brandes_exact(edge_list, sources, depth):
+    """Pure-Python horizon-limited Brandes + stress oracle."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    eset = sorted(set(edge_list))
+    for u, v in eset:
+        adj[u].append(v)
+    delta_sum = defaultdict(float)
+    stress = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == depth:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = defaultdict(float)
+        cont = defaultdict(int)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist.get(w) == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+                    cont[u] += 1 + cont[w]
+        for v in order:
+            if v != s:
+                delta_sum[v] += delta[v]
+                stress[v] += sigma[v] * cont[v]
+    return delta_sum, stress
+
+
+def test_source_betweenness_vs_exact_oracle(spark):
+    """Random digraphs: the distributed forward-sigma/backward-delta
+    recurrence equals a sequential Brandes limited to the same horizon."""
+    import random
+
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.components import (
+        source_betweenness,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {
+                (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                for _ in range(80)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        sources = [f"n{i}" for i in (0, 1, 2)]
+        e = spark.createDataFrame(edges, "eu string, ev string")
+        s = spark.createDataFrame([(x,) for x in sources], "s string")
+        got = {
+            r["v"]: (round(r["delta_sum"], 6), r["stress"])
+            for r in source_betweenness(e, s, depth=4).collect()
+        }
+        exp_d, exp_s = _brandes_exact(edges, sources, depth=4)
+        want = {}
+        for v in set(exp_d) | set(exp_s) | set(got):
+            if v in [r for r in sources]:
+                continue
+            want[v] = (round(exp_d.get(v, 0.0), 6), exp_s.get(v, 0))
+        got = {v: x for v, x in got.items() if v not in sources}
+        # nodes never reached don't appear on either side
+        assert got == want, f"trial {trial}: {got} != {want}"
