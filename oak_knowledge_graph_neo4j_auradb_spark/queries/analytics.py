@@ -3560,7 +3560,155 @@ FROM v{rounds} v JOIN hc ON v.state = hc.a"""
     )
 
 
+# --------------------------------------------------------------------------
+# q222 — k-anonymity audit over quasi-identifiers (Sweeney 2002): how
+# identifiable is a row from (nation, market segment, balance bucket)?
+# For k ∈ {2,5,10}: equivalence classes smaller than k, rows they
+# expose, and the at-risk percentage — the privacy gate a training-data
+# pipeline runs before releasing user-derived tables. One groupBy on
+# the quasi-id tuple (partial-agg map-side), then a 3-row broadcast
+# cross join; nothing data-proportional leaves the executors.
+# --------------------------------------------------------------------------
+
+
+def q222_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cls = (
+        cust.select(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kb"),
+        )
+        .groupBy("nat", "seg", "bal_kb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k int")
+    small = F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)
+    return (
+        cls.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("small_classes"),
+            F.sum(small).cast("long").alias("rows_at_risk"),
+            r4(100.0 * F.sum(small) / F.sum("n")).alias("risk_pct"),
+        )
+    )
+
+
+Q222_SQL = """
+WITH cls AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000) AS INT) AS bal_kb, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), ks AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS k)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS small_classes,
+       CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(100.0 * SUM(CASE WHEN n < k THEN n ELSE 0 END) / SUM(n), 4)
+         AS risk_pct
+FROM cls CROSS JOIN ks GROUP BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# q224 — time-respecting reachability over a temporal contact graph
+# (Holme & Saramäki 2012): two events in the same value bucket within
+# one hour, earlier→later, form a directed temporal contact; a user's
+# 2-hop reach must traverse contacts in increasing time (earliest-
+# arrival semantics: hop 2 departs after hop 1's MIN arrival). The
+# interval join is the two-candidate-bucket trick (each source row
+# probes hour h and h+1 by equi-join — never an unbounded range scan),
+# the same shape as q100/q102; everything downstream is keyed
+# groupBy/join. Oracle: identical bucket join + earliest-arrival rule.
+# --------------------------------------------------------------------------
+
+
+def q224_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        es.alias("s"),
+        F.floor("value").cast("long").alias("b"),
+    )
+    a2 = ev.select(
+        "u", "s", "b", F.floor(F.col("s") / 3600).alias("h")
+    ).unionByName(
+        ev.select(
+            "u", "s", "b", (F.floor(F.col("s") / 3600) + 1).alias("h")
+        )
+    )
+    tgt = ev.select(
+        F.col("u").alias("v"),
+        F.col("s").alias("t"),
+        "b",
+        F.floor(F.col("s") / 3600).alias("h"),
+    )
+    ce = (
+        a2.join(tgt, ["b", "h"])
+        .filter(
+            (F.col("t") > F.col("s"))
+            & (F.col("t") - F.col("s") <= 3600)
+            & (F.col("v") != F.col("u"))
+        )
+        .select("u", "v", "t")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    arr1 = ce.groupBy("u", "v").agg(F.min("t").alias("ta"))
+    ce2 = ce.select(
+        F.col("u").alias("v2"), F.col("v").alias("w"), F.col("t")
+    )
+    hop2 = (
+        arr1.join(ce2, F.col("v") == F.col("v2"))
+        .filter((F.col("t") > F.col("ta")) & (F.col("u") != F.col("w")))
+        .select("u", "w")
+        .distinct()
+    )
+    n1 = arr1.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_1hop"))
+    n2 = hop2.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
+    return (
+        n1.join(n2, "u", "left")
+        .na.fill({"n_2hop": 0})
+        .select(F.col("u").alias("user_id"), "n_1hop", "n_2hop")
+    )
+
+
+Q224_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(value) AS BIGINT) AS b
+  FROM events
+), a2 AS (
+  SELECT u, s, b, s // 3600 AS h FROM ev
+  UNION ALL
+  SELECT u, s, b, s // 3600 + 1 AS h FROM ev
+), ce AS (
+  SELECT DISTINCT a.u, c.u AS v, c.s AS t
+  FROM a2 a JOIN ev c
+    ON c.b = a.b AND c.s // 3600 = a.h
+   AND c.s > a.s AND c.s - a.s <= 3600 AND c.u <> a.u
+), arr1 AS (
+  SELECT u, v, MIN(t) AS ta FROM ce GROUP BY u, v
+), hop2 AS (
+  SELECT DISTINCT r.u, c2.v AS w
+  FROM arr1 r JOIN ce c2 ON c2.u = r.v
+  WHERE c2.t > r.ta AND c2.v <> r.u
+), n1 AS (SELECT u, COUNT(*) AS n_1hop FROM arr1 GROUP BY u),
+n2 AS (SELECT u, COUNT(*) AS n_2hop FROM hop2 GROUP BY u)
+SELECT n1.u AS user_id, CAST(n1.n_1hop AS BIGINT) AS n_1hop,
+       CAST(COALESCE(n2.n_2hop, 0) AS BIGINT) AS n_2hop
+FROM n1 LEFT JOIN n2 ON n2.u = n1.u
+"""
+
+
 QUERIES = {
+    "q222_k_anonymity": q222_k_anonymity,
+    "q224_temporal_reach": q224_temporal_reach,
     "q211_max_concurrency": q211_max_concurrency,
     "q214_entropy_rate": q214_entropy_rate,
     "q213_interval_union": q213_interval_union,
@@ -3617,6 +3765,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q222_k_anonymity": Q222_SQL,
+    "q224_temporal_reach": Q224_SQL,
     "q211_max_concurrency": Q211_SQL,
     "q213_interval_union": Q213_SQL,
     "q214_entropy_rate": _q214_sql(),

@@ -2564,7 +2564,197 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q220 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by the log-likelihood ratio of a hashed-bigram bag-of-ngrams model of
+# the TARGET distribution (here: the English slice) vs the RAW corpus.
+# weight(d) = Σ_b n_db · (ln p̂_t[b] − ln p̂_r[b]) over d's bigram
+# buckets, with add-0.5 smoothing over B=256 md5 buckets. Scale shape:
+# two global bucket histograms (256 rows each — broadcast-joined back),
+# one per-(doc,bucket) partial-agg count, one weighted sum per doc; the
+# feature space is FIXED-width however large the corpus, which is the
+# whole point of hashed DSIR at 100 TB. Oracle: identical hashing +
+# smoothing in SQL.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+
+
+def q220_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = toks.select(
+        "doc_id", "lang", F.explode(pairs).alias("bg")
+    ).withColumn("b", md5long(F.col("bg")) % _DSIR_B)
+    db = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n_db"))
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("R"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("T"),
+    )
+    hist = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 0.5) / (F.col("T") + 0.5 * _DSIR_B))
+                - F.log((F.col("cr") + 0.5) / (F.col("R") + 0.5 * _DSIR_B))
+            ).alias("llr"),
+        )
+    )
+    return (
+        db.join(F.broadcast(hist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_db").cast("long").alias("n_bigrams"),
+            r4(F.sum(F.col("n_db") * F.col("llr"))).alias("dsir"),
+        )
+    )
+
+
+Q220_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x="text")} AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         {MD5LONG_SQL.format(x="t[i] || ' ' || t[i + 1]")} % {_DSIR_B} AS b
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), db AS (
+  SELECT doc_id, b, COUNT(*) AS n_db FROM bg GROUP BY 1, 2
+), raw AS (SELECT b, COUNT(*) AS cr FROM bg GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT COUNT(*) AS R,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS T
+  FROM bg
+), hist AS (
+  SELECT raw.b,
+         ln((COALESCE(tgt.ct, 0) + 0.5) / (tot.T + 0.5 * {_DSIR_B}))
+         - ln((raw.cr + 0.5) / (tot.R + 0.5 * {_DSIR_B})) AS llr
+  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+)
+SELECT db.doc_id, CAST(SUM(db.n_db) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(db.n_db * hist.llr), 4) AS dsir
+FROM db JOIN hist ON hist.b = db.b
+GROUP BY db.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q223 — count-min sketch (Cormode & Muthukrishnan 2005): d=3 hash rows
+# × w=64 buckets over the token stream; the estimate for a probe token
+# is the MIN over its d bucket counters. The sketch IS a groupBy —
+# per-partition partial counts merge associatively, which is the whole
+# point (mergeable across executors/days with fixed 3×64 footprint no
+# matter the corpus size). Probes: the top-20 true-count tokens
+# (deterministic count-desc/token tiebreak). The one-sided error
+# guarantee est ≥ true is pinned by pytest. Oracle: identical rows,
+# salts, widths in SQL.
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 3, 64
+
+
+def q223_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    true = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("true_c"))
+    rows = []
+    for i in range(_CMS_D):
+        rows.append(
+            tok.select(
+                F.lit(i).alias("row"),
+                (
+                    md5long(F.concat(F.col("tok"), F.lit(f"#{i}")))
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+        )
+    stream = rows[0]
+    for r in rows[1:]:
+        stream = stream.unionByName(r)
+    cms = stream.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    probes = true.orderBy(F.desc("true_c"), F.asc("tok")).limit(20)
+    probe_cells = probes.select(
+        "tok",
+        "true_c",
+        *[
+            (
+                md5long(F.concat(F.col("tok"), F.lit(f"#{i}")))
+                % _CMS_W
+            ).alias(f"b{i}")
+            for i in range(_CMS_D)
+        ],
+    )
+    est = probe_cells
+    for i in range(_CMS_D):
+        cmsr = cms.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(cmsr), f"b{i}")
+    return est.select(
+        "tok",
+        F.col("true_c").cast("long").alias("true_c"),
+        F.least(*[F.col(f"c{i}") for i in range(_CMS_D)])
+        .cast("long")
+        .alias("cms_est"),
+    )
+
+
+def _q223_sql() -> str:
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, "
+        + MD5LONG_SQL.format(x=f"tok || '#{i}'")
+        + f" % {_CMS_W} AS bucket FROM tok"
+        for i in range(_CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN cms c{i} ON c{i}.row = {i} AND c{i}.bucket = "
+        + MD5LONG_SQL.format(x=f"p.tok || '#{i}'")
+        + f" % {_CMS_W}"
+        for i in range(_CMS_D)
+    )
+    least = ", ".join(f"c{i}.c" for i in range(_CMS_D))
+    return f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x="text")}) AS tok FROM documents
+), truec AS (
+  SELECT tok, COUNT(*) AS true_c FROM tok GROUP BY tok
+), cells AS ({cells}),
+cms AS (SELECT row, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT tok, true_c FROM truec ORDER BY true_c DESC, tok LIMIT 20
+)
+SELECT p.tok, CAST(p.true_c AS BIGINT) AS true_c,
+       CAST(LEAST({least}) AS BIGINT) AS cms_est
+FROM probes p
+{joins}
+"""
+
+
 QUERIES = {
+    "q220_dsir_weights": q220_dsir_weights,
+    "q223_cms_estimate": q223_cms_estimate,
     "q160_snapshot_diff": q160_snapshot_diff,
     "q179_snapshot_timetravel": q179_snapshot_timetravel,
     "q181_csv_roundtrip": q181_csv_roundtrip,
@@ -2610,6 +2800,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q220_dsir_weights": Q220_SQL,
+    "q223_cms_estimate": _q223_sql(),
     "q160_snapshot_diff": Q160_SQL,
     "q179_snapshot_timetravel": Q179_SQL,
     "q181_csv_roundtrip": Q181_SQL,

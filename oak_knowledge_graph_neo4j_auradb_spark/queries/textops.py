@@ -1511,7 +1511,103 @@ FROM p WHERE doc_b IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q221 — winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+# MOSS local document fingerprinting scheme): hash every token 3-gram,
+# slide a w=4 window over the positions, keep each window's MINIMUM
+# hash — guaranteeing any shared run of ≥ w+k-1 tokens yields a shared
+# fingerprint — then report document pairs by shared-fingerprint count.
+# Scale shape: the window min is PARTITIONED BY doc (never global);
+# pair generation groups by fingerprint with a df ≤ 20 guard so a
+# boilerplate fingerprint cannot fan out quadratically (the q27/q25
+# hot-gram rule). Oracle: identical grams, hashes, window frame and
+# guard in SQL.
+# --------------------------------------------------------------------------
+
+_WIN_W = 4  # winnow window (positions per window)
+_WIN_DF = 20  # fingerprint document-frequency guard
+
+
+def q221_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 3 + _WIN_W - 1)
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - 2).alias("ng"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    md5long(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "ng", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("ng") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _WIN_DF
+    )
+    f2 = fps.join(df_ok.select("fp"), "fp")
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+Q221_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {TOKENS_SQL.format(x="text")} AS t FROM documents
+), g AS (
+  SELECT doc_id, len(t) - 2 AS ng, i AS pos,
+         {MD5LONG_SQL.format(x="t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")}
+           AS h
+  FROM tokd, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3 + {_WIN_W} - 1
+), w AS (
+  SELECT doc_id, ng, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS fp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - {_WIN_W - 1}
+), ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WIN_DF}
+), f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok ON ok.fp = f.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
+    "q221_winnowing": q221_winnowing,
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q197_langid_confusion": q197_langid_confusion,
     "q201_zipf_knee": q201_zipf_knee,
@@ -1537,6 +1633,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q221_winnowing": Q221_SQL,
     "q186_sorted_neighborhood": Q186_SQL,
     "q197_langid_confusion": _q197_sql(),
     "q201_zipf_knee": Q201_SQL,

@@ -112,3 +112,118 @@ def test_funnel_monotone(spark, sf_dir):
     if n_p:
         # every completer's purchase offset exceeds their own view offset
         assert rows["purchase_after_view"]["avg_secs_to_here"] > 0
+
+
+# ----------------------------------------- round-3 additions (q220-q224)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min's one-sided guarantee: est >= true for every probe."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q223_cms_estimate,
+    )
+
+    rows = q223_cms_estimate(spark, sf_dir).collect()
+    assert rows, "probe set must be non-empty"
+    for r in rows:
+        assert r["cms_est"] >= r["true_c"], r
+
+
+def test_dsir_targets_score_higher(spark, sf_dir):
+    """DSIR weights: the target slice (en) must average above the
+    non-target slices — the whole point of the log-likelihood ratio."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q220_dsir_weights,
+    )
+
+    w = q220_dsir_weights(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = w.join(docs, "doc_id").groupBy(
+        (F.col("lang") == "en").alias("is_en")
+    ).agg(F.avg(F.col("dsir") / F.col("n_bigrams")).alias("m"))
+    m = {r["is_en"]: r["m"] for r in j.collect()}
+    assert m[True] > m[False], m
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w+k-1 tokens must share a
+    fingerprint (the winnowing selection guarantee)."""
+    import oak_knowledge_graph_neo4j_auradb_spark.queries.textops as tx
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+3-1
+    rows = [
+        ("a", f"unique one two {shared} tail tokens here", "en", "s", 1),
+        ("b", f"{shared} completely different ending words", "en", "s", 1),
+        ("c", "nothing in common with either document at all", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string, n_chars int"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in tx.q221_winnowing(spark, d).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert all(p == ("a", "b") for p in got)
+
+
+def test_temporal_reach_vs_bruteforce(spark, sf_dir):
+    """q224 against a pure-Python earliest-arrival brute force."""
+    from collections import defaultdict
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q224_temporal_reach,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+
+    ev = [
+        (r["user_id"], int(r["ts"].timestamp()), int(r["value"] // 1))
+        for r in load(spark, sf_dir, "events").collect()
+    ]
+    by_bucket = defaultdict(list)
+    for u, s, b in ev:
+        by_bucket[b].append((u, s))
+    ce = set()
+    for b, rows in by_bucket.items():
+        for u, s in rows:
+            for v, t in rows:
+                if v != u and s < t <= s + 3600:
+                    ce.add((u, v, t))
+    arr1, edges_from = {}, defaultdict(list)
+    for u, v, t in ce:
+        arr1[(u, v)] = min(arr1.get((u, v), t), t)
+        edges_from[u].append((v, t))
+    n1 = defaultdict(int)
+    for (u, v) in arr1:
+        n1[u] += 1
+    hop2 = defaultdict(set)
+    for (u, v), ta in arr1.items():
+        for w, t in edges_from[v]:
+            if t > ta and w != u:
+                hop2[u].add(w)
+    got = {
+        r["user_id"]: (r["n_1hop"], r["n_2hop"])
+        for r in q224_temporal_reach(spark, sf_dir).collect()
+    }
+    want = {u: (n1[u], len(hop2[u])) for u in n1}
+    assert got == want
+
+
+def test_k_anonymity_monotone(spark, sf_dir):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q222_k_anonymity,
+    )
+
+    rows = {r["k"]: r for r in q222_k_anonymity(spark, sf_dir).collect()}
+    assert set(rows) == {2, 5, 10}
+    assert (
+        rows[2]["rows_at_risk"]
+        <= rows[5]["rows_at_risk"]
+        <= rows[10]["rows_at_risk"]
+    )
+    assert rows[2]["n_classes"] == rows[10]["n_classes"]
