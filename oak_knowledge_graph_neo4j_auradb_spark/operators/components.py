@@ -541,3 +541,84 @@ def source_betweenness(
         F.sum("delta").alias("delta_sum"),
         F.sum("st").cast("long").alias("stress"),
     )
+
+
+def boruvka_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(s, d, w) — minimum spanning forest by Borůvka min-edge hooking.
+
+    Each round every current component selects its minimum outgoing
+    edge under the TOTAL order (w, s, d) — so ties in w are broken
+    deterministically and the forest is the unique MSF of the
+    tuple-weighted graph (any sequential Kruskal using the same total
+    order derives the identical edge set, which is what the SQL twin
+    does). Component count at least halves per round → O(log n) rounds.
+
+    Scale shape per round: two label joins + a per-component argmin
+    (ROW_NUMBER window PARTITIONED BY component, never global), then a
+    component relabel via ``connected_components`` over the forest so
+    far — every step keyed, lineage localCheckpointed.
+    """
+    s, d = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(s, d).alias("s"),
+            F.greatest(s, d).alias("d"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("n"))
+        .unionByName(e.select(F.col("d").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("n", F.col("n").alias("comp"))
+    forest = None
+    for _ in range(max_rounds):
+        lab_s = labels.select(F.col("n").alias("s"), F.col("comp").alias("cs"))
+        lab_d = labels.select(F.col("n").alias("d"), F.col("comp").alias("cd"))
+        x = (
+            e.join(lab_s, "s")
+            .join(lab_d, "d")
+            .filter(F.col("cs") != F.col("cd"))
+            .localCheckpoint()
+        )
+        if x.isEmpty():
+            break
+        cand = x.select(F.col("cs").alias("comp"), "w", "s", "d").unionByName(
+            x.select(F.col("cd").alias("comp"), "w", "s", "d")
+        )
+        win = Window.partitionBy("comp").orderBy("w", "s", "d")
+        new_e = (
+            cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("s", "d", "w")
+            .distinct()
+            .localCheckpoint()
+        )
+        forest = new_e if forest is None else (
+            forest.unionByName(new_e).distinct().localCheckpoint()
+        )
+        cc = connected_components(forest, "s", "d").select(
+            F.col("id").alias("n"), F.col("canonical_id").alias("comp")
+        )
+        labels = (
+            nodes.join(cc, "n", "left")
+            .select("n", F.coalesce("comp", "n").alias("comp"))
+            .localCheckpoint()
+        )
+    if forest is None:
+        return edges.sparkSession.createDataFrame(
+            [], "s string, d string, w long"
+        )
+    return forest

@@ -3883,10 +3883,97 @@ FROM ({union}) GROUP BY v
 """
 
 
+# --------------------------------------------------------------------------
+# q225 — minimum spanning forest by distributed Borůvka over a
+# hash-weighted order↔part graph. Engine: operators/components.py:
+# boruvka_forest — per round a per-component argmin (ROW_NUMBER window
+# PARTITIONED BY component) hooks each component's minimum outgoing
+# edge under the total order (w, s, d); component count halves per
+# round (O(log n) rounds), relabeling via connected_components. With a
+# total order on edges the MSF is unique, so the oracle can be a
+# SEQUENTIAL Kruskal — expressed as a DuckDB recursive CTE whose state
+# row carries the (node → component) list and the kept-edge list, one
+# edge per step in (w, s, d) order. Different algorithm, same unique
+# answer: exactly the cross-check you want for an MSF at scale.
+# --------------------------------------------------------------------------
+
+
+def q225_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import boruvka_forest
+    from .common import md5long
+
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .withColumn("w", md5long(F.concat_ws("|", "src", "dst")))
+    )
+    return boruvka_forest(e)
+
+
+def _q225_sql() -> str:
+    from .common import MD5LONG_SQL
+
+    w = MD5LONG_SQL.format(x="src || '|' || dst")
+    return f"""
+WITH RECURSIVE
+e0 AS (
+  SELECT src, dst, {w} AS w FROM (
+    SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_partkey % 100 = 0
+  )
+),
+ec AS (
+  SELECT LEAST(src, dst) AS s, GREATEST(src, dst) AS d, MIN(w) AS w
+  FROM e0 WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT s AS id FROM ec UNION SELECT d FROM ec),
+ranked AS (
+  SELECT s, d, w, ROW_NUMBER() OVER (ORDER BY w, s, d) AS i FROM ec
+),
+nmax AS (SELECT COUNT(*) AS n FROM ranked),
+st(i, comps, kept) AS (
+  SELECT 0,
+         (SELECT list(struct_pack(node := id, comp := id) ORDER BY id)
+          FROM nodes),
+         CAST([] AS STRUCT(s VARCHAR, d VARCHAR, w BIGINT)[])
+  UNION ALL
+  SELECT st.i + 1,
+         CASE WHEN
+           list_filter(st.comps, x -> x.node = r.s)[1].comp
+           <> list_filter(st.comps, x -> x.node = r.d)[1].comp
+         THEN list_transform(st.comps, x ->
+            CASE WHEN x.comp = list_filter(st.comps, y -> y.node = r.d)[1].comp
+                 THEN struct_pack(node := x.node,
+                      comp := list_filter(st.comps, y -> y.node = r.s)[1].comp)
+                 ELSE x END)
+         ELSE st.comps END,
+         CASE WHEN
+           list_filter(st.comps, x -> x.node = r.s)[1].comp
+           <> list_filter(st.comps, x -> x.node = r.d)[1].comp
+         THEN list_append(st.kept, struct_pack(s := r.s, d := r.d, w := r.w))
+         ELSE st.kept END
+  FROM st JOIN ranked r ON r.i = st.i + 1
+),
+fin AS (SELECT kept FROM st, nmax WHERE st.i = nmax.n)
+SELECT k.s, k.d, k.w FROM (SELECT unnest(kept) AS k FROM fin)
+"""
+
+
 QUERIES = {
     "q217_luby_mis": q217_luby_mis,
     "q218_maximal_matching": q218_maximal_matching,
     "q219_betweenness": q219_betweenness,
+    "q225_boruvka_msf": q225_boruvka_msf,
     "q215_scc": q215_scc,
     "q216_recursive_reach": q216_recursive_reach,
     "q200_connectivity_fraction": q200_connectivity_fraction,
@@ -3935,6 +4022,7 @@ QUERIES = {
 ORACLES = {
     "q217_luby_mis": _q217_sql(),
     "q219_betweenness": _q219_sql(),
+    "q225_boruvka_msf": _q225_sql(),
     "q218_maximal_matching": _q218_sql(),
     "q215_scc": Q215_SQL,
     "q216_recursive_reach": _q216_sql(),

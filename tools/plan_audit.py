@@ -259,6 +259,19 @@ AUDIT = [
     ("q213_interval_union", 3, 0),  # netted deltas + shared type window
     ("q214_entropy_rate", 4, 0),  # P checkpointed; final join + 1-row agg
     # FW-BW rounds are localCheckpointed; the final plan is a size agg
+    # round-3 additions: the iterative graph ops (q217/q218/q219) audit
+    # their FINAL plan — per-round lineage is localCheckpointed exactly
+    # like q68, so the static exchange count stays O(1) however many
+    # rounds ran
+    ("q217_luby_mis", 0, 0),
+    ("q225_boruvka_msf", 0, 0),
+    ("q218_maximal_matching", 0, 0),
+    ("q219_betweenness", 1, 0),
+    ("q220_dsir_weights", 5, 0),  # db agg, raw/tgt hists, broadcast back, doc agg
+    ("q221_winnowing", 2, 0),  # per-doc window + fp-df agg; pair join broadcast at this SF
+    ("q222_k_anonymity", 2, 0),  # quasi-id agg + 3-row broadcast regroup
+    ("q223_cms_estimate", 4, 0),  # true counts, sketch agg, top-20, 3 broadcast probes
+    ("q224_temporal_reach", 7, 0),  # bucket join, arr1 agg, hop2 join, two count aggs
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
