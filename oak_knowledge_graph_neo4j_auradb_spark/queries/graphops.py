@@ -3969,94 +3969,7 @@ SELECT k.s, k.d, k.w FROM (SELECT unnest(kept) AS k FROM fin)
 """
 
 
-# --------------------------------------------------------------------------
-# q227 — deterministic random-walk corpus generation (DeepWalk /
-# node2vec-style) over the order↔part bipartite graph: the walk tables
-# KG-embedding trainers consume. "Random" is a seeded hash, not an
-# RNG: from node u at step i of walk w the next node is
-# argmin_v md5long(w || '|' || i || '|' || v) over u's neighbors — a
-# per-(walk, step) keyed argmin, so the walk set is reproducible under
-# any partitioning and re-derivable in SQL. Scale shape per step: one
-# equi-join of the (walks × 1) frontier against the adjacency list +
-# one keyed min-struct aggregation; steps unroll statically (L=4), no
-# global sort, nothing data-proportional on the driver. 60-bit hashes
-# make argmin ties impossible in practice; the struct tie-break (h, v)
-# pins determinism even then.
-# --------------------------------------------------------------------------
-
-_WALK_STEPS = 4
-
-
-def q227_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .common import md5long
-
-    e = _bipartite_edges(spark, sf_dir)
-    adj = e.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    li = load(spark, sf_dir, "lineitem")
-    starts = (
-        li.filter(F.col("l_partkey") % 500 == 0)
-        .select(
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
-                "walk"
-            )
-        )
-        .distinct()
-    )
-    cur = starts.select("walk", F.col("walk").alias("node"))
-    out = cur.withColumn("step", F.lit(0).cast("int"))
-    for i in range(1, _WALK_STEPS + 1):
-        h = md5long(F.concat_ws("|", "walk", F.lit(str(i)), "v"))
-        cur = (
-            cur.join(adj, cur["node"] == adj["u"])
-            .select("walk", "v", h.alias("h"))
-            .groupBy("walk")
-            .agg(F.min(F.struct("h", "v")).alias("b"))
-            .select("walk", F.col("b.v").alias("node"))
-        )
-        out = out.unionByName(cur.withColumn("step", F.lit(i).cast("int")))
-    return out.select("walk", "step", "node")
-
-
-def _q227_sql() -> str:
-    from .common import MD5LONG_SQL
-
-    steps = []
-    for i in range(1, _WALK_STEPS + 1):
-        h = MD5LONG_SQL.format(
-            x=f"w{i - 1}.walk || '|{i}|' || adj.v"
-        )
-        steps.append(
-            f"""w{i} AS (
-  SELECT w{i - 1}.walk, arg_min(adj.v, {h}) AS node
-  FROM w{i - 1} JOIN adj ON adj.u = w{i - 1}.node
-  GROUP BY w{i - 1}.walk
-)"""
-        )
-    union = "\nUNION ALL\n".join(
-        f"SELECT walk, CAST({i} AS INTEGER) AS step, node FROM w{i}"
-        for i in range(_WALK_STEPS + 1)
-    )
-    return f"""
-WITH {_Q_BIPARTITE_SQL.lstrip()},
-adj AS (
-  SELECT src AS u, dst AS v FROM e0
-  UNION ALL
-  SELECT dst AS u, src AS v FROM e0
-),
-s0 AS (
-  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS walk
-  FROM lineitem WHERE l_partkey % 500 = 0
-),
-w0 AS (SELECT walk, walk AS node FROM s0),
-{",".join(steps)}
-{union}
-"""
-
-
 QUERIES = {
-    "q227_random_walks": q227_random_walks,
     "q217_luby_mis": q217_luby_mis,
     "q218_maximal_matching": q218_maximal_matching,
     "q219_betweenness": q219_betweenness,
@@ -4107,7 +4020,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q227_random_walks": _q227_sql(),
     "q217_luby_mis": _q217_sql(),
     "q219_betweenness": _q219_sql(),
     "q225_boruvka_msf": _q225_sql(),

@@ -1606,107 +1606,7 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
-# --------------------------------------------------------------------------
-# q226 — BM25 ranked retrieval (Robertson/Spärck Jones; the Okapi
-# formula with k1/b length normalization) for a fixed query-term set
-# over the documents corpus: the standard quality-retrieval primitive a
-# training-data pipeline uses to pull topical subsets out of a crawl.
-# Scale shape: tokenize → explode → broadcast-semi-join the (tiny)
-# query term set BEFORE the tf aggregation so the shuffle carries only
-# matching (doc, term) pairs; df and the (n_docs, avgdl) corpus stats
-# are one-row/terms-row aggregates broadcast back; final top-k is
-# orderBy().limit() → distributed TakeOrderedAndProject, never a
-# global sort. Scores rendered at 4dp BEFORE the ordering so the k-th
-# boundary is engine-stable. Reference has no retrieval op (pandas ETL
-# only); this is part of the LLM-pipeline brief.
-# --------------------------------------------------------------------------
-
-_BM25_TERMS = ("spark", "vector", "stream", "merge")
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-_BM25_TOPK = 20
-
-
-def q226_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    qt = spark.createDataFrame(
-        [(t,) for t in _BM25_TERMS], "term string"
-    )
-    tf = (
-        toks.join(F.broadcast(qt), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    k1, b = _BM25_K1, _BM25_B
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "s",
-            F.col("idf")
-            * F.col("tf")
-            * (k1 + 1)
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    ranked = scored.groupBy("doc_id").agg(r4(F.sum("s")).alias("bm25"))
-    return ranked.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
-
-
-_Q226_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-
-Q226_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({TOKENS_SQL.format(x="text")}) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
-), stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
-), tf AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM toks WHERE term IN ({_Q226_TERMS_SQL}) GROUP BY 1, 2
-), dfx AS (
-  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
-), s AS (
-  SELECT t.doc_id,
-         ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * t.tf * ({_BM25_K1} + 1)
-           / (t.tf + {_BM25_K1}
-              * (1 - {_BM25_B} + {_BM25_B} * l.dl / st.avgdl)) AS sc
-  FROM tf t JOIN dl l USING (doc_id) JOIN dfx d USING (term), stats st
-)
-SELECT doc_id, ROUND(SUM(sc), 4) AS bm25
-FROM s GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id
-LIMIT {_BM25_TOPK}
-"""
-
-
 QUERIES = {
-    "q226_bm25": q226_bm25,
     "q221_winnowing": q221_winnowing,
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q197_langid_confusion": q197_langid_confusion,
@@ -1733,7 +1633,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q226_bm25": Q226_SQL,
     "q221_winnowing": Q221_SQL,
     "q186_sorted_neighborhood": Q186_SQL,
     "q197_langid_confusion": _q197_sql(),

@@ -264,32 +264,3 @@ def test_source_betweenness_vs_exact_oracle(spark):
         got = {v: x for v, x in got.items() if v not in sources}
         # nodes never reached don't appear on either side
         assert got == want, f"trial {trial}: {got} != {want}"
-
-
-def test_random_walks_valid_and_deterministic(spark, sf_dir):
-    """q227 walks: every consecutive (node, next) pair is an edge of the
-    undirected bipartite graph, every walk has exactly _WALK_STEPS + 1
-    steps, and the walk table is bit-identical under a different input
-    partitioning (the seeded-hash argmin is partition-invariant)."""
-    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
-        _WALK_STEPS,
-        _bipartite_edges,
-        q227_random_walks,
-    )
-
-    walks = q227_random_walks(spark, sf_dir).collect()
-    by_walk = {}
-    for r in walks:
-        by_walk.setdefault(r["walk"], {})[r["step"]] = r["node"]
-    assert by_walk, "no walks generated"
-    adj = set()
-    for r in _bipartite_edges(spark, sf_dir).collect():
-        adj.add((r["src"], r["dst"]))
-        adj.add((r["dst"], r["src"]))
-    for w, steps in by_walk.items():
-        assert sorted(steps) == list(range(_WALK_STEPS + 1)), (w, steps)
-        assert steps[0] == w
-        for i in range(_WALK_STEPS):
-            assert (steps[i], steps[i + 1]) in adj, (w, i)
-    again = q227_random_walks(spark, sf_dir).collect()
-    assert sorted(map(tuple, again)) == sorted(map(tuple, walks))

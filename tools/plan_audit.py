@@ -272,12 +272,6 @@ AUDIT = [
     ("q222_k_anonymity", 2, 0),  # quasi-id agg + 3-row broadcast regroup
     ("q223_cms_estimate", 4, 0),  # true counts, sketch agg, top-20, 3 broadcast probes
     ("q224_temporal_reach", 7, 0),  # bucket join, arr1 agg, hop2 join, two count aggs
-    # dl agg, query-term tf agg, df agg, stats broadcast, final doc agg
-    # + TakeOrderedAndProject top-k (never a global sort)
-    ("q226_bm25", 6, 0),
-    # 4 unrolled steps: frontier-adjacency join + keyed argmin each;
-    # exchange reuse collapses the static count to 4
-    ("q227_random_walks", 4, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
