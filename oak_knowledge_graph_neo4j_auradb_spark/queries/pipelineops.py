@@ -2752,7 +2752,173 @@ FROM probes p
 """
 
 
+# --------------------------------------------------------------------------
+# q228 — ITERATED BPE merge training (Sennrich et al. 2016): q127 stops
+# at the pair-frequency table the FIRST merge maximizes; this runs the
+# actual training loop for _BPE_ROUNDS rounds — per round, count
+# adjacent symbol pairs over the (distinct-word, count) vocabulary,
+# pick the global argmax under the total order (count DESC, a, b), and
+# apply the merge greedily left-to-right non-overlapping to every
+# word's symbol sequence. The apply step is a pure JVM-side
+# ``F.aggregate`` fold (replace-last-when-pair-matches ≡ greedy
+# non-overlapping scan: the merged symbol a||b can never re-match as
+# 'a' within the round since b is non-empty), so each round costs ONE
+# pair-count shuffle + a 1-row broadcast argmax — zero shuffles for
+# the rewrite itself, and the vocabulary table is corpus-sublinear.
+# The SQL twin replays greedy via match-islands (a run of consecutive
+# matched positions only happens when a==b; greedy keeps the odd
+# offsets within each island) + a LAG drop of consumed successors —
+# a different formulation of the same rewrite, which is exactly the
+# cross-check the fold needs.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_apply(s, a, b):
+    """Greedy left-to-right non-overlapping (a,b)→a||b on array s."""
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def q228_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
+    v = (
+        d.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "word",
+            "c",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ).alias("s"),
+        )
+    )
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            v.filter(F.size("s") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("s"), i).alias("a"),
+                            F.element_at(F.col("s"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        outs.append(
+            best.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                "cnt",
+            )
+        )
+        bb = F.broadcast(
+            best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        )
+        v = v.crossJoin(bb).select(
+            "word",
+            "c",
+            _bpe_apply(F.col("s"), F.col("_ma"), F.col("_mb")).alias("s"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _q228_sql() -> str:
+    ctes = [
+        f"""v0 AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS c,
+         list_transform(generate_series(1, len(tok)),
+                        i -> substr(tok, i, 1)) AS s
+  FROM (SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok
+        FROM documents)
+  GROUP BY tok
+)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM v{p}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2 GROUP BY 1, 2
+),
+best{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+sym{r} AS (
+  SELECT word, c, i AS pos, s[i] AS sym
+  FROM v{p}, unnest(generate_series(1, len(s))) AS u(i)
+),
+m{r} AS (
+  SELECT word, c, pos, sym,
+         CASE WHEN sym = (SELECT a FROM best{r})
+                   AND LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                       = (SELECT b FROM best{r})
+              THEN 1 ELSE 0 END AS mt
+  FROM sym{r}
+),
+isl{r} AS (
+  SELECT *, CASE WHEN mt = 1 THEN
+    pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos)
+  END AS isl
+  FROM m{r}
+),
+sel{r} AS (
+  SELECT word, c, pos, sym,
+         CASE WHEN mt = 1 AND
+           ROW_NUMBER() OVER (PARTITION BY word, mt, isl ORDER BY pos)
+             % 2 = 1
+         THEN 1 ELSE 0 END AS keepm
+  FROM isl{r}
+),
+fin{r} AS (
+  SELECT word, c, pos, keepm, sym,
+         COALESCE(LAG(keepm) OVER (PARTITION BY word ORDER BY pos), 0)
+           AS prevk
+  FROM sel{r}
+),
+v{r} AS (
+  SELECT word, MIN(c) AS c,
+         list(CASE WHEN keepm = 1
+                   THEN (SELECT a || b FROM best{r}) ELSE sym END
+              ORDER BY pos) AS s
+  FROM fin{r} WHERE prevk = 0
+  GROUP BY word
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, a AS merge_a, b AS merge_b,"
+        f" cnt FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 QUERIES = {
+    "q228_bpe_merges": q228_bpe_merges,
     "q220_dsir_weights": q220_dsir_weights,
     "q223_cms_estimate": q223_cms_estimate,
     "q160_snapshot_diff": q160_snapshot_diff,
@@ -2800,6 +2966,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q228_bpe_merges": _q228_sql(),
     "q220_dsir_weights": Q220_SQL,
     "q223_cms_estimate": _q223_sql(),
     "q160_snapshot_diff": Q160_SQL,

@@ -1606,7 +1606,125 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# q229 — MAXIMAL EXACT DUPLICATED SPANS across document pairs (the
+# exact-substring dedup of Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better", re-expressed relationally):
+# winnowing (q221) SAMPLES fingerprints and chunk containment (q101)
+# works at coarse chunk granularity; this finds every shared token
+# span of ≥ _DS_K + _DS_MIN_RUN - 1 tokens exactly, with its position
+# in both documents. Method: positioned _DS_K-gram fingerprints →
+# df-bounded gram join (2 ≤ doc-df ≤ _DS_DF_MAX, the q27 fan-out
+# bound) → within each (doc_a, doc_b) pair, consecutive matches on
+# the same DIAGONAL (pos_a − pos_b constant) are one shared substring;
+# gaps-and-islands over (pair, diag) merges them into maximal runs.
+# Every window is keyed by (doc pair, diag) — never global — and the
+# join fan-out is ≤ DF_MAX² per gram, so the shape survives 100 TB.
+# The suffix-array formulation is sequential; the diagonal-islands
+# formulation is the shuffle-native equivalent.
+# --------------------------------------------------------------------------
+
+_DS_K = 8  # gram width (tokens)
+_DS_DF_MAX = 8  # max docs sharing a gram (fan-out bound)
+_DS_MIN_RUN = 3  # min consecutive grams → span ≥ K + MIN_RUN - 1 tokens
+
+
+def q229_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        d.filter(F.size("t") >= _DS_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_DS_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        md5long(
+                            F.array_join(F.slice("t", i, _DS_K), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    df_ok = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _DS_DF_MAX))
+        .select("h")
+    )
+    g2 = grams.join(df_ok, "h")
+    a = g2.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = g2.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    hits = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        hits.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("run"),
+        )
+        .filter(F.col("run") >= _DS_MIN_RUN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "start_b",
+            (F.col("run") + _DS_K - 1).cast("long").alias("span_tokens"),
+        )
+    )
+    return runs
+
+
+Q229_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {TOKENS_SQL.format(x="text")} AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         {MD5LONG_SQL.format(x=f"array_to_string(t[i:i + {_DS_K - 1}], ' ')")}
+           AS h
+  FROM tokd, unnest(generate_series(1, len(t) - {_DS_K - 1})) AS u(i)
+  WHERE len(t) >= {_DS_K}
+), df_ok AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams)
+  GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_DS_DF_MAX}
+), g2 AS (
+  SELECT g.doc_id, g.pos, g.h FROM grams g JOIN df_ok USING (h)
+), hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT *, pa - ROW_NUMBER() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+  FROM hits
+)
+SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       CAST(COUNT(*) + {_DS_K - 1} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, diag, isl
+HAVING COUNT(*) >= {_DS_MIN_RUN}
+"""
+
+
 QUERIES = {
+    "q229_dup_spans": q229_dup_spans,
     "q221_winnowing": q221_winnowing,
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
     "q197_langid_confusion": q197_langid_confusion,
@@ -1633,6 +1751,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q229_dup_spans": Q229_SQL,
     "q221_winnowing": Q221_SQL,
     "q186_sorted_neighborhood": Q186_SQL,
     "q197_langid_confusion": _q197_sql(),

@@ -16,7 +16,7 @@ from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
     q75_funnel,
     _PACK_BUDGET,
 )
-from oak_knowledge_graph_neo4j_auradb_spark.queries.common import tokens
+from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load, tokens
 
 
 def _py_lpa(edges, rounds):
@@ -227,3 +227,78 @@ def test_k_anonymity_monotone(spark, sf_dir):
         <= rows[10]["rows_at_risk"]
     )
     assert rows[2]["n_classes"] == rows[10]["n_classes"]
+
+
+def _py_bpe(word_counts, rounds):
+    """Reference BPE trainer: greedy left-to-right non-overlapping apply."""
+    vocab = {w: [ch for ch in w] for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        cnt = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] = (
+                    cnt.get((syms[i], syms[i + 1]), 0) + word_counts[w]
+                )
+        if not cnt:
+            break
+        best = min(cnt, key=lambda p: (-cnt[p], p))
+        merges.append((best[0], best[1], cnt[best]))
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_merges_vs_python_reference(spark, sf_dir):
+    """q228's fold-based merge apply equals a classic sequential BPE
+    trainer run on the same word-count vocabulary."""
+    from collections import Counter
+    import re
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        _BPE_ROUNDS,
+        q228_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    wc = Counter()
+    for r in docs:
+        wc.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+    want = _py_bpe(dict(wc), _BPE_ROUNDS)
+    got = [
+        (r["merge_a"], r["merge_b"], r["cnt"])
+        for r in q228_bpe_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    assert got == want, (got, want)
+
+
+def test_dup_spans_are_real_shared_substrings(spark, sf_dir):
+    """Every q229 span maps to token-for-token equal subsequences in
+    both documents at the reported positions and length."""
+    import re
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.textops import (
+        q229_dup_spans,
+    )
+
+    toks = {
+        r["doc_id"]: [
+            t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t
+        ]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    spans = q229_dup_spans(spark, sf_dir).collect()
+    assert spans, "expected at least one duplicated span at this SF"
+    for r in spans:
+        a = toks[r["doc_a"]][r["start_a"] - 1 : r["start_a"] - 1 + r["span_tokens"]]
+        b = toks[r["doc_b"]][r["start_b"] - 1 : r["start_b"] - 1 + r["span_tokens"]]
+        assert len(a) == r["span_tokens"] and a == b, r

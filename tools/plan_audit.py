@@ -272,6 +272,11 @@ AUDIT = [
     ("q222_k_anonymity", 2, 0),  # quasi-id agg + 3-row broadcast regroup
     ("q223_cms_estimate", 4, 0),  # true counts, sketch agg, top-20, 3 broadcast probes
     ("q224_temporal_reach", 7, 0),  # bucket join, arr1 agg, hop2 join, two count aggs
+    # vocab agg + 3 rounds × (pair agg + 1-row argmax); merge APPLY is a
+    # zero-shuffle JVM fold; exchange reuse collapses the static count
+    ("q228_bpe_merges", 5, 0),
+    # gram df agg + df-bounded pair join + (pair, diag) island window
+    ("q229_dup_spans", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
