@@ -3706,7 +3706,101 @@ FROM n1 LEFT JOIN n2 ON n2.u = n1.u
 """
 
 
+# --------------------------------------------------------------------------
+# q230 — POISSON BOOTSTRAP confidence intervals (Chamandy et al.,
+# "Estimating Uncertainty for Massive Data Streams", Google 2012): the
+# at-scale bootstrap. A classical resample permutes the whole corpus
+# (impossible distributed); the Poisson bootstrap gives each row an
+# independent Poisson(1) multiplicity per replicate, so B resamples
+# are ONE pass over the data with a B-way in-place fan-out and a keyed
+# agg — no shuffle of raw rows per replicate, no global state. The
+# Poisson draw is deterministic: u = md5long(doc_id|b)/2^60 inverted
+# through the Poisson(1) CDF (truncated at 4; P(X>4) ≈ 0.37%), so both
+# engines and any partitioning produce bit-identical replicates.
+# Replicate means are exact-integer-sum ratios (no float accumulation
+# order sensitivity) and the 2.5%/97.5% quantiles use the shared
+# linear-interpolation definition (Spark percentile ≡ DuckDB
+# quantile_cont). Output: per-source point estimate + 95% CI of mean
+# document length.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+#: cumulative Poisson(1) probabilities for k = 0..3 (then 4)
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+)
+_U_DENOM = float(1 << 60)
+
+
+def q230_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    r = d.select(
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "doc_id",
+    ).withColumn(
+        "u",
+        md5long(F.concat_ws("|", "doc_id", "b")) / F.lit(_U_DENOM),
+    )
+    w = (
+        F.when(F.col("u") < _POIS_CDF[0], 0)
+        .when(F.col("u") < _POIS_CDF[1], 1)
+        .when(F.col("u") < _POIS_CDF[2], 2)
+        .when(F.col("u") < _POIS_CDF[3], 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    rep = (
+        r.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("m")
+        )
+    )
+    return rep.groupBy("source").agg(
+        r4(F.avg("m")).alias("boot_mean"),
+        r4(F.percentile("m", F.lit(0.025))).alias("ci_lo"),
+        r4(F.percentile("m", F.lit(0.975))).alias("ci_hi"),
+    )
+
+
+Q230_SQL = f"""
+WITH r AS (
+  SELECT source, n_chars, b,
+         CAST({MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)")}
+              AS DOUBLE) / {_U_DENOM!r} AS u
+  FROM documents, unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)
+), w AS (
+  SELECT source, b, n_chars,
+         CASE WHEN u < {_POIS_CDF[0]!r} THEN 0
+              WHEN u < {_POIS_CDF[1]!r} THEN 1
+              WHEN u < {_POIS_CDF[2]!r} THEN 2
+              WHEN u < {_POIS_CDF[3]!r} THEN 3
+              ELSE 4 END AS w
+  FROM r
+), rep AS (
+  SELECT source, b,
+         CAST(SUM(w * n_chars) AS DOUBLE) / NULLIF(SUM(w), 0) AS m
+  FROM w GROUP BY 1, 2
+)
+SELECT source, ROUND(AVG(m), 4) AS boot_mean,
+       ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM rep GROUP BY source
+"""
+
+
 QUERIES = {
+    "q230_poisson_bootstrap": q230_poisson_bootstrap,
     "q222_k_anonymity": q222_k_anonymity,
     "q224_temporal_reach": q224_temporal_reach,
     "q211_max_concurrency": q211_max_concurrency,
@@ -3765,6 +3859,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q230_poisson_bootstrap": Q230_SQL,
     "q222_k_anonymity": Q222_SQL,
     "q224_temporal_reach": Q224_SQL,
     "q211_max_concurrency": Q211_SQL,

@@ -199,3 +199,35 @@ def test_longest_run_decode(spark):
     ]
     # ordered by mask value: 0, 1, 0b0111011=59, 2^30-1
     assert got == [0, 1, 3, 30]
+
+
+def test_poisson_bootstrap_brackets_true_mean(spark, sf_dir):
+    """q230's 95% CI must bracket the per-source sample mean (the
+    Poisson bootstrap is centered on it), be properly ordered, and have
+    width shrinking roughly as 1/sqrt(n) — checked loosely: the CI of
+    every source is non-degenerate and contains the plain mean."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q230_poisson_bootstrap,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+
+    ci = {
+        r["source"]: (r["ci_lo"], r["boot_mean"], r["ci_hi"])
+        for r in q230_poisson_bootstrap(spark, sf_dir).collect()
+    }
+    true_means = {
+        r["source"]: r["m"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()
+    }
+    assert set(ci) == set(true_means)
+    for src, (lo, mid, hi) in ci.items():
+        assert lo <= mid <= hi, (src, ci[src])
+        assert lo < hi, f"degenerate CI for {src}"
+        # the bootstrap distribution is centered on the sample mean;
+        # with B=32 the sample mean must land inside the 95% band
+        assert lo <= true_means[src] <= hi, (src, ci[src], true_means[src])

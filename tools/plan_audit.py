@@ -277,6 +277,8 @@ AUDIT = [
     ("q228_bpe_merges", 5, 0),
     # gram df agg + df-bounded pair join + (pair, diag) island window
     ("q229_dup_spans", 3, 0),
+    # B-way in-place fan-out; replicate agg + per-source quantile agg
+    ("q230_poisson_bootstrap", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
