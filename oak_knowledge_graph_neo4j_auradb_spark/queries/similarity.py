@@ -1179,7 +1179,130 @@ FROM ents
 """
 
 
+# --------------------------------------------------------------------------
+# q231 — k-means|| SEEDING (Bahmani et al. 2012, "Scalable k-means++"):
+# the distributed replacement for k-means++'s inherently sequential
+# D²-sampling. Per round: squared distance to the CURRENT candidate
+# set (small — broadcast), the 1-row potential φ = Σd², and an
+# independent coin per point keeping it with probability
+# min(1, l·d²/φ) — so a round costs one broadcast join + one 1-row agg
+# and the corpus never shuffles; the candidate set grows by ~l per
+# round. The coin is u = md5long(vec_id|round)/2^60 — deterministic
+# across engines and partitionings (the q42/q87/q230 hash-uniform
+# trick), and d²/φ are rendered at 6dp before the comparison so the
+# two engines' float summation can't flip a selection. Output: each
+# candidate with the round that added it and its attraction weight
+# (|points nearest to it|) — the weighted instance the final
+# driver-side k-means++ would consume. Already-selected candidates
+# have d² = 0 and can never be re-drawn.
+# --------------------------------------------------------------------------
+
+_KMPP_ROUNDS = 3
+_KMPP_L = 4.0
+
+
+def q231_kmeanspp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cands = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cand"),
+        F.col("v").alias("cv"),
+        F.lit(0).cast("int").alias("rnd"),
+    )
+    for r in range(1, _KMPP_ROUNDS + 1):
+        d2 = (
+            e.crossJoin(F.broadcast(cands.select("cand", "cv")))
+            .groupBy("vec_id")
+            .agg(F.round(F.min(_sqdist(F.col("v"), F.col("cv"))), 6).alias("d2"))
+        )
+        phi = d2.agg(F.round(F.sum("d2"), 6).alias("phi"))
+        u = md5long(F.concat_ws("|", "vec_id", F.lit(str(r)))) / F.lit(
+            float(1 << 60)
+        )
+        sel = (
+            e.join(d2, "vec_id")
+            .crossJoin(F.broadcast(phi))
+            .filter(u < _KMPP_L * F.col("d2") / F.col("phi"))
+            .select(
+                F.col("vec_id").alias("cand"),
+                F.col("v").alias("cv"),
+                F.lit(r).cast("int").alias("rnd"),
+            )
+        )
+        cands = cands.unionByName(sel).localCheckpoint()
+    asgn = e.crossJoin(F.broadcast(cands.select("cand", "cv")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(_sqdist(F.col("v"), F.col("cv")), 6).asc(), F.col("cand").asc()
+    )
+    won = (
+        asgn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return (
+        cands.select("cand", "rnd")
+        .join(won, "cand", "left")
+        .select("cand", "rnd", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+    )
+
+
+def _q231_sql() -> str:
+    from .common import MD5LONG_SQL
+
+    denom = repr(float(1 << 60))
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """c0 AS (
+  SELECT vec_id AS cand, v AS cv, 0 AS rnd FROM e ORDER BY vec_id LIMIT 1
+)""",
+    ]
+    for r in range(1, _KMPP_ROUNDS + 1):
+        p = r - 1
+        u = MD5LONG_SQL.format(
+            x=f"CAST(e.vec_id AS VARCHAR) || '|{r}'"
+        )
+        ctes.append(
+            f"""dd{r} AS (
+  SELECT e.vec_id,
+         ROUND(MIN({_sqdist_sql('e.v', 'c.cv')}), 6) AS d2
+  FROM e, c{p} c GROUP BY e.vec_id
+),
+ph{r} AS (SELECT ROUND(SUM(d2), 6) AS phi FROM dd{r}),
+s{r} AS (
+  SELECT e.vec_id AS cand, e.v AS cv, {r} AS rnd
+  FROM e JOIN dd{r} USING (vec_id), ph{r}
+  WHERE CAST({u} AS DOUBLE) / {denom}
+        < {_KMPP_L} * dd{r}.d2 / ph{r}.phi
+),
+c{r} AS (SELECT * FROM c{p} UNION ALL SELECT * FROM s{r})"""
+        )
+    last = f"c{_KMPP_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asgn AS (
+  SELECT e.vec_id, c.cand,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_sqdist_sql('e.v', 'c.cv')}, 6), c.cand) AS rn
+  FROM e, {last} c
+),
+won AS (
+  SELECT cand, CAST(COUNT(*) AS BIGINT) AS w FROM asgn
+  WHERE rn = 1 GROUP BY cand
+)
+SELECT c.cand, CAST(c.rnd AS INTEGER) AS rnd,
+       CAST(COALESCE(won.w, 0) AS BIGINT) AS w
+FROM {last} c LEFT JOIN won USING (cand)
+"""
+    )
+
+
 QUERIES = {
+    "q231_kmeanspp_seed": q231_kmeanspp_seed,
     "q202_label_recall_at5": q202_label_recall_at5,
     "q203_lsh_pr_curve": q203_lsh_pr_curve,
     "q204_assignment_purity": q204_assignment_purity,
@@ -1194,6 +1317,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q231_kmeanspp_seed": _q231_sql(),
     "q202_label_recall_at5": Q202_SQL,
     "q203_lsh_pr_curve": _q203_sql(),
     "q204_assignment_purity": _q204_sql(),

@@ -53,3 +53,41 @@ def test_band_sigs_bit_exact(spark):
         _band_sigs_pd(N_BANDS, BITS_PER_BAND)(F.col("v")).alias("arrow"),
     ).collect()
     assert rows and all(r["hof"] == r["arrow"] for r in rows)
+
+
+def test_kmeanspp_seed_invariants(spark, sf_dir):
+    """q231: attraction weights partition the corpus (sum == N), the
+    round-0 seed is the min vec_id, and every extra candidate strictly
+    reduces the k-means potential vs the single-seed baseline."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+        _KMPP_ROUNDS,
+        _sqdist,
+        _vec,
+        q231_kmeanspp_seed,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+
+    got = q231_kmeanspp_seed(spark, sf_dir).collect()
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    n = e.count()
+    assert sum(r["w"] for r in got) == n
+    assert {r["rnd"] for r in got} <= set(range(_KMPP_ROUNDS + 1))
+    seed = min(r["cand"] for r in got if r["rnd"] == 0)
+    assert seed == e.agg(F.min("vec_id")).collect()[0][0]
+    assert len(got) > 1, "oversampling drew no extra candidates"
+
+    def potential(cand_ids):
+        c = e.filter(F.col("vec_id").isin(cand_ids)).select(
+            F.col("v").alias("cv")
+        )
+        return (
+            e.crossJoin(c)
+            .groupBy("vec_id")
+            .agg(F.min(_sqdist(F.col("v"), F.col("cv"))).alias("d2"))
+            .agg(F.sum("d2"))
+            .collect()[0][0]
+        )
+
+    assert potential([r["cand"] for r in got]) < potential([seed])

@@ -279,6 +279,9 @@ AUDIT = [
     ("q229_dup_spans", 3, 0),
     # B-way in-place fan-out; replicate agg + per-source quantile agg
     ("q230_poisson_bootstrap", 2, 0),
+    # rounds localCheckpointed; final plan: assignment window + weight
+    # agg + left join back to the (tiny) candidate table
+    ("q231_kmeanspp_seed", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
