@@ -3969,7 +3969,79 @@ SELECT k.s, k.d, k.w FROM (SELECT unnest(kept) AS k FROM fin)
 """
 
 
+# --------------------------------------------------------------------------
+# q232 — BUTTERFLY COUNTING (2×2 bicliques; Sanei-Mehri et al. 2018,
+# "Butterfly Counting in Bipartite Networks"): the bipartite analogue
+# of triangle counting — the motif that defines bipartite clustering
+# coefficient and k-bitruss decompositions. Triangles don't exist in a
+# bipartite graph, so q51's census says nothing about the order↔part
+# graph; butterflies do. Method: wedges through the PART side (for a
+# part of degree d there are C(d,2) order pairs), aggregated per
+# (order, order) pair — a pair co-supported by m parts contributes
+# C(m,2) butterflies. Σ wedges and Σ C(m,2) are exact integer
+# aggregates. The part-side wedge fan-out is bounded by a degree cap
+# (parts above _BFC_DEG_CAP are excluded and REPORTED — the q27 df
+# bound; at production scale the cap is the hub-mitigation knob, and
+# the capped hubs get the exact per-hub treatment triangles give
+# their skew). One summary row: wedges, co-support pairs, butterflies,
+# capped parts.
+# --------------------------------------------------------------------------
+
+_BFC_DEG_CAP = 256
+
+
+def q232_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _bipartite_edges(spark, sf_dir)
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    ok = deg.filter(F.col("d") <= _BFC_DEG_CAP).select("dst", "d")
+    n_capped = deg.filter(F.col("d") > _BFC_DEG_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("capped_parts")
+    )
+    e2 = e.join(ok.select("dst"), "dst")
+    a = e2.select(F.col("src").alias("o1"), "dst")
+    b = e2.select(F.col("src").alias("o2"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("o1") < F.col("o2"))
+        .groupBy("o1", "o2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    stats = pairs.agg(
+        F.sum("m").cast("long").alias("wedges"),
+        F.count(F.lit(1)).cast("long").alias("cosupport_pairs"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2)
+        .cast("long")
+        .alias("butterflies"),
+    )
+    return stats.crossJoin(n_capped)
+
+
+_Q232_SQL = f"""
+WITH {_Q_BIPARTITE_SQL.lstrip()},
+deg AS (SELECT dst, COUNT(*) AS d FROM e0 GROUP BY dst),
+ok AS (SELECT dst FROM deg WHERE d <= {_BFC_DEG_CAP}),
+capped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS capped_parts
+  FROM deg WHERE d > {_BFC_DEG_CAP}
+),
+e2 AS (SELECT src, dst FROM e0 JOIN ok USING (dst)),
+pairs AS (
+  SELECT a.src AS o1, b.src AS o2, COUNT(*) AS m
+  FROM e2 a JOIN e2 b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS wedges,
+         CAST(COUNT(*) AS BIGINT) AS cosupport_pairs,
+         CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS butterflies
+  FROM pairs
+)
+SELECT stats.*, capped.capped_parts FROM stats, capped
+"""
+
+
 QUERIES = {
+    "q232_butterflies": q232_butterflies,
     "q217_luby_mis": q217_luby_mis,
     "q218_maximal_matching": q218_maximal_matching,
     "q219_betweenness": q219_betweenness,
@@ -4020,6 +4092,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q232_butterflies": _Q232_SQL,
     "q217_luby_mis": _q217_sql(),
     "q219_betweenness": _q219_sql(),
     "q225_boruvka_msf": _q225_sql(),

@@ -264,3 +264,24 @@ def test_source_betweenness_vs_exact_oracle(spark):
         got = {v: x for v, x in got.items() if v not in sources}
         # nodes never reached don't appear on either side
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_butterflies_handcrafted(spark, tmp_path):
+    """A 2x2 complete biclique = exactly 1 butterfly; K(2,3) = C(3,2)=3
+    via the part-side wedge formula. Built as a tiny lineitem table fed
+    through the real q232 pipeline."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        q232_butterflies,
+    )
+
+    # parts are kept when l_partkey % 50 == 0; orders o1,o2 both touch
+    # parts 50,100,150 -> K(2,3): wedges=C(2,2) per part *3? part deg=2
+    # -> 1 wedge each = 3 wedges, one pair with m=3 -> C(3,2)=3
+    rows = [(o, p) for o in (1, 2) for p in (50, 100, 150)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = q232_butterflies(spark, str(tmp_path)).collect()[0]
+    assert got["wedges"] == 3
+    assert got["cosupport_pairs"] == 1
+    assert got["butterflies"] == 3
+    assert got["capped_parts"] == 0

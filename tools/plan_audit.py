@@ -282,6 +282,8 @@ AUDIT = [
     # rounds localCheckpointed; final plan: assignment window + weight
     # agg + left join back to the (tiny) candidate table
     ("q231_kmeanspp_seed", 3, 0),
+    # degree agg + capped wedge self-join + pair agg + 1-row stats
+    ("q232_butterflies", 5, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
