@@ -546,7 +546,86 @@ FROM events GROUP BY user_id
 """
 
 
+def q233_stream_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SESSION WINDOWS (``F.session_window``): per-user
+    sessions that merge events whose [ts, ts+gap) intervals chain
+    (strictly-less-than-gap spacing), with the session end = last event
+    + gap — Structured Streaming's dynamic-length stateful window, the
+    one windowing mode q35/q170's fixed grids can't express. Complete
+    output over an availableNow drain makes the final state exactly
+    the batch sessionization, so the oracle is the classic
+    gaps-and-islands rewrite: a session breaks where the gap to the
+    previous event is >= 30 minutes (epoch arithmetic, integer-exact).
+    State scale: one in-flight session struct per active user — the
+    production watermark evicts closed sessions; complete mode here
+    only widens emission, not state shape."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+        .filter(F.col("user_id") < 50)
+        # whole-second session arithmetic: both engines floor the
+        # event time, so gap comparisons and window bounds are
+        # integer-exact (DuckDB CAST rounds fractional epochs; Spark
+        # truncates — without this the twins differ by one second)
+        .withColumn("ts", F.date_trunc("second", F.col("ts")))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("sw.start").cast("long").alias("session_start"),
+        F.col("sw.end").cast("long").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    name = f"q233_mem_{next(_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+Q233_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events WHERE user_id < 50
+), marked AS (
+  SELECT user_id, t, value,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   >= 1800 OR LAG(t) OVER (PARTITION BY user_id
+                                           ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, t, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(t) AS session_start, MAX(t) + 1800 AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
+    "q233_stream_session_windows": q233_stream_session_windows,
     "q170_stream_sliding": q170_stream_sliding,
     "q115_stream_dedup_watermarked": q115_stream_dedup_watermarked,
     "q124_stream_stateful_counts": q124_stream_stateful_counts,
@@ -559,6 +638,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q233_stream_session_windows": Q233_SQL,
     "q170_stream_sliding": Q170_SQL,
     "q115_stream_dedup_watermarked": Q115_SQL,
     "q124_stream_stateful_counts": Q124_SQL,

@@ -332,3 +332,50 @@ def test_stream_entity_links_merged_storage_idempotent(spark, dirs, tmp_path):
         .collect()
     }
     assert rows() == batch
+
+
+def test_stream_session_windows_invariants(spark, sf_dir):
+    """q233 sessions per user are disjoint, ordered with >= gap between
+    them, and internally dense (every in-session gap < 30 min).
+    Cross-checked against batch session_window on the same input —
+    streaming complete-mode drain must equal the batch operator."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.streamq import (
+        q233_stream_session_windows,
+    )
+
+    got = sorted(
+        (
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in q233_stream_session_windows(spark, sf_dir).collect()
+        )
+    )
+    assert got
+    by_user = {}
+    for u, s, e, n in got:
+        assert e - s >= 1800 and n >= 1
+        by_user.setdefault(u, []).append((s, e))
+    for u, spans in by_user.items():
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1, (u, (s1, e1), (s2, e2))
+    batch = sorted(
+        (
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("user_id") < 50)
+            .withColumn("ts", F.date_trunc("second", F.col("ts")))
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").cast("long").alias("session_start"),
+                F.col("sw.end").cast("long").alias("session_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    )
+    assert got == batch
