@@ -987,7 +987,139 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# q234 — FELLEGI–SUNTER probabilistic record linkage (Fellegi & Sunter
+# 1969): the statistical scoring layer the repo's ER stack (kg87
+# blocking, kg88 canonicalization, q53 fuzzy pairs) sits under. Each
+# candidate pair gets a log-likelihood weight Σ_f [agree_f ?
+# log2(m_f/u_f) : log2((1−m_f)/(1−u_f))] where m_f is the prior
+# agreement probability among matches and u_f — the part naive
+# implementations hand-wave — is estimated EXACTLY from the data as
+# the random-pair agreement rate u_f = Σ_v n_v(n_v−1) / N(N−1), a
+# pure aggregate over the value histogram (no sampling, no Python).
+# Candidates come from (nation, account-band) blocking, so the pair
+# generation is block-quadratic, never corpus-quadratic — at
+# production scale the block key is the knob, exactly like kg87's
+# deletion-neighborhood blocks. Output: top-20 pairs by weight with
+# their agreement pattern. Integer ratios → doubles → log2 are
+# bit-identical across engines; the weight is rendered at 4dp before
+# the ordering so the k-th boundary is engine-stable.
+# --------------------------------------------------------------------------
+
+_FS_M_SEG = 0.95  # P(segment agrees | same entity)
+_FS_M_BAL = 0.90  # P(500-bucket acctbal agrees | same entity)
+
+
+def q234_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_b"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("blk_b"),
+    )
+    n = c.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+
+    def u_of(col: str):
+        h = c.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        return h.crossJoin(F.broadcast(n)).agg(
+            (
+                F.sum(F.col("nv") * (F.col("nv") - 1))
+                / F.first(F.col("n_tot") * (F.col("n_tot") - 1))
+            ).alias(f"u_{col}")
+        )
+
+    u = F.broadcast(u_of("c_mktsegment").crossJoin(u_of("bal_b")))
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        "c_nationkey",
+        "blk_b",
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_b").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        "c_nationkey",
+        "blk_b",
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_b").alias("bal_b2"),
+    )
+    pairs = a.join(b, ["c_nationkey", "blk_b"]).filter(
+        F.col("cust_a") < F.col("cust_b")
+    )
+    scored = (
+        pairs.crossJoin(u)
+        .withColumn("agree_seg", F.col("seg_a") == F.col("seg_b"))
+        .withColumn("agree_bal", F.col("bal_a") == F.col("bal_b2"))
+        .withColumn(
+            "weight",
+            F.round(
+                F.when(
+                    F.col("agree_seg"),
+                    F.log2(F.lit(_FS_M_SEG) / F.col("u_c_mktsegment")),
+                ).otherwise(
+                    F.log2(
+                        F.lit(1 - _FS_M_SEG) / (1 - F.col("u_c_mktsegment"))
+                    )
+                )
+                + F.when(
+                    F.col("agree_bal"),
+                    F.log2(F.lit(_FS_M_BAL) / F.col("u_bal_b")),
+                ).otherwise(
+                    F.log2(F.lit(1 - _FS_M_BAL) / (1 - F.col("u_bal_b")))
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("cust_a", "cust_b", "agree_seg", "agree_bal", "weight")
+        .orderBy(F.desc("weight"), "cust_a", "cust_b")
+        .limit(20)
+    )
+
+
+Q234_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bal_b,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS blk_b
+  FROM customer
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tot FROM c),
+useg AS (
+  SELECT SUM(nv * (nv - 1)) / ANY_VALUE(n_tot * (n_tot - 1)) AS u_seg
+  FROM (SELECT c_mktsegment, COUNT(*) AS nv FROM c GROUP BY 1), n
+),
+ubal AS (
+  SELECT SUM(nv * (nv - 1)) / ANY_VALUE(n_tot * (n_tot - 1)) AS u_bal
+  FROM (SELECT bal_b, COUNT(*) AS nv FROM c GROUP BY 1), n
+),
+pairs AS (
+  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         a.c_mktsegment = b.c_mktsegment AS agree_seg,
+         a.bal_b = b.bal_b AS agree_bal
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.blk_b = b.blk_b
+   AND a.c_custkey < b.c_custkey
+),
+scored AS (
+  SELECT cust_a, cust_b, agree_seg, agree_bal,
+         ROUND(
+           CASE WHEN agree_seg THEN log2({_FS_M_SEG} / u_seg)
+                ELSE log2({1 - _FS_M_SEG!r} / (1 - u_seg)) END
+           + CASE WHEN agree_bal THEN log2({_FS_M_BAL} / u_bal)
+                  ELSE log2({1 - _FS_M_BAL!r} / (1 - u_bal)) END, 4)
+           AS weight
+  FROM pairs, useg, ubal
+)
+SELECT * FROM scored
+ORDER BY weight DESC, cust_a, cust_b
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "q234_fellegi_sunter": q234_fellegi_sunter,
     "q193_cohens_kappa": q193_cohens_kappa,
     "q207_decile_lift": q207_decile_lift,
     "q208_udtf_tokenize": q208_udtf_tokenize,
@@ -1005,6 +1137,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q234_fellegi_sunter": Q234_SQL,
     "q193_cohens_kappa": _q193_sql(),
     "q207_decile_lift": _q207_sql(),
     "q208_udtf_tokenize": Q208_SQL,

@@ -125,3 +125,30 @@ def test_skyline_no_mutual_domination(spark, sf_dir):
                 )
             )
             assert not dominates
+
+
+def test_fellegi_sunter_weight_ordering(spark, sf_dir):
+    """q234: the log-likelihood weight must be monotone in the
+    agreement pattern — (seg ∧ bal) > (seg only) and > (bal only) —
+    and the top-20 must all carry the maximal observed pattern's
+    weight ordering (descending, tie-broken by pair)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.mlops import (
+        q234_fellegi_sunter,
+    )
+
+    rows = q234_fellegi_sunter(spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    by_pattern = {}
+    for r in rows:
+        by_pattern.setdefault((r["agree_seg"], r["agree_bal"]), set()).add(
+            r["weight"]
+        )
+    for pat, ws in by_pattern.items():
+        assert len(ws) == 1, f"pattern {pat} maps to several weights: {ws}"
+    w = {p: next(iter(ws)) for p, ws in by_pattern.items()}
+    if (True, True) in w and (True, False) in w:
+        assert w[(True, True)] > w[(True, False)]
+    if (True, True) in w and (False, True) in w:
+        assert w[(True, True)] > w[(False, True)]
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)

@@ -284,6 +284,11 @@ AUDIT = [
     ("q231_kmeanspp_seed", 3, 0),
     # degree agg + capped wedge self-join + pair agg + 1-row stats
     ("q232_butterflies", 5, 0),
+    # drained-stream plan audits as a memory-table scan (state lives in
+    # the streaming engine, not the static plan)
+    ("q233_stream_session_windows", 0, 0),
+    # value-histogram u aggs (broadcast) + blocked pair join + top-20
+    ("q234_fellegi_sunter", 5, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
