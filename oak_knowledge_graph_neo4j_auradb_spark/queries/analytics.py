@@ -3799,7 +3799,75 @@ FROM rep GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q235 — APPROXIMATE FUNCTIONAL-DEPENDENCY discovery (the g3 error of
+# Kivinen & Mannila 1995, as mined by TANE/Metanome): for each
+# candidate FD A→B, the minimum fraction of rows to delete for the FD
+# to hold exactly — g3 = (N − Σ_a max_b |rows(a,b)|) / N. q134 profiles
+# single columns (ANALYZE); this profiles COLUMN RELATIONSHIPS, the
+# other half of schema discovery on an unknown 100-TB lake. Shape per
+# candidate: one (A,B) partial-agg, one per-A max — both keyed,
+# integer-exact until the final rendered rate; candidates share the
+# scan via a single unioned plan. An exact FD (l_orderkey →
+# l_orderkey) renders 0; a near-key renders small; independent columns
+# render large.
+# --------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("l_orderkey", "l_returnflag"),
+    ("l_orderkey", "l_linestatus"),
+    ("l_partkey", "l_suppkey"),
+    ("l_returnflag", "l_linestatus"),
+    ("l_suppkey", "l_returnflag"),
+)
+
+
+def q235_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for a, b in _FD_CANDIDATES:
+        ab = li.groupBy(
+            F.col(a).alias("av"), F.col(b).alias("bv")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        per_a = ab.groupBy("av").agg(
+            F.max("c").alias("mx"), F.sum("c").alias("tot")
+        )
+        outs.append(
+            per_a.agg(
+                F.lit(f"{a}->{b}").alias("fd"),
+                (F.sum("tot") - F.sum("mx")).cast("long").alias("violations"),
+                F.sum("tot").cast("long").alias("n_rows"),
+                r4(
+                    (F.sum("tot") - F.sum("mx")) / F.sum("tot")
+                ).alias("g3"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _q235_sql() -> str:
+    parts = []
+    for a, b in _FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{a}->{b}' AS fd,
+       CAST(SUM(tot) - SUM(mx) AS BIGINT) AS violations,
+       CAST(SUM(tot) AS BIGINT) AS n_rows,
+       ROUND((SUM(tot) - SUM(mx)) / CAST(SUM(tot) AS DOUBLE), 4) AS g3
+FROM (
+  SELECT av, MAX(c) AS mx, SUM(c) AS tot FROM (
+    SELECT {a} AS av, {b} AS bv, COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+  ) GROUP BY av
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "q235_fd_violations": q235_fd_violations,
     "q230_poisson_bootstrap": q230_poisson_bootstrap,
     "q222_k_anonymity": q222_k_anonymity,
     "q224_temporal_reach": q224_temporal_reach,
@@ -3859,6 +3927,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q235_fd_violations": _q235_sql(),
     "q230_poisson_bootstrap": Q230_SQL,
     "q222_k_anonymity": Q222_SQL,
     "q224_temporal_reach": Q224_SQL,

@@ -231,3 +231,30 @@ def test_poisson_bootstrap_brackets_true_mean(spark, sf_dir):
         # the bootstrap distribution is centered on the sample mean;
         # with B=32 the sample mean must land inside the 95% band
         assert lo <= true_means[src] <= hi, (src, ci[src], true_means[src])
+
+
+def test_fd_g3_bounds_and_key_fd(spark, sf_dir):
+    """q235: g3 ∈ [0, 1); violations == 0 iff the FD holds exactly; a
+    hand-verified candidate matches a pandas recomputation."""
+    from collections import Counter, defaultdict
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q235_fd_violations,
+    )
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+
+    got = {r["fd"]: r for r in q235_fd_violations(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).collect()
+    cnt = Counter((r["l_partkey"], r["l_suppkey"]) for r in rows)
+    per_a = defaultdict(list)
+    for (a, b), c in cnt.items():
+        per_a[a].append(c)
+    n = len(rows)
+    want_viol = n - sum(max(cs) for cs in per_a.values())
+    r = got["l_partkey->l_suppkey"]
+    assert r["violations"] == want_viol and r["n_rows"] == n
+    for r in got.values():
+        assert 0 <= r["g3"] < 1
+        assert (r["violations"] == 0) == (r["g3"] == 0.0)

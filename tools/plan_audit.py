@@ -289,6 +289,9 @@ AUDIT = [
     ("q233_stream_session_windows", 0, 0),
     # value-histogram u aggs (broadcast) + blocked pair join + top-20
     ("q234_fellegi_sunter", 5, 0),
+    # 5 FD candidates × ((A,B) agg + per-A agg + 1-row agg) — chains
+    # are independent and run concurrently; scan shared via union
+    ("q235_fd_violations", 15, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
