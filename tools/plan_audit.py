@@ -284,9 +284,10 @@ AUDIT = [
     ("q231_kmeanspp_seed", 3, 0),
     # degree agg + capped wedge self-join + pair agg + 1-row stats
     ("q232_butterflies", 5, 0),
-    # drained-stream plan audits as a memory-table scan (state lives in
-    # the streaming engine, not the static plan)
-    ("q233_stream_session_windows", 0, 0),
+    # q233 (streaming session windows) is NOT audited, like the rest of
+    # the streaming family: a drained stream audits as a bare
+    # memory-table scan (no codegen span, no exchanges) — the state
+    # machine lives in the streaming engine, not the static plan
     # value-histogram u aggs (broadcast) + blocked pair join + top-20
     ("q234_fellegi_sunter", 5, 0),
     # 5 FD candidates × ((A,B) agg + per-A agg + 1-row agg) — chains
