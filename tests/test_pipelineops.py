@@ -302,3 +302,67 @@ def test_dup_spans_are_real_shared_substrings(spark, sf_dir):
         a = toks[r["doc_a"]][r["start_a"] - 1 : r["start_a"] - 1 + r["span_tokens"]]
         b = toks[r["doc_b"]][r["start_b"] - 1 : r["start_b"] - 1 + r["span_tokens"]]
         assert len(a) == r["span_tokens"] and a == b, r
+
+
+def test_bpe_merges_random_corpora_vs_reference(spark, tmp_path):
+    """q228 on three random synthetic corpora (including merge chains
+    from repeated characters and count ties) equals the sequential
+    trainer — the corpus goes through the real parquet-reading query."""
+    import random
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        _BPE_ROUNDS,
+        q228_bpe_merges,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcx"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+            for _ in range(40)
+        ]
+        text = " ".join(words)
+        docs = spark.createDataFrame(
+            [("0", text, "en", "s", len(text))],
+            "doc_id string, text string, lang string, source string,"
+            " n_chars long",
+        )
+        d = str(tmp_path / f"bpe{trial}")
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        wc = Counter(words)
+        want = _py_bpe(dict(wc), _BPE_ROUNDS)
+        got = [
+            (r["merge_a"], r["merge_b"], r["cnt"])
+            for r in q228_bpe_merges(spark, d).orderBy("round").collect()
+        ]
+        assert got == want, (trial, got, want)
+
+
+def test_dup_spans_handcrafted_positions(spark, tmp_path):
+    """q229 on documents with a known 12-token shared block reports the
+    exact start positions and span length in both docs."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.textops import (
+        q229_dup_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12 tokens
+    a_prefix = "alpha beta gamma"  # 3 tokens -> shared starts at pos 4
+    b_prefix = "delta"  # 1 token -> shared starts at pos 2
+    rows = [
+        (1, f"{a_prefix} {shared} omega", "en", "s", 1),
+        (2, f"{b_prefix} {shared} psi chi", "en", "s", 1),
+        (3, "nothing shared here at all beyond tiny words", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    d = str(tmp_path / "spans")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = q229_dup_spans(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 4 and r["start_b"] == 2
+    assert r["span_tokens"] == 12
