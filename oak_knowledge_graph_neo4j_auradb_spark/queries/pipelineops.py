@@ -2917,7 +2917,96 @@ v{r} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+# --------------------------------------------------------------------------
+# q236 — RENDEZVOUS (highest-random-weight) SHARDING audit (Thaler &
+# Ravishankar 1996; the assignment rule behind consistent shard maps in
+# storage systems and the natural deterministic doc→training-shard
+# map): doc d goes to shard argmax_k md5long(d | k). The defining
+# property — adding a shard moves ONLY the documents that win for the
+# new shard (≈ N/(K+1)); nothing reshuffles among existing shards —
+# falls out exactly and is asserted per shard: moved_in = 0 for every
+# old shard. The argmax is array-native on the Spark side (transform →
+# array_max over (h, k) structs — zero shuffle for the assignment,
+# one partial agg for the audit); the twin unnests and arg_max's.
+# 60-bit hashes make argmax ties impossible in practice; the struct
+# tie-break pins determinism even then.
+# --------------------------------------------------------------------------
+
+_HRW_K = 8
+
+
+def _hrw_shard(doc: str, n_shards: int):
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda k: F.struct(
+                md5long(
+                    F.concat_ws("|", F.col(doc), k.cast("string"))
+                ).alias("h"),
+                k.alias("k"),
+            ),
+        )
+    )["k"].cast("int")
+
+
+def q236_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc")
+    )
+    a = d.select(
+        "doc",
+        _hrw_shard("doc", _HRW_K).alias("s8"),
+        _hrw_shard("doc", _HRW_K + 1).alias("s9"),
+    )
+    n9 = a.groupBy(F.col("s9").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_9"),
+        F.sum(
+            (F.col("s8") != F.col("s9")).cast("long")
+        ).cast("long").alias("moved_in"),
+    )
+    n8 = a.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_8")
+    )
+    return n9.join(n8, "shard", "full").select(
+        F.col("shard").cast("int").alias("shard"),
+        F.coalesce("n_8", F.lit(0)).cast("long").alias("n_8"),
+        F.coalesce("n_9", F.lit(0)).cast("long").alias("n_9"),
+        F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+    )
+
+
+_Q236_H = MD5LONG_SQL.format(
+    x="CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
+)
+
+Q236_SQL = f"""
+WITH a8 AS (
+  SELECT doc_id, arg_max(k, {_Q236_H}) AS s8
+  FROM documents, unnest(generate_series(0, {_HRW_K - 1})) AS t(k)
+  GROUP BY doc_id
+), a9 AS (
+  SELECT doc_id, arg_max(k, {_Q236_H}) AS s9
+  FROM documents, unnest(generate_series(0, {_HRW_K})) AS t(k)
+  GROUP BY doc_id
+), a AS (SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 USING (doc_id)),
+n9 AS (
+  SELECT s9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_9,
+         CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS moved_in
+  FROM a GROUP BY 1
+), n8 AS (
+  SELECT s8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_8 FROM a GROUP BY 1
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(COALESCE(n_8, 0) AS BIGINT) AS n_8,
+       CAST(COALESCE(n_9, 0) AS BIGINT) AS n_9,
+       CAST(COALESCE(moved_in, 0) AS BIGINT) AS moved_in
+FROM n9 FULL OUTER JOIN n8 USING (shard)
+"""
+
+
 QUERIES = {
+    "q236_rendezvous_shards": q236_rendezvous_shards,
     "q228_bpe_merges": q228_bpe_merges,
     "q220_dsir_weights": q220_dsir_weights,
     "q223_cms_estimate": q223_cms_estimate,
@@ -2966,6 +3055,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q236_rendezvous_shards": Q236_SQL,
     "q228_bpe_merges": _q228_sql(),
     "q220_dsir_weights": Q220_SQL,
     "q223_cms_estimate": _q223_sql(),

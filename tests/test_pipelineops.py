@@ -366,3 +366,24 @@ def test_dup_spans_handcrafted_positions(spark, tmp_path):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["start_a"] == 4 and r["start_b"] == 2
     assert r["span_tokens"] == 12
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """q236: the HRW invariant — expanding 8→9 shards moves documents
+    ONLY into the new shard (moved_in == 0 for shards 0–7, and shard
+    8's entire population is moved-in); counts conserve."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        _HRW_K,
+        q236_rendezvous_shards,
+    )
+
+    rows = {r["shard"]: r for r in q236_rendezvous_shards(spark, sf_dir).collect()}
+    assert set(rows) == set(range(_HRW_K + 1))
+    n = sum(r["n_8"] for r in rows.values())
+    assert sum(r["n_9"] for r in rows.values()) == n
+    for s in range(_HRW_K):
+        assert rows[s]["moved_in"] == 0, rows[s]
+    new = rows[_HRW_K]
+    assert new["n_8"] == 0 and new["moved_in"] == new["n_9"] > 0
+    # expected ~N/9 movement; allow wide tolerance
+    assert n / 20 < new["n_9"] < n / 4

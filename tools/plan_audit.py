@@ -293,6 +293,8 @@ AUDIT = [
     # 5 FD candidates × ((A,B) agg + per-A agg + 1-row agg) — chains
     # are independent and run concurrently; scan shared via union
     ("q235_fd_violations", 15, 0),
+    # array-native argmax assignment (zero shuffle) + 2 audit aggs
+    ("q236_rendezvous_shards", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
