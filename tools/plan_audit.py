@@ -295,6 +295,9 @@ AUDIT = [
     ("q235_fd_violations", 15, 0),
     # array-native argmax assignment (zero shuffle) + 2 audit aggs
     ("q236_rendezvous_shards", 2, 0),
+    # per-(vec,sub) assignment windows + (sub,code,d) centroid aggs;
+    # codebooks broadcast, corpus never shuffles
+    ("q237_pq_codebooks", 5, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
