@@ -1421,7 +1421,266 @@ GROUP BY sub, code
 """
 
 
+# --------------------------------------------------------------------------
+# q238 — IVF-PQ ASYMMETRIC-DISTANCE SEARCH (Jégou et al. 2011 §IV):
+# the serving path the q31/q33 coarse quantizer and q237 codec exist
+# for, and the canonical billion-scale ANN index (FAISS IVFPQ). Build:
+# assign every vector to its nearest coarse centroid, PQ-encode the
+# RESIDUAL (v − centroid) as _PQ_M sub-codes. Search: for each query,
+# probe the _ADC_NPROBE nearest lists; per probed list precompute a
+# [_PQ_M][_PQ_K] lookup table of partial squared distances from the
+# query residual to every codeword, then score each encoded vector as
+# a pure table-lookup fold adc = Σ_m lut[m][code[m]] — no vector math
+# per candidate. Scale shape: the corpus is touched twice, once to
+# assign+encode (broadcast centroids/codebooks, one groupBy(vec_id)
+# shuffle to pack the code array — the index build), once to score
+# (the LUT table is queries×nprobe rows, BROADCAST; ADC is a map-side
+# 4-element fold over 8-bit codes, so the scan reads codes, never
+# vectors); the only search shuffle is the per-query top-k. At 10⁹
+# vectors the code table would be written partitioned by list_id so
+# probing prunes partitions. Cross-engine bit-identity: LUT cells use
+# the shared _sqdist fold, and both engines sum the M partial
+# distances in subspace order (F.aggregate over sequence ↔
+# list_sum(list(ld2 ORDER BY sub))), so adc matches to the last bit;
+# ranking orders by ROUND(adc, 6) with vec_id tie-break.
+# --------------------------------------------------------------------------
+
+_ADC_C = 4  # coarse lists (centroids = first C vec_ids)
+_ADC_NPROBE = 2  # probed lists per query
+_ADC_NQ = 5  # query set: vec_id < 5
+_ADC_TOPK = 5
+
+
+def q238_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    coarse = e.filter(F.col("vec_id") < _ADC_C).select(
+        F.col("vec_id").cast("int").alias("lst"), F.col("v").alias("cv")
+    )
+    # --- index build: coarse assignment + residual ---
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("lst").asc()
+    )
+    asgn = (
+        e.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "v",
+            "lst",
+            "cv",
+            _sqdist(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "lst",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    sub = asgn.select(
+        "vec_id",
+        "lst",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("sub"),
+                    F.slice("rv", m * _PQ_D + 1, _PQ_D).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "lst", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    # codebooks: residual slices of the first _PQ_K vectors (the q237
+    # deterministic-init convention; training iterations live in q237)
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "sub",
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cbv"),
+    )
+    wc = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("cd2").asc(), F.col("code").asc()
+    )
+    enc = (
+        sub.join(F.broadcast(cb), "sub")
+        .select(
+            "vec_id",
+            "lst",
+            "sub",
+            "code",
+            _sqdist(F.col("sv"), F.col("cbv")).alias("cd2"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "lst")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id",
+            "lst",
+            F.expr("transform(sc, p -> p.code)").alias("codes"),
+        )
+    )
+    # --- search: probe lists, build LUTs, fold ADC ---
+    q = e.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.col("qd2").asc(), F.col("lst").asc()
+    )
+    probe = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "qid",
+            "qv",
+            "lst",
+            "cv",
+            _sqdist(F.col("qv"), F.col("cv")).alias("qd2"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _ADC_NPROBE)
+        .select(
+            "qid",
+            "lst",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    lut = (
+        probe.select(
+            "qid",
+            "lst",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda m: F.struct(
+                        m.alias("sub"),
+                        F.slice("qrv", m * _PQ_D + 1, _PQ_D).alias("qsv"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("qid", "lst", F.col("s.sub").alias("sub"), F.col("s.qsv").alias("qsv"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "qid",
+            "lst",
+            "sub",
+            "code",
+            _sqdist(F.col("qsv"), F.col("cbv")).alias("ld2"),
+        )
+        .groupBy("qid", "lst")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code"), F.col("ld2")))
+            ).alias("cells")
+        )
+        .select(
+            "qid",
+            "lst",
+            # cells is sorted by (sub, code) and dense, so cell (m, k)
+            # sits at index m*K + k — pack to a [M][K] double grid
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m -> "
+                f"transform(sequence(0, {_PQ_K - 1}), k -> "
+                f"element_at(cells, m * {_PQ_K} + k + 1).ld2))"
+            ).alias("lut"),
+        )
+    )
+    adc = enc.join(F.broadcast(lut), "lst").select(
+        "qid",
+        "vec_id",
+        "lst",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.element_at(F.col("lut"), m + 1),
+                F.element_at(F.col("codes"), m + 1) + 1,
+            ),
+        ).alias("adc"),
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("adc"), 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _ADC_TOPK)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("lst").cast("int").alias("list_id"),
+            F.round(F.col("adc"), 6).alias("adc_d2"),
+        )
+    )
+
+
+def _q238_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coarse AS (
+  SELECT CAST(vec_id AS INT) AS lst, v AS cv FROM e WHERE vec_id < {_ADC_C}
+), asgn AS (
+  SELECT vec_id, lst,
+         list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS rv
+  FROM (
+    SELECT e.vec_id, e.v, c.lst, c.cv,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.v', 'c.cv')} ASC, c.lst ASC) AS rn
+    FROM e CROSS JOIN coarse c) WHERE rn = 1
+), sub AS (
+  SELECT vec_id, lst, m AS sub,
+         rv[m * {_PQ_D} + 1 : (m + 1) * {_PQ_D}] AS sv
+  FROM asgn, unnest(generate_series(0, {_PQ_M - 1})) AS ms(m)
+), cb AS (
+  SELECT sub, CAST(vec_id AS INT) AS code, sv AS cbv
+  FROM sub WHERE vec_id < {_PQ_K}
+), enc AS (
+  SELECT vec_id, lst, sub, code FROM (
+    SELECT s.vec_id, s.lst, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_sqdist_sql('s.sv', 'c.cbv')} ASC, c.code ASC) AS rn
+    FROM sub s JOIN cb c USING (sub)) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_ADC_NQ}
+), probe AS (
+  SELECT qid, lst,
+         list_transform(list_zip(qv, cv), p -> p[1] - p[2]) AS qrv
+  FROM (
+    SELECT q.qid, q.qv, c.lst, c.cv,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_sqdist_sql('q.qv', 'c.cv')} ASC, c.lst ASC) AS rn
+    FROM q CROSS JOIN coarse c) WHERE rn <= {_ADC_NPROBE}
+), lut AS (
+  SELECT p.qid, p.lst, p.sub, c.code,
+         {_sqdist_sql('p.qsv', 'c.cbv')} AS ld2
+  FROM (
+    SELECT qid, lst, m AS sub,
+           qrv[m * {_PQ_D} + 1 : (m + 1) * {_PQ_D}] AS qsv
+    FROM probe, unnest(generate_series(0, {_PQ_M - 1})) AS ms(m)) p
+  JOIN cb c USING (sub)
+), adc AS (
+  SELECT l.qid, en.vec_id, en.lst,
+         list_sum(list(l.ld2 ORDER BY l.sub)) AS adc
+  FROM enc en
+  JOIN lut l ON l.lst = en.lst AND l.sub = en.sub AND l.code = en.code
+  GROUP BY 1, 2, 3
+)
+SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
+       lst AS list_id, ROUND(adc, 6) AS adc_d2
+FROM (
+  SELECT qid, vec_id, lst, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY ROUND(adc, 6) ASC, vec_id ASC) AS rn
+  FROM adc) WHERE rn <= {_ADC_TOPK}
+"""
+
+
 QUERIES = {
+    "q238_ivfpq_adc": q238_ivfpq_adc,
     "q237_pq_codebooks": q237_pq_codebooks,
     "q231_kmeanspp_seed": q231_kmeanspp_seed,
     "q202_label_recall_at5": q202_label_recall_at5,
@@ -1438,6 +1697,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q238_ivfpq_adc": _q238_sql(),
     "q237_pq_codebooks": _q237_sql(),
     "q231_kmeanspp_seed": _q231_sql(),
     "q202_label_recall_at5": Q202_SQL,

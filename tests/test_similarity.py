@@ -116,3 +116,86 @@ def test_pq_codebooks_partition_and_improve(spark, sf_dir):
         by_sub[r["sub"]] += r["n"]
     assert set(by_sub) == set(range(_PQ_M))
     assert all(v == n for v in by_sub.values()), by_sub
+
+
+def test_ivfpq_adc_search_invariants(spark, sf_dir):
+    """q238: each query returns exactly TOPK ranked candidates drawn
+    only from its NPROBE nearest coarse lists, ADC scores are
+    non-negative and rank-monotone, and the scores are faithful
+    lookups — recomputing Σ_m lut[m][code[m]] from first principles
+    (numpy, float64) reproduces every returned adc_d2 at 6dp."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+        _ADC_C,
+        _ADC_NPROBE,
+        _ADC_NQ,
+        _ADC_TOPK,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _vec,
+        q238_ivfpq_adc,
+    )
+
+    got = q238_ivfpq_adc(spark, sf_dir).collect()
+    assert len(got) == _ADC_NQ * _ADC_TOPK
+    by_q = {}
+    for r in got:
+        assert r["adc_d2"] >= 0
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(_ADC_NQ))
+
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.float64)
+        for r in _vec(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "v")
+        .collect()
+    }
+    cents = {c: vecs[c] for c in range(_ADC_C)}
+
+    def nearest_list(v):
+        d = {c: float(((v - cv) ** 2).sum()) for c, cv in cents.items()}
+        return sorted(d, key=lambda c: (d[c], c))
+
+    # codebooks: residual slices of the first _PQ_K vectors
+    cb = {}
+    for k in range(_PQ_K):
+        rv = vecs[k] - cents[nearest_list(vecs[k])[0]]
+        for m in range(_PQ_M):
+            cb[(m, k)] = rv[m * _PQ_D : (m + 1) * _PQ_D]
+
+    def encode(v):
+        rv = v - cents[nearest_list(v)[0]]
+        return [
+            min(
+                range(_PQ_K),
+                key=lambda k: (
+                    float(
+                        ((rv[m * _PQ_D : (m + 1) * _PQ_D] - cb[(m, k)]) ** 2).sum()
+                    ),
+                    k,
+                ),
+            )
+            for m in range(_PQ_M)
+        ]
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, _ADC_TOPK + 1))
+        probed = set(nearest_list(vecs[qid])[:_ADC_NPROBE])
+        scores = [r["adc_d2"] for r in rows]
+        assert scores == sorted(scores)
+        for r in rows:
+            assert r["list_id"] in probed
+            qrv = vecs[qid] - cents[r["list_id"]]
+            codes = encode(vecs[r["vec_id"]])
+            adc = sum(
+                float(
+                    ((qrv[m * _PQ_D : (m + 1) * _PQ_D] - cb[(m, codes[m])]) ** 2).sum()
+                )
+                for m in range(_PQ_M)
+            )
+            assert abs(adc - r["adc_d2"]) < 5e-4, (qid, r["vec_id"])
