@@ -1679,7 +1679,172 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q239 — MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+# 1998): the diversification rerank a retrieval / training-data
+# selection pipeline runs AFTER ANN recall — greedily pick K items
+# maximizing λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s). Spark shape:
+# the candidate list per query is BOUNDED (here 40; at scale, q33's
+# IVF probe top-N), so MMR is a per-query Arrow batch — one
+# applyInPandas group per qid, vectorized numpy inside, millions of
+# queries parallelize across executors with a single hash shuffle on
+# qid and zero candidate-set joins. The greedy loop is K iterations
+# over an n-vector, not a DataFrame op — exactly the "bounded
+# imperative core inside a grouped UDF" pattern the brief reserves
+# Python for. Cross-engine bit-identity: all cosines fold the
+# dimension axis left-to-right (numpy acc loop ↔ list_sum's list
+# fold), the score is the literal expression 0.7·rel − 0.3·msim in
+# both engines (msim is an order-independent MAX of bit-identical
+# doubles), and argmax orders by the RAW score with cid tie-break, so
+# the unrolled DuckDB twin reproduces every pick exactly.
+# --------------------------------------------------------------------------
+
+_MMR_NQ = 3  # queries: vec_id < 3
+_MMR_LO = 3  # candidate pool: 3 <= vec_id < 43
+_MMR_HI = 43
+_MMR_K = 4  # picks per query
+_MMR_LAM = 0.7
+_MMR_ONE_MINUS_LAM = 0.3  # literal, NOT 1-0.7 (binary 0.30000000000000004)
+
+
+def q239_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = e.filter(
+        (F.col("vec_id") >= _MMR_LO) & (F.col("vec_id") < _MMR_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    rows = q.join(F.broadcast(cand))  # bounded per-query candidate list
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("rel", DoubleType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cid").reset_index(drop=True)
+        qid = int(pdf["qid"].iloc[0])
+        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+        C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        ids = pdf["cid"].to_numpy()
+        n, dim = C.shape
+        # dimension-order left folds (the dot_seq contract) so every
+        # double matches the DuckDB list_sum fold bit-for-bit
+        dotqc = np.zeros(n)
+        nc2 = np.zeros(n)
+        nq2 = 0.0
+        D = np.zeros((n, n))
+        for d in range(dim):
+            dotqc = dotqc + qv[d] * C[:, d]
+            nc2 = nc2 + C[:, d] * C[:, d]
+            nq2 = nq2 + qv[d] * qv[d]
+            D = D + np.outer(C[:, d], C[:, d])
+        ncs = np.sqrt(nc2)
+        rel = dotqc / (np.sqrt(nq2) * ncs)
+        S = D / np.outer(ncs, ncs)
+        picked: list[int] = []
+        msim = np.zeros(n)
+        recs = []
+        for t in range(1, _MMR_K + 1):
+            if picked:
+                score = _MMR_LAM * rel - _MMR_ONE_MINUS_LAM * msim
+            else:
+                score = _MMR_LAM * rel
+            best = min(
+                (i for i in range(n) if i not in picked),
+                key=lambda i: (-score[i], ids[i]),
+            )
+            recs.append(
+                (qid, t, int(ids[best]), float(rel[best]), float(score[best]))
+            )
+            if picked:
+                msim = np.maximum(msim, S[:, best])
+            else:
+                msim = S[:, best].copy()
+            picked.append(best)
+        return pd.DataFrame(
+            recs, columns=["qid", "rank", "vec_id", "rel", "score"]
+        )
+
+    res = rows.groupBy("qid").applyInPandas(mmr, out_schema)
+    return res.select(
+        F.col("qid").cast("long").alias("qid"),
+        "rank",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("rel"), 6).alias("rel_cos"),
+        F.round(F.col("score"), 6).alias("mmr_score"),
+    )
+
+
+def _q239_sql() -> str:
+    lam, oml = _MMR_LAM, _MMR_ONE_MINUS_LAM
+    sim_rs = (
+        f"{_dot_sql('a.cv', 'b.cv')} / ({_norm_sql('a.cv')} * {_norm_sql('b.cv')})"
+    )
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_MMR_NQ}),
+cand AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id >= {_MMR_LO} AND vec_id < {_MMR_HI}
+), rel AS (
+  SELECT q.qid, c.cid,
+         {_dot_sql('q.qv', 'c.cv')} /
+           ({_norm_sql('q.qv')} * {_norm_sql('c.cv')}) AS rel
+  FROM q CROSS JOIN cand c
+), sims AS (
+  SELECT a.cid AS i, b.cid AS j, {sim_rs} AS sim
+  FROM cand a JOIN cand b ON a.cid <> b.cid
+), p1 AS (
+  SELECT qid, cid, rel, {lam} * rel AS score FROM (
+    SELECT qid, cid, rel, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY {lam} * rel DESC, cid ASC) AS rn
+    FROM rel) WHERE rn = 1
+), s1 AS (SELECT qid, cid FROM p1)"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""p{t} AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT g.qid, g.cid, g.rel, g.score, ROW_NUMBER() OVER (
+      PARTITION BY g.qid ORDER BY g.score DESC, g.cid ASC) AS rn
+    FROM (
+      SELECT r.qid, r.cid, r.rel,
+             {lam} * r.rel - {oml} * MAX(sm.sim) AS score
+      FROM rel r
+      JOIN s{t - 1} s ON s.qid = r.qid
+      JOIN sims sm ON sm.i = r.cid AND sm.j = s.cid
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s{t - 1} x WHERE x.qid = r.qid AND x.cid = r.cid)
+      GROUP BY 1, 2, 3
+    ) g) WHERE rn = 1
+), s{t} AS (SELECT qid, cid FROM s{t - 1} UNION ALL SELECT qid, cid FROM p{t})"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT qid, {t} AS rank, cid, rel, score FROM p{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT qid, CAST(rank AS INTEGER) AS rank, cid AS vec_id,
+       ROUND(rel, 6) AS rel_cos, ROUND(score, 6) AS mmr_score
+FROM ({unions})
+"""
+    )
+
+
 QUERIES = {
+    "q239_mmr_select": q239_mmr_select,
     "q238_ivfpq_adc": q238_ivfpq_adc,
     "q237_pq_codebooks": q237_pq_codebooks,
     "q231_kmeanspp_seed": q231_kmeanspp_seed,
@@ -1697,6 +1862,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q239_mmr_select": _q239_sql(),
     "q238_ivfpq_adc": _q238_sql(),
     "q237_pq_codebooks": _q237_sql(),
     "q231_kmeanspp_seed": _q231_sql(),

@@ -199,3 +199,60 @@ def test_ivfpq_adc_search_invariants(spark, sf_dir):
                 for m in range(_PQ_M)
             )
             assert abs(adc - r["adc_d2"]) < 5e-4, (qid, r["vec_id"])
+
+
+def test_mmr_select_greedy_invariants(spark, sf_dir):
+    """q239: K distinct picks per query; rank 1 is the pure-relevance
+    argmax; every later pick maximizes the MMR objective recomputed
+    from first principles (independent numpy order, loose tolerance)."""
+    import numpy as np
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.similarity import (
+        _MMR_HI,
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_LO,
+        _MMR_NQ,
+        _MMR_ONE_MINUS_LAM,
+        _vec,
+        q239_mmr_select,
+    )
+
+    got = q239_mmr_select(spark, sf_dir).collect()
+    assert len(got) == _MMR_NQ * _MMR_K
+    vecs = {
+        r["vec_id"]: np.array(r["v"], dtype=np.float64)
+        for r in _vec(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "v")
+        .collect()
+    }
+    cids = [c for c in range(_MMR_LO, _MMR_HI) if c in vecs]
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        picks = [r["vec_id"] for r in rows]
+        assert len(set(picks)) == _MMR_K
+        rel = {c: cos(vecs[qid], vecs[c]) for c in cids}
+        assert picks[0] == min(
+            cids, key=lambda c: (-round(rel[c], 5), c)
+        )
+        for t in range(1, _MMR_K):
+            sel = picks[:t]
+            obj = {
+                c: _MMR_LAM * rel[c]
+                - _MMR_ONE_MINUS_LAM
+                * max(cos(vecs[c], vecs[s]) for s in sel)
+                for c in cids
+                if c not in sel
+            }
+            best = max(obj.values())
+            assert obj[picks[t]] >= best - 1e-6, (qid, t)
