@@ -4040,7 +4040,137 @@ SELECT stats.*, capped.capped_parts FROM stats, capped
 """
 
 
+# --------------------------------------------------------------------------
+# q240 — WEISFEILER-LEHMAN color refinement (1-WL / canonical color
+# refinement): the structural node-fingerprinting primitive behind
+# graph-isomorphism tests, WL graph kernels, and structure-based
+# entity canonicalization — two nodes share a round-r color iff their
+# r-hop neighborhood trees are identical. Recurrence: c_{r}(v) =
+# H(c_{r-1}(v) | sorted multiset of neighbor colors), H the engine-
+# portable md5long. Spark shape per round: ONE hash join of the edge
+# list against the (node, color) table plus one groupBy(node) —
+# identical to the LPA/PageRank Pregel-on-DataFrames posture; colors
+# are fixed-width 60-bit ints so signatures never grow with rounds
+# (the string-concat naive form explodes; hashing each round is the
+# distributed-WL standard). Output: the refinement trajectory —
+# per-round color-class counts — whose stabilization (n_colors flat)
+# is the convergence certificate. Oracle: the same recurrence
+# unrolled, string_agg(... ORDER BY lab) matching Spark's numeric
+# array_sort for the multiset canonical order.
+# --------------------------------------------------------------------------
+
+_WL_ROUNDS = 3
+
+
+def q240_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("src").alias("n"), F.col("dst").alias("m")).unionAll(
+        e0.select(F.col("dst").alias("n"), F.col("src").alias("m"))
+    )
+    # round-0 color: the node's type tag — WL starts from node labels
+    cur = (
+        edges.select("n")
+        .distinct()
+        .select("n", md5long(F.substring("n", 1, 1)).alias("lab"))
+    )
+
+    def stats(df: DataFrame, rnd: int) -> DataFrame:
+        return (
+            df.groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.lit(rnd).cast("int").alias("rnd"),
+                F.count(F.lit(1)).cast("long").alias("n_colors"),
+                F.max("c").cast("long").alias("largest_class"),
+            )
+        )
+
+    out = stats(cur, 0)
+    for _ in range(1, _WL_ROUNDS + 1):
+        nb = edges.join(
+            cur.select(F.col("n").alias("m"), F.col("lab").alias("nlab")), "m"
+        ).join(cur, "n")
+        sig = nb.groupBy("n", "lab").agg(
+            F.concat(
+                F.col("lab").cast("string"),
+                F.lit("|"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("nlab")),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ).alias("sig")
+        )
+        cur = sig.select("n", md5long(F.col("sig")).alias("lab"))
+        out = out.unionAll(stats(cur, _))
+    return out
+
+
+def _q240_sql() -> str:
+    from .common import MD5LONG_SQL
+
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_partkey % 50 = 0
+), edges AS MATERIALIZED (
+  SELECT src AS n, dst AS m FROM e0
+  UNION ALL
+  SELECT dst AS n, src AS m FROM e0
+), l0 AS (
+  SELECT DISTINCT n,
+         {MD5LONG_SQL.format(x="substring(n, 1, 1)")} AS lab
+  FROM edges)"""
+    ]
+    for r in range(1, _WL_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""s{r} AS (
+  SELECT e.n,
+         CAST(l.lab AS VARCHAR) || '|' ||
+         string_agg(CAST(c.lab AS VARCHAR), ',' ORDER BY c.lab) AS sig
+  FROM edges e
+  JOIN l{p} c ON c.n = e.m
+  JOIN l{p} l ON l.n = e.n
+  GROUP BY e.n, l.lab
+), l{r} AS MATERIALIZED (
+  SELECT n, {MD5LONG_SQL.format(x="sig")} AS lab FROM s{r})"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {t} AS rnd, CAST(COUNT(*) AS BIGINT) AS n_colors,
+       CAST(MAX(c) AS BIGINT) AS largest_class
+FROM (SELECT lab, COUNT(*) AS c FROM l{t} GROUP BY lab)"""
+        for t in range(_WL_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(rnd AS INTEGER) AS rnd, n_colors, largest_class
+FROM ({unions})
+"""
+    )
+
+
 QUERIES = {
+    "q240_wl_refinement": q240_wl_refinement,
     "q232_butterflies": q232_butterflies,
     "q217_luby_mis": q217_luby_mis,
     "q218_maximal_matching": q218_maximal_matching,
@@ -4092,6 +4222,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q240_wl_refinement": _q240_sql(),
     "q232_butterflies": _Q232_SQL,
     "q217_luby_mis": _q217_sql(),
     "q219_betweenness": _q219_sql(),

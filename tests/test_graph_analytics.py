@@ -285,3 +285,48 @@ def test_butterflies_handcrafted(spark, tmp_path):
     assert got["cosupport_pairs"] == 1
     assert got["butterflies"] == 3
     assert got["capped_parts"] == 0
+
+
+def test_wl_refinement_trajectory(spark, sf_dir):
+    """q240: color counts only grow (refinement splits, never merges),
+    the largest class only shrinks, round 0 has at most two colors
+    (the two type tags), and round 1's color count equals the number
+    of distinct (type, degree) classes — the exact 1-WL semantics of
+    the first round on a bipartite graph with type-tag seeds."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        _WL_ROUNDS,
+        q240_wl_refinement,
+    )
+
+    got = sorted(
+        q240_wl_refinement(spark, sf_dir).collect(), key=lambda r: r["rnd"]
+    )
+    assert [r["rnd"] for r in got] == list(range(_WL_ROUNDS + 1))
+    assert got[0]["n_colors"] <= 2
+    for a, b in zip(got, got[1:]):
+        assert b["n_colors"] >= a["n_colors"]
+        assert b["largest_class"] <= a["largest_class"]
+
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("src").alias("n")).unionAll(
+        e0.select(F.col("dst").alias("n"))
+    )
+    type_deg_classes = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.substring("n", 1, 1).alias("t"), "deg")
+        .distinct()
+        .count()
+    )
+    assert got[1]["n_colors"] == type_deg_classes
