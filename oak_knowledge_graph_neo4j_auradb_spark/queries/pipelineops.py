@@ -3005,7 +3005,102 @@ FROM n9 FULL OUTER JOIN n8 USING (shard)
 """
 
 
+# --------------------------------------------------------------------------
+# q241 — Z-ORDER (Morton curve) layout audit: the multi-dimensional
+# data-clustering rule behind Delta/Iceberg `OPTIMIZE ZORDER` and
+# parquet row-group min-max skipping. Interleaving the bits of two
+# key columns and chunking on the curve bounds EVERY dimension's
+# min-max span per file, so point/range predicates on ANY z-column
+# prune files; a linear layout (partition by one key) prunes only its
+# own key. The query materializes both layouts' per-bucket min-max
+# envelopes and reports the measurable contract: avg per-bucket span
+# per dim and the expected fraction of buckets a uniform point query
+# on each dim must touch (Σ(span+1)/(domain·n_buckets)). The z-order
+# bucket (zkey >> 6) fixes 5 high bits of each dim, so both spans are
+# ≤ 7 by construction while the linear control's y-span is unbounded
+# — the audit a table-layout job runs before rewriting 100 TB. All
+# bit math is int64 shifts/masks inside codegen; one groupBy per
+# layout; no UDFs, no sorts.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8  # per-dim bits (256-value grid)
+_Z_SHIFT = 6  # bucket = zkey >> 6 → 1024 z-buckets
+
+
+def q241_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("long").alias("x"),
+        (F.col("l_orderkey") % 256).cast("long").alias("y"),
+    )
+    zkey = None
+    for b in range(_Z_BITS):
+        xt = F.shiftleft(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)), 2 * b)
+        yt = F.shiftleft(
+            F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+        zkey = xt + yt if zkey is None else zkey + xt + yt
+    keyed = li.select(
+        "x",
+        "y",
+        F.shiftright(zkey, _Z_SHIFT).alias("zb"),
+    )
+
+    def envelope(df: DataFrame, bucket, layout: str) -> DataFrame:
+        dom = float(1 << _Z_BITS)
+        per = df.groupBy(bucket.alias("b")).agg(
+            F.count(F.lit(1)).alias("rows"),
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            r4(F.avg("rows")).alias("avg_rows"),
+            r4(F.avg("xs")).alias("avg_x_span"),
+            r4(F.avg("ys")).alias("avg_y_span"),
+            r4(F.sum(F.col("xs") + 1) / (F.count(F.lit(1)) * dom)).alias(
+                "x_touch_frac"
+            ),
+            r4(F.sum(F.col("ys") + 1) / (F.count(F.lit(1)) * dom)).alias(
+                "y_touch_frac"
+            ),
+        )
+    lin = envelope(keyed, F.col("x"), "linear_x")
+    zor = envelope(keyed, F.col("zb"), "zorder")
+    return lin.unionAll(zor)
+
+
+def _q241_sql() -> str:
+    zexpr = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_Z_BITS)
+    )
+    dom = 1 << _Z_BITS
+    body = """
+  SELECT '{name}' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         ROUND(AVG(rows), 4) AS avg_rows,
+         ROUND(AVG(xs), 4) AS avg_x_span,
+         ROUND(AVG(ys), 4) AS avg_y_span,
+         ROUND(SUM(xs + 1) / (COUNT(*) * {dom}.0), 4) AS x_touch_frac,
+         ROUND(SUM(ys + 1) / (COUNT(*) * {dom}.0), 4) AS y_touch_frac
+  FROM (
+    SELECT {bucket} AS b, COUNT(*) AS rows,
+           MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+    FROM keyed GROUP BY 1)"""
+    return f"""
+WITH keyed AS (
+  SELECT x, y, ({zexpr}) >> {_Z_SHIFT} AS zb
+  FROM (
+    SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem)
+)
+{body.format(name="linear_x", bucket="x", dom=dom)}
+UNION ALL
+{body.format(name="zorder", bucket="zb", dom=dom)}
+"""
+
+
 QUERIES = {
+    "q241_zorder_layout": q241_zorder_layout,
     "q236_rendezvous_shards": q236_rendezvous_shards,
     "q228_bpe_merges": q228_bpe_merges,
     "q220_dsir_weights": q220_dsir_weights,
@@ -3055,6 +3150,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q241_zorder_layout": _q241_sql(),
     "q236_rendezvous_shards": Q236_SQL,
     "q228_bpe_merges": _q228_sql(),
     "q220_dsir_weights": Q220_SQL,

@@ -387,3 +387,24 @@ def test_rendezvous_minimal_movement(spark, sf_dir):
     assert new["n_8"] == 0 and new["moved_in"] == new["n_9"] > 0
     # expected ~N/9 movement; allow wide tolerance
     assert n / 20 < new["n_9"] < n / 4
+
+
+def test_zorder_layout_bounds_and_win(spark, sf_dir):
+    """q241: the z-order bucket fixes 5 high bits of each dim, so both
+    per-bucket spans are <= 7 by construction; the linear control has
+    exact x locality (span 0) but near-domain y spans; and the
+    z-layout's y touch fraction beats the linear layout's by a wide
+    margin — the data-skipping contract the layout rewrite pays for."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q241_zorder_layout,
+    )
+
+    got = {r["layout"]: r for r in q241_zorder_layout(spark, sf_dir).collect()}
+    assert set(got) == {"linear_x", "zorder"}
+    z, lin = got["zorder"], got["linear_x"]
+    assert z["avg_x_span"] <= 7 and z["avg_y_span"] <= 7
+    assert lin["avg_x_span"] == 0.0
+    assert lin["avg_y_span"] > 100
+    assert z["y_touch_frac"] < lin["y_touch_frac"] / 4
+    assert z["x_touch_frac"] <= 8 / 256 + 1e-9
+    assert abs(lin["x_touch_frac"] - 1 / 256) < 1e-4  # 4dp render
