@@ -3099,7 +3099,70 @@ UNION ALL
 """
 
 
+# --------------------------------------------------------------------------
+# q242 — TEMPERATURE-SCALED sampling mix (α-sampling, the multilingual
+# mixing rule of mBERT/XLM-R/mT5): sampling share p_i ∝ n_i^α with
+# α < 1 upweights low-resource shards relative to their natural share.
+# Complements q88 (uniform-target rebalancing) with the standard
+# smooth interpolation between natural (α=1) and uniform (α=0), and
+# reports the per-shard REPEAT FACTOR — expected epochs of each shard
+# under a one-natural-epoch token budget, the number that flags
+# overfitting risk on small shards when α is pushed too low. Shard
+# table is dimension-sized at any corpus scale: one partial-agg
+# groupBy over the corpus, then broadcast 1-row totals.
+# --------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+
+def q242_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    shard = d.groupBy("lang").agg(F.sum("n_chars").alias("n_tok"))
+    g = shard.agg(
+        F.sum("n_tok").alias("_tot"),
+        F.sum(F.pow(F.col("n_tok").cast("double"), _TEMP_ALPHA)).alias(
+            "_pow_tot"
+        ),
+    )
+    return shard.crossJoin(F.broadcast(g)).select(
+        "lang",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tok") / F.col("_tot"), 6).alias("nat_share"),
+        F.round(
+            F.pow(F.col("n_tok").cast("double"), _TEMP_ALPHA)
+            / F.col("_pow_tot"),
+            6,
+        ).alias("temp_share"),
+        F.round(
+            F.pow(F.col("n_tok").cast("double"), _TEMP_ALPHA)
+            / F.col("_pow_tot")
+            * F.col("_tot")
+            / F.col("n_tok"),
+            6,
+        ).alias("repeat_factor"),
+    )
+
+
+Q242_SQL = f"""
+WITH shard AS (
+  SELECT lang, SUM(n_chars) AS n_tok FROM documents GROUP BY lang
+), g AS (
+  SELECT SUM(n_tok) AS tot,
+         SUM(POWER(CAST(n_tok AS DOUBLE), {_TEMP_ALPHA})) AS pow_tot
+  FROM shard
+)
+SELECT lang, CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(n_tok / (1.0 * tot), 6) AS nat_share,
+       ROUND(POWER(CAST(n_tok AS DOUBLE), {_TEMP_ALPHA}) / pow_tot, 6)
+         AS temp_share,
+       ROUND(POWER(CAST(n_tok AS DOUBLE), {_TEMP_ALPHA}) / pow_tot
+             * tot / n_tok, 6) AS repeat_factor
+FROM shard CROSS JOIN g
+"""
+
+
 QUERIES = {
+    "q242_temperature_mix": q242_temperature_mix,
     "q241_zorder_layout": q241_zorder_layout,
     "q236_rendezvous_shards": q236_rendezvous_shards,
     "q228_bpe_merges": q228_bpe_merges,
@@ -3150,6 +3213,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q242_temperature_mix": Q242_SQL,
     "q241_zorder_layout": _q241_sql(),
     "q236_rendezvous_shards": Q236_SQL,
     "q228_bpe_merges": _q228_sql(),

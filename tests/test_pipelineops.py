@@ -408,3 +408,24 @@ def test_zorder_layout_bounds_and_win(spark, sf_dir):
     assert z["y_touch_frac"] < lin["y_touch_frac"] / 4
     assert z["x_touch_frac"] <= 8 / 256 + 1e-9
     assert abs(lin["x_touch_frac"] - 1 / 256) < 1e-4  # 4dp render
+
+
+def test_temperature_mix_interpolates(spark, sf_dir):
+    """q242: temperature shares sum to 1, sit strictly between uniform
+    and natural for every shard (alpha in (0,1) compresses the mix),
+    and repeat factors exceed 1 exactly for below-average shards."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q242_temperature_mix,
+    )
+
+    got = q242_temperature_mix(spark, sf_dir).collect()
+    k = len(got)
+    assert abs(sum(r["temp_share"] for r in got) - 1.0) < 1e-4
+    assert abs(sum(r["nat_share"] for r in got) - 1.0) < 1e-4
+    for r in got:
+        lo = min(r["nat_share"], 1.0 / k)
+        hi = max(r["nat_share"], 1.0 / k)
+        assert lo - 1e-6 <= r["temp_share"] <= hi + 1e-6, r
+        assert (r["repeat_factor"] > 1) == (r["nat_share"] < r["temp_share"]) or (
+            abs(r["repeat_factor"] - 1) < 1e-6
+        )
