@@ -1973,7 +1973,91 @@ FROM b GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q243 — JOIN-CARDINALITY estimation audit: the number a cost-based
+# optimizer must get right before choosing broadcast vs shuffle vs
+# skew-salting at 100 TB. Ground truth for the l_partkey self-join is
+# |L ⋈ L| = Σ_k c(k)² (one partial-agg groupBy, never the join
+# itself). Against it, the two standard estimators: (a) the uniform
+# assumption |L|²/ndv — what Spark's CBO uses without histograms, and
+# exactly the estimate that explodes under skew; (b) heavy-hitter +
+# uniform tail — top-H key frequencies kept exactly (the equi-height
+# histogram/TopK stats ANALYZE collects), remaining mass assumed
+# uniform over the remaining NDV. Output: one row with the exact
+# count, both estimates, and signed relative errors — the audit that
+# justifies paying for histogram stats on join keys. All counting is
+# exact int64; estimates are rendered at 4dp.
+# --------------------------------------------------------------------------
+
+_JSE_TOPH = 20
+
+
+def q243_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    base = freq.agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("ndv"),
+    )
+    hh = (
+        freq.orderBy(F.col("c").desc(), F.col("l_partkey").asc())
+        .limit(_JSE_TOPH)  # TakeOrderedAndProject — no global sort
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("hh_sq"),
+            F.sum("c").alias("hh_n"),
+            F.count(F.lit(1)).alias("hh_k"),
+        )
+    )
+    return base.crossJoin(F.broadcast(hh)).select(
+        F.col("exact").cast("long").alias("exact_pairs"),
+        r4(F.col("n") * F.col("n") / F.col("ndv")).alias("est_uniform"),
+        r4(
+            F.col("hh_sq")
+            + (F.col("n") - F.col("hh_n"))
+            * (F.col("n") - F.col("hh_n"))
+            / (F.col("ndv") - F.col("hh_k"))
+        ).alias("est_hh_tail"),
+        r4(
+            (F.col("n") * F.col("n") / F.col("ndv") - F.col("exact"))
+            / F.col("exact")
+        ).alias("uniform_rel_err"),
+        r4(
+            (
+                F.col("hh_sq")
+                + (F.col("n") - F.col("hh_n"))
+                * (F.col("n") - F.col("hh_n"))
+                / (F.col("ndv") - F.col("hh_k"))
+                - F.col("exact")
+            )
+            / F.col("exact")
+        ).alias("hh_tail_rel_err"),
+    )
+
+
+Q243_SQL = f"""
+WITH freq AS (
+  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+), base AS (
+  SELECT SUM(c * c) AS exact, SUM(c) AS n, COUNT(*) AS ndv FROM freq
+), hh AS (
+  SELECT SUM(c * c) AS hh_sq, SUM(c) AS hh_n, COUNT(*) AS hh_k
+  FROM (
+    SELECT c FROM freq ORDER BY c DESC, l_partkey ASC LIMIT {_JSE_TOPH})
+)
+SELECT CAST(exact AS BIGINT) AS exact_pairs,
+       ROUND(1.0 * n * n / ndv, 4) AS est_uniform,
+       ROUND(hh_sq + 1.0 * (n - hh_n) * (n - hh_n) / (ndv - hh_k), 4)
+         AS est_hh_tail,
+       ROUND((1.0 * n * n / ndv - exact) / exact, 4) AS uniform_rel_err,
+       ROUND((hh_sq + 1.0 * (n - hh_n) * (n - hh_n) / (ndv - hh_k)
+              - exact) / exact, 4) AS hh_tail_rel_err
+FROM base CROSS JOIN hh
+"""
+
+
 QUERIES = {
+    "q243_join_size_estimate": q243_join_size_estimate,
     "q176_multiset_ops": q176_multiset_ops,
     "q125_salted_join": q125_salted_join,
     "q127_bpe_pairs": q127_bpe_pairs,
@@ -2028,6 +2112,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q243_join_size_estimate": Q243_SQL,
     "q176_multiset_ops": Q176_SQL,
     "q125_salted_join": Q125_SQL,
     "q127_bpe_pairs": Q127_SQL,

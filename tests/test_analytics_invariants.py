@@ -258,3 +258,28 @@ def test_fd_g3_bounds_and_key_fd(spark, sf_dir):
     for r in got.values():
         assert 0 <= r["g3"] < 1
         assert (r["violations"] == 0) == (r["g3"] == 0.0)
+
+
+def test_join_size_estimate_ordering(spark, sf_dir):
+    """q243: exact pairs equals the true self-join count; the uniform
+    assumption can only underestimate (it minimizes sum-of-squares
+    given the total), and keeping heavy hitters exactly can only
+    tighten it: est_uniform <= est_hh_tail <= exact."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.relational import (
+        q243_join_size_estimate,
+    )
+
+    r = q243_join_size_estimate(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    true_pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .count()
+    )
+    assert r["exact_pairs"] == true_pairs
+    assert r["est_uniform"] <= r["est_hh_tail"] + 1e-6
+    assert r["est_hh_tail"] <= r["exact_pairs"] + 1e-6
+    assert abs(r["hh_tail_rel_err"]) <= abs(r["uniform_rel_err"]) + 1e-9

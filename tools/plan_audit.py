@@ -298,6 +298,20 @@ AUDIT = [
     # per-(vec,sub) assignment windows + (sub,code,d) centroid aggs;
     # codebooks broadcast, corpus never shuffles
     ("q237_pq_codebooks", 5, 0),
+    # assign+encode windows (index build) + broadcast-LUT map-side ADC
+    # + per-query top-k; the corpus never joins vectors at search time
+    ("q238_ivfpq_adc", 4, 0),
+    # ONE hash shuffle on qid; the greedy rerank is a single sanctioned
+    # Arrow applyInPandas stage over bounded per-query candidate lists
+    ("q239_mmr_select", 1, 1),
+    # 3 unrolled WL rounds × (edge⋈color join agg + stats agg) + the
+    # round-0 distinct — the LPA/Pregel per-round exchange posture
+    ("q240_wl_refinement", 14, 0),
+    # two layout envelope aggs over one shared scan + bit-interleave
+    # projection (pure codegen)
+    ("q241_zorder_layout", 4, 0),
+    # shard agg + broadcast totals (q88's posture, power-scaled)
+    ("q242_temperature_mix", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
@@ -535,6 +549,7 @@ UNAUDITABLE = {
     "q115_stream_dedup_watermarked",
     "q124_stream_stateful_counts",
     "q170_stream_sliding",
+    "q233_stream_session_windows",
     "q179_snapshot_timetravel",
     "q181_csv_roundtrip",
     "kg86_incremental_update",
