@@ -4169,7 +4169,105 @@ FROM ({unions})
     )
 
 
+# --------------------------------------------------------------------------
+# q245 — per-community CONDUCTANCE φ(S) = cut(S) / min(vol(S), 2m −
+# vol(S)): the community-quality metric that complements q91's global
+# modularity — a low-conductance community has few escaping edges
+# relative to its volume, the certificate that a partition is usable
+# for locality-aware sharding (place a community on one executor and
+# the cut IS the cross-node traffic). Communities come from the same
+# deterministic LPA as q68; conductance is then two groupBys over the
+# label-joined directed edge list (vol = directed-from-S count, cut =
+# directed-from-S-leaving count, so the undirected cut is counted
+# once per side exactly as the definition wants) plus a broadcast
+# 1-row 2m total. Degenerate communities (vol = 0 or the whole graph)
+# are excluded — min(vol, 2m − vol) = 0 has no defined conductance.
+# --------------------------------------------------------------------------
+
+
+def q245_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    comm = label_propagation(e0)  # (id, community)
+    edges = e0.select(F.col("src").alias("n"), F.col("dst").alias("m")).unionAll(
+        e0.select(F.col("dst").alias("n"), F.col("src").alias("m"))
+    )
+    lbl = comm.select(F.col("id").alias("n"), F.col("community").alias("cn"))
+    e2 = (
+        edges.join(lbl, "n")
+        .join(
+            comm.select(
+                F.col("id").alias("m"), F.col("community").alias("cm")
+            ),
+            "m",
+        )
+        .select("cn", "cm")
+    )
+    per = e2.groupBy("cn").agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.count(F.when(F.col("cn") != F.col("cm"), 1)).alias("cut"),
+    )
+    m2 = e2.agg(F.count(F.lit(1)).alias("m2"))
+    sz = comm.groupBy(F.col("community").alias("cn")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return (
+        per.join(sz, "cn")
+        .crossJoin(F.broadcast(m2))
+        .filter((F.col("vol") > 0) & (F.col("vol") < F.col("m2")))
+        .select(
+            F.col("cn").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("vol").cast("long").alias("volume"),
+            F.col("cut").cast("long").alias("cut_edges"),
+            F.round(
+                F.col("cut")
+                / F.least(F.col("vol"), F.col("m2") - F.col("vol")),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
+def _q245_sql(rounds: int = _LPA_ROUNDS) -> str:
+    return (
+        _lpa_cte(rounds)
+        + f""",
+lbl AS (SELECT n, lab FROM l{rounds}),
+e2 AS (
+  SELECT a.lab AS cn, b.lab AS cm
+  FROM edges e JOIN lbl a ON e.n = a.n JOIN lbl b ON e.m = b.n
+), per AS (
+  SELECT cn, COUNT(*) AS vol,
+         COUNT(*) FILTER (WHERE cn <> cm) AS cut
+  FROM e2 GROUP BY cn
+), m2 AS (SELECT COUNT(*) AS m2 FROM e2),
+sz AS (SELECT lab AS cn, COUNT(*) AS n_nodes FROM lbl GROUP BY lab)
+SELECT per.cn AS community,
+       CAST(sz.n_nodes AS BIGINT) AS n_nodes,
+       CAST(per.vol AS BIGINT) AS volume,
+       CAST(per.cut AS BIGINT) AS cut_edges,
+       ROUND(per.cut / (1.0 * LEAST(per.vol, m2.m2 - per.vol)), 6)
+         AS conductance
+FROM per JOIN sz ON per.cn = sz.cn CROSS JOIN m2
+WHERE per.vol > 0 AND per.vol < m2.m2
+"""
+    )
+
+
 QUERIES = {
+    "q245_conductance": q245_conductance,
     "q240_wl_refinement": q240_wl_refinement,
     "q232_butterflies": q232_butterflies,
     "q217_luby_mis": q217_luby_mis,
@@ -4222,6 +4320,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q245_conductance": _q245_sql(),
     "q240_wl_refinement": _q240_sql(),
     "q232_butterflies": _Q232_SQL,
     "q217_luby_mis": _q217_sql(),

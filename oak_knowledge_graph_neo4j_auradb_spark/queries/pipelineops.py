@@ -3161,7 +3161,111 @@ FROM shard CROSS JOIN g
 """
 
 
+# --------------------------------------------------------------------------
+# q244 — INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995; Chen &
+# Goodman 1999's benchmark winner): the smoothing a real n-gram
+# quality filter uses where q112's add-one is the baseline.
+# p(b|a) = (C(ab)−D)/C(a) + D·N1+(a·)/C(a) · N1+(·b)/N1+(··),
+# D = 0.75 — the continuation probability N1+(·b)/T scores a word by
+# how many DISTINCT contexts it follows (the "San Francisco" fix:
+# 'francisco' is frequent but predictable, so its continuation mass
+# is tiny). Every table is a count aggregate: bigram counts, context
+# totals, distinct-successor and distinct-predecessor counts, one
+# global type count — all vocab-sized (broadcast posture identical to
+# q112); the corpus shuffles once on doc_id for the per-doc mean NLL.
+# Trained-on-corpus scoring means every scored bigram has C(ab) ≥ 1 >
+# D, so no max(−,0) clamp is needed and the probability is strictly
+# positive.
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+def q244_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+            F.concat("p.a", F.lit(" "), "p.b").alias("bg"),
+        )
+    )
+    c2 = bg.groupBy(F.col("bg").alias("bg2")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    ctx = bg.groupBy(F.col("a").alias("a2")).agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("b").alias("n1f"),
+    )
+    cont = bg.groupBy(F.col("b").alias("b2")).agg(
+        F.countDistinct("a").alias("n1r")
+    )
+    types = c2.agg(F.count(F.lit(1)).alias("tt"))
+    p_kn = (F.col("c2") - F.lit(_KN_D)) / F.col("c1") + F.lit(
+        _KN_D
+    ) * F.col("n1f") / F.col("c1") * (F.col("n1r") / F.col("tt"))
+    doc = (
+        bg.join(F.broadcast(c2), bg.bg == F.col("bg2"))
+        .join(F.broadcast(ctx), bg.a == F.col("a2"))
+        .join(F.broadcast(cont), bg.b == F.col("b2"))
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "lang", (-F.log(p_kn)).alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll").alias("doc_nll"))
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r4(F.avg("doc_nll")).alias("avg_nll"),
+        r4(F.min("doc_nll")).alias("min_nll"),
+        r4(F.max("doc_nll")).alias("max_nll"),
+    )
+
+
+Q244_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), bgt AS (
+  SELECT doc_id, lang, t[i] AS a, t[i + 1] AS b,
+         t[i] || ' ' || t[i + 1] AS bg
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgt GROUP BY bg),
+ctx AS (
+  SELECT a, COUNT(*) AS c1, COUNT(DISTINCT b) AS n1f FROM bgt GROUP BY a
+), cont AS (SELECT b, COUNT(DISTINCT a) AS n1r FROM bgt GROUP BY b),
+types AS (SELECT COUNT(*) AS tt FROM c2),
+doc AS (
+  SELECT g.doc_id, g.lang,
+         AVG(-ln((c2.c2 - {_KN_D}) / ctx.c1
+                 + {_KN_D} * ctx.n1f / ctx.c1 * (cont.n1r / (1.0 * tt))))
+           AS doc_nll
+  FROM bgt g
+  JOIN c2 ON g.bg = c2.bg
+  JOIN ctx ON g.a = ctx.a
+  JOIN cont ON g.b = cont.b
+  CROSS JOIN types
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 4) AS avg_nll,
+       ROUND(MIN(doc_nll), 4) AS min_nll,
+       ROUND(MAX(doc_nll), 4) AS max_nll
+FROM doc GROUP BY lang
+"""
+
+
 QUERIES = {
+    "q244_kneser_ney": q244_kneser_ney,
     "q242_temperature_mix": q242_temperature_mix,
     "q241_zorder_layout": q241_zorder_layout,
     "q236_rendezvous_shards": q236_rendezvous_shards,
@@ -3213,6 +3317,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q244_kneser_ney": Q244_SQL,
     "q242_temperature_mix": Q242_SQL,
     "q241_zorder_layout": _q241_sql(),
     "q236_rendezvous_shards": Q236_SQL,

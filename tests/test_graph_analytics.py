@@ -330,3 +330,54 @@ def test_wl_refinement_trajectory(spark, sf_dir):
         .count()
     )
     assert got[1]["n_colors"] == type_deg_classes
+
+
+def test_conductance_matches_definition(spark, sf_dir, tmp_path):
+    """q245: on a small handcrafted graph, recompute vol/cut/phi from
+    label_propagation's own output in pure python and match the query
+    exactly (synchronous LPA may two-color a biclique, so the test
+    trusts the labeling and pins the conductance arithmetic); on the
+    real corpus phi stays in [0, 1]."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.graphops import (
+        label_propagation,
+        q245_conductance,
+    )
+
+    rows = [(o, p) for o in (1, 2) for p in (50, 100)] + [
+        (o, p) for o in (3, 4) for p in (150, 200)
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["community"]: r for r in q245_conductance(spark, str(tmp_path)).collect()}
+
+    e0 = spark.createDataFrame(
+        [(f"o{o}", f"p{p}") for o, p in rows], "src string, dst string"
+    )
+    lab = {r["id"]: r["community"] for r in label_propagation(e0).collect()}
+    dir_edges = [(a, b) for a, b in [(f"o{o}", f"p{p}") for o, p in rows]]
+    dir_edges = dir_edges + [(b, a) for a, b in dir_edges]
+    m2 = len(dir_edges)
+    from collections import Counter
+
+    vol, cut, sz = Counter(), Counter(), Counter(lab.values())
+    for a, b in dir_edges:
+        vol[lab[a]] += 1
+        if lab[a] != lab[b]:
+            cut[lab[a]] += 1
+    expect = {
+        c: (sz[c], vol[c], cut[c], round(cut[c] / min(vol[c], m2 - vol[c]), 6))
+        for c in vol
+        if 0 < vol[c] < m2
+    }
+    assert set(got) == set(expect)
+    for c, (n_nodes, v, k, phi) in expect.items():
+        r = got[c]
+        assert (r["n_nodes"], r["volume"], r["cut_edges"]) == (n_nodes, v, k)
+        assert abs(r["conductance"] - phi) < 1e-9
+
+    real = q245_conductance(spark, sf_dir).collect()
+    assert real
+    for r in real:
+        assert 0.0 <= r["conductance"] <= 1.0

@@ -429,3 +429,53 @@ def test_temperature_mix_interpolates(spark, sf_dir):
         assert (r["repeat_factor"] > 1) == (r["nat_share"] < r["temp_share"]) or (
             abs(r["repeat_factor"] - 1) < 1e-6
         )
+
+
+def test_kneser_ney_sums_to_one(spark, sf_dir):
+    """q244: interpolated KN is a proper distribution — for every
+    context a, summing p_KN(b|a) over the continuation vocabulary
+    (observed successors get the discounted term; all others only the
+    backoff term) gives exactly 1. Recomputed from raw bigram counts
+    collected off the same corpus."""
+    import pyspark.sql.functions as F
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.common import load, tokens
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        _KN_D,
+        q244_kneser_ney,
+    )
+
+    got = q244_kneser_ney(spark, sf_dir).collect()
+    assert got and all(r["avg_nll"] > 0 for r in got)
+
+    toks = load(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    rows = bg.groupBy("a", "b").count().collect()
+    from collections import defaultdict
+
+    c2 = {(r["a"], r["b"]): r["count"] for r in rows}
+    c1, n1f, n1r = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1r[b] += 1
+    tt = len(c2)
+    vocab_r = sorted(n1r)
+    for a in sorted(c1)[:10]:
+        total = 0.0
+        for b in vocab_r:
+            disc = max(c2.get((a, b), 0) - _KN_D, 0.0) / c1[a]
+            total += disc + _KN_D * n1f[a] / c1[a] * (n1r[b] / tt)
+        assert abs(total - 1.0) < 1e-9, (a, total)
