@@ -3866,7 +3866,201 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# --------------------------------------------------------------------------
+# q248 — CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+# 2013): the standard A/B-test sensitivity booster. Each user's
+# pre-period engagement x (days before the q94-family split day) is the
+# control covariate for their post-period metric y; the adjusted metric
+# y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) keeps the same mean but
+# strips the between-user variance x explains. Arms are a deterministic
+# md5 hash split of user_id (q192's assignment idiom). Output per arm:
+# raw vs adjusted mean (must agree — CUPED is mean-preserving up to the
+# arm-level x imbalance) and the variance-reduction fraction.
+#
+# Scale posture: one shuffle on user_id for the per-user pre/post sums,
+# θ/x̄ from a single global aggregate broadcast back (1 row), then one
+# shuffle on the 2-value arm key for the final moments. No windows, no
+# Python — everything is partial-aggregable.
+# --------------------------------------------------------------------------
+
+
+def q248_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(es / 86400).cast("long").alias("day"),
+        "value",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("day") < _SPLIT_DAY, F.col("value"))),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("day") >= _SPLIT_DAY, F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    glob = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(glob)).select(
+        (md5long(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "y",
+        (
+            F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+        ).alias("ya"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        r4(F.avg("y")).alias("mean_y"),
+        r4(F.avg("ya")).alias("mean_y_adj"),
+        F.round(F.var_pop("y"), 2).alias("var_y"),
+        F.round(F.var_pop("ya"), 2).alias("var_y_adj"),
+        F.round(
+            F.lit(1.0) - F.var_pop("ya") / F.var_pop("y"), 6
+        ).alias("var_reduction"),
+    )
+
+
+Q248_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         value
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN day < {_SPLIT_DAY} THEN value END), 0)
+           AS x,
+         COALESCE(SUM(CASE WHEN day >= {_SPLIT_DAY} THEN value END), 0)
+           AS y
+  FROM ev GROUP BY user_id
+), gstats AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS theta, AVG(x) AS mx
+  FROM per_user
+), adj AS (
+  SELECT {MD5LONG_SQL.format(x='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+         y, y - theta * (x - mx) AS ya
+  FROM per_user CROSS JOIN gstats
+)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(y), 4) AS mean_y,
+       ROUND(AVG(ya), 4) AS mean_y_adj,
+       ROUND(var_pop(y), 2) AS var_y,
+       ROUND(var_pop(ya), 2) AS var_y_adj,
+       ROUND(1 - var_pop(ya) / var_pop(y), 6) AS var_reduction
+FROM adj GROUP BY arm
+"""
+
+
+# --------------------------------------------------------------------------
+# q249 — THEIL–SEN robust trend (Theil 1950; Sen 1968): the slope a
+# daily-volume monitor fits when spikes would wreck OLS (q108) — the
+# MEDIAN of all pairwise slopes between daily totals, 29.3%-outlier-
+# robust. Median is EXACT: pairwise slopes are ranked per event type
+# and the middle one (or mean of the middle two) is selected — no
+# percentile_approx, so the DuckDB twin hashes identically.
+#
+# Scale posture: the raw feed collapses to a (type, day) grid first —
+# the pairwise self-join and the ranking window are bounded by
+# days²/2 per type (the window IS partitioned, by event_type), never
+# by event cardinality. The day grid is the only corpus-width shuffle.
+# --------------------------------------------------------------------------
+
+
+def q249_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(es / 86400).cast("long").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("tot"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.tot") - F.col("a.tot"))
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+            F.col("a.day").alias("d1"),
+            F.col("b.day").alias("d2"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    ).groupBy("event_type").agg(F.avg("slope").alias("sen"))
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("tot").alias("mean_daily")
+    )
+    return med.join(days, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("sen", 6).alias("sen_slope"),
+        r4(F.col("mean_daily")).alias("mean_daily"),
+    )
+
+
+Q249_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         SUM(value) AS tot
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         (b.tot - a.tot) / CAST(b.day - a.day AS DOUBLE) AS slope,
+         a.day AS d1, b.day AS d2
+  FROM daily a
+  JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+), med AS (
+  SELECT event_type, AVG(slope) AS sen
+  FROM ranked
+  WHERE rn = FLOOR((n + 1) / 2) OR rn = FLOOR((n + 2) / 2)
+  GROUP BY event_type
+), days AS (
+  SELECT event_type, COUNT(*) AS n_days, AVG(tot) AS mean_daily
+  FROM daily GROUP BY event_type
+)
+SELECT m.event_type, CAST(n_days AS BIGINT) AS n_days,
+       ROUND(sen, 6) AS sen_slope,
+       ROUND(mean_daily, 4) AS mean_daily
+FROM med m JOIN days d ON m.event_type = d.event_type
+"""
+
+
 QUERIES = {
+    "q248_cuped": q248_cuped,
+    "q249_theil_sen": q249_theil_sen,
     "q235_fd_violations": q235_fd_violations,
     "q230_poisson_bootstrap": q230_poisson_bootstrap,
     "q222_k_anonymity": q222_k_anonymity,
@@ -3927,6 +4121,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q248_cuped": Q248_SQL,
+    "q249_theil_sen": Q249_SQL,
     "q235_fd_violations": _q235_sql(),
     "q230_poisson_bootstrap": Q230_SQL,
     "q222_k_anonymity": Q222_SQL,

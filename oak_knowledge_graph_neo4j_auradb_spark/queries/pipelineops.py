@@ -3264,7 +3264,198 @@ FROM doc GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q247 — KMV (k-minimum-values / theta-sketch) DISTINCT SET ALGEBRA
+# across sources (Bar-Yossef et al. 2002; Beyer et al. 2007's unbiased
+# (k-1)/u_k estimator; the Theta sketch in Apache DataSketches): each
+# source keeps only its k=64 SMALLEST 60-bit bigram hashes; merging two
+# sketches (k smallest of the union) estimates |A∪B|, and the fraction
+# of merged entries present in BOTH input sketches estimates Jaccard —
+# so |A∩B| ≈ ρ̂·Û without ever joining the raw sets. q44/q128 cover
+# HLL (union-only); KMV is what a pipeline uses when it also needs
+# intersections (cross-source contamination overlap, shared-shard
+# audits). Exact per-pair Jaccard rides along as the accuracy audit
+# (q144's pattern).
+#
+# Scale posture: the corpus is read once (narrow bigram explode →
+# partial-agg distinct on (source, hash)); the per-source top-k window
+# runs over DISTINCT hashes (vocabulary-bounded, partitioned by
+# source); after that everything operates on 64-entry arrays — one row
+# per source, pairs bounded by (#sources choose 2). Sources with fewer
+# than k distinct bigrams are excluded (documented guard — their
+# sketch IS the exact set and the estimator switches form). md5-derived
+# hashes make both engines' sketches bit-identical.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOMAIN = float(1 << 60)
+
+
+def q247_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sets = (
+        toks.select("source", F.explode(bigrams).alias("b"))
+        .distinct()
+        .persist()
+    )
+    hashes = sets.select("source", md5long(F.col("b")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("sk"),
+            F.count(F.lit(1)).alias("n_sk"),
+        )
+        .filter(F.col("n_sk") >= _KMV_K)
+    )
+    a = sk.select(
+        F.col("source").alias("src_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("source").alias("src_b"), F.col("sk").alias("sk_b")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union("sk_a", "sk_b")), 1, _KMV_K
+    )
+    pairs = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .withColumn("m", merged)
+        .withColumn("theta", F.element_at("m", _KMV_K).cast("double"))
+        .withColumn(
+            "rho",
+            F.size(
+                F.array_intersect(F.array_intersect("m", "sk_a"), "sk_b")
+            ).cast("double")
+            / F.lit(float(_KMV_K)),
+        )
+        .withColumn(
+            "union_est",
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_DOMAIN) / F.col("theta"),
+        )
+    )
+    est = pairs.select(
+        "src_a",
+        "src_b",
+        F.round("rho", 6).alias("jaccard_est"),
+        F.round("union_est", 2).alias("union_est"),
+        F.round(F.col("rho") * F.col("union_est"), 2).alias("inter_est"),
+    )
+    na = sets.groupBy(F.col("source").alias("_sa")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    nb = sets.groupBy(F.col("source").alias("_sb")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    inter = (
+        sets.alias("x")
+        .join(sets.alias("y"), F.col("x.b") == F.col("y.b"))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("_ia"), F.col("y.source").alias("_ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    exact = (
+        inter.join(na, F.col("_ia") == F.col("_sa"))
+        .join(nb, F.col("_ib") == F.col("_sb"))
+        .select(
+            F.col("_ia").alias("_ea"),
+            F.col("_ib").alias("_eb"),
+            (
+                F.col("n_i")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast(
+                    "double"
+                )
+            ).alias("jac_x"),
+        )
+    )
+    out = (
+        est.join(
+            exact,
+            (est.src_a == F.col("_ea")) & (est.src_b == F.col("_eb")),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "jaccard_est",
+            "union_est",
+            "inter_est",
+            F.round("jac_x", 6).alias("jaccard_exact"),
+            F.round(
+                F.abs(F.col("jaccard_est") - F.col("jac_x")), 6
+            ).alias("abs_err"),
+        )
+    )
+    out = out.localCheckpoint()
+    sets.unpersist()
+    return out
+
+
+Q247_SQL = f"""
+WITH tokd AS (
+  SELECT source, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), sets AS MATERIALIZED (
+  SELECT DISTINCT source, t[i] || ' ' || t[i + 1] AS b
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS q(i)
+  WHERE len(t) >= 2
+), hashes AS (
+  SELECT DISTINCT source, {MD5LONG_SQL.format(x='b')} AS h FROM sets
+), ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashes
+), sk AS MATERIALIZED (
+  SELECT source, list_sort(list(h)) AS sk, COUNT(*) AS n_sk
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY source HAVING COUNT(*) >= {_KMV_K}
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:{_KMV_K}]
+           AS m,
+         a.sk AS sk_a, b.sk AS sk_b
+  FROM sk a JOIN sk b ON a.source < b.source
+), est AS (
+  SELECT src_a, src_b,
+         CAST(len(list_intersect(list_intersect(m, sk_a), sk_b)) AS DOUBLE)
+           / {_KMV_K} AS rho,
+         CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_DOMAIN!r}
+           / CAST(m[{_KMV_K}] AS DOUBLE) AS union_est
+  FROM pairs
+), nsrc AS (
+  SELECT source, COUNT(*) AS n FROM sets GROUP BY source
+), inter AS (
+  SELECT x.source AS ia, y.source AS ib, COUNT(*) AS n_i
+  FROM sets x JOIN sets y ON x.b = y.b AND x.source < y.source
+  GROUP BY 1, 2
+), exact AS (
+  SELECT ia, ib,
+         n_i / CAST(na.n + nb.n - n_i AS DOUBLE) AS jac_x
+  FROM inter
+  JOIN nsrc na ON na.source = ia
+  JOIN nsrc nb ON nb.source = ib
+)
+SELECT src_a, src_b,
+       ROUND(rho, 6) AS jaccard_est,
+       ROUND(union_est, 2) AS union_est,
+       ROUND(rho * union_est, 2) AS inter_est,
+       ROUND(jac_x, 6) AS jaccard_exact,
+       ROUND(ABS(ROUND(rho, 6) - jac_x), 6) AS abs_err
+FROM est JOIN exact ON src_a = ia AND src_b = ib
+"""
+
+
 QUERIES = {
+    "q247_kmv_setops": q247_kmv_setops,
     "q244_kneser_ney": q244_kneser_ney,
     "q242_temperature_mix": q242_temperature_mix,
     "q241_zorder_layout": q241_zorder_layout,
@@ -3317,6 +3508,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q247_kmv_setops": Q247_SQL,
     "q244_kneser_ney": Q244_SQL,
     "q242_temperature_mix": Q242_SQL,
     "q241_zorder_layout": _q241_sql(),

@@ -1723,7 +1723,132 @@ HAVING COUNT(*) >= {_DS_MIN_RUN}
 """
 
 
+# --------------------------------------------------------------------------
+# q246 — TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+# PageRank over the window-2 token co-occurrence graph, the classic
+# unsupervised keyword scorer (q41's TF-IDF is the frequency baseline;
+# TextRank ranks by graph centrality instead). Undirected edges between
+# ADJACENT tokens weighted by corpus-wide co-occurrence count;
+# r(v) = (1-d) + d·Σ_u w(u,v)/deg(u)·r(u), d=0.85, 4 fixed rounds, the
+# original paper's unnormalized formulation (no dangling mass: every
+# vertex comes from an edge, so deg ≥ 1).
+#
+# Scale posture: after the pair-count aggregate the graph is
+# VOCABULARY-bounded — |V| = distinct tokens, |E| = distinct adjacent
+# pairs — independent of corpus row count. The corpus is touched once
+# (narrow token explode → one shuffle on the unordered pair key);
+# every iteration joins vocab-sized tables repartitioned once on the
+# join key, mirroring kg65's Pregel-on-DataFrames shape. The DuckDB
+# twin unrolls the same recurrence one CTE pair per round.
+# --------------------------------------------------------------------------
+
+_TR_ITERS = 4
+_TR_D = 0.85
+
+
+def q246_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    adj = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        ),
+    )
+    und = (
+        toks.select(F.explode(adj).alias("p"))
+        .filter(F.col("p.u") != F.col("p.v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .union(und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+        .repartition("src")
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("_did")).agg(
+        F.sum("w").alias("deg")
+    )
+    base = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+    ranks = base.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("id").alias("_sid"), "rank"),
+                edges.src == F.col("_sid"),
+            )
+            .join(deg, edges.src == F.col("_did"))
+            .groupBy(F.col("dst").alias("_cid"))
+            .agg(F.sum(F.col("w") / F.col("deg") * F.col("rank")).alias("c"))
+        )
+        ranks = (
+            base.join(contrib, base.id == F.col("_cid"), "left")
+            .select(
+                base.id,
+                (
+                    F.lit(1.0 - _TR_D)
+                    + F.lit(_TR_D) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select(
+        F.col("id").alias("token"), F.round("rank", 6).alias("rank")
+    )
+    edges.unpersist()
+    base.unpersist()
+    return out
+
+
+def _q246_sql(iters: int = _TR_ITERS, d: float = _TR_D) -> str:
+    steps = [
+        f"""
+tokd AS (SELECT {TOKENS_SQL.format(x='text')} AS t FROM documents),
+und AS MATERIALIZED (
+  SELECT least(t[i], t[i + 1]) AS u, greatest(t[i], t[i + 1]) AS v,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS q(i)
+  WHERE len(t) >= 2 AND t[i] <> t[i + 1]
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM und
+  UNION ALL SELECT v, u, w FROM und
+),
+deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM e GROUP BY src),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+r0 AS MATERIALIZED (SELECT id, 1.0 AS r FROM verts)"""
+    ]
+    dd = f"CAST({d} AS DOUBLE)"
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(
+            f"""
+c{k} AS (SELECT e.dst AS id, SUM(e.w / deg.deg * p.r) AS c
+         FROM e JOIN r{p} p ON e.src = p.id JOIN deg ON deg.id = p.id
+         GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT v.id, (1 - {dd}) + {dd} * COALESCE(c.c, 0) AS r
+  FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"\nSELECT id AS token, round(r, 6) AS rank FROM r{iters}"
+    )
+
+
 QUERIES = {
+    "q246_textrank": q246_textrank,
     "q229_dup_spans": q229_dup_spans,
     "q221_winnowing": q221_winnowing,
     "q186_sorted_neighborhood": q186_sorted_neighborhood,
@@ -1751,6 +1876,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q246_textrank": _q246_sql(),
     "q229_dup_spans": Q229_SQL,
     "q221_winnowing": Q221_SQL,
     "q186_sorted_neighborhood": Q186_SQL,

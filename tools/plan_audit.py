@@ -312,6 +312,13 @@ AUDIT = [
     ("q241_zorder_layout", 4, 0),
     # shard agg + broadcast totals (q88's posture, power-scaled)
     ("q242_temperature_mix", 2, 0),
+    ("q243_join_size_estimate", 2, 0),
+    ("q244_kneser_ney", 9, 0),
+    ("q245_conductance", 6, 0),
+    ("q246_textrank", 0, 0),
+    ("q247_kmv_setops", 0, 0),
+    ("q248_cuped", 3, 0),
+    ("q249_theil_sen", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
