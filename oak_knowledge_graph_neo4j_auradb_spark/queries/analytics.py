@@ -4058,7 +4058,174 @@ FROM med m JOIN days d ON m.event_type = d.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q250 — KAPLAN-MEIER survival (Kaplan & Meier 1958): the retention
+# curve with RIGHT-CENSORING handled correctly — what q94's cohort
+# grid cannot do: users still active at the end of the feed are not
+# churned, they are censored, and dropping them biases retention low.
+# A subject is a (user, event_type) engagement: T = last-seen −
+# first-seen days with that feature; subjects last seen inside the
+# feed's final 7 days are censored at T (per-user-overall lifetimes
+# are degenerate here — every user stays active to feed end). The product-limit
+# estimator S(t) = Π_{s≤t} (1 − d_s/n_s) runs as exp(Σ ln ·) so the
+# cumulative product is one window sum.
+#
+# Scale posture: one shuffle on user_id collapses the feed to a
+# per-user (T, churned) pair; everything after runs on the LIFETIME-DAY
+# histogram (≤ feed-span rows) — the cumulative windows are global but
+# over that aggregate (audit-covered), never over raw users.
+# --------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7
+
+
+def q250_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+    )
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    gmax = per_user.agg(F.max("l").alias("gm"))
+    lives = per_user.crossJoin(F.broadcast(gmax)).select(
+        (F.col("l") - F.col("f")).alias("t"),
+        (F.col("l") <= F.col("gm") - _KM_CENSOR_DAYS)
+        .cast("int")
+        .alias("churned"),
+    )
+    hist = lives.groupBy("t").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("churned").alias("d"),
+    )
+    w_risk = (
+        Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        hist.withColumn("n_risk", F.sum("total").over(w_risk))
+        .withColumn(
+            "lnf",
+            F.log(
+                F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")
+            ),
+        )
+        .withColumn("surv", F.exp(F.sum("lnf").over(w_cum)))
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("lifetime_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("churned"),
+        F.round("surv", 6).alias("survival"),
+    )
+
+
+Q250_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), per_user AS (
+  SELECT user_id, event_type, MIN(day) AS f, MAX(day) AS l
+  FROM ev GROUP BY user_id, event_type
+), gmax AS (SELECT MAX(l) AS gm FROM per_user),
+lives AS (
+  SELECT l - f AS t,
+         CASE WHEN l <= gm - {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM per_user CROSS JOIN gmax
+), hist AS (
+  SELECT t, COUNT(*) AS total, SUM(churned) AS d FROM lives GROUP BY t
+), risk AS (
+  SELECT t, d,
+         SUM(total) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM hist
+), km AS (
+  SELECT t, d, n_risk,
+         SUM(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+           OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnS
+  FROM risk
+)
+SELECT t AS lifetime_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS churned, ROUND(exp(lnS), 6) AS survival
+FROM km WHERE d > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# q252 — EMPIRICAL-BAYES beta-binomial shrinkage (Robbins 1956;
+# Efron & Morris 1975's batting-average estimator): per-user engagement
+# rates k/n are noisy at small n; shrinking toward a Beta(α, β) prior
+# fitted from the population by METHOD OF MOMENTS (α+β =
+# m(1−m)/v − 1 on the raw-rate mean/variance) gives the posterior-mean
+# rate (k+α)/(n+α+β) — the estimator a ranking or abuse-flagging
+# stage uses instead of raw proportions. 'click' events are the
+# successes; every event is a trial.
+#
+# Scale posture: one shuffle on user_id for (n, k); the prior is a
+# 1-row broadcast aggregate; the posterior is a map-side expression.
+# Output is the per-user estimate table (the pipeline's artifact).
+# --------------------------------------------------------------------------
+
+
+def q252_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("k"),
+    )
+    rates = per_user.withColumn(
+        "p", F.col("k") / F.col("n").cast("double")
+    )
+    prior = rates.agg(
+        F.avg("p").alias("m"), F.var_pop("p").alias("v")
+    ).select(
+        "m",
+        "v",
+        (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("ab"),
+    )
+    out = rates.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_clicks"),
+        F.round("p", 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("m") * F.col("ab"))
+            / (F.col("n") + F.col("ab")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+    return out
+
+
+Q252_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY user_id
+), rates AS (
+  SELECT user_id, n, k, k / CAST(n AS DOUBLE) AS p FROM per_user
+), prior AS (
+  SELECT m, v, m * (1 - m) / v - 1 AS ab
+  FROM (SELECT AVG(p) AS m, var_pop(p) AS v FROM rates)
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(k AS BIGINT) AS n_clicks,
+       ROUND(p, 6) AS raw_rate,
+       ROUND((k + m * ab) / (n + ab), 6) AS shrunk_rate
+FROM rates CROSS JOIN prior
+"""
+
+
 QUERIES = {
+    "q250_kaplan_meier": q250_kaplan_meier,
+    "q252_eb_shrinkage": q252_eb_shrinkage,
     "q248_cuped": q248_cuped,
     "q249_theil_sen": q249_theil_sen,
     "q235_fd_violations": q235_fd_violations,
@@ -4121,6 +4288,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q250_kaplan_meier": Q250_SQL,
+    "q252_eb_shrinkage": Q252_SQL,
     "q248_cuped": Q248_SQL,
     "q249_theil_sen": Q249_SQL,
     "q235_fd_violations": _q235_sql(),

@@ -1118,7 +1118,193 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q253 — RECIPROCAL-RANK FUSION of two retrieval rankings (Cormack,
+# Clarke & Büttcher SIGIR 2009): the standard hybrid-search combiner —
+# RRF(d) = Σ_lists 1/(k + rank_list(d)), k = 60 — fusing q157's BM25
+# list with a TF-IDF cosine list for the same query. Both lists are
+# truncated at depth 50 (ranked by ROUNDED score with doc_id tiebreak,
+# q157's ulp-stable idiom), full-outer-joined, and the fused top-15
+# returned with both source ranks (0 = absent from that list).
+#
+# Scale posture: each list is a TakeOrderedAndProject (distributed
+# top-k — never a global sort); the rank windows run over the
+# 50-row truncated lists (limit-covered); doc norms and df come from
+# partial-aggregable rollups; the query dimension is a 3-row
+# broadcast.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def q253_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf_all = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_all = tf_all.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # ---- list 1: BM25 (q157's exact formulation) --------------------
+    tf_q = tf_all.filter(F.col("tok").isin(*_BM25_QUERY))
+    j = (
+        tf_q.join(F.broadcast(df_all), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = j.groupBy("doc_id").agg(
+        F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6).alias(
+            "bm25"
+        )
+    )
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm_rank = (
+        bm.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(wb).alias("rb"))
+    )
+    # ---- list 2: TF-IDF cosine --------------------------------------
+    w_dt = (
+        tf_all.join(F.broadcast(df_all), "tok")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(1.0 + F.col("n_docs") / F.col("df"))).alias(
+                "w"
+            ),
+        )
+    )
+    norm_d = w_dt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nd")
+    )
+    wq = (
+        df_all.filter(F.col("tok").isin(*_BM25_QUERY))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(1.0 + F.col("n_docs") / F.col("df")).alias("wq"),
+        )
+    )
+    nq = wq.agg(F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nq"))
+    cos = (
+        w_dt.join(F.broadcast(wq), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("dot"))
+        .join(norm_d, "doc_id")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("nd") * F.col("nq")), 6
+            ).alias("cos"),
+        )
+    )
+    wc = Window.orderBy(F.desc("cos"), "doc_id")
+    cos_rank = (
+        cos.orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(wc).alias("rc"))
+    )
+    # ---- fuse --------------------------------------------------------
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rb", F.lit(0)).cast("long").alias("rank_bm25"),
+            F.coalesce("rc", F.lit(0)).cast("long").alias("rank_cos"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rc")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(15)
+
+
+Q253_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf_all AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df_all AS (
+  SELECT tok, COUNT(*) AS df FROM tf_all GROUP BY tok
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / avgdl))), 6) AS bm25
+  FROM tf_all tf JOIN df_all USING (tok) JOIN dl ON tf.doc_id = dl.doc_id,
+       stats
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY tf.doc_id
+), bm_top AS (
+  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id
+  LIMIT {_RRF_DEPTH}
+), bm_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM bm_top
+), w_dt AS (
+  SELECT doc_id, tok, tf * ln(1.0 + n_docs / (1.0 * df)) AS w
+  FROM tf_all JOIN df_all USING (tok), stats
+), norm_d AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS nd FROM w_dt GROUP BY doc_id
+), wq AS (
+  SELECT tok, ln(1.0 + n_docs / (1.0 * df)) AS wq
+  FROM df_all, stats WHERE tok IN ({_BM25_IN})
+), nq AS (SELECT sqrt(SUM(wq * wq)) AS nq FROM wq),
+cos AS (
+  SELECT d.doc_id,
+         ROUND(SUM(d.w * q.wq) / (ANY_VALUE(n.nd) * ANY_VALUE(nq.nq)), 6)
+           AS cos
+  FROM w_dt d JOIN wq q USING (tok)
+  JOIN norm_d n ON d.doc_id = n.doc_id, nq
+  GROUP BY d.doc_id
+), cos_top AS (
+  SELECT doc_id, cos FROM cos ORDER BY cos DESC, doc_id
+  LIMIT {_RRF_DEPTH}
+), cos_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rc
+  FROM cos_top
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CAST(COALESCE(rb, 0) AS BIGINT) AS rank_bm25,
+       CAST(COALESCE(rc, 0) AS BIGINT) AS rank_cos,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + rb), 0)
+             + COALESCE(1.0 / ({_RRF_K} + rc), 0), 6) AS rrf
+FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 15
+"""
+
+
 QUERIES = {
+    "q253_rrf_fusion": q253_rrf_fusion,
     "q234_fellegi_sunter": q234_fellegi_sunter,
     "q193_cohens_kappa": q193_cohens_kappa,
     "q207_decile_lift": q207_decile_lift,
@@ -1137,6 +1323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q253_rrf_fusion": Q253_SQL,
     "q234_fellegi_sunter": Q234_SQL,
     "q193_cohens_kappa": _q193_sql(),
     "q207_decile_lift": _q207_sql(),

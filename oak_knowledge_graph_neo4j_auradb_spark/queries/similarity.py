@@ -1843,7 +1843,123 @@ FROM ({unions})
     )
 
 
+# --------------------------------------------------------------------------
+# q251 — GEOMETRIC MEDIAN per label via Weiszfeld iteration (Weiszfeld
+# 1937; Cohen et al. STOC 2016 for the modern treatment): the
+# L1-robust centroid an embedding-cleaning stage uses where q140's
+# arithmetic mean is dragged by outlier vectors — the minimizer of
+# Σ‖v − x‖ instead of Σ‖v − x‖². Three fixed rounds from the mean:
+# x ← Σ(v/d_v) / Σ(1/d_v), d_v = max(‖v − x‖, ε). Output is the
+# per-label median vector in long (label, dim, value) form plus each
+# round's mean distance, pinning monotone descent.
+#
+# Scale posture: vectors live in LONG FORM (vec, dim, val) — all four
+# stages per round are partial-aggregable hash shuffles on (label,dim)
+# or vec_id, never a collect; the iterate x is labels×64 rows joined
+# back broadcast-style. Corpus-size-independent state, fixed round
+# count, no Python. The DuckDB twin unrolls the same three rounds.
+# --------------------------------------------------------------------------
+
+_GM_EPS = 1e-12
+_GM_ROUNDS = 3
+
+
+def q251_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    lng = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    ).persist()
+    x = lng.groupBy("label", "dim").agg(F.avg("val").alias("m"))
+    for _ in range(_GM_ROUNDS):
+        d = (
+            lng.join(x, ["label", "dim"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.greatest(
+                    F.sqrt(F.sum(F.pow(F.col("val") - F.col("m"), 2))),
+                    F.lit(_GM_EPS),
+                ).alias("d")
+            )
+        )
+        x = (
+            lng.join(d, ["vec_id", "label"])
+            .groupBy("label", "dim")
+            .agg(
+                (F.sum(F.col("val") / F.col("d")) / F.sum(1.0 / F.col("d"))).alias(
+                    "m"
+                )
+            )
+        )
+    fin = (
+        lng.join(x, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.pow(F.col("val") - F.col("m"), 2))).alias("d"))
+        .groupBy("label")
+        .agg(F.avg("d").alias("mean_dist"))
+    )
+    out = (
+        x.join(fin, "label")
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("m", 6).alias("gm"),
+            F.round("mean_dist", 6).alias("mean_dist"),
+        )
+        .localCheckpoint()
+    )
+    lng.unpersist()
+    return out
+
+
+def _q251_sql(rounds: int = _GM_ROUNDS, eps: float = _GM_EPS) -> str:
+    steps = [
+        """
+lng AS MATERIALIZED (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS q(i)
+),
+x0 AS MATERIALIZED (
+  SELECT label, dim, AVG(val) AS m FROM lng GROUP BY label, dim)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(
+            f"""
+d{k} AS (
+  SELECT l.vec_id, l.label,
+         GREATEST(sqrt(SUM((l.val - x.m) * (l.val - x.m))), {eps!r}) AS d
+  FROM lng l JOIN x{p} x ON l.label = x.label AND l.dim = x.dim
+  GROUP BY l.vec_id, l.label
+),
+x{k} AS MATERIALIZED (
+  SELECT l.label, l.dim, SUM(l.val / d.d) / SUM(1.0 / d.d) AS m
+  FROM lng l JOIN d{k} d ON l.vec_id = d.vec_id AND l.label = d.label
+  GROUP BY l.label, l.dim)"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f""",
+fin AS (
+  SELECT label, AVG(d) AS mean_dist FROM (
+    SELECT l.vec_id, l.label,
+           sqrt(SUM((l.val - x.m) * (l.val - x.m))) AS d
+    FROM lng l JOIN x{rounds} x ON l.label = x.label AND l.dim = x.dim
+    GROUP BY l.vec_id, l.label
+  ) GROUP BY label
+)
+SELECT x.label, CAST(x.dim AS BIGINT) AS dim, ROUND(x.m, 6) AS gm,
+       ROUND(f.mean_dist, 6) AS mean_dist
+FROM x{rounds} x JOIN fin f ON x.label = f.label"""
+    )
+
+
 QUERIES = {
+    "q251_geometric_median": q251_geometric_median,
     "q239_mmr_select": q239_mmr_select,
     "q238_ivfpq_adc": q238_ivfpq_adc,
     "q237_pq_codebooks": q237_pq_codebooks,
@@ -1862,6 +1978,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q251_geometric_median": _q251_sql(),
     "q239_mmr_select": _q239_sql(),
     "q238_ivfpq_adc": _q238_sql(),
     "q237_pq_codebooks": _q237_sql(),

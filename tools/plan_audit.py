@@ -319,6 +319,10 @@ AUDIT = [
     ("q247_kmv_setops", 0, 0),
     ("q248_cuped", 3, 0),
     ("q249_theil_sen", 3, 0),
+    ("q250_kaplan_meier", 5, 0),
+    ("q251_geometric_median", 0, 0),
+    ("q252_eb_shrinkage", 3, 0),
+    ("q253_rrf_fusion", 14, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
