@@ -4223,7 +4223,243 @@ FROM rates CROSS JOIN prior
 """
 
 
+# --------------------------------------------------------------------------
+# q254 — WINSORIZED + TRIMMED robust moments per event type (Tukey &
+# McLaughlin 1963; Dixon & Tukey 1968): the heavy-tail-safe mean/std a
+# metrics pipeline reports where q188 only FLAGS outliers. Order
+# statistics are EXACT but computed from the per-type VALUE HISTOGRAM —
+# the 5th/95th bound is the value whose cumulative count first reaches
+# ⌈0.05n⌉/⌈0.95n⌉, the winsorized moments clamp histogram entries to
+# those bounds, and the trimmed mean takes each value's rank-interval
+# overlap with (⌊0.05n⌋, ⌊0.95n⌋] in closed form — so NO per-row rank
+# window ever runs.
+#
+# Scale posture: one shuffle to the (type, value) histogram (2dp
+# values — bounded), cumulative windows partitioned by type over that
+# histogram, one final per-type rollup. Raw-event cardinality only
+# passes through the first partial-aggregable groupBy.
+# --------------------------------------------------------------------------
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+def q254_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    k_lo = F.ceil(F.lit(_WINSOR_LO) * F.col("n"))
+    k_hi = F.ceil(F.lit(_WINSOR_HI) * F.col("n"))
+    bounds = h.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("value"))).alias("hi"),
+    )
+    t_lo = F.floor(F.lit(_WINSOR_LO) * F.col("n"))
+    t_hi = F.floor(F.lit(_WINSOR_HI) * F.col("n"))
+    j = h.join(bounds, "event_type")
+    clamped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), t_hi)
+        - F.greatest(F.col("cum") - F.col("cnt") + 1, t_lo + 1)
+        + 1,
+    )
+    out = j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        r4(F.sum(F.col("value") * F.col("cnt")) / F.max("n")).alias("mean"),
+        F.max("lo").alias("p05"),
+        F.max("hi").alias("p95"),
+        r4(F.sum(clamped * F.col("cnt")) / F.max("n")).alias("win_mean"),
+        r4(
+            F.sqrt(
+                F.sum(clamped * clamped * F.col("cnt")) / F.max("n")
+                - F.pow(
+                    F.sum(clamped * F.col("cnt")) / F.max("n"), 2
+                )
+            )
+        ).alias("win_std"),
+        r4(
+            F.sum(F.col("value") * overlap)
+            / F.max(t_hi - t_lo).cast("double")
+        ).alias("trim_mean"),
+    )
+    return out
+
+
+Q254_SQL = f"""
+WITH hist AS (
+  SELECT event_type, value, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT event_type, value, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CEIL({_WINSOR_LO} * n) THEN value END)
+           AS lo,
+         MIN(CASE WHEN cum >= CEIL({_WINSOR_HI} * n) THEN value END)
+           AS hi
+  FROM h GROUP BY event_type
+), j AS (
+  SELECT h.*, b.lo, b.hi,
+         GREATEST(LEAST(value, b.hi), b.lo) AS clamped,
+         FLOOR({_WINSOR_LO} * n) AS t_lo,
+         FLOOR({_WINSOR_HI} * n) AS t_hi,
+         GREATEST(0, LEAST(cum, FLOOR({_WINSOR_HI} * n))
+           - GREATEST(cum - cnt + 1, FLOOR({_WINSOR_LO} * n) + 1)
+           + 1) AS ov
+  FROM h JOIN bounds b USING (event_type)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(value * cnt) / MAX(n), 4) AS mean,
+       MAX(lo) AS p05, MAX(hi) AS p95,
+       ROUND(SUM(clamped * cnt) / MAX(n), 4) AS win_mean,
+       ROUND(sqrt(SUM(clamped * clamped * cnt) / MAX(n)
+             - (SUM(clamped * cnt) / MAX(n))
+               * (SUM(clamped * cnt) / MAX(n))), 4) AS win_std,
+       ROUND(SUM(value * ov) / CAST(MAX(t_hi - t_lo) AS DOUBLE), 4)
+         AS trim_mean
+FROM j GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q255 — BENJAMINI-HOCHBERG FDR step-up (Benjamini & Hochberg 1995)
+# over per-event-type A/B two-proportion z-tests: the multiple-testing
+# correction an experimentation platform applies when q131's single
+# z-test becomes m simultaneous tests. Per type, users hash-split into
+# two arms (q192's md5 idiom), pooled-variance z on conversion;
+# two-sided p via the logistic approximation Φ(z) ≈ σ(1.702z)
+# (Bowling et al. 2009 — |err| < 0.0095, and IDENTICAL in both engines,
+# where erf is built into neither). Reject H_(1..k*) with k* = max{k :
+# p_(k) ≤ kα/m}, α = 0.10.
+#
+# Scale posture: two hash shuffles (user grain, then the m-row type
+# grain); the rank/step-up windows run over the m-row per-type
+# aggregate (audit-covered).
+# --------------------------------------------------------------------------
+
+_BH_ALPHA = 0.10
+
+
+def q255_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.max((F.col("value") > 100).cast("int")).alias("conv")
+    )
+    arms = per_user.groupBy(
+        "event_type",
+        (md5long(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    g = arms.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+    pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
+    z = (F.col("k1") / F.col("n1") - F.col("k0") / F.col("n0")) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    scored = g.select(
+        "event_type",
+        F.round(z, 6).alias("z_stat"),
+        F.round(
+            2.0 / (1.0 + F.exp(1.702 * F.abs(z))), 6
+        ).alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "event_type")
+    m = Window.partitionBy()
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("m", F.count(F.lit(1)).over(m))
+        .withColumn(
+            "bh_crit",
+            F.round(
+                F.col("rnk") * _BH_ALPHA / F.col("m"), 6
+            ),
+        )
+    )
+    kmax = ranked.withColumn(
+        "kstar",
+        F.max(
+            F.when(F.col("p_value") <= F.col("bh_crit"), F.col("rnk"))
+        ).over(m),
+    )
+    return kmax.select(
+        "event_type",
+        "z_stat",
+        "p_value",
+        F.col("rnk").cast("long").alias("p_rank"),
+        "bh_crit",
+        (F.col("rnk") <= F.coalesce("kstar", F.lit(0)))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+Q255_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), arms AS (
+  SELECT event_type,
+         {MD5LONG_SQL.format(x='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+         COUNT(*) AS n, SUM(conv) AS k
+  FROM per_user GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 0 THEN n END) AS n0,
+         SUM(CASE WHEN arm = 0 THEN k END) AS k0,
+         SUM(CASE WHEN arm = 1 THEN n END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN k END) AS k1
+  FROM arms GROUP BY event_type
+), scored AS (
+  SELECT event_type,
+         ROUND((k1 / (1.0 * n1) - k0 / (1.0 * n0))
+           / sqrt(((k0 + k1) / (1.0 * (n0 + n1)))
+                  * (1 - (k0 + k1) / (1.0 * (n0 + n1)))
+                  * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+  FROM g
+), p AS (
+  SELECT event_type, z_stat,
+         ROUND(2.0 / (1.0 + exp(1.702 * ABS(z_stat))), 6) AS p_value
+  FROM scored
+), ranked AS (
+  SELECT event_type, z_stat, p_value,
+         ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+         COUNT(*) OVER () AS m
+  FROM p
+), crit AS (
+  SELECT *, ROUND(rnk * {_BH_ALPHA} / m, 6) AS bh_crit FROM ranked
+), kmax AS (
+  SELECT *, MAX(CASE WHEN p_value <= bh_crit THEN rnk END) OVER ()
+         AS kstar
+  FROM crit
+)
+SELECT event_type, z_stat, p_value,
+       CAST(rnk AS BIGINT) AS p_rank, bh_crit,
+       CASE WHEN rnk <= COALESCE(kstar, 0) THEN 1 ELSE 0 END AS rejected
+FROM kmax
+"""
+
+
 QUERIES = {
+    "q254_winsorized_stats": q254_winsorized_stats,
+    "q255_bh_fdr": q255_bh_fdr,
     "q250_kaplan_meier": q250_kaplan_meier,
     "q252_eb_shrinkage": q252_eb_shrinkage,
     "q248_cuped": q248_cuped,
@@ -4288,6 +4524,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q254_winsorized_stats": Q254_SQL,
+    "q255_bh_fdr": Q255_SQL,
     "q250_kaplan_meier": Q250_SQL,
     "q252_eb_shrinkage": Q252_SQL,
     "q248_cuped": Q248_SQL,

@@ -1958,7 +1958,134 @@ FROM x{rounds} x JOIN fin f ON x.label = f.label"""
     )
 
 
+# --------------------------------------------------------------------------
+# q256 — K-CENTER coreset selection via Gonzalez farthest-point
+# traversal (Gonzalez 1985; the 2-approximation for metric k-center;
+# Sener & Savarese ICLR 2018 use exactly this for training-data core-
+# set selection): start from the lowest vec_id, then 7 times add the
+# point FARTHEST from the chosen set. Deterministic counterpart to
+# q231's D²-sampled k-means|| seeding — max instead of coin flips.
+# Reports each center with its round, assigned-point count, and
+# cluster radius (the k-center objective).
+#
+# Scale posture: each round is one broadcast crossJoin against the
+# ≤k-row chosen set + a partial-aggregable min — the argmax is a
+# distributed TakeOrderedAndProject, never a global sort; rounds are
+# localCheckpointed so the plan stays round-depth-free. Distances are
+# rounded to 6dp before every argmax/assignment (ulp-stable across
+# engines), ties break on vec_id.
+# --------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def q256_kcenter_gonzalez(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    chosen = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cand"),
+            F.col("v").alias("cv"),
+            F.lit(0).cast("int").alias("rnd"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, _KC_K):
+        d = (
+            e.crossJoin(F.broadcast(chosen.select("cv")))
+            .groupBy("vec_id")
+            .agg(
+                F.round(
+                    F.min(_sqdist(F.col("v"), F.col("cv"))), 6
+                ).alias("d2")
+            )
+        )
+        pick = (
+            d.orderBy(F.desc("d2"), "vec_id")
+            .limit(1)
+            .join(e, "vec_id")
+            .select(
+                F.col("vec_id").alias("cand"),
+                F.col("v").alias("cv"),
+                F.lit(r).cast("int").alias("rnd"),
+            )
+        )
+        chosen = chosen.union(pick).localCheckpoint()
+    asgn_w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    asgn = (
+        e.crossJoin(F.broadcast(chosen.select("cand", "cv")))
+        .select(
+            "vec_id",
+            "cand",
+            F.round(_sqdist(F.col("v"), F.col("cv")), 6).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(asgn_w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        asgn.groupBy("cand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.round(F.max("d2"), 6).alias("radius_sq"),
+        )
+        .join(chosen.select("cand", "rnd"), "cand")
+        .select(
+            F.col("cand").alias("center_vec_id"),
+            F.col("rnd").cast("long").alias("round"),
+            "n_assigned",
+            "radius_sq",
+        )
+    )
+
+
+def _q256_sql(k: int = _KC_K) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """c0 AS (
+  SELECT vec_id AS cand, v AS cv, 0 AS rnd FROM e ORDER BY vec_id LIMIT 1
+)""",
+    ]
+    for r in range(1, k):
+        p = r - 1
+        ctes.append(
+            f"""dd{r} AS (
+  SELECT e.vec_id, ROUND(MIN({_sqdist_sql('e.v', 'c.cv')}), 6) AS d2
+  FROM e, c{p} c GROUP BY e.vec_id
+),
+p{r} AS (SELECT vec_id FROM dd{r} ORDER BY d2 DESC, vec_id LIMIT 1),
+c{r} AS (
+  SELECT * FROM c{p}
+  UNION ALL
+  SELECT e.vec_id, e.v, {r} FROM e JOIN p{r} USING (vec_id)
+)"""
+        )
+    last = f"c{k - 1}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+asgn AS (
+  SELECT vec_id, cand, d2 FROM (
+    SELECT e.vec_id, c.cand,
+           ROUND({_sqdist_sql('e.v', 'c.cv')}, 6) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_sqdist_sql('e.v', 'c.cv')}, 6), c.cand)
+             AS rn
+    FROM e, {last} c
+  ) WHERE rn = 1
+)
+SELECT a.cand AS center_vec_id, CAST(c.rnd AS BIGINT) AS round,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(MAX(a.d2), 6) AS radius_sq
+FROM asgn a JOIN {last} c ON a.cand = c.cand
+GROUP BY a.cand, c.rnd"""
+    )
+
+
 QUERIES = {
+    "q256_kcenter_gonzalez": q256_kcenter_gonzalez,
     "q251_geometric_median": q251_geometric_median,
     "q239_mmr_select": q239_mmr_select,
     "q238_ivfpq_adc": q238_ivfpq_adc,
@@ -1978,6 +2105,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q256_kcenter_gonzalez": _q256_sql(),
     "q251_geometric_median": _q251_sql(),
     "q239_mmr_select": _q239_sql(),
     "q238_ivfpq_adc": _q238_sql(),

@@ -323,6 +323,9 @@ AUDIT = [
     ("q251_geometric_median", 0, 0),
     ("q252_eb_shrinkage", 3, 0),
     ("q253_rrf_fusion", 14, 0),
+    ("q254_winsorized_stats", 2, 0),
+    ("q255_bh_fdr", 4, 0),
+    ("q256_kcenter_gonzalez", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
