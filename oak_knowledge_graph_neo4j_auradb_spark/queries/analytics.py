@@ -4369,6 +4369,16 @@ def q255_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
         F.sum(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
     )
+    # degenerate-sample gate (the q182/q199 class): a type with an
+    # empty arm, zero conversions, or all-conversions has zero pooled
+    # variance — ANSI Spark raises DIVIDE_BY_ZERO while DuckDB renders
+    # inf, so such types are excluded in BOTH twins
+    g = g.filter(
+        F.col("n0").isNotNull()
+        & F.col("n1").isNotNull()
+        & (F.col("k0") + F.col("k1") > 0)
+        & (F.col("k0") + F.col("k1") < F.col("n0") + F.col("n1"))
+    )
     pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
     z = (F.col("k1") / F.col("n1") - F.col("k0") / F.col("n0")) / F.sqrt(
         pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
@@ -4427,13 +4437,17 @@ WITH per_user AS (
          SUM(CASE WHEN arm = 1 THEN n END) AS n1,
          SUM(CASE WHEN arm = 1 THEN k END) AS k1
   FROM arms GROUP BY event_type
+), gated AS (
+  SELECT * FROM g
+  WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+    AND k0 + k1 > 0 AND k0 + k1 < n0 + n1
 ), scored AS (
   SELECT event_type,
          ROUND((k1 / (1.0 * n1) - k0 / (1.0 * n0))
            / sqrt(((k0 + k1) / (1.0 * (n0 + n1)))
                   * (1 - (k0 + k1) / (1.0 * (n0 + n1)))
                   * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
-  FROM g
+  FROM gated
 ), p AS (
   SELECT event_type, z_stat,
          ROUND(2.0 / (1.0 + exp(1.702 * ABS(z_stat))), 6) AS p_value
