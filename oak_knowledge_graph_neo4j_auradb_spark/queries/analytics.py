@@ -4471,7 +4471,115 @@ FROM kmax
 """
 
 
+# --------------------------------------------------------------------------
+# q258 — DIFFERENCE-IN-DIFFERENCES (Card & Krueger 1994's workhorse
+# quasi-experimental estimator): the 2×2 arm×period design over
+# per-user period means — DiD = (ȳ₁₁−ȳ₁₀) − (ȳ₀₁−ȳ₀₀) nets out both
+# the arm's level difference and the common time trend that a naive
+# post-period comparison (q131) confounds. SE from the four cell
+# variances (independent-cells approximation), t = DiD/SE. Arms are
+# the q248 md5 user split; periods split at the q94-family day.
+#
+# Scale posture: one shuffle to (user, period) means, one to the
+# 4-cell grid; the final pivot is a 1-row aggregate. Nothing windows.
+# --------------------------------------------------------------------------
+
+
+def q258_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(es / 86400).cast("long") >= _SPLIT_DAY)
+        .cast("int")
+        .alias("period"),
+        "value",
+    )
+    pu = ev.groupBy("user_id", "period").agg(F.avg("value").alias("y"))
+    cells = pu.groupBy(
+        (md5long(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "period",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+
+    def cell(a: int, p: int, col: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p), F.col(col)
+            )
+        )
+
+    g = cells.agg(
+        *[
+            cell(a, p, c).alias(f"{c}{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+            for c in ("m", "v", "n")
+        ]
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(
+        F.col("v11") / F.col("n11")
+        + F.col("v10") / F.col("n10")
+        + F.col("v01") / F.col("n01")
+        + F.col("v00") / F.col("n00")
+    )
+    return g.select(
+        r4(F.col("m00")).alias("ctrl_pre"),
+        r4(F.col("m01")).alias("ctrl_post"),
+        r4(F.col("m10")).alias("treat_pre"),
+        r4(F.col("m11")).alias("treat_post"),
+        r4(did).alias("did"),
+        r4(se).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+Q258_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                   >= {_SPLIT_DAY} THEN 1 ELSE 0 END AS period,
+         value
+  FROM events
+), pu AS (
+  SELECT user_id, period, AVG(value) AS y FROM ev GROUP BY 1, 2
+), cells AS (
+  SELECT {MD5LONG_SQL.format(x='CAST(user_id AS VARCHAR)')} % 2 AS arm,
+         period, COUNT(*) AS n, AVG(y) AS m, var_samp(y) AS v
+  FROM pu GROUP BY 1, 2
+), g AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN m END) AS m00,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN m END) AS m01,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN m END) AS m10,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN m END) AS m11,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN v END) AS v00,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN v END) AS v01,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN v END) AS v10,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN v END) AS v11,
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11
+  FROM cells
+)
+SELECT ROUND(m00, 4) AS ctrl_pre, ROUND(m01, 4) AS ctrl_post,
+       ROUND(m10, 4) AS treat_pre, ROUND(m11, 4) AS treat_post,
+       ROUND((m11 - m10) - (m01 - m00), 4) AS did,
+       ROUND(sqrt(v11 / n11 + v10 / n10 + v01 / n01 + v00 / n00), 4)
+         AS se,
+       ROUND(((m11 - m10) - (m01 - m00))
+             / sqrt(v11 / n11 + v10 / n10 + v01 / n01 + v00 / n00), 6)
+         AS t_stat
+FROM g
+"""
+
+
 QUERIES = {
+    "q258_diff_in_diff": q258_diff_in_diff,
     "q254_winsorized_stats": q254_winsorized_stats,
     "q255_bh_fdr": q255_bh_fdr,
     "q250_kaplan_meier": q250_kaplan_meier,
@@ -4538,6 +4646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q258_diff_in_diff": Q258_SQL,
     "q254_winsorized_stats": Q254_SQL,
     "q255_bh_fdr": Q255_SQL,
     "q250_kaplan_meier": Q250_SQL,

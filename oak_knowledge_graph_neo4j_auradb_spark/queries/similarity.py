@@ -2084,7 +2084,281 @@ GROUP BY a.cand, c.rnd"""
     )
 
 
+# --------------------------------------------------------------------------
+# q257 — IVF RECALL-vs-NPROBE curve (the tuning loop of Johnson,
+# Douze & Jégou's FAISS IVF; nprobe is THE recall/cost knob): for
+# nprobe ∈ {1, 2, 4}, each query searches only the corpus cells of its
+# nprobe nearest centroids; recall@5 is measured against the exact
+# brute-force top-5, alongside the mean number of candidates scanned —
+# the curve an index operator reads before fixing nprobe in
+# production. Extends q31 (assignment) / q33 (nprobe=1 search) /
+# q202 (recall harness) into the full tradeoff audit.
+#
+# Scale posture: the corpus is assigned to cells ONCE (one narrow
+# shuffle); each probe level joins the bounded query set (broadcast)
+# against cell-pruned candidates — never all-pairs; the brute-force
+# truth is bounded by |queries|×N, the eval cost any offline recall
+# audit pays. All ranks order by 6dp-rounded sims (ulp-stable).
+# --------------------------------------------------------------------------
+
+_NPROBES = (1, 2, 4)
+
+
+def q257_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("m")))
+            ).alias("ent")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(ent, e -> e.m)").alias("cv"),
+        )
+    )
+    wn = e.select("vec_id", "v", norm(F.col("v")).alias("nm"))
+    csims = wn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_label",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c_label").asc()
+    )
+    ranked_cells = csims.withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).persist()
+    assign = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("c_label").alias("cell")
+    )
+    cells = wn.join(assign, "vec_id").persist()
+    q = F.broadcast(
+        cells.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nm").alias("qn"),
+        )
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nm")), 6
+    )
+    # exact truth: brute-force top-5 per query
+    w_q = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    truth = (
+        cells.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id")
+        .persist()
+    )
+    n_q = truth.select("qid").distinct().count()
+    outs = []
+    for p in _NPROBES:
+        probes = ranked_cells.filter(
+            (F.col("vec_id") < N_QUERY) & (F.col("rn") <= p)
+        ).select(
+            F.col("vec_id").alias("qid"), F.col("c_label").alias("cell")
+        )
+        cand = (
+            cells.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(F.broadcast(q.select("qid", "qv", "qn")), "qid")
+            .select("qid", "vec_id", sim.alias("sim"))
+        )
+        scanned = cand.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n_scanned")
+        )
+        top = (
+            cand.withColumn("rk", F.row_number().over(w_q))
+            .filter(F.col("rk") <= 5)
+            .select("qid", "vec_id")
+        )
+        hits = top.join(truth, ["qid", "vec_id"]).count()
+        mean_scanned = scanned.agg(
+            F.avg("n_scanned").alias("ms")
+        ).collect()[0]["ms"]
+        outs.append((p, float(mean_scanned), hits / (5.0 * n_q)))
+    res = spark.createDataFrame(
+        outs, "nprobe int, mean_scanned double, recall_at5 double"
+    ).select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        F.round("mean_scanned", 2).alias("mean_scanned"),
+        F.round("recall_at5", 6).alias("recall_at5"),
+    )
+    ranked_cells.unpersist()
+    cells.unpersist()
+    truth.unpersist()
+    return res
+
+
+def _q257_sql() -> str:
+    branches = []
+    for p in _NPROBES:
+        branches.append(
+            f"""
+SELECT {p} AS nprobe,
+       ROUND((SELECT AVG(ns) FROM (
+          SELECT COUNT(*) AS ns FROM cand{p} GROUP BY qid)), 2)
+         AS mean_scanned,
+       ROUND((SELECT COUNT(*) FROM top{p} t JOIN truth USING (qid, vec_id))
+             / (5.0 * (SELECT COUNT(DISTINCT qid) FROM truth)), 6)
+         AS recall_at5"""
+        )
+    cand_ctes = []
+    for p in _NPROBES:
+        cand_ctes.append(
+            f"""cand{p} AS (
+  SELECT q.qid, c.vec_id,
+         ROUND({_cos_sql('q.qv', 'c.v')}, 6) AS sim
+  FROM cells c
+  JOIN (SELECT vec_id AS qid, c_label AS cell FROM ranked
+        WHERE vec_id < {N_QUERY} AND rn <= {p}) pr ON c.cell = pr.cell
+  JOIN qset q ON q.qid = pr.qid
+  WHERE c.vec_id <> q.qid
+),
+top{p} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY sim DESC, vec_id) AS rk
+    FROM cand{p}
+  ) WHERE rk <= 5
+)"""
+        )
+    return (
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cent AS (
+  SELECT label AS c_label, list(m ORDER BY d) AS cv FROM (
+    SELECT label, d, AVG(x) AS m
+    FROM (SELECT label, i - 1 AS d, CAST(v[i] AS DOUBLE) AS x
+          FROM e, unnest(generate_series(1, len(v))) AS u(i))
+    GROUP BY label, d
+  ) GROUP BY label
+),
+ranked AS MATERIALIZED (
+  SELECT e.vec_id, c.c_label,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_sql('e.v', 'c.cv')}, 6) DESC, c.c_label)
+           AS rn
+  FROM e, cent c
+),
+cells AS MATERIALIZED (
+  SELECT e.vec_id, e.v, r.c_label AS cell
+  FROM e JOIN ranked r ON e.vec_id = r.vec_id AND r.rn = 1
+),
+qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERY}),
+truth AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND({_cos_sql('q.qv', 'c.v')}, 6) DESC, c.vec_id)
+             AS rk
+    FROM cells c, qset q WHERE c.vec_id <> q.qid
+  ) WHERE rk <= 5
+),
+"""
+        + ",\n".join(cand_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+# --------------------------------------------------------------------------
+# q259 — HARD-NEGATIVE MINING for contrastive training (Robinson et
+# al. ICLR 2021; the in-batch-negatives upgrade every retrieval/
+# embedding trainer runs): for each class centroid, the top-5 vectors
+# from OTHER classes by cosine — the near-miss impostors whose
+# gradients matter most. Output is the (anchor label, impostor, its
+# true label, sim) mining table.
+#
+# Scale posture: centroids are a labels×dim aggregate broadcast
+# against the corpus — one narrow pass, per-label top-k windows over
+# the label-partitioned score stream; no vector-vector pair join.
+# --------------------------------------------------------------------------
+
+
+def q259_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("m")))
+            ).alias("ent")
+        )
+        .select(
+            F.col("label").alias("anchor"),
+            F.expr("transform(ent, e -> e.m)").alias("cv"),
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .filter(F.col("label") != F.col("anchor"))
+        .select(
+            "anchor",
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "anchor",
+            F.col("rk").cast("long").alias("rank"),
+            F.col("vec_id").alias("impostor_vec_id"),
+            "true_label",
+            "sim",
+        )
+    )
+
+
+def _q259_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cent AS (
+  SELECT label AS anchor, list(m ORDER BY d) AS cv FROM (
+    SELECT label, d, AVG(x) AS m
+    FROM (SELECT label, i - 1 AS d, CAST(v[i] AS DOUBLE) AS x
+          FROM e, unnest(generate_series(1, len(v))) AS u(i))
+    GROUP BY label, d
+  ) GROUP BY label
+),
+scored AS (
+  SELECT c.anchor, e.vec_id, e.label AS true_label,
+         ROUND({_cos_sql('e.v', 'c.cv')}, 6) AS sim
+  FROM e, cent c WHERE e.label <> c.anchor
+)
+SELECT anchor, CAST(rk AS BIGINT) AS rank,
+       vec_id AS impostor_vec_id, true_label, sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
+    "q257_ivf_probe_recall": q257_ivf_probe_recall,
+    "q259_hard_negatives": q259_hard_negatives,
     "q256_kcenter_gonzalez": q256_kcenter_gonzalez,
     "q251_geometric_median": q251_geometric_median,
     "q239_mmr_select": q239_mmr_select,
@@ -2105,6 +2379,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q257_ivf_probe_recall": _q257_sql(),
+    "q259_hard_negatives": _q259_sql(),
     "q256_kcenter_gonzalez": _q256_sql(),
     "q251_geometric_median": _q251_sql(),
     "q239_mmr_select": _q239_sql(),

@@ -326,6 +326,9 @@ AUDIT = [
     ("q254_winsorized_stats", 2, 0),
     ("q255_bh_fdr", 4, 0),
     ("q256_kcenter_gonzalez", 2, 0),
+    ("q257_ivf_probe_recall", 0, 0),
+    ("q258_diff_in_diff", 3, 0),
+    ("q259_hard_negatives", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
