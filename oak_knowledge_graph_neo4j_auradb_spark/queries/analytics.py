@@ -29,6 +29,8 @@ Every query has a DuckDB oracle twin; shared helpers (`tokens`,
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4578,7 +4580,103 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q261 — PINBALL (quantile) LOSS evaluation of rolling quantile
+# forecasts (Koenker & Bassett 1978; the M5-Uncertainty metric): per
+# event type, tomorrow's q ∈ {0.1, 0.5, 0.9} daily-volume forecast is
+# the EXACT q-th order statistic of the trailing 14 days; the
+# evaluator reports mean pinball loss L_q = mean(q·(y−ŷ)⁺ +
+# (1−q)·(ŷ−y)⁺) and empirical coverage (P[y ≤ ŷ] — should track q).
+# This is the quantile upgrade of q198's point-forecast WAPE/sMAPE.
+#
+# Scale posture: everything runs on the (type, day) grid; the rolling
+# window is partitioned by type with a fixed 14-row frame whose sorted
+# array gives exact order statistics (no percentile_approx, so both
+# engines hash identically).
+# --------------------------------------------------------------------------
+
+_PB_WIN = 14
+_PB_QS = (0.1, 0.5, 0.9)
+
+
+def q261_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.floor(es / 86400).cast("long").alias("day"), "event_type")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_PB_WIN, -1)
+    )
+    hist = daily.withColumn(
+        "trail", F.array_sort(F.collect_list("v").over(w))
+    ).filter(F.size("trail") == _PB_WIN)
+    outs = []
+    for q in _PB_QS:
+        k = math.ceil(q * _PB_WIN)
+        yhat = F.element_at("trail", k).cast("double")
+        y = F.col("v").cast("double")
+        pin = F.when(y >= yhat, q * (y - yhat)).otherwise(
+            (1 - q) * (yhat - y)
+        )
+        outs.append(
+            hist.groupBy("event_type").agg(
+                F.lit(q).alias("q"),
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.round(F.avg(pin), 6).alias("pinball"),
+                F.round(F.avg((y <= yhat).cast("double")), 6).alias(
+                    "coverage"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _q261_sql() -> str:
+    import math as _m
+
+    branches = []
+    for q in _PB_QS:
+        k = _m.ceil(q * _PB_WIN)
+        branches.append(
+            f"""
+SELECT event_type, CAST({q} AS DOUBLE) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(CASE WHEN v >= yh THEN {q} * (v - yh)
+                 ELSE (1 - {q}) * (yh - v) END), 6) AS pinball,
+       ROUND(AVG(CASE WHEN v <= yh THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage
+FROM (SELECT event_type, CAST(v AS DOUBLE) AS v,
+             CAST(trail[{k}] AS DOUBLE) AS yh FROM hist)
+GROUP BY event_type"""
+        )
+    return (
+        f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), hist AS (
+  SELECT event_type, v, list_sort(trail) AS trail FROM (
+    SELECT event_type, v,
+           list(v) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN {_PB_WIN} PRECEDING AND 1 PRECEDING) AS trail
+    FROM daily
+  ) WHERE len(trail) = {_PB_WIN}
+)"""
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 QUERIES = {
+    "q261_pinball_loss": q261_pinball_loss,
     "q258_diff_in_diff": q258_diff_in_diff,
     "q254_winsorized_stats": q254_winsorized_stats,
     "q255_bh_fdr": q255_bh_fdr,
@@ -4646,6 +4744,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q261_pinball_loss": _q261_sql(),
     "q258_diff_in_diff": Q258_SQL,
     "q254_winsorized_stats": Q254_SQL,
     "q255_bh_fdr": Q255_SQL,

@@ -28,6 +28,8 @@ engines so the driver's value-hash compare holds exactly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -2356,7 +2358,182 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q260 — RANDOM FOURIER FEATURES kernel approximation audit (Rahimi &
+# Recht NIPS 2007, test-of-time 2017): z(x) = √(2/D)·cos(Wx + b) with
+# W ~ N(0, 2γI), b ~ U[0, 2π) makes z(x)·z(y) an unbiased estimator of
+# the RBF kernel exp(−γ‖x−y‖²) — the trick that turns kernel methods
+# into linear ones at corpus scale. Both the W draws (Box–Muller over
+# md5-hash uniforms) and b are derived IN-PLAN from engine-portable
+# hashes, so the two twins build bit-identical feature maps. The audit
+# scores approximate vs exact kernel over the query×corpus pair grid:
+# mean/max absolute error (theory: O(1/√D)).
+#
+# Scale posture: the feature map is a (dim → D) long-form join —
+# corpus-linear, partial-aggregable, no pair join; only the bounded
+# query set crosses the corpus for the audit comparison (the same
+# cost envelope as q257's truth pass).
+# --------------------------------------------------------------------------
+
+_RFF_D = 8
+_RFF_GAMMA = 1.0 / 64.0
+_RFF_DENOM = float(1 << 60)
+
+
+def q260_rff_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    dims = e.select(F.posexplode("v").alias("i", "_x")).select(
+        "i"
+    ).distinct()
+    feats = spark.range(_RFF_D).select(F.col("id").cast("int").alias("j"))
+    u = lambda tag: (  # noqa: E731 — md5 uniform in (0,1), both engines
+        md5long(F.concat_ws("|", F.lit(tag), F.col("j"), F.col("i")))
+        + 0.5
+    ) / F.lit(_RFF_DENOM)
+    wtab = (
+        feats.crossJoin(dims)
+        .select(
+            "j",
+            "i",
+            (
+                F.sqrt(-2.0 * F.log(u("w1")))
+                * F.cos(2.0 * math.pi * u("w2"))
+                * math.sqrt(2.0 * _RFF_GAMMA)
+            ).alias("w"),
+        )
+    )
+    btab = feats.select(
+        "j",
+        (
+            2.0
+            * math.pi
+            * (
+                md5long(F.concat_ws("|", F.lit("b"), F.col("j"))) + 0.5
+            )
+            / F.lit(_RFF_DENOM)
+        ).alias("b"),
+    )
+    lng = e.select("vec_id", F.posexplode("v").alias("i", "x"))
+    z = (
+        lng.join(F.broadcast(wtab), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("s"))
+        .join(F.broadcast(btab), "j")
+        .select(
+            "vec_id",
+            "j",
+            (
+                math.sqrt(2.0 / _RFF_D)
+                * F.cos(F.col("s") + F.col("b"))
+            ).alias("z"),
+        )
+    )
+    zarr = z.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "z"))
+        ).alias("ent")
+    ).select(
+        "vec_id", F.expr("transform(ent, e -> e.z)").alias("zv")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERY)
+        .join(zarr, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("zv").alias("qz"),
+        )
+    )
+    pairs = (
+        e.join(zarr, "vec_id")
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            (
+                dot(F.col("qz"), F.col("zv"))
+                - F.exp(
+                    -_RFF_GAMMA * _sqdist(F.col("qv"), F.col("v"))
+                )
+            ).alias("err"),
+            F.exp(-_RFF_GAMMA * _sqdist(F.col("qv"), F.col("v"))).alias(
+                "k_exact"
+            ),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("err"))), 6).alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("err"))), 6).alias("max_abs_err"),
+        F.round(F.avg("k_exact"), 6).alias("mean_k_exact"),
+    )
+
+
+def _q260_sql() -> str:
+    from .common import MD5LONG_SQL
+
+    denom = repr(_RFF_DENOM)
+    u1 = MD5LONG_SQL.format(
+        x="'w1' || '|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
+    )
+    u2 = MD5LONG_SQL.format(
+        x="'w2' || '|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
+    )
+    ub = MD5LONG_SQL.format(x="'b' || '|' || CAST(j AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT DISTINCT i - 1 AS i
+         FROM e, unnest(generate_series(1, len(v))) AS g(i)),
+feats AS (SELECT CAST(j AS INT) AS j
+          FROM unnest(generate_series(0, {_RFF_D - 1})) AS f(j)),
+wtab AS (
+  SELECT j, i,
+         sqrt(-2.0 * ln(({u1} + 0.5) / {denom}))
+         * cos(2.0 * pi() * ({u2} + 0.5) / {denom})
+         * sqrt(2.0 * {_RFF_GAMMA!r}) AS w
+  FROM feats, dims
+),
+btab AS (
+  SELECT j, 2.0 * pi() * ({ub} + 0.5) / {denom} AS b FROM feats
+),
+lng AS (
+  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DOUBLE) AS x
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+),
+z AS (
+  SELECT s.vec_id, s.j,
+         sqrt(2.0 / {_RFF_D}) * cos(s.s + b.b) AS z
+  FROM (SELECT l.vec_id, w.j, SUM(w.w * l.x) AS s
+        FROM lng l JOIN wtab w ON l.i = w.i
+        GROUP BY l.vec_id, w.j) s
+  JOIN btab b ON s.j = b.j
+),
+zarr AS (
+  SELECT vec_id, list(z ORDER BY j) AS zv FROM z GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, za.zv AS qz
+  FROM e JOIN zarr za ON e.vec_id = za.vec_id
+  WHERE e.vec_id < {N_QUERY}
+),
+pairs AS (
+  SELECT {_dot_sql('q.qz', 'za.zv')}
+         - exp(-{_RFF_GAMMA!r} * {_sqdist_sql('q.qv', 'e.v')}) AS err,
+         exp(-{_RFF_GAMMA!r} * {_sqdist_sql('q.qv', 'e.v')}) AS k_exact
+  FROM e JOIN zarr za ON e.vec_id = za.vec_id, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ABS(err)), 6) AS mean_abs_err,
+       ROUND(MAX(ABS(err)), 6) AS max_abs_err,
+       ROUND(AVG(k_exact), 6) AS mean_k_exact
+FROM pairs
+"""
+
+
 QUERIES = {
+    "q260_rff_kernel": q260_rff_kernel,
     "q257_ivf_probe_recall": q257_ivf_probe_recall,
     "q259_hard_negatives": q259_hard_negatives,
     "q256_kcenter_gonzalez": q256_kcenter_gonzalez,
@@ -2379,6 +2556,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q260_rff_kernel": _q260_sql(),
     "q257_ivf_probe_recall": _q257_sql(),
     "q259_hard_negatives": _q259_sql(),
     "q256_kcenter_gonzalez": _q256_sql(),

@@ -329,6 +329,8 @@ AUDIT = [
     ("q257_ivf_probe_recall", 0, 0),
     ("q258_diff_in_diff", 3, 0),
     ("q259_hard_negatives", 3, 0),
+    ("q260_rff_kernel", 4, 0),
+    ("q261_pinball_loss", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
