@@ -77,6 +77,14 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
         warm_dir = sf_dir
     for name in names:
         run_noop(QUERIES[name](spark, warm_dir))
+    # ... and once untimed at the TARGET sf: AQE picks different final
+    # physical variants at sf0.1 than at the tiny warm sf (skew splits,
+    # coalesced partition counts), so their codegen only compiles on
+    # the first full-scale execution — measured 8.6 s steady-state vs
+    # 16-30 s first-execution for the flagship on an idle host.
+    clear_builds()
+    for name in names:
+        run_noop(QUERIES[name](spark, sf_dir))
     # two timed passes, best per query (flagship_at's practice): a
     # single-JVM local run shares the host with whatever else it is
     # doing — same-day swings of 1.5-2× with every query proportionally
