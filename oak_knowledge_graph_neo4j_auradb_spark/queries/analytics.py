@@ -4675,7 +4675,213 @@ WITH daily AS (
     )
 
 
+# --------------------------------------------------------------------------
+# q264 — MANN-KENDALL trend test (Mann 1945; Kendall 1975): the
+# nonparametric significance test that pairs with q249's Theil-Sen
+# slope — S = Σ_{i<j} sign(x_j − x_i) over the day-ordered series,
+# Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 with the tie
+# correction (daily counts DO tie), z = (S∓1)/√Var with the
+# continuity correction. Distribution-free: spikes that wreck an OLS
+# t-test only contribute ±1 each.
+#
+# Scale posture: the pairwise sign sum runs on the per-type DAY GRID
+# (≤ span² pairs per type), the tie term on the (type, value)
+# histogram; the raw feed is touched once.
+# --------------------------------------------------------------------------
+
+
+def q264_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.floor(es / 86400).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b.v") - F.col("a.v")).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s.join(nn, "event_type").join(ties, "event_type")
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(var, 2).alias("var_s"),
+        F.round(z, 6).alias("z_mk"),
+        F.signum(F.col("s")).cast("int").alias("trend"),
+    )
+
+
+Q264_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(SUM(SIGN(b.v - a.v)) AS BIGINT) AS s,
+         COUNT(*) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+), nn AS (
+  SELECT event_type, COUNT(*) AS n FROM daily GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY event_type
+), j AS (
+  SELECT s.event_type, s.s, nn.n,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) / 18.0
+           AS var_s
+  FROM s JOIN nn USING (event_type) JOIN ties USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat, ROUND(var_s, 2) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z_mk,
+       CAST(SIGN(s) AS INT) AS trend
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# q265 — CUSUM CHANGEPOINT detection (Page 1954; the AMOC variant of
+# Hinkley 1970): per event type, the single most likely mean-shift day
+# is the argmax of |S_t − (t/n)·S_n| over the cumulative daily-volume
+# sum — the monitoring primitive behind "did this feed's level change,
+# and when?". Reports the split day, before/after means, and the
+# normalized max-CUSUM statistic D/(σ̂√n) a threshold rule consumes.
+#
+# Scale posture: everything after the first groupBy runs on the
+# per-type day grid — cumulative and argmax windows are partitioned by
+# type over that aggregate; ties break on the earlier day via the
+# 6dp-rounded statistic (engine-stable ordering).
+# --------------------------------------------------------------------------
+
+
+def q265_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    daily = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.floor(es / 86400).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = (
+        daily.withColumn("t", F.count(F.lit(1)).over(wcum))
+        .withColumn("st", F.sum("v").over(wcum))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("sn", F.sum("v").over(wall))
+        .withColumn("sd", F.stddev_pop("v").over(wall))
+    )
+    # a type whose daily counts are all identical has sd=0 — no
+    # changepoint is definable and the normalized stat divides by zero
+    c = c.filter((F.col("t") < F.col("n")) & (F.col("sd") > 0)).withColumn(
+        "d",
+        F.round(
+            F.abs(F.col("st") - F.col("t") / F.col("n") * F.col("sn")), 6
+        ),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("d"), F.asc("day")
+    )
+    best = (
+        c.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("t").cast("long").alias("days_before"),
+            (F.col("n") - F.col("t")).cast("long").alias("days_after"),
+            F.round(F.col("st") / F.col("t"), 4).alias("mean_before"),
+            F.round(
+                (F.col("sn") - F.col("st")) / (F.col("n") - F.col("t")), 4
+            ).alias("mean_after"),
+            F.round(
+                F.col("d") / (F.col("sd") * F.sqrt(F.col("n"))), 6
+            ).alias("cusum_stat"),
+        )
+    )
+    return best
+
+
+Q265_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type) AS sn,
+         stddev_pop(v) OVER (PARTITION BY event_type) AS sd
+  FROM daily
+), d AS (
+  SELECT *, ROUND(ABS(st - (t / (1.0 * n)) * sn), 6) AS d
+  FROM c WHERE t < n AND sd > 0
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY d DESC, day) AS rn
+  FROM d
+)
+SELECT event_type, day AS split_day,
+       CAST(t AS BIGINT) AS days_before,
+       CAST(n - t AS BIGINT) AS days_after,
+       ROUND(st / t, 4) AS mean_before,
+       ROUND((sn - st) / (n - t), 4) AS mean_after,
+       ROUND(d / (sd * sqrt(n)), 6) AS cusum_stat
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q264_mann_kendall": q264_mann_kendall,
+    "q265_cusum_changepoint": q265_cusum_changepoint,
     "q261_pinball_loss": q261_pinball_loss,
     "q258_diff_in_diff": q258_diff_in_diff,
     "q254_winsorized_stats": q254_winsorized_stats,
@@ -4744,6 +4950,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q264_mann_kendall": Q264_SQL,
+    "q265_cusum_changepoint": Q265_SQL,
     "q261_pinball_loss": _q261_sql(),
     "q258_diff_in_diff": Q258_SQL,
     "q254_winsorized_stats": Q254_SQL,

@@ -2532,7 +2532,151 @@ FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# q263 — GRADED RANKING METRICS for the retrieval stack (Järvelin &
+# Kekäläinen 2002 for nDCG; the TREC MAP/MRR canon): per label,
+# MRR@10, nDCG@5 and MAP@5 of the exact cosine ranking with same-label
+# relevance — the eval bundle that complements q202's recall@5 (which
+# only says WHETHER a relevant hit is in the top-k, not where).
+# IDCG uses min(R, 5) relevant items, computed in-plan with a
+# sequence fold so both engines state the same closed form.
+#
+# Scale posture: the ranking window is partitioned per query over the
+# bounded query set's candidate stream; per-query metrics come from
+# the top-10 rows only, then one per-label rollup. The query×corpus
+# score pass is the same bounded eval envelope as q202/q257.
+# --------------------------------------------------------------------------
+
+
+def q263_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    wn = e.select("vec_id", "v", "label", norm(F.col("v")).alias("nm"))
+    q = F.broadcast(
+        wn.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("qlab"),
+            F.col("nm").alias("qn"),
+        )
+    )
+    labc = e.groupBy(F.col("label").alias("_rl")).agg(
+        F.count(F.lit(1)).alias("label_n")
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top = (
+        wn.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            sim.alias("sim"),
+            "vec_id",
+            (F.col("label") == F.col("qlab")).cast("int").alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    wc = (
+        Window.partitionBy("qid")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = top.withColumn("cum_rel", F.sum("rel").over(wc))
+    per_q = scored.groupBy("qid", "qlab").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rel") == 1, 1.0 / F.col("rk")
+                )
+            ),
+            F.lit(0.0),
+        ).alias("mrr10"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= 5),
+                1.0 / F.log2(F.col("rk") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg5"),
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= 5),
+                F.col("cum_rel") / F.col("rk"),
+            ).otherwise(0.0)
+        ).alias("ap_num"),
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, int(least(label_n - 1, 5))), 0D,"
+        " (acc, i) -> acc + 1.0 / log2(double(i) + 1.0))"
+    )
+    per_q = per_q.join(labc, per_q.qlab == F.col("_rl")).select(
+        "qid",
+        "qlab",
+        "mrr10",
+        (F.col("dcg5") / idcg).alias("ndcg5"),
+        (
+            F.col("ap_num") / F.least(F.col("label_n") - 1, F.lit(5))
+        ).alias("ap5"),
+    )
+    return per_q.groupBy(F.col("qlab").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("mrr10"), 6).alias("mrr_at10"),
+        F.round(F.avg("ndcg5"), 6).alias("ndcg_at5"),
+        F.round(F.avg("ap5"), 6).alias("map_at5"),
+    )
+
+
+def _q263_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+labc AS (SELECT label, COUNT(*) AS label_n FROM e GROUP BY label),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlab FROM e
+      WHERE vec_id < {N_QUERY}),
+top AS (
+  SELECT * FROM (
+    SELECT q.qid, q.qlab, c.vec_id,
+           CASE WHEN c.label = q.qlab THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND({_cos_sql('q.qv', 'c.v')}, 6) DESC, c.vec_id)
+             AS rk
+    FROM e c, q WHERE c.vec_id <> q.qid
+  ) WHERE rk <= 10
+),
+scored AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY qid ORDER BY rk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+  FROM top
+),
+per_q AS (
+  SELECT qid, qlab,
+         COALESCE(MAX(CASE WHEN rel = 1 THEN 1.0 / rk END), 0)
+           AS mrr10,
+         SUM(CASE WHEN rel = 1 AND rk <= 5
+             THEN 1.0 / log2(rk + 1.0) ELSE 0 END) AS dcg5,
+         SUM(CASE WHEN rel = 1 AND rk <= 5
+             THEN cum_rel / (1.0 * rk) ELSE 0 END) AS ap_num
+  FROM scored GROUP BY 1, 2
+),
+metr AS (
+  SELECT p.qid, p.qlab, p.mrr10,
+         p.dcg5 / list_sum(list_transform(
+           generate_series(1, CAST(LEAST(l.label_n - 1, 5) AS INT)),
+           i -> 1.0 / log2(i + 1.0))) AS ndcg5,
+         p.ap_num / LEAST(l.label_n - 1, 5) AS ap5
+  FROM per_q p JOIN labc l ON p.qlab = l.label
+)
+SELECT qlab AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(mrr10), 6) AS mrr_at10,
+       ROUND(AVG(ndcg5), 6) AS ndcg_at5,
+       ROUND(AVG(ap5), 6) AS map_at5
+FROM metr GROUP BY qlab
+"""
+
+
 QUERIES = {
+    "q263_ranking_metrics": q263_ranking_metrics,
     "q260_rff_kernel": q260_rff_kernel,
     "q257_ivf_probe_recall": q257_ivf_probe_recall,
     "q259_hard_negatives": q259_hard_negatives,
@@ -2556,6 +2700,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q263_ranking_metrics": _q263_sql(),
     "q260_rff_kernel": _q260_sql(),
     "q257_ivf_probe_recall": _q257_sql(),
     "q259_hard_negatives": _q259_sql(),

@@ -1847,7 +1847,82 @@ r{k} AS MATERIALIZED (
     )
 
 
+# --------------------------------------------------------------------------
+# q262 — LEXICAL DIVERSITY profile per language (the corpus-QC bundle
+# a data curator reads next to q22's quality score): per-doc type-token
+# ratio (TTR), Herdan's C = ln V / ln N (the log-log TTR that, unlike
+# raw TTR, is stable under document length), and the corpus-level
+# hapax-legomena share (fraction of vocabulary seen exactly once —
+# Zipf's tail mass, a dedup/boilerplate tell when it collapses).
+#
+# Scale posture: per-doc stats are one narrow explode + partial-agg
+# groupBy(doc); the hapax share is a vocab-bounded second aggregate.
+# No windows, no Python.
+# --------------------------------------------------------------------------
+
+
+def q262_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tok").alias("v"),
+    ).filter(F.col("n") > 1)
+    doc_stats = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(F.col("v") / F.col("n")), 6).alias("mean_ttr"),
+        F.round(
+            F.avg(F.log("v") / F.log("n")), 6
+        ).alias("mean_herdan_c"),
+    )
+    vocab = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("hapax"),
+        )
+        .select(
+            "lang",
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(F.col("hapax") / F.col("vocab"), 6).alias(
+                "hapax_share"
+            ),
+        )
+    )
+    return doc_stats.join(vocab, "lang")
+
+
+Q262_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n, COUNT(DISTINCT tok) AS v
+  FROM toks GROUP BY 1, 2 HAVING COUNT(*) > 1
+), doc_stats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(v / (1.0 * n)), 6) AS mean_ttr,
+         ROUND(AVG(ln(v) / ln(n)), 6) AS mean_herdan_c
+  FROM per_doc GROUP BY lang
+), vocab AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+         ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+               / (1.0 * COUNT(*)), 6) AS hapax_share
+  FROM (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+  GROUP BY lang
+)
+SELECT d.lang, d.n_docs, d.mean_ttr, d.mean_herdan_c,
+       v.vocab, v.hapax_share
+FROM doc_stats d JOIN vocab v ON d.lang = v.lang
+"""
+
+
 QUERIES = {
+    "q262_lexical_diversity": q262_lexical_diversity,
     "q246_textrank": q246_textrank,
     "q229_dup_spans": q229_dup_spans,
     "q221_winnowing": q221_winnowing,
@@ -1876,6 +1951,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q262_lexical_diversity": Q262_SQL,
     "q246_textrank": _q246_sql(),
     "q229_dup_spans": Q229_SQL,
     "q221_winnowing": Q221_SQL,
