@@ -3454,7 +3454,123 @@ FROM est JOIN exact ON src_a = ia AND src_b = ib
 """
 
 
+# --------------------------------------------------------------------------
+# q267 — GREEDY MAX-COVERAGE data selection (Nemhauser, Wolsey &
+# Fisher 1978's (1−1/e) guarantee; the facility-location/coverage
+# objective behind submodular training-data subset selection): 5
+# rounds, each adding the document whose 3-gram fingerprints cover the
+# most NOT-YET-COVERED grams — ties on doc_id. Reports per round the
+# picked doc, its marginal gain, and cumulative corpus coverage — the
+# diminishing-returns curve that tells a curator when to stop.
+#
+# Scale posture: the (doc, gram) incidence is built once (one narrow
+# explode + distinct); each round is one anti-join against the covered
+# set + a partial-agg count + a distributed TakeOrderedAndProject
+# argmax; the covered set grows by one doc's grams per round and is
+# localCheckpointed. The DuckDB twin unrolls the same 5 rounds.
+# --------------------------------------------------------------------------
+
+_MC_ROUNDS = 5
+_MC_K = 3
+
+
+def q267_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= _MC_K
+    )
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (_MC_K - 1)),
+        lambda i: md5long(
+            F.concat_ws(" ", F.slice(F.col("t"), i, _MC_K))
+        ),
+    )
+    inc = (
+        toks.select("doc_id", F.explode(grams_arr).alias("g"))
+        .distinct()
+        .persist()
+    )
+    total = inc.select("g").distinct().count()
+    covered = None
+    rows = []
+    cum = 0
+    for r in range(1, _MC_ROUNDS + 1):
+        remaining = (
+            inc if covered is None else inc.join(covered, "g", "left_anti")
+        )
+        pick = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cum += pick["gain"]
+        rows.append(
+            (r, pick["doc_id"], pick["gain"], round(cum / total, 6))
+        )
+        newly = inc.filter(F.col("doc_id") == pick["doc_id"]).select("g")
+        covered = (
+            newly if covered is None else covered.union(newly).distinct()
+        ).localCheckpoint()
+    inc.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, doc_id long, gain long, coverage double"
+    ).select(
+        F.col("round").cast("long").alias("round"),
+        "doc_id",
+        "gain",
+        "coverage",
+    )
+
+
+def _q267_sql(rounds: int = _MC_ROUNDS) -> str:
+    gram = MD5LONG_SQL.format(
+        x=f"array_to_string(t[i:i + {_MC_K - 1}], ' ')"
+    )
+    steps = [
+        f"""
+tokd AS (SELECT doc_id, {TOKENS_SQL.format(x='text')} AS t FROM documents),
+inc AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM tokd, unnest(generate_series(1, len(t) - {_MC_K - 1})) AS u(i)
+  WHERE len(t) >= {_MC_K}
+),
+total AS (SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS n FROM inc)"""
+    ]
+    prev_cov = None
+    for r in range(1, rounds + 1):
+        rem = (
+            "inc"
+            if prev_cov is None
+            else f"(SELECT i.* FROM inc i LEFT JOIN {prev_cov} c"
+            f" ON i.g = c.g WHERE c.g IS NULL)"
+        )
+        steps.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS gain FROM {rem} r
+  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+),
+cov{r} AS MATERIALIZED (
+  SELECT DISTINCT g FROM inc WHERE doc_id IN (SELECT doc_id FROM p{r})
+  {f'UNION SELECT g FROM {prev_cov}' if prev_cov else ''}
+)"""
+        )
+        prev_cov = f"cov{r}"
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       ROUND((SELECT COUNT(*) FROM cov{r}) / (SELECT n FROM total), 6)
+         AS coverage
+FROM p{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(steps) + "\n" + finals
+
+
 QUERIES = {
+    "q267_greedy_coverage": q267_greedy_coverage,
     "q247_kmv_setops": q247_kmv_setops,
     "q244_kneser_ney": q244_kneser_ney,
     "q242_temperature_mix": q242_temperature_mix,
@@ -3508,6 +3624,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q267_greedy_coverage": _q267_sql(),
     "q247_kmv_setops": Q247_SQL,
     "q244_kneser_ney": Q244_SQL,
     "q242_temperature_mix": Q242_SQL,

@@ -19,6 +19,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1921,7 +1923,130 @@ FROM doc_stats d JOIN vocab v ON d.lang = v.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q266 — PPMI POWER-ITERATION word embedding (Levy & Goldberg NIPS
+# 2014: skip-gram-with-negative-sampling implicitly factorizes the
+# shifted PMI matrix): the leading eigenvector of the positive-PMI
+# word-word co-occurrence matrix is a 1-dimensional distributional
+# embedding — computed here with 4 fixed power-iteration rounds
+# (q168's method, on a graph-shaped operand like kg65). Co-occurrence
+# is document-level distinct pairs; PPMI = max(0, ln(c12·N/(c1·c2))).
+#
+# Scale posture: the PPMI operand is VOCABULARY²-bounded and sparse
+# (only observed pairs), built in one corpus pass; each round is a
+# vocab-sized join + partial-agg, the normalizer a 1-row broadcast.
+# The DuckDB twin unrolls the same 4 rounds.
+# --------------------------------------------------------------------------
+
+_PPMI_ROUNDS = 4
+
+
+def q266_ppmi_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    n_docs = d.select("doc_id").distinct().count()
+    cnt = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.select(F.col("doc_id").alias("d1"), F.col("tok").alias("w1"))
+    b = dt.select(F.col("doc_id").alias("d2"), F.col("tok").alias("w2"))
+    co = (
+        a.join(b, (F.col("d1") == F.col("d2")) & (F.col("w1") != F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    m = (
+        co.join(
+            F.broadcast(cnt.select(F.col("tok").alias("_t1"), F.col("c").alias("c1"))),
+            co.w1 == F.col("_t1"),
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("tok").alias("_t2"), F.col("c").alias("c2"))),
+            co.w2 == F.col("_t2"),
+        )
+        .select(
+            "w1",
+            "w2",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("c12") * F.lit(float(n_docs))
+                    / (F.col("c1") * F.col("c2"))
+                ),
+            ).alias("ppmi"),
+        )
+        .filter(F.col("ppmi") > 0)
+        .repartition("w1")
+        .persist()
+    )
+    verts = m.select(F.col("w1").alias("id")).distinct().persist()
+    n_v = verts.count()
+    x = verts.select("id", F.lit(1.0 / math.sqrt(n_v)).alias("x"))
+    for _ in range(_PPMI_ROUNDS):
+        y = (
+            m.join(x.select(F.col("id").alias("_xid"), "x"), m.w2 == F.col("_xid"))
+            .groupBy(F.col("w1").alias("id"))
+            .agg(F.sum(F.col("ppmi") * F.col("x")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nn"))
+        x = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("id", (F.col("y") / F.col("nn")).alias("x"))
+            .localCheckpoint()
+        )
+    out = x.select(
+        F.col("id").alias("token"), F.round(F.abs("x"), 6).alias("loading")
+    )
+    m.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _q266_sql(rounds: int = _PPMI_ROUNDS) -> str:
+    steps = [
+        f"""
+dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+m AS MATERIALIZED (
+  SELECT w1, w2, ppmi FROM (
+    SELECT a.tok AS w1, b.tok AS w2,
+           GREATEST(0.0, ln(COUNT(*) * (SELECT n FROM nd)
+             / (ANY_VALUE(c1.c) * ANY_VALUE(c2.c)))) AS ppmi
+    FROM dt a
+    JOIN dt b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+    JOIN cnt c1 ON a.tok = c1.tok
+    JOIN cnt c2 ON b.tok = c2.tok
+    GROUP BY a.tok, b.tok
+  ) WHERE ppmi > 0
+),
+verts AS MATERIALIZED (SELECT DISTINCT w1 AS id FROM m),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM verts),
+x0 AS MATERIALIZED (
+  SELECT id, 1.0 / sqrt((SELECT v FROM nv)) AS x FROM verts)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        steps.append(
+            f"""
+y{k} AS (SELECT m.w1 AS id, SUM(m.ppmi * x.x) AS y
+         FROM m JOIN x{p} x ON m.w2 = x.id GROUP BY m.w1),
+n{k} AS (SELECT sqrt(SUM(y * y)) AS nn FROM y{k}),
+x{k} AS MATERIALIZED (
+  SELECT id, y / (SELECT nn FROM n{k}) AS x FROM y{k})"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"\nSELECT id AS token, ROUND(ABS(x), 6) AS loading FROM x{rounds}"
+    )
+
+
 QUERIES = {
+    "q266_ppmi_embedding": q266_ppmi_embedding,
     "q262_lexical_diversity": q262_lexical_diversity,
     "q246_textrank": q246_textrank,
     "q229_dup_spans": q229_dup_spans,
@@ -1951,6 +2076,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q266_ppmi_embedding": _q266_sql(),
     "q262_lexical_diversity": Q262_SQL,
     "q246_textrank": _q246_sql(),
     "q229_dup_spans": Q229_SQL,

@@ -331,6 +331,12 @@ AUDIT = [
     ("q259_hard_negatives", 3, 0),
     ("q260_rff_kernel", 4, 0),
     ("q261_pinball_loss", 2, 0),
+    ("q262_lexical_diversity", 5, 0),
+    ("q263_ranking_metrics", 3, 0),
+    ("q264_mann_kendall", 6, 0),
+    ("q265_cusum_changepoint", 2, 0),
+    ("q266_ppmi_embedding", 0, 0),
+    ("q267_greedy_coverage", 0, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
