@@ -2375,8 +2375,8 @@ FROM (
 # cost envelope as q257's truth pass).
 # --------------------------------------------------------------------------
 
-_RFF_D = 8
-_RFF_GAMMA = 1.0 / 64.0
+_RFF_D = 32
+_RFF_GAMMA = 0.25
 _RFF_DENOM = float(1 << 60)
 
 
