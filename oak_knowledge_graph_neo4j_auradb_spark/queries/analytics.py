@@ -4879,7 +4879,176 @@ FROM best WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q268 — DISTRIBUTION-FREE MEDIAN CI from order statistics (the
+# binomial/normal-approximation interval, e.g. Conover 1999 §3.2):
+# the (x_(l), x_(u)) interval with l = ⌊n/2 − 0.98√n⌋ and
+# u = ⌈n/2 + 1 + 0.98√n⌉ covers the true median at ~95% with NO
+# distributional assumption — the honest error bar for the skewed
+# metrics q254 winsorizes. Median and both CI endpoints are exact
+# order statistics read off the per-type VALUE-HISTOGRAM cumulative
+# counts (q254's rank-from-histogram idiom) — no per-row rank window.
+#
+# Scale posture: one shuffle to the bounded (type, value) histogram;
+# cumulative window partitioned by type over that aggregate; one
+# final per-type rollup.
+# --------------------------------------------------------------------------
+
+
+def q268_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    half = F.col("n") / 2.0
+    sq = 0.98 * F.sqrt(F.col("n"))
+    r_lo = F.greatest(F.floor(half - sq), F.lit(1).cast("long"))
+    r_hi = F.least(F.ceil(half + 1 + sq), F.col("n"))
+    r_m1 = F.ceil(half)
+    r_m2 = F.floor(half) + 1
+
+    def at(rank):
+        return F.min(F.when(F.col("cum") >= rank, F.col("value")))
+
+    return h.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round((at(r_m1) + at(r_m2)) / 2.0, 4).alias("median"),
+        at(r_lo).alias("ci_lo"),
+        at(r_hi).alias("ci_hi"),
+    )
+
+
+Q268_SQL = """
+WITH hist AS (
+  SELECT event_type, value, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT event_type, value, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND((MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN value END)
+            + MIN(CASE WHEN cum >= FLOOR(n / 2.0) + 1 THEN value END))
+             / 2.0, 4) AS median,
+       MIN(CASE WHEN cum >= GREATEST(FLOOR(n / 2.0 - 0.98 * sqrt(n)), 1)
+           THEN value END) AS ci_lo,
+       MIN(CASE WHEN cum >= LEAST(CEIL(n / 2.0 + 1 + 0.98 * sqrt(n)), n)
+           THEN value END) AS ci_hi
+FROM h GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q269 — ADAPTIVE-GAP SESSIONIZATION: q19 hard-codes a 30-minute gap;
+# real feeds derive the cut from the data — here the 75th percentile
+# of the observed inter-arrival gaps (exact, from the bounded
+# gap-histogram cumulative counts), broadcast back as the session
+# threshold. The two-pass derive-then-apply shape is the standard
+# "data-driven hyperparameter" pipeline stage.
+#
+# Scale posture: gaps come from the user-partitioned lag window (one
+# shuffle on user_id); the percentile is read off the gap HISTOGRAM
+# (bounded by distinct integer gap seconds), never a global per-row
+# rank; the threshold is a 1-row broadcast; sessionization reuses the
+# same user partitioning.
+# --------------------------------------------------------------------------
+
+
+def q269_adaptive_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (epoch - F.lag(epoch, 1).over(w)).alias("gap"),
+    ).persist()
+    ghist = (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("gap")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wg = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gh = ghist.withColumn("cum", F.sum("cnt").over(wg)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    thresh = gh.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(0.75 * F.col("n")), F.col("gap")
+            )
+        ).alias("thresh")
+    )
+    j = gaps.crossJoin(F.broadcast(thresh))
+    is_new = F.when(
+        F.col("gap").isNull() | (F.col("gap") > F.col("thresh")), 1
+    ).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        j.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("thresh").cast("long").alias("gap_thresh"),
+        )
+        .localCheckpoint()
+    )
+    gaps.unpersist()
+    return out
+
+
+Q269_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), gh AS (
+  SELECT gap, cnt,
+         SUM(cnt) OVER (ORDER BY gap
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM (SELECT gap, COUNT(*) AS cnt FROM g
+        WHERE gap IS NOT NULL GROUP BY gap)
+), th AS (
+  SELECT MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN gap END) AS thresh
+  FROM gh
+), s AS (
+  SELECT user_id, thresh,
+         SUM(CASE WHEN gap IS NULL OR gap > thresh THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g CROSS JOIN th
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(thresh) AS BIGINT) AS gap_thresh
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "q268_median_ci": q268_median_ci,
+    "q269_adaptive_sessions": q269_adaptive_sessions,
     "q264_mann_kendall": q264_mann_kendall,
     "q265_cusum_changepoint": q265_cusum_changepoint,
     "q261_pinball_loss": q261_pinball_loss,
@@ -4950,6 +5119,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q268_median_ci": Q268_SQL,
+    "q269_adaptive_sessions": Q269_SQL,
     "q264_mann_kendall": Q264_SQL,
     "q265_cusum_changepoint": Q265_SQL,
     "q261_pinball_loss": _q261_sql(),

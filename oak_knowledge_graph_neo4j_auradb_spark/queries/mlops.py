@@ -1303,7 +1303,177 @@ LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# q270 — PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio 1971;
+# RM1 of Lavrenko & Croft 2001): run q157's BM25 for the base 3-term
+# query, take the top-10 feedback docs, mine the 3 strongest expansion
+# terms by feedback-tf × idf (base terms excluded), and re-run BM25
+# with the 6-term query — the two-phase retrieval loop behind every
+# "searches related to" feature. Reports the expanded top-15 with
+# each doc's rank and whether the BASE query would have surfaced it.
+#
+# Scale posture: both retrieval phases are the q157 shape (broadcast
+# term dimension, partial-agg tf/df, TakeOrderedAndProject top-k);
+# the feedback set is 10 rows, the expansion mining a vocab-bounded
+# aggregate over it; rank windows run over limit-covered lists.
+# --------------------------------------------------------------------------
+
+_PRF_FEEDBACK = 10
+_PRF_EXPAND = 3
+
+
+def q270_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf_all = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_all = tf_all.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    def bm25_topk(term_dim: DataFrame, k: int) -> DataFrame:
+        j = (
+            tf_all.join(F.broadcast(term_dim), "tok")
+            .join(F.broadcast(df_all), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        denom = F.col("tf") + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        scored = j.groupBy("doc_id").agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+        return scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
+
+    base_terms = spark.createDataFrame(
+        [(t,) for t in _BM25_QUERY], "tok string"
+    )
+    base15 = bm25_topk(base_terms, 15).localCheckpoint()
+    feedback = (
+        base15.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_PRF_FEEDBACK)
+        .select("doc_id")
+    )
+    cand = (
+        tf_all.join(F.broadcast(feedback), "doc_id")
+        .filter(~F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .join(F.broadcast(df_all), "tok")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.round(
+                F.col("fb_tf")
+                * F.log(1.0 + F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    expansion = (
+        cand.orderBy(F.desc("score"), "tok")
+        .limit(_PRF_EXPAND)
+        .select("tok")
+        .localCheckpoint()
+    )
+    all_terms = base_terms.union(expansion)
+    exp15 = bm25_topk(all_terms, 15)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        exp15.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(
+            base15.select(F.col("doc_id").alias("_bd")),
+            exp15.doc_id == F.col("_bd"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "rank",
+            F.col("bm25").alias("bm25_expanded"),
+            F.col("_bd").isNotNull().cast("int").alias("in_base_top15"),
+        )
+    )
+
+
+Q270_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, UNNEST({TOKENS_SQL.format(x='text')}) AS u(tok)
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf_all AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df_all AS (
+  SELECT tok, COUNT(*) AS df FROM tf_all GROUP BY tok
+), base15 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / avgdl))), 6) AS bm25
+  FROM tf_all tf JOIN df_all USING (tok) JOIN dl ON tf.doc_id = dl.doc_id,
+       stats
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY tf.doc_id
+  ORDER BY bm25 DESC, tf.doc_id LIMIT 15
+), feedback AS (
+  SELECT doc_id FROM base15 ORDER BY bm25 DESC, doc_id
+  LIMIT {_PRF_FEEDBACK}
+), expansion AS (
+  SELECT tok FROM (
+    SELECT t.tok,
+           ROUND(SUM(t.tf) * ln(1.0 + n_docs / (1.0 * d.df)), 6)
+             AS score
+    FROM tf_all t JOIN feedback f ON t.doc_id = f.doc_id
+    JOIN df_all d ON t.tok = d.tok, stats
+    WHERE t.tok NOT IN ({_BM25_IN})
+    GROUP BY t.tok, d.df, n_docs
+  ) ORDER BY score DESC, tok LIMIT {_PRF_EXPAND}
+), qterms AS (
+  SELECT tok FROM expansion
+  UNION ALL
+  SELECT * FROM (VALUES {', '.join(f"('{t}')" for t in _BM25_QUERY)})
+    AS b(tok)
+), exp15 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / avgdl))), 6) AS bm25
+  FROM tf_all tf
+  JOIN qterms q ON tf.tok = q.tok
+  JOIN df_all da ON tf.tok = da.tok
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+  ORDER BY bm25 DESC, tf.doc_id LIMIT 15
+)
+SELECT e.doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY e.bm25 DESC, e.doc_id)
+            AS BIGINT) AS rank,
+       e.bm25 AS bm25_expanded,
+       CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_base_top15
+FROM exp15 e LEFT JOIN base15 b ON e.doc_id = b.doc_id
+"""
+
+
 QUERIES = {
+    "q270_prf_expansion": q270_prf_expansion,
     "q253_rrf_fusion": q253_rrf_fusion,
     "q234_fellegi_sunter": q234_fellegi_sunter,
     "q193_cohens_kappa": q193_cohens_kappa,
@@ -1323,6 +1493,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q270_prf_expansion": Q270_SQL,
     "q253_rrf_fusion": Q253_SQL,
     "q234_fellegi_sunter": Q234_SQL,
     "q193_cohens_kappa": _q193_sql(),

@@ -337,6 +337,9 @@ AUDIT = [
     ("q265_cusum_changepoint", 2, 0),
     ("q266_ppmi_embedding", 0, 0),
     ("q267_greedy_coverage", 0, 0),
+    ("q268_median_ci", 2, 0),
+    ("q269_adaptive_sessions", 0, 0),
+    ("q270_prf_expansion", 6, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
