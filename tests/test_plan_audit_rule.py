@@ -64,3 +64,20 @@ def test_fixed_five_have_no_raw_global_window(spark, name):
 
     df = QUERIES[name](spark, "/root/testdata/sf0.001")
     assert count_raw_global_windows(df) == 0
+
+
+def test_every_query_is_audited_or_exempt():
+    """Coverage pin: every registered batch query must carry a plan-
+    audit budget (AUDIT) or a documented exemption (UNAUDITABLE) — so a
+    new operator cannot land without its physical-plan invariants being
+    ratcheted. And no stale entries: everything listed must exist."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+    from tools.plan_audit import AUDIT, UNAUDITABLE
+
+    listed = {name for name, _, _ in AUDIT}
+    dupes = [n for n in listed if sum(1 for m, _, _ in AUDIT if m == n) > 1]
+    assert not dupes, f"duplicate AUDIT entries: {dupes}"
+    missing = sorted(set(QUERIES) - listed - UNAUDITABLE)
+    assert not missing, f"queries without audit coverage: {missing}"
+    stale = sorted((listed | UNAUDITABLE) - set(QUERIES))
+    assert not stale, f"audit entries for unknown queries: {stale}"
