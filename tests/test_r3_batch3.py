@@ -154,3 +154,47 @@ def test_ppmi_embedding_is_unit_vector(spark, sf_dir):
     norm_sq = sum(r["loading"] ** 2 for r in rows)
     assert abs(norm_sq - 1.0) < 1e-3
     assert all(r["loading"] >= 0 for r in rows)
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q268_median_ci,
+    )
+
+    rows = q268_median_ci(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+        assert r["n"] > 0
+
+
+def test_adaptive_sessions_threshold_and_counts(spark):
+    """The derived gap threshold is a single global value; session
+    counts are at least 1 and at most the user's event count; total
+    events reconcile with the raw feed."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q269_adaptive_sessions,
+    )
+
+    rows = q269_adaptive_sessions(spark, SF01).collect()
+    assert rows
+    assert len({r["gap_thresh"] for r in rows}) == 1
+    for r in rows:
+        assert 1 <= r["n_sessions"] <= r["n_events"]
+    total = spark.read.parquet(f"{SF01}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_prf_expansion_ranks_and_membership(spark):
+    """Expanded ranking is a valid 1..15 permutation prefix, scores
+    are non-increasing in rank, and SOME overlap with the base top-15
+    must remain (the base terms are still 3 of the 6)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.mlops import (
+        q270_prf_expansion,
+    )
+
+    rows = q270_prf_expansion(spark, SF01).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["bm25_expanded"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert any(r["in_base_top15"] == 1 for r in rows)
