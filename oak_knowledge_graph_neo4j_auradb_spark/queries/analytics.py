@@ -5046,7 +5046,275 @@ FROM s GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q272 — AUTOCORRELATION FUNCTION: sample ACF of the daily event-count
+# series per event type at lags 1..7, the standard seasonality/
+# persistence diagnostic (complements q138's lag-1 AR fit and q139's
+# fixed-period seasonality). acf_k = Σ_t (y_t − μ)(y_{t+k} − μ) / Σ_t
+# (y_t − μ)² with the mean and denominator over the FULL series (the
+# classic biased estimator, so acf is bounded in [−1, 1] and damped in
+# k). Lagged pairs come from an exact day-offset self-join of the daily
+# table — a missing day contributes no pair at the lags it would span,
+# identically in both engines.
+#
+# Scale posture: the corpus collapses to the (type, day) histogram in
+# one partial-agg shuffle; the lag self-join, moment rollup, and the
+# 7-row lag dimension (broadcast) all run on that bounded table. No
+# per-row window, no global sort.
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q272_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y") / (F.lit(1.0) * F.count(F.lit(1)))
+        ).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("lag")),
+        )
+        .join(st.alias("st"), F.col("a.event_type") == F.col("st.event_type"))
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("n_days").alias("n_days"),
+            F.round(
+                F.sum(
+                    (F.col("a.y") - F.col("mu"))
+                    * (F.col("b.y") - F.col("mu"))
+                )
+                / F.max("den"),
+                4,
+            ).alias("acf"),
+        )
+    )
+
+
+Q272_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, AVG(y) AS mu,
+         SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) AS den,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), lags AS (
+  SELECT CAST(range AS BIGINT) AS lag FROM range(1, {_ACF_MAX_LAG + 1})
+)
+SELECT a.event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(n_days) AS n_days,
+       ROUND(SUM((a.y - mu) * (b.y - mu)) / MAX(den), 4) AS acf
+FROM daily a
+JOIN lags ON TRUE
+JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + lag
+JOIN st ON st.event_type = a.event_type
+GROUP BY a.event_type, lag
+"""
+
+
+# --------------------------------------------------------------------------
+# q273 — 1-D GAUSSIAN MIXTURE (2 components, 3 EM rounds) over each
+# event type's value distribution — the classic soft-clustering /
+# bimodality probe (q84's k-means is the hard-assignment cousin; this
+# is the probabilistic one). Deterministic init from the group's range
+# quartpoints (μ at 25%/75% of [min,max], both variances at the group
+# variance, weights ½/½); each E+M round computes responsibilities and
+# re-estimates (w, μ₁, σ²₁, μ₂, σ²₂) in closed form. Components are
+# rendered ordered by mean so output is label-stable.
+#
+# Scale posture: EM runs in HISTOGRAM SPACE — the corpus is touched
+# once to build the (type, value, count) table; every round is a
+# broadcast join of the 1-row-per-type parameter frame onto that
+# bounded histogram plus one partial-agg rollup (only the component-2
+# moments are summed; component-1 falls out of precomputed totals).
+# Degenerate guards: variance floor 1e-4, soft-count clamp to
+# [1e-6, n−1e-6], and a 1e-300 additive guard against double underflow
+# in the responsibility denominator — all identical in both engines.
+# --------------------------------------------------------------------------
+
+_GMM_ROUNDS = 3
+_GMM_VAR_FLOOR = 1e-4
+
+
+def q273_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    hist = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("sv"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("svv"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    var0 = F.greatest(
+        F.col("svv") / F.col("n")
+        - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")),
+        F.lit(_GMM_VAR_FLOOR),
+    )
+    params = tot.select(
+        "event_type",
+        F.lit(0.5).alias("w2"),
+        (F.col("mn") + (F.col("mx") - F.col("mn")) / 4).alias("mu1"),
+        var0.alias("v1"),
+        (F.col("mn") + 3 * (F.col("mx") - F.col("mn")) / 4).alias("mu2"),
+        var0.alias("v2"),
+    )
+    for _ in range(_GMM_ROUNDS):
+        j = hist.join(F.broadcast(params), "event_type")
+        g1 = F.exp(
+            -(F.col("v") - F.col("mu1"))
+            * (F.col("v") - F.col("mu1"))
+            / (2 * F.col("v1"))
+        ) / F.sqrt(F.col("v1"))
+        g2 = F.exp(
+            -(F.col("v") - F.col("mu2"))
+            * (F.col("v") - F.col("mu2"))
+            / (2 * F.col("v2"))
+        ) / F.sqrt(F.col("v2"))
+        r2 = (
+            F.col("w2")
+            * g2
+            / ((1 - F.col("w2")) * g1 + F.col("w2") * g2 + F.lit(1e-300))
+        )
+        s = j.groupBy("event_type").agg(
+            F.sum(F.col("c") * r2).alias("m0"),
+            F.sum(F.col("c") * r2 * F.col("v")).alias("m1"),
+            F.sum(F.col("c") * r2 * F.col("v") * F.col("v")).alias("m2"),
+        )
+        mg = F.greatest(
+            F.least(F.col("m0"), F.col("n") - F.lit(1e-6)), F.lit(1e-6)
+        )
+        mu1n = (F.col("sv") - F.col("m1")) / (F.col("n") - mg)
+        mu2n = F.col("m1") / mg
+        params = s.join(tot, "event_type").select(
+            "event_type",
+            (mg / F.col("n")).alias("w2"),
+            mu1n.alias("mu1"),
+            F.greatest(
+                (F.col("svv") - F.col("m2")) / (F.col("n") - mg)
+                - mu1n * mu1n,
+                F.lit(_GMM_VAR_FLOOR),
+            ).alias("v1"),
+            mu2n.alias("mu2"),
+            F.greatest(
+                F.col("m2") / mg - mu2n * mu2n, F.lit(_GMM_VAR_FLOOR)
+            ).alias("v2"),
+        )
+    lo_first = F.col("mu1") <= F.col("mu2")
+    return params.join(
+        tot.select("event_type", F.col("n").cast("long").alias("n")),
+        "event_type",
+    ).select(
+        "event_type",
+        "n",
+        F.round(
+            F.when(lo_first, 1 - F.col("w2")).otherwise(F.col("w2")), 4
+        ).alias("w_lo"),
+        F.round(F.least(F.col("mu1"), F.col("mu2")), 4).alias("mu_lo"),
+        F.round(
+            F.sqrt(F.when(lo_first, F.col("v1")).otherwise(F.col("v2"))), 4
+        ).alias("sd_lo"),
+        F.round(F.greatest(F.col("mu1"), F.col("mu2")), 4).alias("mu_hi"),
+        F.round(
+            F.sqrt(F.when(lo_first, F.col("v2")).otherwise(F.col("v1"))), 4
+        ).alias("sd_hi"),
+    )
+
+
+def _q273_sql() -> str:
+    ctes = [
+        """hist AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)""",
+        """tot AS (
+  SELECT event_type, SUM(c) AS n, SUM(c * v) AS sv,
+         SUM(c * v * v) AS svv, MIN(v) AS mn, MAX(v) AS mx
+  FROM hist GROUP BY 1
+)""",
+        f"""p0 AS (
+  SELECT event_type, 0.5 AS w2,
+         mn + (mx - mn) / 4 AS mu1,
+         GREATEST(svv / n - (sv / n) * (sv / n), {_GMM_VAR_FLOOR}) AS v1,
+         mn + 3 * (mx - mn) / 4 AS mu2,
+         GREATEST(svv / n - (sv / n) * (sv / n), {_GMM_VAR_FLOOR}) AS v2
+  FROM tot
+)""",
+    ]
+    for r in range(1, _GMM_ROUNDS + 1):
+        ctes.append(f"""e{r} AS (
+  SELECT event_type, SUM(c * r2) AS m0, SUM(c * r2 * v) AS m1,
+         SUM(c * r2 * v * v) AS m2
+  FROM (
+    SELECT event_type, v, c,
+           w2 * g2 / ((1 - w2) * g1 + w2 * g2 + 1e-300) AS r2
+    FROM (
+      SELECT h.event_type, h.v, h.c, p.w2,
+             exp(-(h.v - p.mu1) * (h.v - p.mu1) / (2 * p.v1))
+               / sqrt(p.v1) AS g1,
+             exp(-(h.v - p.mu2) * (h.v - p.mu2) / (2 * p.v2))
+               / sqrt(p.v2) AS g2
+      FROM hist h JOIN p{r - 1} p USING (event_type)
+    ) q
+  ) q2 GROUP BY event_type
+)""")
+        ctes.append(f"""p{r} AS (
+  SELECT t.event_type,
+         mg / t.n AS w2,
+         (t.sv - m1) / (t.n - mg) AS mu1,
+         GREATEST((t.svv - m2) / (t.n - mg)
+                  - ((t.sv - m1) / (t.n - mg))
+                    * ((t.sv - m1) / (t.n - mg)),
+                  {_GMM_VAR_FLOOR}) AS v1,
+         m1 / mg AS mu2,
+         GREATEST(m2 / mg - (m1 / mg) * (m1 / mg),
+                  {_GMM_VAR_FLOOR}) AS v2
+  FROM (
+    SELECT e.event_type, e.m1, e.m2,
+           GREATEST(LEAST(e.m0, t0.n - 1e-6), 1e-6) AS mg
+    FROM e{r} e JOIN tot t0 USING (event_type)
+  ) g JOIN tot t USING (event_type)
+)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT p.event_type, CAST(t.n AS BIGINT) AS n,
+       ROUND(CASE WHEN mu1 <= mu2 THEN 1 - w2 ELSE w2 END, 4) AS w_lo,
+       ROUND(LEAST(mu1, mu2), 4) AS mu_lo,
+       ROUND(sqrt(CASE WHEN mu1 <= mu2 THEN v1 ELSE v2 END), 4) AS sd_lo,
+       ROUND(GREATEST(mu1, mu2), 4) AS mu_hi,
+       ROUND(sqrt(CASE WHEN mu1 <= mu2 THEN v2 ELSE v1 END), 4) AS sd_hi
+FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
+"""
+
+
 QUERIES = {
+    "q272_acf": q272_acf,
+    "q273_gmm_em": q273_gmm_em,
     "q268_median_ci": q268_median_ci,
     "q269_adaptive_sessions": q269_adaptive_sessions,
     "q264_mann_kendall": q264_mann_kendall,
@@ -5119,6 +5387,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q272_acf": Q272_SQL,
+    "q273_gmm_em": _q273_sql(),
     "q268_median_ci": Q268_SQL,
     "q269_adaptive_sessions": Q269_SQL,
     "q264_mann_kendall": Q264_SQL,

@@ -1472,7 +1472,121 @@ FROM exp15 e LEFT JOIN base15 b ON e.doc_id = b.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q271 — DISTRIBUTED LOGISTIC REGRESSION (Newton / IRLS, fixed 3
+# rounds): P(urgent-or-high priority | price) with an intercept and one
+# scaled feature. Each round is ONE map-side-combined aggregation of
+# five sufficient statistics (gradient 2-vector + symmetric 2×2
+# Hessian); the Newton step solves the 2×2 system by Cramer's rule
+# inside the same 1-row select — no driver-side math, no collect. This
+# is exactly how a GLM trains on a 10¹²-row table: K passes over the
+# data, each a partial-aggregable scan, with the K-round parameter
+# chain expressed as broadcast joins of 1-row frames.
+#
+# Scale posture: the corpus is scanned once per round with the 2-column
+# projection pushed to parquet; nothing corpus-sized ever shuffles (the
+# aggregation is partial → 1 row). Parameters flow between rounds as a
+# broadcast 1-row frame, so the whole 3-round train + final log-loss
+# eval is a single lazy plan. Cross-engine drift: sigmoid/exp of O(1)
+# arguments, sums over n rows → ~1e-14 relative; coefficients rendered
+# at 6dp are far from the boundary.
+# --------------------------------------------------------------------------
+
+_LOGIT_ROUNDS = 3
+
+
+def q271_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x"),
+        F.when(F.col("o_orderpriority") < "3", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+    params = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_LOGIT_ROUNDS):
+        j = o.crossJoin(F.broadcast(params))
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))
+        )
+        g = F.col("y") - p
+        wgt = p * (F.lit(1.0) - p)
+        s = j.agg(
+            F.max("b0").alias("pb0"),
+            F.max("b1").alias("pb1"),
+            F.sum(g).alias("g0"),
+            F.sum(g * F.col("x")).alias("g1"),
+            F.sum(wgt).alias("h00"),
+            F.sum(wgt * F.col("x")).alias("h01"),
+            F.sum(wgt * F.col("x") * F.col("x")).alias("h11"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        params = s.select(
+            (
+                F.col("pb0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("pb1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det
+            ).alias("b1"),
+        )
+
+    j = o.crossJoin(F.broadcast(params))
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))
+    )
+    nll = -(
+        F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(1.0 - p)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("b0"), 6).alias("b0"),
+        F.round(F.max("b1"), 6).alias("b1"),
+        F.round(F.avg(nll), 6).alias("log_loss"),
+    )
+
+
+def _q271_sql() -> str:
+    ctes = [
+        """d AS (
+  SELECT o_totalprice / 100000.0 AS x,
+         CASE WHEN o_orderpriority < '3' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+)""",
+        "p0 AS (SELECT 0.0 AS b0, 0.0 AS b1)",
+    ]
+    for r in range(1, _LOGIT_ROUNDS + 1):
+        ctes.append(f"""s{r} AS (
+  SELECT MAX(b0) AS pb0, MAX(b1) AS pb1,
+         SUM(y - p) AS g0, SUM((y - p) * x) AS g1,
+         SUM(p * (1.0 - p)) AS h00, SUM(p * (1.0 - p) * x) AS h01,
+         SUM(p * (1.0 - p) * x * x) AS h11
+  FROM (SELECT x, y, b0, b1,
+               1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+        FROM d, p{r - 1}) t
+)""")
+        ctes.append(f"""p{r} AS (
+  SELECT pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM s{r}
+)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(b0), 6) AS b0, ROUND(MAX(b1), 6) AS b1,
+       ROUND(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS log_loss
+FROM (SELECT y, b0, b1, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+      FROM d, p{_LOGIT_ROUNDS}) t
+"""
+
+
 QUERIES = {
+    "q271_logistic_irls": q271_logistic_irls,
     "q270_prf_expansion": q270_prf_expansion,
     "q253_rrf_fusion": q253_rrf_fusion,
     "q234_fellegi_sunter": q234_fellegi_sunter,
@@ -1493,6 +1607,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q271_logistic_irls": _q271_sql(),
     "q270_prf_expansion": Q270_SQL,
     "q253_rrf_fusion": Q253_SQL,
     "q234_fellegi_sunter": Q234_SQL,

@@ -1,0 +1,49 @@
+"""Invariants for q271–q273: Newton training improves on the chance
+log-loss, ACF is a bounded damped correlation with the right pair
+counts, and the GMM renders ordered, properly-normalized components."""
+
+import math
+
+from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+    q272_acf,
+    q273_gmm_em,
+)
+from oak_knowledge_graph_neo4j_auradb_spark.queries.mlops import (
+    q271_logistic_irls,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_logistic_beats_chance_and_is_finite(spark):
+    """Three Newton rounds from beta=0 must not do worse than the
+    chance model (log-loss <= ln 2 up to rounding) and the fitted
+    coefficients stay in a sane range for O(1) features."""
+    rows = q271_logistic_irls(spark, SF01).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 15000
+    assert 0.0 < r["log_loss"] <= math.log(2.0) + 1e-4
+    assert abs(r["b0"]) < 10 and abs(r["b1"]) < 10
+
+
+def test_acf_bounded_and_pair_counts(spark):
+    """acf in [-1, 1] for the biased estimator; an exact day-offset
+    join over a gap-free 30-day series yields n_days - lag pairs."""
+    rows = q272_acf(spark, SF01).collect()
+    assert len(rows) == 5 * 7
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+        assert r["n_pairs"] <= r["n_days"] - r["lag"]
+
+
+def test_gmm_components_ordered_and_normalized(spark):
+    rows = q273_gmm_em(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["w_lo"] <= 1.0
+        assert r["mu_lo"] <= r["mu_hi"]
+        # sqrt of the 1e-4 variance floor
+        assert r["sd_lo"] >= 0.01 - 1e-9
+        assert r["sd_hi"] >= 0.01 - 1e-9
+        assert r["n"] > 0

@@ -340,6 +340,12 @@ AUDIT = [
     ("q268_median_ci", 2, 0),
     ("q269_adaptive_sessions", 0, 0),
     ("q270_prf_expansion", 6, 0),
+    # 3 Newton rounds + final eval, each a 1-row partial-agg exchange
+    ("q271_logistic_irls", 4, 0),
+    ("q272_acf", 3, 0),
+    # histogram + totals + one 1-row-per-type agg per EM round, all on
+    # the bounded (type, value) histogram
+    ("q273_gmm_em", 7, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
