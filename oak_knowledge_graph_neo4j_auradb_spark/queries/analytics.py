@@ -5047,6 +5047,310 @@ FROM s GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# q274 — LOG-RANK TEST (Mantel 1966): does survival differ between two
+# cohorts? Reuses q250's subject framing ((user, event_type)
+# engagements, last-7-days censoring) split into cohorts by user parity
+# and compares the full survival CURVES — the correct test where a
+# t-test on mean lifetime would be censoring-biased. At each event time
+# the observed cohort-A churn d_a is compared with its hypergeometric
+# expectation d·n_a/n under H0, with the matching variance; the
+# statistic is (Σ(d_a − E_a))² / ΣV_a ~ χ²(1).
+#
+# Scale posture: one corpus shuffle collapses the feed to per-subject
+# lifetimes; the cohort-pivoted lifetime histogram (≤ feed-span rows)
+# carries the reverse-cumulative risk-set windows and the final 1-row
+# reduction. Same histogram-space order-statistics shape as q250/q268.
+# --------------------------------------------------------------------------
+
+
+def q274_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(es / 86400).cast("long").alias("day"),
+    )
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    gmax = per_user.agg(F.max("l").alias("gm"))
+    lives = per_user.crossJoin(F.broadcast(gmax)).select(
+        (F.col("user_id") % 2).alias("g"),
+        (F.col("l") - F.col("f")).alias("t"),
+        (F.col("l") <= F.col("gm") - _KM_CENSOR_DAYS)
+        .cast("long")
+        .alias("churned"),
+    )
+    hist = lives.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("tot_a"),
+        F.sum(F.when(F.col("g") == 0, F.col("churned")).otherwise(0)).alias(
+            "d_a"
+        ),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("tot_b"),
+        F.sum(F.when(F.col("g") == 1, F.col("churned")).otherwise(0)).alias(
+            "d_b"
+        ),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r = hist.withColumn("na", F.sum("tot_a").over(w_risk)).withColumn(
+        "nb", F.sum("tot_b").over(w_risk)
+    )
+    d = F.col("d_a") + F.col("d_b")
+    n = F.col("na") + F.col("nb")
+    fa = F.col("na") / n.cast("double")
+    e_a = d * fa
+    v = d * fa * (1 - fa) * (n - d) / (n - 1).cast("double")
+    terms = r.filter((d > 0) & (n > 1)).select(
+        "tot_a",
+        "tot_b",
+        "d_a",
+        "d_b",
+        (F.col("d_a") - e_a).alias("ome"),
+        v.alias("v"),
+    )
+    ome = F.sum("ome")
+    var = F.sum("v")
+    return terms.agg(
+        F.sum("tot_a").cast("long").alias("n_a"),
+        F.sum("tot_b").cast("long").alias("n_b"),
+        F.sum("d_a").cast("long").alias("churned_a"),
+        F.sum("d_b").cast("long").alias("churned_b"),
+        F.round(ome, 6).alias("o_minus_e"),
+        F.round(var, 6).alias("var_lr"),
+        F.round(
+            F.when(var > 0, ome * ome / var).otherwise(F.lit(None)), 6
+        ).alias("chi2"),
+    )
+
+
+Q274_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), per_user AS (
+  SELECT user_id, event_type, MIN(day) AS f, MAX(day) AS l
+  FROM ev GROUP BY user_id, event_type
+), gmax AS (SELECT MAX(l) AS gm FROM per_user),
+lives AS (
+  SELECT user_id % 2 AS g, l - f AS t,
+         CASE WHEN l <= gm - {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM per_user CROSS JOIN gmax
+), hist AS (
+  SELECT t,
+         SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS tot_a,
+         SUM(CASE WHEN g = 0 THEN churned ELSE 0 END) AS d_a,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS tot_b,
+         SUM(CASE WHEN g = 1 THEN churned ELSE 0 END) AS d_b
+  FROM lives GROUP BY t
+), risk AS (
+  SELECT t, tot_a, tot_b, d_a, d_b,
+         SUM(tot_a) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+         SUM(tot_b) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM hist
+), terms AS (
+  SELECT tot_a, tot_b, d_a, d_b,
+         d_a - (d_a + d_b) * (na / CAST(na + nb AS DOUBLE)) AS ome,
+         (d_a + d_b) * (na / CAST(na + nb AS DOUBLE))
+           * (1 - na / CAST(na + nb AS DOUBLE))
+           * (na + nb - d_a - d_b)
+           / CAST(na + nb - 1 AS DOUBLE) AS v
+  FROM risk
+  WHERE d_a + d_b > 0 AND na + nb > 1
+)
+SELECT CAST(SUM(tot_a) AS BIGINT) AS n_a,
+       CAST(SUM(tot_b) AS BIGINT) AS n_b,
+       CAST(SUM(d_a) AS BIGINT) AS churned_a,
+       CAST(SUM(d_b) AS BIGINT) AS churned_b,
+       ROUND(SUM(ome), 6) AS o_minus_e,
+       ROUND(SUM(v), 6) AS var_lr,
+       ROUND(CASE WHEN SUM(v) > 0
+             THEN SUM(ome) * SUM(ome) / SUM(v) END, 6) AS chi2
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# q275 — DELETE-ONE-BUCKET JACKKNIFE (Quenouille/Tukey; the standard
+# big-data variance recipe, e.g. Google's "poor man's bootstrap"): the
+# ratio metric θ = Σvalue / #users has no closed-form variance because
+# both numerator and denominator are random. Users are hashed into
+# B=32 portable buckets; each leave-one-bucket-out replicate
+# θ_(−b) = (S−s_b)/(U−u_b) is closed-form from per-bucket sufficient
+# statistics, and var_jack = (B−1)/B · Σ(θ_(−b) − θ̄)². Buckets
+# partition USERS (not rows), so the denominator's distinct-count
+# arithmetic stays exact.
+#
+# Scale posture: one shuffle to per-user sums, one partial-agg rollup
+# to the 32-row bucket table; the jackknife itself is O(B) arithmetic
+# on that table joined to a broadcast 1-row total. The md5-based
+# bucket hash is engine-portable by construction.
+# --------------------------------------------------------------------------
+
+_JK_BUCKETS = 32
+
+
+def q275_ratio_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s_u"))
+        .select(
+            F.pmod(
+                md5long(F.col("user_id").cast("string")), _JK_BUCKETS
+            ).alias("b"),
+            "s_u",
+        )
+    )
+    buckets = per_user.groupBy("b").agg(
+        F.sum("s_u").alias("s_b"), F.count(F.lit(1)).alias("u_b")
+    )
+    tot = buckets.agg(
+        F.sum("s_b").alias("s"), F.sum("u_b").alias("u")
+    )
+    jack = buckets.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "u",
+        (
+            (F.col("s") - F.col("s_b"))
+            / (F.col("u") - F.col("u_b")).cast("double")
+        ).alias("th_b"),
+    )
+    bcnt = F.count(F.lit(1)).cast("double")
+    theta = F.max("s") / F.max("u").cast("double")
+    var = (
+        (bcnt - 1)
+        / bcnt
+        * (F.sum(F.col("th_b") * F.col("th_b")) - bcnt * F.avg("th_b") * F.avg("th_b"))
+    )
+    se = F.sqrt(var)
+    return jack.agg(
+        bcnt.cast("long").alias("n_buckets"),
+        F.max("u").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(theta - 1.96 * se, 6).alias("ci_lo"),
+        F.round(theta + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+Q275_SQL = f"""
+WITH per_user AS (
+  SELECT {MD5LONG_SQL.format(x='CAST(user_id AS VARCHAR)')}
+           % {_JK_BUCKETS} AS b,
+         SUM(value) AS s_u
+  FROM events GROUP BY user_id
+), buckets AS (
+  SELECT b, SUM(s_u) AS s_b, COUNT(*) AS u_b
+  FROM per_user GROUP BY b
+), tot AS (SELECT SUM(s_b) AS s, SUM(u_b) AS u FROM buckets),
+jack AS (
+  SELECT s, u, (s - s_b) / CAST(u - u_b AS DOUBLE) AS th_b
+  FROM buckets CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(u) AS BIGINT) AS n_users,
+       ROUND(MAX(s) / CAST(MAX(u) AS DOUBLE), 6) AS theta,
+       ROUND(sqrt((COUNT(*) - 1.0) / COUNT(*)
+             * (SUM(th_b * th_b)
+                - COUNT(*) * AVG(th_b) * AVG(th_b))), 6) AS se_jack,
+       ROUND(MAX(s) / CAST(MAX(u) AS DOUBLE)
+             - 1.96 * sqrt((COUNT(*) - 1.0) / COUNT(*)
+               * (SUM(th_b * th_b)
+                  - COUNT(*) * AVG(th_b) * AVG(th_b))), 6) AS ci_lo,
+       ROUND(MAX(s) / CAST(MAX(u) AS DOUBLE)
+             + 1.96 * sqrt((COUNT(*) - 1.0) / COUNT(*)
+               * (SUM(th_b * th_b)
+                  - COUNT(*) * AVG(th_b) * AVG(th_b))), 6) AS ci_hi
+FROM jack
+"""
+
+
+# --------------------------------------------------------------------------
+# q276 — COCHRAN-ARMITAGE TREND TEST (Cochran 1954; Armitage 1955): is
+# a binary outcome rate monotonically associated with an ORDERED
+# factor? Here: P(order value > 150k) across the 5 priority levels
+# scored 1..5 — the ordinal complement of q117's unordered χ². With
+# p̄ = R/N: T = Σ x_i (r_i − n_i p̄), Var = p̄(1−p̄)(Σ n_i x_i² −
+# (Σ n_i x_i)²/N), Z = T/√Var. The per-level counts (n_i, r_i) are
+# pure integers, so T's inputs are exact; doubles appear only in the
+# final rendered statistic.
+#
+# Scale posture: the corpus collapses to the 5-row score contingency
+# in one partial-agg pass with a 2-column pruned scan; everything else
+# is 1-row arithmetic.
+# --------------------------------------------------------------------------
+
+_CA_PRICE_CUT = 150000.0
+
+
+def q276_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        (F.col("o_totalprice") > _CA_PRICE_CUT).cast("long").alias("y"),
+    )
+    cont = o.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("r_i")
+    )
+    nn = F.sum("n_i")
+    rr = F.sum("r_i")
+    pbar = rr / nn.cast("double")
+    t_stat = F.sum(F.col("x") * F.col("r_i")) - pbar * F.sum(
+        F.col("x") * F.col("n_i")
+    )
+    var = (
+        pbar
+        * (1 - pbar)
+        * (
+            F.sum(F.col("x") * F.col("x") * F.col("n_i"))
+            - F.sum(F.col("x") * F.col("n_i"))
+            * F.sum(F.col("x") * F.col("n_i"))
+            / nn.cast("double")
+        )
+    )
+    z = t_stat / F.sqrt(var)
+    return cont.agg(
+        nn.cast("long").alias("n"),
+        rr.cast("long").alias("n_pos"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(z, 6).alias("z_trend"),
+        F.round(z * z, 6).alias("chi2_trend"),
+    )
+
+
+Q276_SQL = f"""
+WITH o AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+         CASE WHEN o_totalprice > {_CA_PRICE_CUT} THEN 1 ELSE 0 END AS y
+  FROM orders
+), cont AS (
+  SELECT x, COUNT(*) AS n_i, SUM(y) AS r_i FROM o GROUP BY x
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(p_bar, 6) AS p_bar,
+       ROUND(z, 6) AS z_trend,
+       ROUND(z * z, 6) AS chi2_trend
+FROM (
+  SELECT SUM(n_i) AS n, SUM(r_i) AS n_pos,
+         SUM(r_i) / CAST(SUM(n_i) AS DOUBLE) AS p_bar,
+         (SUM(x * r_i) - SUM(r_i) / CAST(SUM(n_i) AS DOUBLE)
+            * SUM(x * n_i))
+         / sqrt(SUM(r_i) / CAST(SUM(n_i) AS DOUBLE)
+           * (1 - SUM(r_i) / CAST(SUM(n_i) AS DOUBLE))
+           * (SUM(x * x * n_i)
+              - SUM(x * n_i) * SUM(x * n_i)
+                / CAST(SUM(n_i) AS DOUBLE))) AS z
+  FROM cont
+) t
+"""
+
+
+# --------------------------------------------------------------------------
 # q272 — AUTOCORRELATION FUNCTION: sample ACF of the daily event-count
 # series per event type at lags 1..7, the standard seasonality/
 # persistence diagnostic (complements q138's lag-1 AR fit and q139's
@@ -5313,6 +5617,9 @@ FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
 
 
 QUERIES = {
+    "q274_logrank": q274_logrank,
+    "q275_ratio_jackknife": q275_ratio_jackknife,
+    "q276_cochran_armitage": q276_cochran_armitage,
     "q272_acf": q272_acf,
     "q273_gmm_em": q273_gmm_em,
     "q268_median_ci": q268_median_ci,
@@ -5387,6 +5694,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q274_logrank": Q274_SQL,
+    "q275_ratio_jackknife": Q275_SQL,
+    "q276_cochran_armitage": Q276_SQL,
     "q272_acf": Q272_SQL,
     "q273_gmm_em": _q273_sql(),
     "q268_median_ci": Q268_SQL,

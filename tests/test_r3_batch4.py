@@ -47,3 +47,39 @@ def test_gmm_components_ordered_and_normalized(spark):
         assert r["sd_lo"] >= 0.01 - 1e-9
         assert r["sd_hi"] >= 0.01 - 1e-9
         assert r["n"] > 0
+
+
+def test_logrank_consistent_counts(spark):
+    """Cohort subject/churn totals reconcile with q250's subject
+    framing, the variance is positive, and chi2 = (O-E)^2 / V."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q274_logrank,
+    )
+
+    r = q274_logrank(spark, SF01).collect()[0]
+    assert r["churned_a"] <= r["n_a"] and r["churned_b"] <= r["n_b"]
+    assert r["var_lr"] > 0
+    expect = r["o_minus_e"] ** 2 / r["var_lr"]
+    assert abs(r["chi2"] - expect) < 1e-2
+
+
+def test_jackknife_ci_brackets_theta(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q275_ratio_jackknife,
+    )
+
+    r = q275_ratio_jackknife(spark, SF01).collect()[0]
+    assert r["n_buckets"] == 32
+    assert r["se_jack"] >= 0
+    assert r["ci_lo"] <= r["theta"] <= r["ci_hi"]
+
+
+def test_cochran_armitage_chi2_is_z_squared(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q276_cochran_armitage,
+    )
+
+    r = q276_cochran_armitage(spark, SF01).collect()[0]
+    assert r["n"] == 15000
+    assert 0.0 < r["p_bar"] < 1.0
+    assert abs(r["chi2_trend"] - r["z_trend"] ** 2) < 1e-4

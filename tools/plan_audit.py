@@ -346,6 +346,11 @@ AUDIT = [
     # histogram + totals + one 1-row-per-type agg per EM round, all on
     # the bounded (type, value) histogram
     ("q273_gmm_em", 7, 0),
+    # risk-set windows run over the bounded lifetime histogram (q250's
+    # sanctioned global-window-over-aggregate shape)
+    ("q274_logrank", 5, 0),
+    ("q275_ratio_jackknife", 4, 0),
+    ("q276_cochran_armitage", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
