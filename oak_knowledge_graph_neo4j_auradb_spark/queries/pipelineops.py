@@ -27,7 +27,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import MD5LONG_SQL, TOKENS_SQL, load, md5long, r4, tokens
+from .common import (
+    MD5LONG_SQL,
+    TOKENS_SQL,
+    exact_ntile,
+    histogram_rank,
+    load,
+    md5long,
+    r4,
+    tokens,
+)
 
 # --------------------------------------------------------------------------
 # q70 — block-level boilerplate removal. Web-crawl pipelines drop
@@ -3569,7 +3578,165 @@ FROM p{r}"""
     return "WITH " + ",".join(steps) + "\n" + finals
 
 
+# --------------------------------------------------------------------------
+# q277 — PERPLEXITY BUCKETS (the CCNet recipe, Wenzek et al. 2020):
+# score every document by its per-token cross-entropy under the
+# corpus-level unigram LM, then cut the corpus into head/middle/tail
+# TERCILES — the standard quality-stratification step before sampling
+# training data (head = most LM-like). Cross-entropy is rounded to 6dp
+# BEFORE ranking (q157's rounded-score discipline) so the tercile
+# boundary is ulp-stable across engines; doc_id breaks exact ties.
+#
+# Scale posture: one shuffle to the token LM (partial-agg), one to
+# per-doc CE; the tercile cut uses histogram_rank + exact_ntile, so the
+# only unpartitioned window runs over the distinct-CE histogram, never
+# raw docs. LM join is unhinted — AQE broadcasts the vocab when small.
+# --------------------------------------------------------------------------
+
+
+def q277_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = lm.agg(F.sum("cnt").cast("double").alias("t"))
+    ce = (
+        toks.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                -F.avg(F.log(F.col("cnt") / F.col("t"))), 6
+            ).alias("ce"),
+        )
+    )
+    ranked = histogram_rank(ce, "ce", "doc_id", out="r", total="n")
+    b = ranked.withColumn(
+        "bucket", exact_ntile(F.col("r"), F.col("n"), 3)
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("ce"), 4).alias("mean_ce"),
+        F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        F.round(F.min("ce"), 4).alias("ce_lo"),
+        F.round(F.max("ce"), 4).alias("ce_hi"),
+    )
+
+
+Q277_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(x='text')}) AS tok
+  FROM documents
+), lm AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM lm),
+ce AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+         ROUND(-AVG(ln(cnt / t)), 6) AS ce
+  FROM toks JOIN lm USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), b AS (
+  SELECT n_tok, ce, NTILE(3) OVER (ORDER BY ce, doc_id) AS bucket
+  FROM ce
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ce), 4) AS mean_ce,
+       ROUND(AVG(n_tok), 4) AS mean_tokens,
+       ROUND(MIN(ce), 4) AS ce_lo,
+       ROUND(MAX(ce), 4) AS ce_hi
+FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# q279 — SAMPLE-RATIO-MISMATCH CHECK: the first gate every experiment
+# readout runs — do q192's hash-assigned 8/1/1 splits actually hold the
+# design ratio? χ² = Σ(o−e)²/e against the design fractions, df = 2,
+# flagged at the 0.05 critical value 5.991. A failed SRM invalidates
+# every downstream metric comparison (the assignment itself is biased),
+# which is why it rides before q131/q248/q258 in a readout pipeline.
+# Counts are exact integers; doubles enter only in the rendered χ².
+#
+# Scale posture: one partial-agg pass to the 3-row split contingency
+# (same md5 bucketing as q192, so the check audits the REAL assignment
+# path); the χ² is 1-row arithmetic.
+# --------------------------------------------------------------------------
+
+_SRM_CRIT = 5.991
+
+
+def q279_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    b = md5long(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(b <= 7, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    g = d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    e = (
+        F.when(F.col("split") == "train", 0.8).otherwise(0.1)
+        * F.sum("o").over(Window.partitionBy())
+    )
+    t = g.withColumn("chi_term", (F.col("o") - e) * (F.col("o") - e) / e)
+    chi2 = F.sum("chi_term")
+    return t.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.when(F.col("split") == "train", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", F.col("o")).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > _SRM_CRIT).cast("long").alias("srm_detected"),
+    )
+
+
+Q279_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')}
+                   % 10 <= 7 THEN 'train'
+              WHEN {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')}
+                   % 10 = 8 THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), g AS (
+  SELECT split, COUNT(*) AS o FROM d GROUP BY split
+), t AS (
+  SELECT split, o,
+         (o - e) * (o - e) / e AS chi_term
+  FROM (
+    SELECT split, o,
+           CASE WHEN split = 'train' THEN 0.8 ELSE 0.1 END
+             * SUM(o) OVER () AS e
+    FROM g
+  ) q
+)
+SELECT CAST(SUM(o) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN split = 'train' THEN o ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN o ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(SUM(CASE WHEN split = 'test' THEN o ELSE 0 END) AS BIGINT)
+         AS n_test,
+       ROUND(SUM(chi_term), 6) AS chi2,
+       CAST(CASE WHEN SUM(chi_term) > {_SRM_CRIT} THEN 1 ELSE 0 END
+            AS BIGINT) AS srm_detected
+FROM t
+"""
+
+
 QUERIES = {
+    "q277_perplexity_buckets": q277_perplexity_buckets,
+    "q279_srm_check": q279_srm_check,
     "q267_greedy_coverage": q267_greedy_coverage,
     "q247_kmv_setops": q247_kmv_setops,
     "q244_kneser_ney": q244_kneser_ney,
@@ -3624,6 +3791,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q277_perplexity_buckets": Q277_SQL,
+    "q279_srm_check": Q279_SQL,
     "q267_greedy_coverage": _q267_sql(),
     "q247_kmv_setops": Q247_SQL,
     "q244_kneser_ney": Q244_SQL,

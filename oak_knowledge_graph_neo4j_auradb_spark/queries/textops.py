@@ -2045,7 +2045,160 @@ x{k} AS MATERIALIZED (
     )
 
 
+# --------------------------------------------------------------------------
+# q278 — ROUGE-2 pair scoring (Lin 2004): clipped-bigram precision/
+# recall/F1 for candidate duplicate pairs — the summarization-eval
+# metric repurposed as a graded near-dup score (q27's Jaccard is
+# set-valued; ROUGE is multiset CLIPPED, so a doc that repeats a
+# borrowed passage 3× only gets credit for the copies the other doc
+# actually has). Two-phase: candidates come from the df-pruned blocked
+# bigram self-join (q27's hot-key discipline — no gram key fans out
+# more than DF_MAX² pairs); the EXACT clipped overlap Σ min(c_a, c_b)
+# is then recomputed over the candidates' FULL bigram multisets, so
+# pruning bounds the join without biasing the reported metric.
+#
+# Scale posture: candidate volume is bounded analytically (df cap ×
+# shared-bigram floor); the exact-overlap join touches only candidate
+# pairs × their bigram rows. All counts integer; doubles only in the
+# rendered P/R/F.
+# --------------------------------------------------------------------------
+
+_ROUGE_MIN_SHARED = 5
+_ROUGE_MIN_F = 0.2
+
+
+def q278_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("t")
+        )
+        .filter(F.size("t") >= 2)
+    )
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    cnts = (
+        d.select(
+            "doc_id", "lang", "source", F.explode(bigrams).alias("bigram")
+        )
+        .groupBy("doc_id", "lang", "source", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = cnts.groupBy("doc_id").agg(F.sum("c").alias("m"))
+    hot = (
+        cnts.groupBy("lang", "source", "bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_MAX)
+        .select("lang", "source", "bigram")
+    )
+    kept = cnts.join(
+        F.broadcast(hot), on=["lang", "source", "bigram"], how="left_anti"
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "bigram"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "bigram"
+    )
+    cand = (
+        a.join(b, on=["lang", "source", "bigram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _ROUGE_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    fa = cnts.select(
+        F.col("doc_id").alias("doc_a"), "bigram", F.col("c").alias("ca")
+    )
+    fb = cnts.select(
+        F.col("doc_id").alias("doc_b"), "bigram", F.col("c").alias("cb")
+    )
+    ov = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "bigram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    pairs = ov.join(
+        m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a")),
+        "doc_a",
+    ).join(
+        m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b")),
+        "doc_b",
+    )
+    p = F.col("overlap") / F.col("m_b").cast("double")
+    r = F.col("overlap") / F.col("m_a").cast("double")
+    f1 = 2 * p * r / (p + r)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("overlap").cast("long").alias("overlap"),
+        r4(p).alias("rouge2_p"),
+        r4(r).alias("rouge2_r"),
+        r4(f1).alias("rouge2_f"),
+    ).filter(r4(f1) >= _ROUGE_MIN_F)
+
+
+Q278_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, {TOKENS_SQL.format(x='text')} AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, source,
+         unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+           ELSE list_transform(t[1:len(t) - 1],
+                               (x, i) -> x || ' ' || t[i + 1]) END)
+           AS bigram
+  FROM tok WHERE len(t) >= 2
+), cnts AS (
+  SELECT doc_id, lang, source, bigram, COUNT(*) AS c
+  FROM bg GROUP BY 1, 2, 3, 4
+), m AS (
+  SELECT doc_id, SUM(c) AS m FROM cnts GROUP BY doc_id
+), dfreq AS (
+  SELECT lang, source, bigram, COUNT(*) AS df
+  FROM cnts GROUP BY 1, 2, 3
+), kept AS (
+  SELECT c.doc_id, c.lang, c.source, c.bigram
+  FROM cnts c JOIN dfreq USING (lang, source, bigram)
+  WHERE dfreq.df <= {DF_MAX}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.bigram = b.bigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_ROUGE_MIN_SHARED}
+), ov AS (
+  SELECT cand.doc_a, cand.doc_b, SUM(LEAST(fa.c, fb.c)) AS overlap
+  FROM cand
+  JOIN cnts fa ON fa.doc_id = cand.doc_a
+  JOIN cnts fb ON fb.doc_id = cand.doc_b AND fb.bigram = fa.bigram
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+       rouge2_p, rouge2_r, rouge2_f
+FROM (
+  SELECT ov.doc_a, ov.doc_b, ov.overlap,
+         ROUND(ov.overlap / CAST(mb.m AS DOUBLE), 4) AS rouge2_p,
+         ROUND(ov.overlap / CAST(ma.m AS DOUBLE), 4) AS rouge2_r,
+         ROUND(2 * (ov.overlap / CAST(mb.m AS DOUBLE))
+                 * (ov.overlap / CAST(ma.m AS DOUBLE))
+               / (ov.overlap / CAST(mb.m AS DOUBLE)
+                  + ov.overlap / CAST(ma.m AS DOUBLE)), 4) AS rouge2_f
+  FROM ov
+  JOIN m ma ON ma.doc_id = ov.doc_a
+  JOIN m mb ON mb.doc_id = ov.doc_b
+) t
+WHERE rouge2_f >= {_ROUGE_MIN_F}
+"""
+
+
 QUERIES = {
+    "q278_rouge2": q278_rouge2,
     "q266_ppmi_embedding": q266_ppmi_embedding,
     "q262_lexical_diversity": q262_lexical_diversity,
     "q246_textrank": q246_textrank,
@@ -2076,6 +2229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q278_rouge2": Q278_SQL,
     "q266_ppmi_embedding": _q266_sql(),
     "q262_lexical_diversity": Q262_SQL,
     "q246_textrank": _q246_sql(),

@@ -83,3 +83,52 @@ def test_cochran_armitage_chi2_is_z_squared(spark):
     assert r["n"] == 15000
     assert 0.0 < r["p_bar"] < 1.0
     assert abs(r["chi2_trend"] - r["z_trend"] ** 2) < 1e-4
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    """Terciles partition the corpus (sizes differ by <= 1) and mean
+    cross-entropy rises head -> tail; bucket CE ranges do not invert."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q277_perplexity_buckets,
+    )
+
+    rows = {
+        r["bucket"]: r
+        for r in q277_perplexity_buckets(spark, SF01).collect()
+    }
+    assert sorted(rows) == [1, 2, 3]
+    sizes = [rows[b]["n_docs"] for b in (1, 2, 3)]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[1]["mean_ce"] <= rows[2]["mean_ce"] <= rows[3]["mean_ce"]
+    assert rows[1]["ce_hi"] <= rows[2]["ce_lo"] + 1e-9
+    assert rows[2]["ce_hi"] <= rows[3]["ce_lo"] + 1e-9
+
+
+def test_rouge2_metric_identities(spark):
+    """P and R are clipped-count fractions in (0, 1]; F1 is their
+    harmonic mean; overlap can't exceed either doc's bigram total."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.textops import (
+        q278_rouge2,
+    )
+
+    rows = q278_rouge2(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["rouge2_p"] <= 1.0 and 0 < r["rouge2_r"] <= 1.0
+        hm = 2 * r["rouge2_p"] * r["rouge2_r"] / (
+            r["rouge2_p"] + r["rouge2_r"]
+        )
+        assert abs(r["rouge2_f"] - hm) < 1e-3
+        assert r["rouge2_f"] >= 0.2
+
+
+def test_srm_counts_reconcile_and_chi2_nonneg(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q279_srm_check,
+    )
+
+    r = q279_srm_check(spark, SF01).collect()[0]
+    assert r["n_train"] + r["n_val"] + r["n_test"] == r["n"]
+    assert r["chi2"] >= 0
+    # the md5 8/1/1 assignment on this corpus is healthy
+    assert r["srm_detected"] == 0

@@ -351,6 +351,12 @@ AUDIT = [
     ("q274_logrank", 5, 0),
     ("q275_ratio_jackknife", 4, 0),
     ("q276_cochran_armitage", 2, 0),
+    # tercile cut via histogram_rank: the global window sees only the
+    # distinct-CE histogram
+    ("q277_perplexity_buckets", 8, 0),
+    # df-pruned candidate join + exact clipped-overlap rejoin
+    ("q278_rouge2", 6, 0),
+    ("q279_srm_check", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
