@@ -5351,6 +5351,231 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q281 — mSPRT ALWAYS-VALID SEQUENTIAL TEST (Robbins 1970; Johari et
+# al. 2017 "Peeking at A/B tests"): the fixed-horizon z-test (q131) is
+# invalidated by daily peeking; the mixture sequential probability
+# ratio test gives a p-value that is valid at EVERY interim look. Data:
+# the daily difference in mean event value between the user-parity
+# cohorts. With the normal mixture τ² = σ² (σ² estimated once from the
+# full diff series), the likelihood ratio at day n is
+#   Λ_n = √(1/(1+n)) · exp(n²·x̄_n² / (2σ²(1+n)))
+# and the always-valid p is p_n = min(1, 1/max_{k≤n} Λ_k) — a running
+# max, so p is monotonically non-increasing by construction.
+#
+# Scale posture: one corpus shuffle to per-(day, cohort) means; the
+# cumulative-mean and running-max windows run over the bounded day
+# table. The σ² constant joins back as a broadcast 1-row frame.
+# --------------------------------------------------------------------------
+
+
+def q281_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = F.col("ts").cast("timestamp_ltz").cast("long")
+    e = load(spark, sf_dir, "events").select(
+        F.floor(es / 86400).cast("long").alias("day"),
+        (F.col("user_id") % 2).alias("g"),
+        "value",
+    )
+    daily = e.groupBy("day").agg(
+        F.avg(F.when(F.col("g") == 0, F.col("value"))).alias("xa"),
+        F.avg(F.when(F.col("g") == 1, F.col("value"))).alias("xb"),
+    )
+    dd = daily.filter(
+        F.col("xa").isNotNull() & F.col("xb").isNotNull()
+    ).select("day", (F.col("xa") - F.col("xb")).alias("diff"))
+    sig = dd.agg(
+        (
+            F.avg(F.col("diff") * F.col("diff"))
+            - F.avg("diff") * F.avg("diff")
+        ).alias("s2")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        dd.crossJoin(F.broadcast(sig))
+        .withColumn("n", F.count(F.lit(1)).over(w_cum))
+        .withColumn("xbar", F.avg("diff").over(w_cum))
+    )
+    lam = F.sqrt(1.0 / (1.0 + F.col("n"))) * F.exp(
+        F.col("n")
+        * F.col("n")
+        * F.col("xbar")
+        * F.col("xbar")
+        / (2 * F.col("s2") * (1.0 + F.col("n")))
+    )
+    lc = c.withColumn("lam", lam).withColumn(
+        "lmax", F.max("lam").over(w_cum)
+    )
+    return lc.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round("xbar", 6).alias("mean_diff"),
+        F.round("lam", 6).alias("lam"),
+        F.round(F.least(F.lit(1.0), 1.0 / F.col("lmax")), 6).alias(
+            "p_always_valid"
+        ),
+    )
+
+
+Q281_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         user_id % 2 AS g, value
+  FROM events
+), daily AS (
+  SELECT day,
+         AVG(CASE WHEN g = 0 THEN value END) AS xa,
+         AVG(CASE WHEN g = 1 THEN value END) AS xb
+  FROM e GROUP BY day
+), dd AS (
+  SELECT day, xa - xb AS diff FROM daily
+  WHERE xa IS NOT NULL AND xb IS NOT NULL
+), sig AS (
+  SELECT AVG(diff * diff) - AVG(diff) * AVG(diff) AS s2 FROM dd
+), c AS (
+  SELECT day, s2,
+         COUNT(*) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+         AVG(diff) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xbar
+  FROM dd CROSS JOIN sig
+), l AS (
+  SELECT day, n, xbar,
+         sqrt(1.0 / (1.0 + n))
+           * exp(n * n * xbar * xbar / (2 * s2 * (1.0 + n))) AS lam
+  FROM c
+)
+SELECT day, CAST(n AS BIGINT) AS n,
+       ROUND(xbar, 6) AS mean_diff,
+       ROUND(lam, 6) AS lam,
+       ROUND(LEAST(1.0, 1.0 / MAX(lam) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS p_always_valid
+FROM l
+"""
+
+
+# --------------------------------------------------------------------------
+# q282 — PARTIAL AUTOCORRELATION (Durbin 1960 / Levinson recursion,
+# unrolled to lag 3): the AR-order diagnostic that q272's raw ACF
+# cannot give — pacf_k is the correlation at lag k AFTER regressing out
+# lags 1..k−1, so an AR(1) series shows pacf_2 ≈ pacf_3 ≈ 0 even
+# though its ACF decays slowly. Closed-form Durbin-Levinson:
+#   φ11 = ρ1,  φ22 = (ρ2 − ρ1²)/(1 − ρ1²),  a21 = φ11 − φ22·φ11,
+#   φ33 = (ρ3 − a21·ρ2 − φ22·ρ1)/(1 − a21·ρ1 − φ22·ρ2).
+# ρ_k come from the same day-offset self-join as q272, pivoted to one
+# row per event type by conditional aggregation.
+#
+# Scale posture: identical to q272 — one shuffle to the (type, day)
+# histogram; the lag join and the 1-row-per-type recursion run on
+# bounded tables.
+# --------------------------------------------------------------------------
+
+
+def q282_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y") / (F.lit(1.0) * F.count(F.lit(1)))
+        ).alias("den"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    rho = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("lag")),
+        )
+        .join(
+            st.alias("st"), F.col("a.event_type") == F.col("st.event_type")
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            *[
+                (
+                    F.sum(
+                        F.when(
+                            F.col("lag") == k,
+                            (F.col("a.y") - F.col("mu"))
+                            * (F.col("b.y") - F.col("mu")),
+                        )
+                    )
+                    / F.max("den")
+                ).alias(f"rho{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    p11 = F.col("rho1")
+    p22 = (F.col("rho2") - p11 * p11) / (1 - p11 * p11)
+    a21 = p11 - p22 * p11
+    p33 = (F.col("rho3") - a21 * F.col("rho2") - p22 * F.col("rho1")) / (
+        1 - a21 * F.col("rho1") - p22 * F.col("rho2")
+    )
+    return rho.select(
+        "event_type",
+        F.round("rho1", 4).alias("rho1"),
+        F.round("rho2", 4).alias("rho2"),
+        F.round("rho3", 4).alias("rho3"),
+        F.round(p11, 4).alias("pacf1"),
+        F.round(p22, 4).alias("pacf2"),
+        F.round(p33, 4).alias("pacf3"),
+    )
+
+
+Q282_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, AVG(y) AS mu,
+         SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) AS den
+  FROM daily GROUP BY 1
+), lags AS (
+  SELECT CAST(range AS BIGINT) AS lag FROM range(1, 4)
+), rho AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN lag = 1 THEN (a.y - mu) * (b.y - mu) END)
+           / MAX(den) AS rho1,
+         SUM(CASE WHEN lag = 2 THEN (a.y - mu) * (b.y - mu) END)
+           / MAX(den) AS rho2,
+         SUM(CASE WHEN lag = 3 THEN (a.y - mu) * (b.y - mu) END)
+           / MAX(den) AS rho3
+  FROM daily a
+  JOIN lags ON TRUE
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + lag
+  JOIN st ON st.event_type = a.event_type
+  GROUP BY a.event_type
+)
+SELECT event_type,
+       ROUND(rho1, 4) AS rho1, ROUND(rho2, 4) AS rho2,
+       ROUND(rho3, 4) AS rho3,
+       ROUND(rho1, 4) AS pacf1,
+       ROUND((rho2 - rho1 * rho1) / (1 - rho1 * rho1), 4) AS pacf2,
+       ROUND((rho3 - (rho1 - (rho2 - rho1 * rho1) / (1 - rho1 * rho1)
+                       * rho1) * rho2
+                   - (rho2 - rho1 * rho1) / (1 - rho1 * rho1) * rho1)
+             / (1 - (rho1 - (rho2 - rho1 * rho1) / (1 - rho1 * rho1)
+                      * rho1) * rho1
+                  - (rho2 - rho1 * rho1) / (1 - rho1 * rho1) * rho2), 4)
+         AS pacf3
+FROM rho
+"""
+
+
+# --------------------------------------------------------------------------
 # q272 — AUTOCORRELATION FUNCTION: sample ACF of the daily event-count
 # series per event type at lags 1..7, the standard seasonality/
 # persistence diagnostic (complements q138's lag-1 AR fit and q139's
@@ -5617,6 +5842,8 @@ FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
 
 
 QUERIES = {
+    "q281_msprt": q281_msprt,
+    "q282_pacf": q282_pacf,
     "q274_logrank": q274_logrank,
     "q275_ratio_jackknife": q275_ratio_jackknife,
     "q276_cochran_armitage": q276_cochran_armitage,
@@ -5694,6 +5921,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q281_msprt": Q281_SQL,
+    "q282_pacf": Q282_SQL,
     "q274_logrank": Q274_SQL,
     "q275_ratio_jackknife": Q275_SQL,
     "q276_cochran_armitage": Q276_SQL,

@@ -3734,8 +3734,104 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# q280 — NEYMAN ALLOCATION (Neyman 1934): variance-optimal stratified
+# sample design — a fixed budget of B=1000 draws split across
+# (lang, source) strata proportional to N_h·S_h (stratum size × its
+# n_chars standard deviation), so high-variance strata get oversampled
+# relative to q52's proportional allocation. Fractional seats settle by
+# LARGEST REMAINDER (q175's rule) so the integer allocations sum to
+# exactly B; remainders are rounded to 9dp before ranking so the seat
+# order is ulp-stable across engines, with the stratum key as the tie
+# break.
+#
+# Scale posture: one partial-agg pass to the strata moment table
+# (bounded: #langs × #sources); the seat assignment's global window
+# runs over that aggregate only.
+# --------------------------------------------------------------------------
+
+_NEYMAN_B = 1000
+
+
+def q280_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.col("n_chars").cast("double").alias("x")
+    )
+    st = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"),
+                F.lit(0.0),
+            )
+        ).alias("s_h"),
+    )
+    w_all = Window.partitionBy()
+    real = st.withColumn(
+        "alloc_real",
+        F.lit(_NEYMAN_B)
+        * (F.col("n_h") * F.col("s_h"))
+        / F.sum(F.col("n_h") * F.col("s_h")).over(w_all),
+    )
+    base = real.withColumn("base", F.floor("alloc_real").cast("long"))
+    seats = base.withColumn(
+        "leftover", F.lit(_NEYMAN_B) - F.sum("base").over(w_all)
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(F.round(F.col("alloc_real") - F.col("base"), 9)),
+                "lang",
+                "source",
+            )
+        ),
+    )
+    return seats.select(
+        "lang",
+        "source",
+        F.col("n_h").cast("long").alias("n_docs"),
+        F.round("s_h", 4).alias("s_h"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+Q280_SQL = f"""
+WITH st AS (
+  SELECT lang, source, COUNT(*) AS n_h,
+         sqrt(GREATEST(AVG(1.0 * n_chars * n_chars)
+               - AVG(1.0 * n_chars) * AVG(1.0 * n_chars), 0.0)) AS s_h
+  FROM documents GROUP BY 1, 2
+), real AS (
+  SELECT lang, source, n_h, s_h,
+         {_NEYMAN_B} * (n_h * s_h) / SUM(n_h * s_h) OVER () AS alloc_real
+  FROM st
+), base AS (
+  SELECT lang, source, n_h, s_h, alloc_real,
+         CAST(FLOOR(alloc_real) AS BIGINT) AS base
+  FROM real
+), seats AS (
+  SELECT lang, source, n_h, s_h, base,
+         {_NEYMAN_B} - SUM(base) OVER () AS leftover,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(alloc_real - base, 9) DESC, lang, source) AS rk
+  FROM base
+)
+SELECT lang, source, CAST(n_h AS BIGINT) AS n_docs,
+       ROUND(s_h, 4) AS s_h,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM seats
+"""
+
+
 QUERIES = {
     "q277_perplexity_buckets": q277_perplexity_buckets,
+    "q280_neyman_allocation": q280_neyman_allocation,
     "q279_srm_check": q279_srm_check,
     "q267_greedy_coverage": q267_greedy_coverage,
     "q247_kmv_setops": q247_kmv_setops,
@@ -3792,6 +3888,7 @@ QUERIES = {
 
 ORACLES = {
     "q277_perplexity_buckets": Q277_SQL,
+    "q280_neyman_allocation": Q280_SQL,
     "q279_srm_check": Q279_SQL,
     "q267_greedy_coverage": _q267_sql(),
     "q247_kmv_setops": Q247_SQL,

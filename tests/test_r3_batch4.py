@@ -132,3 +132,47 @@ def test_srm_counts_reconcile_and_chi2_nonneg(spark):
     assert r["chi2"] >= 0
     # the md5 8/1/1 assignment on this corpus is healthy
     assert r["srm_detected"] == 0
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Integer seats sum to exactly B; every stratum's seat count is
+    within 1 of its real-valued Neyman share."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q280_neyman_allocation,
+    )
+
+    rows = q280_neyman_allocation(spark, SF01).collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    tot = sum(r["n_docs"] * r["s_h"] for r in rows)
+    for r in rows:
+        share = 1000 * r["n_docs"] * r["s_h"] / tot
+        assert abs(r["alloc"] - share) < 1.0 + 1e-6
+
+
+def test_msprt_p_monotone_nonincreasing(spark):
+    """The always-valid p-value never rises as days accumulate, and
+    lives in (0, 1]."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q281_msprt,
+    )
+
+    rows = q281_msprt(spark, SF01).orderBy("day").collect()
+    assert len(rows) == 30
+    ps = [r["p_always_valid"] for r in rows]
+    assert all(0 < p <= 1.0 for p in ps)
+    assert all(b <= a + 1e-9 for a, b in zip(ps, ps[1:]))
+    assert [r["n"] for r in rows] == list(range(1, 31))
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    """pacf_1 == rho_1 by definition; all correlations bounded."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q282_pacf,
+    )
+
+    rows = q282_pacf(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["pacf1"] == r["rho1"]
+        for k in ("rho1", "rho2", "rho3", "pacf2", "pacf3"):
+            assert -1.0 - 1e-6 <= r[k] <= 1.0 + 1e-6

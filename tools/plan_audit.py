@@ -357,6 +357,11 @@ AUDIT = [
     # df-pruned candidate join + exact clipped-overlap rejoin
     ("q278_rouge2", 6, 0),
     ("q279_srm_check", 2, 0),
+    # seat-assignment window runs over the bounded strata aggregate
+    ("q280_neyman_allocation", 2, 0),
+    # cumulative-mean / running-max windows over the bounded day table
+    ("q281_msprt", 3, 0),
+    ("q282_pacf", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
