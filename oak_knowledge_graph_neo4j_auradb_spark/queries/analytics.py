@@ -5351,6 +5351,259 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q284 — MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016): q93's
+# last-touch rule gives the whole conversion to the final channel; the
+# Markov model credits each channel by how much conversion DROPS when
+# it is removed. The journey chain is q194's transition machinery plus
+# a virtual 'start' state (start → each user's first event);
+# 'purchase' wins, 'error' loses. For each channel c, the removed
+# chain redirects every b = c transition to a dead end, and
+# removal_effect(c) = 1 − P_removed(win|start)/P_full(win|start); the
+# normalized effects are the attribution shares. Both chains run the
+# same 8-round value iteration as q194 (fixed-round, unrolled oracle).
+#
+# Scale posture: one corpus shuffle builds the transition counts; all
+# 4 value-iteration chains (full + 3 removals) run on the checkpointed
+# ≤36-row probability matrix. Nothing downstream scales with the feed.
+# --------------------------------------------------------------------------
+
+_ATTR_ROUNDS = 8
+_ATTR_CHANNELS = ("click", "signup", "view")
+
+
+def q284_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("event_type").over(w)
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    starts = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("start").alias("a"), "b", "c")
+    )
+    pairs = trans.unionByName(starts)
+    tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
+    P = (
+        pairs.join(tot, "a")
+        .filter(~F.col("a").isin(_ABS_WIN, _ABS_LOSS))
+        .select("a", "b", (F.col("c") / F.col("t")).alias("p"))
+        .localCheckpoint()
+    )
+
+    def value_iter(removed: str | None):
+        v = (
+            P.select(F.col("a").alias("state"))
+            .distinct()
+            .select("state", F.lit(0.0).alias("v"))
+        )
+        for _ in range(_ATTR_ROUNDS):
+            vb = F.when(F.col("b") == _ABS_WIN, F.lit(1.0)).when(
+                F.col("b") == _ABS_LOSS, F.lit(0.0)
+            )
+            if removed is not None:
+                vb = F.when(F.col("b") == removed, F.lit(0.0)).otherwise(
+                    vb
+                )
+            j = P.join(
+                v.select(
+                    F.col("state").alias("_bs"), F.col("v").alias("_bv")
+                ),
+                P.b == F.col("_bs"),
+                "left",
+            )
+            v = (
+                j.groupBy(F.col("a").alias("state"))
+                .agg(
+                    F.sum(
+                        F.col("p")
+                        * F.coalesce(vb, F.coalesce("_bv", F.lit(0.0)))
+                    ).alias("v")
+                )
+                .localCheckpoint()
+            )
+        return v.filter(F.col("state") == "start").select(
+            F.col("v").alias("pv")
+        )
+
+    base = value_iter(None)
+    out = None
+    for ch in _ATTR_CHANNELS:
+        row = (
+            value_iter(ch)
+            .withColumnRenamed("pv", "p_removed")
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.lit(ch).alias("channel"),
+                F.col("pv").alias("p_base"),
+                "p_removed",
+                (1 - F.col("p_removed") / F.col("pv")).alias("re"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    tot_re = out.agg(F.sum("re").alias("sre"))
+    return out.crossJoin(F.broadcast(tot_re)).select(
+        "channel",
+        F.round("p_base", 6).alias("p_win_base"),
+        F.round("p_removed", 6).alias("p_win_removed"),
+        F.round("re", 6).alias("removal_effect"),
+        F.round(F.col("re") / F.col("sre"), 6).alias("share"),
+    )
+
+
+def _q284_sql(rounds: int = _ATTR_ROUNDS) -> str:
+    base = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), seq AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY es, event_id) AS b
+  FROM ev
+), pairs AS (
+  SELECT event_type AS a, b, COUNT(*) AS c
+  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+  UNION ALL
+  SELECT 'start' AS a, event_type AS b, COUNT(*) AS c
+  FROM seq WHERE rn = 1 GROUP BY 1, 2
+), p AS MATERIALIZED (
+  SELECT pairs.a, pairs.b, pairs.c / (1.0 * t.t) AS p
+  FROM pairs
+  JOIN (SELECT a, SUM(c) AS t FROM pairs GROUP BY a) t USING (a)
+  WHERE pairs.a NOT IN ('{_ABS_WIN}', '{_ABS_LOSS}')
+),
+vf0 AS (SELECT DISTINCT a AS state, CAST(0 AS DOUBLE) AS v FROM p)"""
+    steps = [base]
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+vf{k} AS (SELECT p.a AS state,
+         SUM(p.p * CASE WHEN p.b = '{_ABS_WIN}' THEN 1.0
+                        WHEN p.b = '{_ABS_LOSS}' THEN 0.0
+                        ELSE COALESCE(v.v, 0) END) AS v
+         FROM p LEFT JOIN vf{k - 1} v ON p.b = v.state GROUP BY p.a)"""
+        )
+    for ci, ch in enumerate(_ATTR_CHANNELS):
+        steps.append(
+            f"""
+vc{ci}_0 AS (SELECT DISTINCT a AS state, CAST(0 AS DOUBLE) AS v FROM p)"""
+        )
+        for k in range(1, rounds + 1):
+            steps.append(
+                f"""
+vc{ci}_{k} AS (SELECT p.a AS state,
+         SUM(p.p * CASE WHEN p.b = '{ch}' THEN 0.0
+                        WHEN p.b = '{_ABS_WIN}' THEN 1.0
+                        WHEN p.b = '{_ABS_LOSS}' THEN 0.0
+                        ELSE COALESCE(v.v, 0) END) AS v
+         FROM p LEFT JOIN vc{ci}_{k - 1} v ON p.b = v.state
+         GROUP BY p.a)"""
+            )
+    res = " UNION ALL ".join(
+        f"""SELECT '{ch}' AS channel,
+       (SELECT v FROM vf{rounds} WHERE state = 'start') AS p_base,
+       (SELECT v FROM vc{ci}_{rounds} WHERE state = 'start')
+         AS p_removed"""
+        for ci, ch in enumerate(_ATTR_CHANNELS)
+    )
+    return (
+        ",".join(steps)
+        + f""",
+re AS (
+  SELECT channel, p_base, p_removed,
+         1 - p_removed / p_base AS re
+  FROM ({res}) r
+)
+SELECT channel, ROUND(p_base, 6) AS p_win_base,
+       ROUND(p_removed, 6) AS p_win_removed,
+       ROUND(re, 6) AS removal_effect,
+       ROUND(re / SUM(re) OVER (), 6) AS share
+FROM re"""
+    )
+
+
+# --------------------------------------------------------------------------
+# q285 — HERFINDAHL-HIRSCHMAN CONCENTRATION: per language, how
+# concentrated is the corpus across sources? HHI = Σ share², its
+# normalized form (HHI − 1/k)/(1 − 1/k), and the effective number of
+# sources 1/HHI — the diversity audit a corpus-mixing stage (q88/q242)
+# reads before trusting a language's source spread. Integer counts
+# until the final shares; single-source languages pin HHI_norm = 1.
+#
+# Scale posture: one partial-agg pass to the (lang, source) cell
+# table; the per-lang rollup runs on that bounded aggregate.
+# --------------------------------------------------------------------------
+
+
+def q285_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    hhi = F.col("ss") / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    k = F.col("n_sources").cast("double")
+    norm = F.when(F.col("n_sources") > 1, (hhi - 1 / k) / (1 - 1 / k)).otherwise(
+        F.lit(1.0)
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            (F.col("n_docs") * F.col("n_docs")).cast("double")
+            / F.col("ss"),
+            4,
+        ).alias("effective_sources"),
+        F.round(norm, 6).alias("hhi_norm"),
+    )
+
+
+Q285_SQL = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+), g AS (
+  SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources,
+         SUM(n * n) AS ss
+  FROM cells GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       ROUND(ss / CAST(n_docs * n_docs AS DOUBLE), 6) AS hhi,
+       ROUND(CAST(n_docs * n_docs AS DOUBLE) / ss, 4)
+         AS effective_sources,
+       ROUND(CASE WHEN n_sources > 1
+             THEN (ss / CAST(n_docs * n_docs AS DOUBLE)
+                   - 1 / CAST(n_sources AS DOUBLE))
+                  / (1 - 1 / CAST(n_sources AS DOUBLE))
+             ELSE 1.0 END, 6) AS hhi_norm
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # q281 — mSPRT ALWAYS-VALID SEQUENTIAL TEST (Robbins 1970; Johari et
 # al. 2017 "Peeking at A/B tests"): the fixed-horizon z-test (q131) is
 # invalidated by daily peeking; the mixture sequential probability
@@ -5842,6 +6095,8 @@ FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
 
 
 QUERIES = {
+    "q284_markov_attribution": q284_markov_attribution,
+    "q285_hhi": q285_hhi,
     "q281_msprt": q281_msprt,
     "q282_pacf": q282_pacf,
     "q274_logrank": q274_logrank,
@@ -5921,6 +6176,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q284_markov_attribution": _q284_sql(),
+    "q285_hhi": Q285_SQL,
     "q281_msprt": Q281_SQL,
     "q282_pacf": Q282_SQL,
     "q274_logrank": Q274_SQL,

@@ -3829,9 +3829,154 @@ FROM seats
 """
 
 
+# --------------------------------------------------------------------------
+# q283 — IPF / RAKING (Deming & Stephan 1940): calibrate the train
+# split's (lang, source) cell weights so its weighted margins match the
+# FULL corpus margins on both axes — the standard survey-reweighting
+# fix for a subsample whose hash assignment left small marginal
+# imbalances (q279 detects them; this repairs them). Three full IPF
+# rounds, each a row-scaling half-step (match lang targets) then a
+# column-scaling half-step (match source targets); after a source
+# half-step the weighted total equals the train size EXACTLY, which the
+# test pins.
+#
+# Scale posture: the corpus is scanned once for the split-flagged
+# margin/cell tables; every IPF half-step is a partial-agg margin
+# rollup + a join back on the BOUNDED cell table (langs × sources).
+# The DuckDB twin unrolls the identical six half-steps.
+# --------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+
+
+def q283_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (md5long(F.col("doc_id").cast("string")) % 10 <= 7)
+        .cast("long")
+        .alias("tr"),
+    )
+    tots = d.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum("tr").cast("double").alias("tt"),
+    )
+    tgt_l = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "lang", (F.col("n_l") * F.col("tt") / F.col("nn")).alias("tgt")
+        )
+    )
+    tgt_s = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "source",
+            (F.col("n_s") * F.col("tt") / F.col("nn")).alias("tgt"),
+        )
+    )
+    w = (
+        d.filter(F.col("tr") == 1)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.lit(1.0))
+    )
+    for _ in range(_IPF_ROUNDS):
+        rs = w.groupBy("lang").agg(
+            F.sum(F.col("w") * F.col("n")).alias("cur")
+        )
+        w = (
+            w.join(rs, "lang")
+            .join(tgt_l, "lang")
+            .select(
+                "lang",
+                "source",
+                "n",
+                (F.col("w") * F.col("tgt") / F.col("cur")).alias("w"),
+            )
+        )
+        cs = w.groupBy("source").agg(
+            F.sum(F.col("w") * F.col("n")).alias("cur")
+        )
+        w = (
+            w.join(cs, "source")
+            .join(tgt_s, "source")
+            .select(
+                "lang",
+                "source",
+                "n",
+                (F.col("w") * F.col("tgt") / F.col("cur")).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_train"),
+        F.round("w", 6).alias("weight"),
+    )
+
+
+def _q283_sql() -> str:
+    split = (
+        MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR)") + " % 10 <= 7"
+    )
+    ctes = [
+        f"""d AS (
+  SELECT lang, source,
+         CASE WHEN {split} THEN 1 ELSE 0 END AS tr
+  FROM documents
+)""",
+        """tots AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+         CAST(SUM(tr) AS DOUBLE) AS tt
+  FROM d
+)""",
+        """tgt_l AS (
+  SELECT lang, COUNT(*) * tt / nn AS tgt
+  FROM d CROSS JOIN tots GROUP BY lang, tt, nn
+)""",
+        """tgt_s AS (
+  SELECT source, COUNT(*) * tt / nn AS tgt
+  FROM d CROSS JOIN tots GROUP BY source, tt, nn
+)""",
+        """w0 AS (
+  SELECT lang, source, COUNT(*) AS n, 1.0 AS w
+  FROM d WHERE tr = 1 GROUP BY lang, source
+)""",
+    ]
+    prev = "w0"
+    for r in range(1, _IPF_ROUNDS + 1):
+        ctes.append(f"""w{r}a AS (
+  SELECT c.lang, c.source, c.n, c.w * t.tgt / rs.cur AS w
+  FROM {prev} c
+  JOIN (SELECT lang, SUM(w * n) AS cur FROM {prev} GROUP BY lang) rs
+    USING (lang)
+  JOIN tgt_l t USING (lang)
+)""")
+        ctes.append(f"""w{r}b AS (
+  SELECT c.lang, c.source, c.n, c.w * t.tgt / cs.cur AS w
+  FROM w{r}a c
+  JOIN (SELECT source, SUM(w * n) AS cur FROM w{r}a GROUP BY source) cs
+    USING (source)
+  JOIN tgt_s t USING (source)
+)""")
+        prev = f"w{r}b"
+    return f"""
+WITH {', '.join(ctes)}
+SELECT lang, source, CAST(n AS BIGINT) AS n_train,
+       ROUND(w, 6) AS weight
+FROM {prev}
+"""
+
+
 QUERIES = {
     "q277_perplexity_buckets": q277_perplexity_buckets,
     "q280_neyman_allocation": q280_neyman_allocation,
+    "q283_ipf_raking": q283_ipf_raking,
     "q279_srm_check": q279_srm_check,
     "q267_greedy_coverage": q267_greedy_coverage,
     "q247_kmv_setops": q247_kmv_setops,
@@ -3889,6 +4034,7 @@ QUERIES = {
 ORACLES = {
     "q277_perplexity_buckets": Q277_SQL,
     "q280_neyman_allocation": Q280_SQL,
+    "q283_ipf_raking": _q283_sql(),
     "q279_srm_check": Q279_SQL,
     "q267_greedy_coverage": _q267_sql(),
     "q247_kmv_setops": Q247_SQL,

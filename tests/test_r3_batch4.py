@@ -176,3 +176,60 @@ def test_pacf_lag1_equals_acf_lag1(spark):
         assert r["pacf1"] == r["rho1"]
         for k in ("rho1", "rho2", "rho3", "pacf2", "pacf3"):
             assert -1.0 - 1e-6 <= r[k] <= 1.0 + 1e-6
+
+
+def test_ipf_raking_matches_source_margins_exactly(spark):
+    """After the final source half-step the weighted source margins
+    equal the scaled full-corpus targets, and the weighted total
+    equals the train-split size."""
+    import duckdb
+
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q283_ipf_raking,
+    )
+
+    rows = q283_ipf_raking(spark, SF01).collect()
+    doc = f"{SF01}/documents.parquet"
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{doc}'").fetchone()[0]
+    srcs = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{doc}' GROUP BY 1"
+        ).fetchall()
+    )
+    t = sum(r["n_train"] for r in rows)
+    wtot = sum(r["weight"] * r["n_train"] for r in rows)
+    assert abs(wtot - t) < 1e-2
+    by_src = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + (
+            r["weight"] * r["n_train"]
+        )
+    for s, achieved in by_src.items():
+        assert abs(achieved - srcs[s] * t / n) < 1e-2
+
+
+def test_markov_attribution_shares_normalize(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q284_markov_attribution,
+    )
+
+    rows = q284_markov_attribution(spark, SF01).collect()
+    assert {r["channel"] for r in rows} == {"click", "signup", "view"}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # removing a channel can only hurt conversion
+        assert r["p_win_removed"] <= r["p_win_base"] + 1e-9
+        assert 0 <= r["removal_effect"] <= 1
+
+
+def test_hhi_bounds_and_effective_sources(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q285_hhi,
+    )
+
+    rows = q285_hhi(spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_sources"] - 1e-9 <= r["hhi"] <= 1.0
+        assert 0.0 <= r["hhi_norm"] <= 1.0
+        assert 1.0 <= r["effective_sources"] <= r["n_sources"] + 1e-9

@@ -362,6 +362,12 @@ AUDIT = [
     # cumulative-mean / running-max windows over the bounded day table
     ("q281_msprt", 3, 0),
     ("q282_pacf", 3, 0),
+    # final-round localCheckpoint materializes the IPF chain; the
+    # measured plan is the post-checkpoint read (q269's pattern)
+    ("q283_ipf_raking", 0, 0),
+    # 4 value-iteration chains on the checkpointed ≤36-row matrix
+    ("q284_markov_attribution", 1, 0),
+    ("q285_hhi", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
