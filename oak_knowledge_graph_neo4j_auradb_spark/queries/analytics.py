@@ -5351,6 +5351,133 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q287 — KLEINBERG BURST DETECTION (Kleinberg 2002, two-state
+# automaton): label each day of every event type's daily-count series
+# as base-rate or BURST via Viterbi decoding — base state emits
+# Poisson(r0 = series mean), burst state Poisson(r1 = 2·r0), entering
+# a burst costs γ=2. Genuinely SEQUENTIAL dynamic programming (each
+# day's survivor depends on the previous day's), so the Spark side
+# runs it as ONE Arrow batch per event type (`applyInPandas` over the
+# bounded daily series — the sanctioned pattern for per-group
+# stateful algorithms), while the DuckDB oracle unrolls the identical
+# recurrence as a generated 64-step CTE chain carrying survivor paths
+# as strings. Both sides bound the series to the first 64 days
+# EXPLICITLY (q206's loud-bound discipline) and break cost ties toward
+# the incumbent state (<=), so the decode is deterministic.
+#
+# Scale posture: one corpus shuffle to the (type, day) histogram; the
+# Arrow stage sees ≤64 rows per type. At 100 TB the heavy work is the
+# partial-agg count — the decode is O(types × days), corpus-free.
+# --------------------------------------------------------------------------
+
+_BURST_GAMMA = 2.0
+_BURST_MAX_DAYS = 64
+
+
+def _burst_viterbi(pdf):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("day").head(_BURST_MAX_DAYS)
+    y = pdf["y"].to_numpy(dtype="float64")
+    r0 = y.mean()
+    r1 = 2.0 * r0
+    e0 = r0 - y * np.log(r0)
+    e1 = r1 - y * np.log(r1)
+    g = _BURST_GAMMA
+    c0, c1 = e0[0], e1[0] + g
+    p0, p1 = "0", "1"
+    for t in range(1, len(y)):
+        n0 = e0[t] + (c0 if c0 <= c1 else c1)
+        np0 = (p0 if c0 <= c1 else p1) + "0"
+        n1 = e1[t] + (c1 if c1 <= c0 + g else c0 + g)
+        np1 = (p1 if c1 <= c0 + g else p0) + "1"
+        c0, c1, p0, p1 = n0, n1, np0, np1
+    path = p0 if c0 <= c1 else p1
+    return pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].iloc[: len(y)].values,
+            "day": pdf["day"].iloc[: len(y)].values,
+            "y": pdf["y"].iloc[: len(y)].values,
+            "in_burst": [int(ch) for ch in path],
+        }
+    )
+
+
+def q287_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _burst_viterbi,
+        "event_type string, day long, y long, in_burst long",
+    )
+
+
+def _q287_sql(steps: int = _BURST_MAX_DAYS) -> str:
+    g = _BURST_GAMMA
+    base = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS i
+  FROM daily
+  QUALIFY i < {steps}
+), r AS (
+  SELECT event_type, AVG(y) AS r0 FROM idx GROUP BY event_type
+), dd AS MATERIALIZED (
+  SELECT idx.event_type, idx.day, idx.y, idx.i,
+         r.r0 - idx.y * ln(r.r0) AS e0,
+         2 * r.r0 - idx.y * ln(2 * r.r0) AS e1
+  FROM idx JOIN r USING (event_type)
+),
+v0 AS (
+  SELECT event_type, e0 AS c0, e1 + {g} AS c1,
+         '0' AS p0, '1' AS p1
+  FROM dd WHERE i = 0
+)"""
+    ctes = [base]
+    for t in range(1, steps):
+        ctes.append(f""",
+v{t} AS (
+  SELECT v.event_type,
+         CASE WHEN d.y IS NULL THEN v.c0
+              ELSE d.e0 + LEAST(v.c0, v.c1) END AS c0,
+         CASE WHEN d.y IS NULL THEN v.c1
+              ELSE d.e1 + LEAST(v.c1, v.c0 + {g}) END AS c1,
+         CASE WHEN d.y IS NULL THEN v.p0
+              ELSE (CASE WHEN v.c0 <= v.c1 THEN v.p0 ELSE v.p1 END)
+                   || '0' END AS p0,
+         CASE WHEN d.y IS NULL THEN v.p1
+              ELSE (CASE WHEN v.c1 <= v.c0 + {g} THEN v.p1 ELSE v.p0
+                    END) || '1' END AS p1
+  FROM v{t - 1} v
+  LEFT JOIN dd d ON d.event_type = v.event_type AND d.i = {t}
+)""")
+    return (
+        "".join(ctes)
+        + f""",
+decoded AS (
+  SELECT event_type,
+         CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS path
+  FROM v{steps - 1}
+)
+SELECT d.event_type, d.day, d.y,
+       CAST(substr(dec.path, d.i + 1, 1) AS BIGINT) AS in_burst
+FROM dd d JOIN decoded dec USING (event_type)"""
+    )
+
+
+# --------------------------------------------------------------------------
 # q284 — MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016): q93's
 # last-touch rule gives the whole conversion to the final channel; the
 # Markov model credits each channel by how much conversion DROPS when
@@ -6095,6 +6222,7 @@ FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
 
 
 QUERIES = {
+    "q287_kleinberg_burst": q287_kleinberg_burst,
     "q284_markov_attribution": q284_markov_attribution,
     "q285_hhi": q285_hhi,
     "q281_msprt": q281_msprt,
@@ -6176,6 +6304,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q287_kleinberg_burst": _q287_sql(),
     "q284_markov_attribution": _q284_sql(),
     "q285_hhi": Q285_SQL,
     "q281_msprt": Q281_SQL,

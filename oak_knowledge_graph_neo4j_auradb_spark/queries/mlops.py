@@ -1585,8 +1585,84 @@ FROM (SELECT y, b0, b1, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
 """
 
 
+# --------------------------------------------------------------------------
+# q286 — WEIGHT-OF-EVIDENCE / INFORMATION VALUE (the credit-scoring
+# feature-screening standard, e.g. Siddiqi 2006): bin the price feature
+# into exact deciles and score how well each bin separates the binary
+# priority label. WoE_i = ln(((pos_i+0.5)/G)/((neg_i+0.5)/B)) (0.5
+# smoothing so empty cells stay finite), IV_i = (pos_i/G − neg_i/B)·
+# WoE_i; Σ IV_i is the feature's screening score (<0.02 useless,
+# >0.3 strong). Complements q152 (single best split) and q207 (decile
+# lift on a model score — here the raw feature is screened pre-model).
+#
+# Scale posture: deciles come from histogram_rank + exact_ntile (the
+# global window sees only the distinct-price histogram); the per-decile
+# contingency is one partial-agg rollup. Counts integer; doubles only
+# in the rendered WoE/IV.
+# --------------------------------------------------------------------------
+
+
+def q286_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderpriority") < "3").cast("long").alias("y"),
+    )
+    ranked = histogram_rank(o, "x", "o_orderkey", out="r", total="n")
+    dec = ranked.withColumn(
+        "decile", exact_ntile(F.col("r"), F.col("n"), 10)
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("double").alias("gg"),
+        F.sum("neg").cast("double").alias("bb"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    woe = F.log(
+        ((F.col("pos") + 0.5) / F.col("gg"))
+        / ((F.col("neg") + 0.5) / F.col("bb"))
+    )
+    iv = (F.col("pos") / F.col("gg") - F.col("neg") / F.col("bb")) * woe
+    return j.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round(woe, 6).alias("woe"),
+        F.round(iv, 6).alias("iv"),
+    )
+
+
+Q286_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice AS x,
+         CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y
+  FROM orders
+), dec AS (
+  SELECT y, NTILE(10) OVER (ORDER BY x, o_orderkey) AS decile
+  FROM o
+), g AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM dec GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(pos) AS DOUBLE) AS gg, CAST(SUM(neg) AS DOUBLE) AS bb
+  FROM g
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS pos,
+       ROUND(ln(((pos + 0.5) / gg) / ((neg + 0.5) / bb)), 6) AS woe,
+       ROUND((pos / gg - neg / bb)
+             * ln(((pos + 0.5) / gg) / ((neg + 0.5) / bb)), 6) AS iv
+FROM g CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q271_logistic_irls": q271_logistic_irls,
+    "q286_woe_iv": q286_woe_iv,
     "q270_prf_expansion": q270_prf_expansion,
     "q253_rrf_fusion": q253_rrf_fusion,
     "q234_fellegi_sunter": q234_fellegi_sunter,
@@ -1608,6 +1684,7 @@ QUERIES = {
 
 ORACLES = {
     "q271_logistic_irls": _q271_sql(),
+    "q286_woe_iv": Q286_SQL,
     "q270_prf_expansion": Q270_SQL,
     "q253_rrf_fusion": Q253_SQL,
     "q234_fellegi_sunter": Q234_SQL,

@@ -3973,10 +3973,116 @@ FROM {prev}
 """
 
 
+# --------------------------------------------------------------------------
+# q288 — POSITION-BASED (U-SHAPED) ATTRIBUTION: the 40/20/40 rule —
+# for every converting journey (a user's channel touches strictly
+# before their first purchase), the first touch gets 40%, the last
+# touch 40%, and the middle touches split 20% evenly; 1-touch journeys
+# get 100%, 2-touch journeys 50/50. Sits between q93 (last-touch) and
+# q284 (Markov removal effect) — the three standard attribution models
+# over one journey table. Credit weights are exact rationals rendered
+# once at the end.
+#
+# Scale posture: one user-partitioned window pass orders each journey
+# (the same shuffle q93/q194 ride); credit assignment is pure row
+# arithmetic and the rollup is a partial agg onto ≤3 channel rows.
+# --------------------------------------------------------------------------
+
+
+def q288_positional_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    rn = ev.withColumn("rn", F.row_number().over(w))
+    prn = rn.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("rn").alias("prn"))
+    j = (
+        rn.join(prn, "user_id")
+        .filter(
+            (F.col("rn") < F.col("prn"))
+            & F.col("event_type").isin("click", "signup", "view")
+        )
+        .select("user_id", "event_id", "es", "event_type")
+    )
+    wj = Window.partitionBy("user_id").orderBy("es", "event_id")
+    wl = Window.partitionBy("user_id")
+    t = (
+        j.withColumn("jrn", F.row_number().over(wj))
+        .withColumn("len", F.count(F.lit(1)).over(wl))
+    )
+    credit = (
+        F.when(F.col("len") == 1, 1.0)
+        .when(F.col("len") == 2, 0.5)
+        .when(F.col("jrn") == 1, 0.4)
+        .when(F.col("jrn") == F.col("len"), 0.4)
+        .otherwise(0.2 / (F.col("len") - 2))
+    )
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum(credit).alias("credit"),
+    )
+    tot = g.agg(F.sum("credit").alias("tc"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("event_type").alias("channel"),
+            "touches",
+            F.round("credit", 4).alias("credit"),
+            F.round(F.col("credit") / F.col("tc"), 6).alias("share"),
+        )
+    )
+
+
+Q288_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS rn
+  FROM events
+), prn AS (
+  SELECT user_id, MIN(rn) AS prn
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+), j AS (
+  SELECT ev.user_id, ev.event_id, ev.es, ev.event_type
+  FROM ev JOIN prn USING (user_id)
+  WHERE ev.rn < prn.prn
+    AND ev.event_type IN ('click', 'signup', 'view')
+), t AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS jrn,
+         COUNT(*) OVER (PARTITION BY user_id) AS len
+  FROM j
+), g AS (
+  SELECT event_type, COUNT(*) AS touches,
+         SUM(CASE WHEN len = 1 THEN 1.0
+                  WHEN len = 2 THEN 0.5
+                  WHEN jrn = 1 THEN 0.4
+                  WHEN jrn = len THEN 0.4
+                  ELSE 0.2 / (len - 2) END) AS credit
+  FROM t GROUP BY event_type
+)
+SELECT event_type AS channel, CAST(touches AS BIGINT) AS touches,
+       ROUND(credit, 4) AS credit,
+       ROUND(credit / SUM(credit) OVER (), 6) AS share
+FROM g
+"""
+
+
 QUERIES = {
     "q277_perplexity_buckets": q277_perplexity_buckets,
     "q280_neyman_allocation": q280_neyman_allocation,
     "q283_ipf_raking": q283_ipf_raking,
+    "q288_positional_attribution": q288_positional_attribution,
     "q279_srm_check": q279_srm_check,
     "q267_greedy_coverage": q267_greedy_coverage,
     "q247_kmv_setops": q247_kmv_setops,
@@ -4035,6 +4141,7 @@ ORACLES = {
     "q277_perplexity_buckets": Q277_SQL,
     "q280_neyman_allocation": Q280_SQL,
     "q283_ipf_raking": _q283_sql(),
+    "q288_positional_attribution": Q288_SQL,
     "q279_srm_check": Q279_SQL,
     "q267_greedy_coverage": _q267_sql(),
     "q247_kmv_setops": Q247_SQL,

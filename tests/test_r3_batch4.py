@@ -233,3 +233,53 @@ def test_hhi_bounds_and_effective_sources(spark):
         assert 1.0 / r["n_sources"] - 1e-9 <= r["hhi"] <= 1.0
         assert 0.0 <= r["hhi_norm"] <= 1.0
         assert 1.0 <= r["effective_sources"] <= r["n_sources"] + 1e-9
+
+
+def test_woe_iv_decile_identities(spark):
+    """Deciles are balanced, pos <= n, and every IV contribution is
+    non-negative (sign(p-b) == sign(WoE) by construction when the
+    smoothing perturbation is small)."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.mlops import (
+        q286_woe_iv,
+    )
+
+    rows = q286_woe_iv(spark, SF01).collect()
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r["pos"] <= r["n"]
+        assert r["iv"] >= -1e-4
+
+
+def test_kleinberg_burst_covers_series_and_flags_peaks(spark):
+    """Every (type, day) cell gets a 0/1 state; burst days have a
+    higher mean count than base days within each type that bursts."""
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.analytics import (
+        q287_kleinberg_burst,
+    )
+
+    rows = q287_kleinberg_burst(spark, SF01).collect()
+    assert len(rows) == 5 * 30
+    by_type = {}
+    for r in rows:
+        assert r["in_burst"] in (0, 1)
+        by_type.setdefault(r["event_type"], []).append(r)
+    for tp, rs in by_type.items():
+        burst = [r["y"] for r in rs if r["in_burst"] == 1]
+        base = [r["y"] for r in rs if r["in_burst"] == 0]
+        if burst and base:
+            assert sum(burst) / len(burst) > sum(base) / len(base)
+
+
+def test_positional_attribution_shares_and_bounds(spark):
+    from oak_knowledge_graph_neo4j_auradb_spark.queries.pipelineops import (
+        q288_positional_attribution,
+    )
+
+    rows = q288_positional_attribution(spark, SF01).collect()
+    assert {r["channel"] for r in rows} <= {"click", "signup", "view"}
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # per-journey credit sums to 1, so credit <= touches
+        assert 0 < r["credit"] <= r["touches"]

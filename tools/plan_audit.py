@@ -368,6 +368,11 @@ AUDIT = [
     # 4 value-iteration chains on the checkpointed ≤36-row matrix
     ("q284_markov_attribution", 1, 0),
     ("q285_hhi", 2, 0),
+    ("q286_woe_iv", 6, 0),
+    # the 1 Arrow stage is the per-type Viterbi decode over the
+    # bounded (≤64-row) daily series
+    ("q287_kleinberg_burst", 2, 1),
+    ("q288_positional_attribution", 4, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
