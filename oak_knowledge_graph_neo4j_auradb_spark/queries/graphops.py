@@ -4266,8 +4266,360 @@ WHERE per.vol > 0 AND per.vol < m2.m2
     )
 
 
+# --------------------------------------------------------------------------
+# kg95 — Katz centrality over the resolved curriculum graph: x⁰ = 1,
+# x^{k+1}(i) = 1 + α·Σ_{j→i} x^k(j), fixed 6 iterations, α = 0.05 (well
+# under 1/λmax for this shallow DAG). Unlike PageRank there is no
+# out-degree normalization and no damping redistribution — Katz counts
+# attenuated in-paths of every length, so hub scores grow with the full
+# upstream path census. Scale posture: `edges` is repartitioned on the
+# join key once and persisted; every iteration reuses that partitioning
+# and adds only the groupBy(obj) combine exchange; lineage is cut per
+# round with localCheckpoint. The oracle unrolls the same recurrence
+# into one CTE per iteration over the independent `edges` union.
+# --------------------------------------------------------------------------
+
+_KATZ_ITERS = 6
+_KATZ_A = 0.05
+
+
+def kg95_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    edges = (
+        gb.resolved.select("subj", "obj")
+        .distinct()
+        .repartition("subj")
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("subj").alias("id"))
+        .union(edges.select(F.col("obj").alias("id")))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+    x = verts.select("id", F.lit(1.0).alias("x"))
+    for _ in range(_KATZ_ITERS):
+        contrib = (
+            edges.join(
+                x.select(F.col("id").alias("_sid"), "x"),
+                edges.subj == F.col("_sid"),
+            )
+            .groupBy(F.col("obj").alias("_cid"))
+            .agg(F.sum("x").alias("c"))
+        )
+        x = (
+            verts.join(contrib, verts.id == F.col("_cid"), "left")
+            .select(
+                verts.id,
+                (
+                    F.lit(1.0)
+                    + F.lit(_KATZ_A) * F.coalesce("c", F.lit(0.0))
+                ).alias("x"),
+            )
+            .localCheckpoint()
+        )
+    out = x.select("id", F.round("x", 8).alias("katz"))
+    edges.unpersist()
+    verts.unpersist()
+    return out
+
+
+def _kg95_sql(iters: int = _KATZ_ITERS, a: float = _KATZ_A) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+verts AS MATERIALIZED (SELECT subj AS id FROM e UNION SELECT obj FROM e),
+x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(
+            f"""
+c{k} AS (SELECT e.obj AS id, SUM(p.x) AS c
+         FROM e JOIN x{p} p ON e.subj = p.id GROUP BY e.obj),
+x{k} AS MATERIALIZED (SELECT v.id,
+         1.0 + CAST({a} AS DOUBLE) * COALESCE(c.c, 0) AS x
+         FROM verts v LEFT JOIN c{k} c ON c.id = v.id)"""
+        )
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f"\nSELECT id, round(x, 8) AS katz FROM x{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
+# kg96 — Wu-Palmer taxonomic similarity (Wu & Palmer 1994) for unit
+# pairs that share a curriculum thread: sim(a,b) = 2·depth(LCA) /
+# (depth(a)+depth(b)) with depth(root)=1 (kg66's BFS min-depth + 1) and
+# LCA = the deepest common ancestor in the hierarchy DAG. Ancestor sets
+# come from an upward transitive closure seeded only at the (bounded)
+# unit set — 8 fixed join rounds cover the ≤5-hop unit→root chains —
+# so the closure is |units|·|chain|, never a full-graph closure. The
+# pair set is bounded per thread (thread-sibling units), the LCA join
+# fans out at ≤ |anc(a)|·|anc(b)| ≈ 10×10 per pair, and the per-thread
+# rollup keeps the result compact. Oracle: two recursive CTEs (BFS
+# depth + ancestor closure) over the independent `edges` union.
+# --------------------------------------------------------------------------
+
+_LCA_ROUNDS = 8
+
+
+def kg96_lca_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    depth = kg66_bfs_depth(spark, sf_dir).withColumnRenamed("depth", "d")
+
+    tu = (
+        gb.resolved.filter(F.col("pred") == "HAS_THREAD")
+        .select(F.col("subj").alias("unit"), F.col("obj").alias("thread"))
+        .distinct()
+        .persist()
+    )
+    units = tu.select("unit").distinct()
+
+    # Upward closure: (unit, ancestor) incl. self; frontier-at-distance-k
+    # expansion, duplicates collapsed per round by distinct.
+    up = e.select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
+    anc = units.select("unit", F.col("unit").alias("a"))
+    frontier = anc
+    for _ in range(_LCA_ROUNDS):
+        frontier = (
+            frontier.join(up, frontier.a == up._c)
+            .select("unit", F.col("_p").alias("a"))
+            .distinct()
+            .localCheckpoint()
+        )
+        anc = anc.union(frontier)
+    anc = anc.distinct().persist()
+
+    pairs = (
+        tu.alias("t1")
+        .join(tu.alias("t2"), "thread")
+        .filter(F.col("t1.unit") < F.col("t2.unit"))
+        .select(
+            "thread",
+            F.col("t1.unit").alias("ua"),
+            F.col("t2.unit").alias("ub"),
+        )
+    )
+    a1 = anc.select(F.col("unit").alias("ua"), "a")
+    a2 = anc.select(F.col("unit").alias("ub"), "a")
+    lca = (
+        pairs.join(a1, "ua")
+        .join(a2, ["ub", "a"])
+        .join(depth.select(F.col("id").alias("a"), "d"), "a")
+        .groupBy("thread", "ua", "ub")
+        .agg(F.max("d").alias("dl"))
+    )
+    da = depth.select(F.col("id").alias("ua"), F.col("d").alias("da"))
+    db = depth.select(F.col("id").alias("ub"), F.col("d").alias("db"))
+    sims = (
+        lca.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            "thread",
+            (
+                2.0
+                * (F.col("dl") + 1)
+                / ((F.col("da") + 1) + (F.col("db") + 1))
+            ).alias("sim"),
+        )
+    )
+    out = sims.groupBy("thread").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+        F.round(F.min("sim"), 6).alias("min_sim"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+    for c in (e, tu, anc):
+        c.unpersist()
+    return out
+
+
+def _kg96_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+roots AS (SELECT DISTINCT subj AS id FROM e
+          WHERE subj NOT IN (SELECT obj FROM e)),
+bfs AS (
+  SELECT id, 0 AS depth FROM roots
+  UNION
+  SELECT e.obj, b.depth + 1 FROM e JOIN bfs b ON e.subj = b.id
+  WHERE b.depth < {_BFS_MAX_DEPTH}
+),
+dep AS MATERIALIZED (SELECT id, MIN(depth) AS d FROM bfs GROUP BY id),
+tu AS MATERIALIZED (SELECT DISTINCT subj AS unit, obj AS thread
+                    FROM edges WHERE pred = 'HAS_THREAD'),
+units AS (SELECT DISTINCT unit FROM tu),
+anc AS (
+  SELECT unit, unit AS a FROM units
+  UNION
+  SELECT anc.unit, e.subj FROM anc JOIN e ON e.obj = anc.a
+),
+pairs AS (
+  SELECT t1.thread, t1.unit AS ua, t2.unit AS ub
+  FROM tu t1 JOIN tu t2 ON t1.thread = t2.thread AND t1.unit < t2.unit
+),
+lca AS (
+  SELECT p.thread, p.ua, p.ub, MAX(d.d) AS dl
+  FROM pairs p
+  JOIN anc a1 ON a1.unit = p.ua
+  JOIN anc a2 ON a2.unit = p.ub AND a2.a = a1.a
+  JOIN dep d ON d.id = a1.a
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT l.thread,
+         2.0 * (l.dl + 1) / ((da.d + 1) + (db.d + 1)) AS sim
+  FROM lca l JOIN dep da ON da.id = l.ua JOIN dep db ON db.id = l.ub
+)
+SELECT thread, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(sim), 6) AS avg_sim,
+       ROUND(MIN(sim), 6) AS min_sim,
+       ROUND(MAX(sim), 6) AS max_sim
+FROM sims GROUP BY thread
+"""
+
+
+# --------------------------------------------------------------------------
+# kg97 — densest-subgraph peeling (Charikar 2000 greedy, Bahmani/
+# Kumar/Vassilvitskii VLDB 2012 MapReduce variant): per round compute
+# the density ρ = |E|/|V| of the surviving undirected graph, then drop
+# every node with degree < 2(1+ε)ρ. With ε = 1 the loop needs only
+# O(log₂ n) rounds and the best surviving round is a 2(1+ε)-approx of
+# the densest subgraph. The threshold scalar stays a lazy broadcast
+# 1-row aggregate (PageRank's dangling-mass pattern — never a driver
+# collect), each round localCheckpoints, and rounds after the graph
+# empties render no row on either engine. Output: one row per surviving
+# round + is_best marking the densest round (tiny aggregated table, so
+# the unpartitioned max-window is exempt). Oracle: the same peel
+# unrolled round-by-round in SQL.
+# --------------------------------------------------------------------------
+
+_DSG_ROUNDS = 16
+_DSG_EPS = 1.0
+
+
+def kg97_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = (
+        gb.resolved.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    thr = 2.0 * (1.0 + _DSG_EPS)
+    per_round = None
+    for k in range(_DSG_ROUNDS):
+        # Empty-graph early exit. Rounds past emptiness render no row on
+        # either engine (n_nodes > 0 filters them), so breaking here never
+        # changes the result — it only avoids piling checkpoint rounds on
+        # a 0-partition RDD, where localCheckpoint cannot truncate lineage
+        # and per-round planning cost compounds (measured: 0.2s → 188s by
+        # round 14 on an empty graph).
+        if not e.take(1):
+            break
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
+        )
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
+        )
+        row = stats.filter(F.col("n_nodes") > 0).select(
+            F.lit(k).cast("long").alias("round"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "n_edges",
+            F.round(F.col("n_edges") / F.col("n_nodes"), 6).alias("density"),
+        )
+        per_round = row if per_round is None else per_round.union(row)
+        kept = (
+            deg.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("deg")
+                >= F.lit(thr) * F.col("n_edges") / F.col("n_nodes")
+            )
+            .select("id")
+        )
+        e = (
+            e.join(kept.withColumnRenamed("id", "a"), "a")
+            .join(kept.withColumnRenamed("id", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        deg.unpersist()
+    w = Window.orderBy(F.lit(1))
+    return per_round.withColumn(
+        "is_best",
+        (F.col("density") == F.max("density").over(w)).cast("boolean"),
+    )
+
+
+def _kg97_sql(rounds: int = _DSG_ROUNDS, eps: float = _DSG_EPS) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b
+  FROM edges WHERE subj <> obj)"""
+    ]
+    rows = []
+    thr = 2.0 * (1.0 + eps)
+    for k in range(rounds):
+        steps.append(
+            f"""
+deg{k} AS (SELECT id, COUNT(*) AS deg FROM (
+  SELECT a AS id FROM e{k} UNION ALL SELECT b FROM e{k}) GROUP BY id),
+st{k} AS MATERIALIZED (SELECT COUNT(*) AS n_nodes,
+  CAST(COALESCE(SUM(deg), 0) / 2 AS BIGINT) AS n_edges FROM deg{k}),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{k} e
+  JOIN deg{k} da ON da.id = e.a
+  JOIN deg{k} db ON db.id = e.b
+  CROSS JOIN st{k} s
+  WHERE da.deg >= {thr} * s.n_edges / s.n_nodes
+    AND db.deg >= {thr} * s.n_edges / s.n_nodes)"""
+        )
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS round, "
+            f"CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, "
+            f"ROUND(n_edges / (1.0 * n_nodes), 6) AS density "
+            f"FROM st{k} WHERE n_nodes > 0"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f""",
+per_round AS ({union})
+SELECT round, n_nodes, n_edges, density,
+       density = (SELECT MAX(density) FROM per_round) AS is_best
+FROM per_round
+"""
+    )
+
+
 QUERIES = {
     "q245_conductance": q245_conductance,
+    "kg95_katz": kg95_katz,
+    "kg96_lca_similarity": kg96_lca_similarity,
+    "kg97_densest_subgraph": kg97_densest_subgraph,
     "q240_wl_refinement": q240_wl_refinement,
     "q232_butterflies": q232_butterflies,
     "q217_luby_mis": q217_luby_mis,
@@ -4321,6 +4673,9 @@ QUERIES = {
 
 ORACLES = {
     "q245_conductance": _q245_sql(),
+    "kg95_katz": _kg95_sql(),
+    "kg96_lca_similarity": _kg96_sql(),
+    "kg97_densest_subgraph": _kg97_sql(),
     "q240_wl_refinement": _q240_sql(),
     "q232_butterflies": _Q232_SQL,
     "q217_luby_mis": _q217_sql(),
