@@ -6221,7 +6221,316 @@ FROM p{_GMM_ROUNDS} p JOIN tot t USING (event_type)
 """
 
 
+# --------------------------------------------------------------------------
+# q289 — isotonic regression (PAVA) of the daily mean event value per
+# event type, computed in closed minimax form: fitted(k) =
+# max_{i<=k} min_{j>=k} avg(y[i..j]) (Barlow et al. 1972, the exact
+# solution the pool-adjacent-violators algorithm converges to). PAVA
+# itself is a sequential pointer scan, but the DAY GRID is bounded
+# (30 points per type here; calendar-bounded at any corpus size), so
+# the minimax triple (i, k, j) materializes ≤ n³/6 rows per type over
+# an already-aggregated intermediate — the raw events table is touched
+# by exactly one partial-agg shuffle. Windows are partitioned by
+# event_type (bounded day series), never global.
+# --------------------------------------------------------------------------
+
+
+def q289_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    grid = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(w).alias("s"),
+    ).persist()
+    # A(i, j) = avg(y[i..j]) from prefix sums: S_j - S_{i-1}
+    gi = grid.select(
+        F.col("event_type").alias("et"),
+        F.col("k").alias("i"),
+        (F.col("s") - F.col("y")).alias("s_im1"),
+    )
+    gj = grid.select(
+        F.col("event_type").alias("et"),
+        F.col("k").alias("j"),
+        F.col("s").alias("s_j"),
+    )
+    avgs = (
+        gi.join(gj, "et")
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "et",
+            "i",
+            "j",
+            ((F.col("s_j") - F.col("s_im1")) / (F.col("j") - F.col("i") + 1)).alias(
+                "a"
+            ),
+        )
+    )
+    ks = grid.select(F.col("event_type").alias("et"), F.col("k").alias("kk"))
+    inner = (
+        avgs.join(ks, "et")
+        .filter((F.col("i") <= F.col("kk")) & (F.col("j") >= F.col("kk")))
+        .groupBy("et", "kk", "i")
+        .agg(F.min("a").alias("m"))
+        .groupBy("et", "kk")
+        .agg(F.max("m").alias("fitted"))
+    )
+    out = (
+        grid.join(
+            inner,
+            (grid.event_type == inner.et) & (grid.k == inner.kk),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.round("y", 6).alias("y"),
+            F.round("fitted", 6).alias("fitted"),
+        )
+    )
+    out = out.localCheckpoint()
+    grid.unpersist()
+    return out
+
+
+Q289_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         AVG(value) AS y
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS s
+  FROM daily
+), avgs AS (
+  SELECT gi.event_type, gi.k AS i, gj.k AS j,
+         (gj.s - (gi.s - gi.y)) / (gj.k - gi.k + 1) AS a
+  FROM grid gi JOIN grid gj
+    ON gi.event_type = gj.event_type AND gi.k <= gj.k
+), inner_min AS (
+  SELECT a.event_type, g.k AS kk, a.i, MIN(a.a) AS m
+  FROM avgs a JOIN grid g
+    ON a.event_type = g.event_type AND a.i <= g.k AND a.j >= g.k
+  GROUP BY 1, 2, 3
+), fit AS (
+  SELECT event_type, kk, MAX(m) AS fitted
+  FROM inner_min GROUP BY 1, 2
+)
+SELECT g.event_type, g.day,
+       ROUND(g.y, 6) AS y, ROUND(f.fitted, 6) AS fitted
+FROM grid g JOIN fit f ON f.event_type = g.event_type AND f.kk = g.k
+"""
+
+
+# --------------------------------------------------------------------------
+# q290 — inverse-propensity-weighted average treatment effect with
+# stratified propensities (Rosenbaum & Rubin 1983; Horvitz-Thompson and
+# Hájek estimators side by side). Treatment = customer-key parity (the
+# deterministic cohort split q131/q281 use), outcome = total order
+# spend, strata = market segment × nation bucket. Propensity ê(x) is
+# the within-stratum treated share; strata violating positivity
+# (ê ∈ {0,1}) are excluded on both engines. Scale posture: one join
+# orders→customer (AQE picks the build side), one partial-agg to the
+# stratum cell table, one broadcast of the ~25-row propensity dim back
+# onto customers — no global windows, no collect.
+# --------------------------------------------------------------------------
+
+
+def q290_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2 == 1).cast("int").alias("t"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("nb"),
+    )
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    base = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "left"
+    ).select("t", "seg", "nb", F.coalesce("y", F.lit(0.0)).alias("y"))
+    prop = (
+        base.groupBy("seg", "nb")
+        .agg(
+            F.avg(F.col("t").cast("double")).alias("e"),
+            F.count(F.lit(1)).alias("n_s"),
+        )
+        .filter((F.col("e") > 0) & (F.col("e") < 1))
+    )
+    j = base.join(F.broadcast(prop), ["seg", "nb"])
+    pbar = j.agg(F.avg(F.col("t").cast("double")).alias("pbar"))
+    j = j.crossJoin(F.broadcast(pbar))
+    sw = F.when(
+        F.col("t") == 1, F.col("pbar") / F.col("e")
+    ).otherwise((1 - F.col("pbar")) / (1 - F.col("e")))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("seg", "nb").cast("long").alias("n_strata"),
+        (
+            F.avg(F.when(F.col("t") == 1, F.col("y")))
+            - F.avg(F.when(F.col("t") == 0, F.col("y")))
+        ).alias("ate_unadj"),
+        F.avg(
+            F.col("t") * F.col("y") / F.col("e")
+            - (1 - F.col("t")) * F.col("y") / (1 - F.col("e"))
+        ).alias("ate_ipw"),
+        (
+            F.sum(F.when(F.col("t") == 1, sw * F.col("y")))
+            / F.sum(F.when(F.col("t") == 1, sw))
+            - F.sum(F.when(F.col("t") == 0, sw * F.col("y")))
+            / F.sum(F.when(F.col("t") == 0, sw))
+        ).alias("ate_hajek"),
+    )
+    return agg.select(
+        "n",
+        "n_strata",
+        F.round("ate_unadj", 6).alias("ate_unadj"),
+        F.round("ate_ipw", 6).alias("ate_ipw"),
+        F.round("ate_hajek", 6).alias("ate_hajek"),
+    )
+
+
+Q290_SQL = """
+WITH base AS (
+  SELECT CASE WHEN c.c_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+         c.c_mktsegment AS seg, c.c_nationkey % 5 AS nb,
+         COALESCE(s.y, 0.0) AS y
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, SUM(o_totalprice) AS y FROM orders GROUP BY 1
+  ) s ON s.o_custkey = c.c_custkey
+), prop AS (
+  SELECT seg, nb, AVG(CAST(t AS DOUBLE)) AS e
+  FROM base GROUP BY 1, 2
+  HAVING AVG(CAST(t AS DOUBLE)) > 0 AND AVG(CAST(t AS DOUBLE)) < 1
+), j AS (
+  SELECT b.*, p.e FROM base b JOIN prop p USING (seg, nb)
+), pb AS (SELECT AVG(CAST(t AS DOUBLE)) AS pbar FROM j),
+w AS (
+  SELECT j.*, CASE WHEN t = 1 THEN pb.pbar / e
+              ELSE (1 - pb.pbar) / (1 - e) END AS sw
+  FROM j CROSS JOIN pb
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT (seg, nb)) AS BIGINT) AS n_strata,
+       ROUND(AVG(CASE WHEN t = 1 THEN y END)
+             - AVG(CASE WHEN t = 0 THEN y END), 6) AS ate_unadj,
+       ROUND(AVG(t * y / e - (1 - t) * y / (1 - e)), 6) AS ate_ipw,
+       ROUND(SUM(CASE WHEN t = 1 THEN sw * y END)
+               / SUM(CASE WHEN t = 1 THEN sw END)
+             - SUM(CASE WHEN t = 0 THEN sw * y END)
+               / SUM(CASE WHEN t = 0 THEN sw END), 6) AS ate_hajek
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# q291 — A/B power analysis per market segment: the minimum detectable
+# effect at α=0.05 / power=0.8 for the current arm sizes, and the
+# per-arm n required to detect a 5% lift. Closed-form two-sample
+# normal approximation with pinned z constants (z_{α/2}=1.959964,
+# z_β=0.841621) — the pre-experiment sizing table every experimentation
+# platform renders before a test launches. One partial-agg pass per
+# arm cell; everything downstream is a ~10-row rollup.
+# --------------------------------------------------------------------------
+
+_Z_A2 = 1.959964
+_Z_B = 0.841621
+
+
+def q291_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 2 == 1).cast("int").alias("t"),
+        F.col("c_acctbal").alias("y"),
+    )
+    cells = cust.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.var_samp("y").alias("v"),
+    )
+    a = cells.filter(F.col("t") == 1).select(
+        "seg",
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = cells.filter(F.col("t") == 0).select(
+        "seg",
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("v").alias("v_b"),
+    )
+    g = a.join(b, "seg")
+    sp = F.sqrt(
+        (
+            (F.col("n_a") - 1) * F.col("v_a")
+            + (F.col("n_b") - 1) * F.col("v_b")
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    mu = (
+        F.col("n_a") * F.col("mu_a") + F.col("n_b") * F.col("mu_b")
+    ) / (F.col("n_a") + F.col("n_b"))
+    zsum = F.lit(_Z_A2 + _Z_B)
+    mde = zsum * sp * F.sqrt(1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    delta = 0.05 * F.abs(mu)
+    n_req = F.ceil(2.0 * F.pow(zsum, 2) * F.pow(sp, 2) / F.pow(delta, 2))
+    return g.select(
+        "seg",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.abs(mu), 6).alias("mde_rel"),
+        n_req.cast("long").alias("n_per_arm_5pct"),
+    )
+
+
+Q291_SQL = f"""
+WITH cells AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+         COUNT(*) AS n, AVG(c_acctbal) AS mu, VAR_SAMP(c_acctbal) AS v
+  FROM customer GROUP BY 1, 2
+), g AS (
+  SELECT a.seg, a.n AS n_a, a.mu AS mu_a, a.v AS v_a,
+         b.n AS n_b, b.mu AS mu_b, b.v AS v_b
+  FROM cells a JOIN cells b ON a.seg = b.seg AND a.t = 1 AND b.t = 0
+), d AS (
+  SELECT seg, n_a, n_b,
+         SQRT(((n_a - 1) * v_a + (n_b - 1) * v_b)
+              / (n_a + n_b - 2)) AS sp,
+         (n_a * mu_a + n_b * mu_b) / (n_a + n_b) AS mu
+  FROM g
+)
+SELECT seg, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(sp, 6) AS pooled_sd,
+       ROUND({_Z_A2 + _Z_B} * sp * SQRT(1.0 / n_a + 1.0 / n_b), 6)
+         AS mde_abs,
+       ROUND({_Z_A2 + _Z_B} * sp * SQRT(1.0 / n_a + 1.0 / n_b)
+             / ABS(mu), 6) AS mde_rel,
+       CAST(CEIL(2.0 * POW({_Z_A2 + _Z_B}, 2) * POW(sp, 2)
+                 / POW(0.05 * ABS(mu), 2)) AS BIGINT)
+         AS n_per_arm_5pct
+FROM d
+"""
+
+
 QUERIES = {
+    "q289_isotonic": q289_isotonic,
+    "q290_ipw_ate": q290_ipw_ate,
+    "q291_power_mde": q291_power_mde,
     "q287_kleinberg_burst": q287_kleinberg_burst,
     "q284_markov_attribution": q284_markov_attribution,
     "q285_hhi": q285_hhi,
@@ -6304,6 +6613,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q289_isotonic": Q289_SQL,
+    "q290_ipw_ate": Q290_SQL,
+    "q291_power_mde": Q291_SQL,
     "q287_kleinberg_burst": _q287_sql(),
     "q284_markov_attribution": _q284_sql(),
     "q285_hhi": Q285_SQL,
