@@ -6527,8 +6527,220 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q292 — AMS tug-of-war sketch (Alon-Matias-Szegedy 1996) estimating
+# the second frequency moment F2 = Σ f(tok)² of the per-language token
+# stream: 16 ±1-signed estimators (sign from the engine-portable
+# md5long hash, so both engines draw the SAME pseudo-random signs),
+# averaged in 4 groups of 4 and median-combined (exact interpolated
+# median on both engines), reported against the exact F2. F2 drives
+# self-join size estimation and skew detection; the sketch is the form
+# that survives when the token dictionary doesn't fit anywhere. Scale
+# posture: one partial-agg to (lang, tok) counts, a broadcast 16-row
+# seed grid (16× fan-out on the aggregated dictionary, not the corpus),
+# then two keyed rollups.
+# --------------------------------------------------------------------------
+
+_AMS_R = 16
+_AMS_GROUPS = 4
+
+
+def q292_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+    exact = tf.groupBy("lang").agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+    )
+    seeds = spark.range(_AMS_R).select(F.col("id").cast("int").alias("r"))
+    sign = 1 - 2 * (
+        md5long(F.concat(F.col("tok"), F.lit("|"), F.col("r").cast("string")))
+        % 2
+    )
+    est = (
+        tf.crossJoin(F.broadcast(seeds))
+        .groupBy("lang", "r")
+        .agg(F.sum(F.col("f") * sign).alias("s"))
+        .groupBy("lang", (F.col("r") % _AMS_GROUPS).alias("g"))
+        .agg(F.avg(F.col("s") * F.col("s")).alias("gm"))
+        .groupBy("lang")
+        .agg(F.percentile("gm", F.lit(0.5)).alias("est_f2"))
+    )
+    out = exact.join(est, "lang").select(
+        "lang",
+        "n_distinct_tokens",
+        "exact_f2",
+        F.round("est_f2", 2).alias("est_f2"),
+        F.round(
+            100.0
+            * F.abs(F.col("est_f2") - F.col("exact_f2"))
+            / F.col("exact_f2"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+    out = out.localCheckpoint()
+    tf.unpersist()
+    return out
+
+
+Q292_SQL = f"""
+WITH tf AS (
+  SELECT lang, tok, COUNT(*) AS f FROM (
+    SELECT lang, unnest({TOKENS_SQL.format(x='text')}) AS tok
+    FROM documents
+  ) GROUP BY lang, tok
+), exact AS (
+  SELECT lang, CAST(SUM(f * f) AS BIGINT) AS exact_f2,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+  FROM tf GROUP BY lang
+), seeds AS (SELECT CAST(unnest(range(16)) AS INT) AS r),
+sk AS (
+  SELECT lang, r,
+         SUM(f * (1 - 2 * ({MD5LONG_SQL.format(
+             x="tok || '|' || CAST(r AS VARCHAR)")} % 2))) AS s
+  FROM tf CROSS JOIN seeds GROUP BY lang, r
+), grp AS (
+  SELECT lang, r % {_AMS_GROUPS} AS g, AVG(s * s) AS gm
+  FROM sk GROUP BY 1, 2
+), est AS (
+  SELECT lang, quantile_cont(gm, 0.5) AS est_f2 FROM grp GROUP BY lang
+)
+SELECT e.lang, e.n_distinct_tokens, e.exact_f2,
+       ROUND(est.est_f2, 2) AS est_f2,
+       ROUND(100.0 * ABS(est.est_f2 - e.exact_f2) / e.exact_f2, 4)
+         AS rel_err_pct
+FROM exact e JOIN est USING (lang)
+"""
+
+
+# --------------------------------------------------------------------------
+# q293 — l-diversity audit (Machanavajjhala et al. 2007), the
+# companion gate to q222's k-anonymity: a quasi-identifier class can be
+# large (k-anonymous) yet still leak if every row shares the same
+# sensitive value. QI = (nation, segment); sensitive = balance bucket.
+# For l ∈ {2, 3, 5}: classes with fewer than l distinct sensitive
+# values, rows they expose, at-risk %. Same scale shape as q222 — one
+# two-level partial agg to the class table, broadcast l-grid rollup.
+# --------------------------------------------------------------------------
+
+
+def q293_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cls = (
+        cust.select(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_kb"),
+        )
+        .groupBy("nat", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bal_kb").alias("ldiv"),
+        )
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l int")
+    weak_rows = F.when(F.col("ldiv") < F.col("l"), F.col("n")).otherwise(0)
+    return (
+        cls.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("ldiv") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("weak_classes"),
+            F.sum(weak_rows).cast("long").alias("rows_at_risk"),
+            r4(100.0 * F.sum(weak_rows) / F.sum("n")).alias("risk_pct"),
+        )
+    )
+
+
+Q293_SQL = """
+WITH cls AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg, COUNT(*) AS n,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS INT)) AS ldiv
+  FROM customer GROUP BY 1, 2
+), ls AS (SELECT CAST(unnest([2, 3, 5]) AS INT) AS l)
+SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT)
+         AS weak_classes,
+       CAST(SUM(CASE WHEN ldiv < l THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       ROUND(100.0 * SUM(CASE WHEN ldiv < l THEN n ELSE 0 END) / SUM(n), 4)
+         AS risk_pct
+FROM cls CROSS JOIN ls GROUP BY l
+"""
+
+
+# --------------------------------------------------------------------------
+# q294 — ε-differentially-private histogram release (Dwork et al.
+# 2006): per-(lang, source) document counts with Laplace(1/ε) noise,
+# ε = 0.5, sensitivity 1 (one document moves one cell by one). The
+# noise is drawn by inverse-CDF from an md5long-derived uniform — both
+# engines compute the SAME deterministic draw, which is what makes the
+# mechanism oracle-checkable; a production release swaps the hash
+# uniform for a real RNG without touching the plan. Released counts
+# are clamped at 0 and rounded. One partial-agg pass; the noise math
+# is per-cell scalar arithmetic on the ~25-row aggregate.
+# --------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+
+
+def q294_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h = md5long(F.concat(F.col("lang"), F.lit("|"), F.col("source")))
+    u = ((h % 1000000) + 0.5) / 1000000.0 - 0.5
+    noise = (
+        -F.lit(1.0 / _DP_EPS)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(noise, 6).alias("noise"),
+        F.greatest(F.lit(0), F.round(F.col("n") + noise, 0))
+        .cast("long")
+        .alias("released_n"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
+
+
+Q294_SQL = f"""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), noised AS (
+  SELECT lang, source, n,
+         -(1.0 / {_DP_EPS}) * SIGN(u) * LN(1.0 - 2.0 * ABS(u)) AS noise
+  FROM (
+    SELECT lang, source, n,
+           (({MD5LONG_SQL.format(x="lang || '|' || source")} % 1000000)
+            + 0.5) / 1000000.0 - 0.5 AS u
+    FROM cells
+  )
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+       ROUND(noise, 6) AS noise,
+       CAST(GREATEST(0, ROUND(n + noise, 0)) AS BIGINT) AS released_n,
+       CAST({_DP_EPS} AS DOUBLE) AS epsilon
+FROM noised
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q292_ams_f2": q292_ams_f2,
+    "q293_l_diversity": q293_l_diversity,
+    "q294_dp_histogram": q294_dp_histogram,
     "q290_ipw_ate": q290_ipw_ate,
     "q291_power_mde": q291_power_mde,
     "q287_kleinberg_burst": q287_kleinberg_burst,
@@ -6614,6 +6826,9 @@ QUERIES = {
 
 ORACLES = {
     "q289_isotonic": Q289_SQL,
+    "q292_ams_f2": Q292_SQL,
+    "q293_l_diversity": Q293_SQL,
+    "q294_dp_histogram": Q294_SQL,
     "q290_ipw_ate": Q290_SQL,
     "q291_power_mde": Q291_SQL,
     "q287_kleinberg_burst": _q287_sql(),
