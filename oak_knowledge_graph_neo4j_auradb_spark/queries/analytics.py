@@ -6736,8 +6736,244 @@ FROM noised
 """
 
 
+# --------------------------------------------------------------------------
+# q295 — Holt double exponential smoothing (level + trend) of the daily
+# event-count series per type, α=0.3, β=0.1, classic init l₁=y₁,
+# b₁=y₂−y₁. The recurrence is sequential, but the day grid is calendar-
+# bounded, so the Spark side folds the sorted per-type array with the
+# JVM `aggregate` HOF — whole-stage-codegen arithmetic, zero Python —
+# after ONE partial-agg shuffle builds the daily series. The oracle
+# replays the identical recurrence as a recursive CTE stepping the day
+# index. Output: final level/trend, 1-step forecast, RMSE of the
+# 1-step-ahead predictions.
+# --------------------------------------------------------------------------
+
+_HOLT_A = 0.3
+_HOLT_B = 0.1
+
+
+def q295_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    a, b = _HOLT_A, _HOLT_B
+    fold = f"""
+    aggregate(
+      slice(arr, 2, size(arr) - 1),
+      named_struct(
+        'l', arr[0].y,
+        'b', arr[1].y - arr[0].y,
+        'sse', cast(0.0 as double),
+        'k', cast(0 as int)
+      ),
+      (acc, x) -> named_struct(
+        'l', {a} * x.y + {1 - a} * (acc.l + acc.b),
+        'b', {b} * (({a} * x.y + {1 - a} * (acc.l + acc.b)) - acc.l)
+             + {1 - b} * acc.b,
+        'sse', acc.sse + (x.y - (acc.l + acc.b)) * (x.y - (acc.l + acc.b)),
+        'k', acc.k + 1
+      )
+    )"""
+    return series.filter(F.size("arr") >= 2).select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_days"),
+        F.expr(fold).alias("h"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("h.l"), 6).alias("level"),
+        F.round(F.col("h.b"), 6).alias("trend"),
+        F.round(F.col("h.l") + F.col("h.b"), 6).alias("forecast_next"),
+        F.round(F.sqrt(F.col("h.sse") / F.col("h.k")), 6).alias("rmse_1step"),
+    )
+
+
+Q295_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM daily
+), nn AS (
+  SELECT event_type, COUNT(*) AS n FROM grid GROUP BY 1
+), rec AS (
+  SELECT g1.event_type, 1 AS k, g1.y AS l, g2.y - g1.y AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM grid g1 JOIN grid g2
+    ON g1.event_type = g2.event_type AND g1.k = 1 AND g2.k = 2
+  UNION ALL
+  SELECT r.event_type, r.k + 1,
+         {_HOLT_A} * d.y + {1 - _HOLT_A} * (r.l + r.b),
+         {_HOLT_B} * (({_HOLT_A} * d.y + {1 - _HOLT_A} * (r.l + r.b)) - r.l)
+           + {1 - _HOLT_B} * r.b,
+         r.sse + (d.y - (r.l + r.b)) * (d.y - (r.l + r.b))
+  FROM rec r JOIN grid d
+    ON d.event_type = r.event_type AND d.k = r.k + 1
+)
+SELECT r.event_type, CAST(n.n AS BIGINT) AS n_days,
+       ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+       ROUND(r.l + r.b, 6) AS forecast_next,
+       ROUND(SQRT(r.sse / (n.n - 1)), 6) AS rmse_1step
+FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.k = n.n
+WHERE n.n >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q296 — negative-binomial overdispersion fit (method of moments) of
+# the per-type daily event counts: dispersion index v/μ, and the NB2
+# parameters r = μ²/(v−μ), p = r/(r+μ) when the series is genuinely
+# overdispersed (v > μ; otherwise NULL — Poisson suffices). The count
+# model a rate-anomaly stack (q89) assumes; fitting it per type tells
+# you which feeds violate Poisson. One partial-agg pass to the day
+# grid, one bounded rollup.
+# --------------------------------------------------------------------------
+
+
+def q296_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("y").alias("mu"),
+        F.var_samp("y").alias("v"),
+    )
+    over = F.col("v") > F.col("mu")
+    r = F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu"))
+    return g.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mu"),
+        F.round("v", 6).alias("var"),
+        F.round(F.col("v") / F.col("mu"), 6).alias("dispersion"),
+        F.round(F.when(over, r), 6).alias("nb_r"),
+        F.round(F.when(over, r / (r + F.col("mu"))), 6).alias("nb_p"),
+    )
+
+
+Q296_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         AVG(y) AS mu, VAR_SAMP(y) AS v
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, ROUND(mu, 6) AS mu, ROUND(v, 6) AS var,
+       ROUND(v / mu, 6) AS dispersion,
+       ROUND(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 6) AS nb_r,
+       ROUND(CASE WHEN v > mu THEN (mu * mu / (v - mu))
+                  / ((mu * mu / (v - mu)) + mu) END, 6) AS nb_p
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q297 — TOST equivalence test (Schuirmann 1987) per market segment:
+# instead of asking "do the parity arms differ?" (q131's z-test), ask
+# "are they provably equivalent within ±δ?" with δ = 10% of the pooled
+# mean. Two one-sided z statistics; equivalence is declared when BOTH
+# exceed z_α = 1.644854. This is the guardrail-metric gate an
+# experimentation platform runs on non-inferiority checks. Same
+# two-cell-per-segment agg shape as q291.
+# --------------------------------------------------------------------------
+
+_Z_A = 1.644854
+
+
+def q297_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 2 == 1).cast("int").alias("t"),
+        F.col("c_acctbal").alias("y"),
+    )
+    cells = cust.groupBy("seg", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.var_samp("y").alias("v"),
+    )
+    a = cells.filter(F.col("t") == 1).select(
+        "seg",
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = cells.filter(F.col("t") == 0).select(
+        "seg",
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("v").alias("v_b"),
+    )
+    g = a.join(b, "seg")
+    diff = F.col("mu_a") - F.col("mu_b")
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    pooled = (
+        F.col("n_a") * F.col("mu_a") + F.col("n_b") * F.col("mu_b")
+    ) / (F.col("n_a") + F.col("n_b"))
+    delta = 0.1 * F.abs(pooled)
+    z_lo = (diff + delta) / se
+    z_hi = (delta - diff) / se
+    return g.select(
+        "seg",
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(delta, 6).alias("delta"),
+        F.round(z_lo, 6).alias("z_lower"),
+        F.round(z_hi, 6).alias("z_upper"),
+        (F.least(z_lo, z_hi) > _Z_A).alias("equivalent"),
+    )
+
+
+Q297_SQL = f"""
+WITH cells AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+         COUNT(*) AS n, AVG(c_acctbal) AS mu, VAR_SAMP(c_acctbal) AS v
+  FROM customer GROUP BY 1, 2
+), g AS (
+  SELECT a.seg, a.n AS n_a, a.mu AS mu_a, a.v AS v_a,
+         b.n AS n_b, b.mu AS mu_b, b.v AS v_b
+  FROM cells a JOIN cells b ON a.seg = b.seg AND a.t = 1 AND b.t = 0
+), d AS (
+  SELECT seg, mu_a - mu_b AS diff,
+         SQRT(v_a / n_a + v_b / n_b) AS se,
+         0.1 * ABS((n_a * mu_a + n_b * mu_b) / (n_a + n_b)) AS delta
+  FROM g
+)
+SELECT seg, ROUND(diff, 6) AS diff, ROUND(se, 6) AS se,
+       ROUND(delta, 6) AS delta,
+       ROUND((diff + delta) / se, 6) AS z_lower,
+       ROUND((delta - diff) / se, 6) AS z_upper,
+       LEAST((diff + delta) / se, (delta - diff) / se) > {_Z_A}
+         AS equivalent
+FROM d
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q295_holt_linear": q295_holt_linear,
+    "q296_negbin_fit": q296_negbin_fit,
+    "q297_tost_equivalence": q297_tost_equivalence,
     "q292_ams_f2": q292_ams_f2,
     "q293_l_diversity": q293_l_diversity,
     "q294_dp_histogram": q294_dp_histogram,
@@ -6826,6 +7062,9 @@ QUERIES = {
 
 ORACLES = {
     "q289_isotonic": Q289_SQL,
+    "q295_holt_linear": Q295_SQL,
+    "q296_negbin_fit": Q296_SQL,
+    "q297_tost_equivalence": Q297_SQL,
     "q292_ams_f2": Q292_SQL,
     "q293_l_diversity": Q293_SQL,
     "q294_dp_histogram": Q294_SQL,
