@@ -373,6 +373,26 @@ AUDIT = [
     # bounded (≤64-row) daily series
     ("q287_kleinberg_burst", 2, 1),
     ("q288_positional_attribution", 4, 0),
+    # final-iteration localCheckpoint: the measured plan is the
+    # post-checkpoint read (q283's pattern)
+    ("kg95_katz", 0, 0),
+    # depth BFS + unit-seeded closure + LCA joins; the 6 Arrow stages
+    # are the sanctioned kg-build wide melt (q216's pattern)
+    ("kg96_lca_similarity", 30, 6),
+    # density-peel rounds are checkpointed; the residual exchanges are
+    # the per-round 1-row stat aggregates
+    ("kg97_densest_subgraph", 6, 0),
+    ("q289_isotonic", 0, 0),  # minimax over the checkpointed day grid
+    ("q290_ipw_ate", 5, 0),
+    ("q291_power_mde", 2, 0),
+    ("q292_ams_f2", 0, 0),  # post-checkpoint read of the sketch rollup
+    ("q293_l_diversity", 3, 0),
+    ("q294_dp_histogram", 1, 0),
+    # Holt recurrences fold JVM-side over per-type day arrays; the two
+    # exchanges are the day agg + the type rollup
+    ("q295_holt_linear", 2, 0),
+    ("q296_negbin_fit", 2, 0),
+    ("q297_tost_equivalence", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
