@@ -4615,8 +4615,309 @@ FROM per_round
     )
 
 
+# --------------------------------------------------------------------------
+# kg98 — SHACL-style shape validation: declared cardinality constraints
+# per (focus label, outgoing predicate) — sh:minCount / sh:maxCount of
+# a property shape — validated against EVERY node of the focus label,
+# including nodes with zero edges (which kg78's edge-only profile can
+# never see). The node universe is the fused (label, nid) melt the
+# resolver itself consumes (ONE exchange for all labels, kg84's
+# pattern), edge counts are one partial-agg shuffle, and the constraint
+# table is a broadcast literal — the shape a SHACL engine compiles to
+# at 10⁹ nodes. Output: per constraint, node/conformance/violation
+# counts. Oracle: the same constraints as a VALUES table joined to the
+# independent dim_* / edges CTEs.
+# --------------------------------------------------------------------------
+
+_SHACL_CONSTRAINTS = [
+    # (focus label, predicate, sh:minCount, sh:maxCount or None)
+    ("Phase", "HAS_KEY_STAGE", 1, 4),
+    ("Keystage", "HAS_YEAR", 1, 6),
+    ("Unitoffering", "HAS_PROGRAMME", 1, None),
+    ("Unit", "HAS_UNITVARIANT", 1, None),
+    ("Unit", "HAS_THREAD", 0, 10),
+    ("Unitvariant", "HAS_LESSON", 1, None),
+]
+
+
+def kg98_shacl_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    cons = spark.createDataFrame(
+        _SHACL_CONSTRAINTS, "label string, pred string, min_c int, max_c int"
+    )
+    nodes = gb.extras["dims"].select(
+        "label", F.col("nid").cast("string").alias("id")
+    )
+    focus = nodes.join(F.broadcast(cons), "label")
+    cnt = (
+        gb.resolved.select(
+            F.col("subj_label").alias("label"),
+            "pred",
+            F.col("subj").alias("id"),
+            "obj",
+        )
+        .distinct()
+        .groupBy("label", "pred", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = focus.join(cnt, ["label", "pred", "id"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    v_min = (F.col("c") < F.col("min_c")).cast("int")
+    v_max = (
+        F.col("max_c").isNotNull() & (F.col("c") > F.col("max_c"))
+    ).cast("int")
+    return (
+        j.groupBy("label", "pred", "min_c", "max_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(v_min).cast("long").alias("n_viol_min"),
+            F.sum(v_max).cast("long").alias("n_viol_max"),
+            F.sum(
+                ((v_min == 0) & (v_max == 0)).cast("int")
+            ).cast("long").alias("n_conforming"),
+        )
+        .withColumn(
+            "conformance",
+            F.round(F.col("n_conforming") / F.col("n_nodes"), 6),
+        )
+    )
+
+
+def _kg98_sql() -> str:
+    from .kg import _edges_union_sql
+
+    vals = ", ".join(
+        f"('{lbl}', '{pred}', {mn}, {'NULL' if mx is None else mx})"
+        for lbl, pred, mn, mx in _SHACL_CONSTRAINTS
+    )
+    labels = sorted({lbl for lbl, _, _, _ in _SHACL_CONSTRAINTS})
+    nodes_all = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS label, id FROM dim_{lbl}" for lbl in labels
+    )
+    return f"""
+{_edges_union_sql()},
+cons AS (SELECT label, pred, CAST(min_c AS INTEGER) AS min_c,
+                CAST(max_c AS INTEGER) AS max_c
+         FROM (VALUES {vals}) t(label, pred, min_c, max_c)),
+nodes_all AS ({nodes_all}),
+cnts AS (SELECT subj_label AS label, pred, subj AS id, COUNT(*) AS c
+         FROM edges GROUP BY 1, 2, 3),
+per_node AS (
+  SELECT co.label, co.pred, co.min_c, co.max_c, n.id,
+         COALESCE(ct.c, 0) AS c
+  FROM cons co
+  JOIN nodes_all n ON n.label = co.label
+  LEFT JOIN cnts ct
+    ON ct.label = co.label AND ct.pred = co.pred AND ct.id = n.id
+)
+SELECT label, pred, min_c, max_c,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN c < min_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viol_min,
+       CAST(SUM(CASE WHEN max_c IS NOT NULL AND c > max_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_max,
+       CAST(SUM(CASE WHEN c >= min_c
+                AND (max_c IS NULL OR c <= max_c)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming,
+       ROUND(SUM(CASE WHEN c >= min_c AND (max_c IS NULL OR c <= max_c)
+                 THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 6) AS conformance
+FROM per_node GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# kg100 — SNAP graph summarization (Tian, Hankins & Patel, SIGMOD 2008
+# "Efficient Aggregation for Graph Summarization", the A-compatible
+# grouping): nodes collapse into supernodes keyed by (label, sorted set
+# of outgoing (pred → neighbor label) kinds, sorted set of incoming
+# (source label → pred) kinds). The summary is the compressed schema-
+# level view a KG QA pass reads instead of 10⁹ rows. Plan: the edge
+# table aggregates once per direction (two partial-agg shuffles on
+# subj / obj), the signature group-by is a third — no joins wider than
+# the node table, no per-node Python. Oracle: DuckDB string_agg with
+# DISTINCT + ORDER BY rebuilds the identical signatures.
+# --------------------------------------------------------------------------
+
+
+def kg100_snap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    # Schemaversion is the synthetic run-metadata singleton — not part
+    # of the instance graph the summary describes.
+    nodes = gb.extras["dims"].filter(
+        F.col("label") != "Schemaversion"
+    ).select("label", F.col("nid").cast("string").alias("id"))
+    e = gb.resolved.select(
+        "subj_label", "pred", "obj_label", "subj", "obj"
+    ).distinct()
+    outs = (
+        e.select(
+            F.col("subj_label").alias("label"),
+            F.col("subj").alias("id"),
+            F.concat_ws(">", "pred", "obj_label").alias("k"),
+        )
+        .groupBy("label", "id")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("k"))).alias(
+                "out_sig"
+            )
+        )
+    )
+    ins = (
+        e.select(
+            F.col("obj_label").alias("label"),
+            F.col("obj").alias("id"),
+            F.concat_ws(">", "subj_label", "pred").alias("k"),
+        )
+        .groupBy("label", "id")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("k"))).alias(
+                "in_sig"
+            )
+        )
+    )
+    sig = (
+        nodes.join(outs, ["label", "id"], "left")
+        .join(ins, ["label", "id"], "left")
+        .withColumn("out_sig", F.coalesce("out_sig", F.lit("")))
+        .withColumn("in_sig", F.coalesce("in_sig", F.lit("")))
+    )
+    return sig.groupBy("label", "out_sig", "in_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("id").alias("sample_id"),
+    )
+
+
+def _kg100_sql() -> str:
+    from .kg import _LABEL_ID_SQL, _edges_union_sql
+
+    labels = sorted(_LABEL_ID_SQL) + ["Thread"]
+    nodes_all = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS label, id FROM dim_{lbl}" for lbl in labels
+    )
+    return f"""
+{_edges_union_sql()},
+nodes_all AS ({nodes_all}),
+outs AS (
+  SELECT subj_label AS label, subj AS id,
+         string_agg(DISTINCT pred || '>' || obj_label, '|'
+                    ORDER BY pred || '>' || obj_label) AS out_sig
+  FROM edges GROUP BY 1, 2
+),
+ins AS (
+  SELECT obj_label AS label, obj AS id,
+         string_agg(DISTINCT subj_label || '>' || pred, '|'
+                    ORDER BY subj_label || '>' || pred) AS in_sig
+  FROM edges GROUP BY 1, 2
+),
+sig AS (
+  SELECT n.label, n.id,
+         COALESCE(o.out_sig, '') AS out_sig,
+         COALESCE(i.in_sig, '') AS in_sig
+  FROM nodes_all n
+  LEFT JOIN outs o ON o.label = n.label AND o.id = n.id
+  LEFT JOIN ins i ON i.label = n.label AND i.id = n.id
+)
+SELECT label, out_sig, in_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(id) AS sample_id
+FROM sig GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# kg101 — transitive-reduction audit of the curriculum DAG: an edge
+# (u, v) is REDUNDANT when some alternative path u →⁺ v of length ≥ 2
+# already implies it (Aho, Garey & Ullman 1972) — for prerequisite-style
+# graphs these are the edges a minimal KG drops. Reachability-at-2-plus
+# is built by ≤ 8 frontier-join rounds seeded at the edge tails (the
+# kg96 bounded-closure pattern: per-round distinct + localCheckpoint,
+# never a full all-pairs closure), then one semi-join flags redundant
+# edges and a per-predicate rollup renders the reduction rate. Oracle:
+# recursive-CTE paths with depth ≥ 2 over the independent edges union.
+# --------------------------------------------------------------------------
+
+_TR_ROUNDS = 8
+
+
+def kg101_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    hop = e.select(F.col("subj").alias("u"), F.col("obj").alias("m"))
+    cur = hop
+    reach2: DataFrame | None = None
+    for _ in range(_TR_ROUNDS - 1):
+        cur = (
+            cur.join(e, cur.m == e.subj)
+            .select("u", F.col("obj").alias("m"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if not cur.take(1):
+            break
+        reach2 = cur if reach2 is None else reach2.union(cur)
+    ep = gb.resolved.select("pred", "subj", "obj").distinct()
+    if reach2 is not None:
+        red = ep.join(
+            reach2.select(
+                F.col("u").alias("subj"), F.col("m").alias("obj")
+            ).distinct(),
+            ["subj", "obj"],
+            "left_semi",
+        )
+    else:  # pragma: no cover — every real build has 2-hop paths
+        red = ep.limit(0)
+    n_red = red.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_redundant")
+    )
+    out = (
+        ep.groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .join(n_red, "pred", "left")
+        .withColumn("n_redundant", F.coalesce("n_redundant", F.lit(0)))
+        .withColumn(
+            "reduction_rate",
+            F.round(F.col("n_redundant") / F.col("n_edges"), 6),
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def _kg101_sql() -> str:
+    from .kg import _edges_union_sql
+
+    base = _edges_union_sql().replace("WITH sp AS", "WITH RECURSIVE sp AS", 1)
+    return f"""
+{base},
+e AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges),
+paths AS (
+  SELECT subj AS u, obj AS m, 1 AS depth FROM e
+  UNION
+  SELECT p.u, e.obj, p.depth + 1 FROM paths p
+  JOIN e ON e.subj = p.m WHERE p.depth < {_TR_ROUNDS}
+),
+reach2 AS MATERIALIZED (SELECT DISTINCT u, m FROM paths WHERE depth >= 2),
+ep AS (SELECT DISTINCT pred, subj, obj FROM edges),
+red AS (
+  SELECT ep.pred, COUNT(*) AS n_redundant
+  FROM ep JOIN reach2 r ON r.u = ep.subj AND r.m = ep.obj
+  GROUP BY 1
+)
+SELECT ep.pred, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COALESCE(MAX(red.n_redundant), 0) AS BIGINT) AS n_redundant,
+       ROUND(COALESCE(MAX(red.n_redundant), 0) / (1.0 * COUNT(*)), 6)
+         AS reduction_rate
+FROM ep LEFT JOIN red ON red.pred = ep.pred
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q245_conductance": q245_conductance,
+    "kg98_shacl_shapes": kg98_shacl_shapes,
+    "kg100_snap_summary": kg100_snap_summary,
+    "kg101_transitive_reduction": kg101_transitive_reduction,
     "kg95_katz": kg95_katz,
     "kg96_lca_similarity": kg96_lca_similarity,
     "kg97_densest_subgraph": kg97_densest_subgraph,
@@ -4672,6 +4973,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg98_shacl_shapes": _kg98_sql(),
+    "kg100_snap_summary": _kg100_sql(),
+    "kg101_transitive_reduction": _kg101_sql(),
     "q245_conductance": _q245_sql(),
     "kg95_katz": _kg95_sql(),
     "kg96_lca_similarity": _kg96_sql(),

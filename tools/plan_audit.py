@@ -393,6 +393,11 @@ AUDIT = [
     ("q295_holt_linear", 2, 0),
     ("q296_negbin_fit", 2, 0),
     ("q297_tost_equivalence", 2, 0),
+    # kg98/kg100/kg101 ride the kg-build wide melt (the sanctioned
+    # Arrow stages); their own tails are 2-4 keyed aggs/joins each
+    ("kg98_shacl_shapes", 16, 5),
+    ("kg100_snap_summary", 24, 8),
+    ("kg101_transitive_reduction", 13, 3),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
