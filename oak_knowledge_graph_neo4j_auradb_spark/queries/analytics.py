@@ -6969,8 +6969,357 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# q298 — additive Holt-Winters (triple exponential smoothing, Winters
+# 1960) of the per-type daily count series with weekly seasonality
+# (m=7): classic init l=mean(first week), b=(mean(week 2)−mean(week 1))
+# /m, s_i = y_i − mean(week 1); then the level/trend/seasonal
+# recurrences over t = m+1..n. Like q295 the sequential recurrence
+# folds JVM-side over the sorted per-type day array — the accumulator
+# carries the rolling 7-slot seasonal window as an array field, so the
+# whole fit is whole-stage-codegen arithmetic after ONE partial-agg
+# shuffle. Position index (not calendar day) drives the seasonal slot,
+# so missing days shift slots identically in both engines. Oracle: the
+# identical recurrence as a recursive CTE carrying a LIST column.
+# --------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G, _HW_M = 0.3, 0.05, 0.2, 7
+
+
+def q298_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    a, b, g, m = _HW_A, _HW_B, _HW_G, _HW_M
+    fold = f"""
+    aggregate(
+      slice(arr, {m + 1}, size(arr) - {m}),
+      named_struct(
+        'l', aggregate(slice(arr, 1, {m}), cast(0.0 as double),
+                       (acc, x) -> acc + x.y) / {m},
+        'b', (aggregate(slice(arr, {m + 1}, {m}), cast(0.0 as double),
+                        (acc, x) -> acc + x.y) / {m}
+              - aggregate(slice(arr, 1, {m}), cast(0.0 as double),
+                          (acc, x) -> acc + x.y) / {m}) / {m},
+        's', transform(slice(arr, 1, {m}),
+                       x -> x.y - aggregate(slice(arr, 1, {m}),
+                                            cast(0.0 as double),
+                                            (acc, x2) -> acc + x2.y) / {m}),
+        'sse', cast(0.0 as double)
+      ),
+      (acc, x) -> named_struct(
+        'l', {a} * (x.y - element_at(acc.s, 1))
+             + {1 - a} * (acc.l + acc.b),
+        'b', {b} * (({a} * (x.y - element_at(acc.s, 1))
+                     + {1 - a} * (acc.l + acc.b)) - acc.l)
+             + {1 - b} * acc.b,
+        's', concat(
+          slice(acc.s, 2, {m - 1}),
+          array({g} * (x.y - ({a} * (x.y - element_at(acc.s, 1))
+                              + {1 - a} * (acc.l + acc.b)))
+                + {1 - g} * element_at(acc.s, 1))
+        ),
+        'sse', acc.sse
+          + (x.y - (acc.l + acc.b + element_at(acc.s, 1)))
+            * (x.y - (acc.l + acc.b + element_at(acc.s, 1)))
+      )
+    )"""
+    n = F.size("arr")
+    return (
+        series.filter(n >= 2 * m + 1)
+        .select(
+            "event_type",
+            n.cast("long").alias("n_days"),
+            F.expr(fold).alias("h"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("h.l"), 6).alias("level"),
+            F.round(F.col("h.b"), 6).alias("trend"),
+            F.round(F.element_at("h.s", 1), 6).alias("season_next"),
+            F.round(
+                F.col("h.l") + F.col("h.b") + F.element_at("h.s", 1), 6
+            ).alias("forecast_next"),
+            F.round(
+                F.sqrt(F.col("h.sse") / (F.col("n_days") - m)), 6
+            ).alias("rmse_1step"),
+        )
+    )
+
+
+Q298_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+  FROM daily
+), nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM grid GROUP BY 1
+), init AS (
+  SELECT event_type,
+         AVG(y) FILTER (WHERE k <= {_HW_M}) AS l,
+         (AVG(y) FILTER (WHERE k > {_HW_M} AND k <= {2 * _HW_M})
+          - AVG(y) FILTER (WHERE k <= {_HW_M})) / {_HW_M} AS b,
+         list(y - (SELECT AVG(y2.y) FROM grid y2
+                   WHERE y2.event_type = grid.event_type
+                     AND y2.k <= {_HW_M})
+              ORDER BY k) FILTER (WHERE k <= {_HW_M}) AS s
+  FROM grid GROUP BY event_type
+), rec AS (
+  SELECT i.event_type, {_HW_M} AS t, i.l, i.b, i.s,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM init i
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         {_HW_A} * (g.y - r.s[1]) + {1 - _HW_A} * (r.l + r.b),
+         {_HW_B} * (({_HW_A} * (g.y - r.s[1])
+                     + {1 - _HW_A} * (r.l + r.b)) - r.l)
+           + {1 - _HW_B} * r.b,
+         list_append(r.s[2:{_HW_M}],
+           {_HW_G} * (g.y - ({_HW_A} * (g.y - r.s[1])
+                             + {1 - _HW_A} * (r.l + r.b)))
+           + {1 - _HW_G} * r.s[1]),
+         r.sse + (g.y - (r.l + r.b + r.s[1]))
+               * (g.y - (r.l + r.b + r.s[1]))
+  FROM rec r JOIN grid g
+    ON g.event_type = r.event_type AND g.k = r.t + 1
+)
+SELECT r.event_type, n.n AS n_days,
+       ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+       ROUND(r.s[1], 6) AS season_next,
+       ROUND(r.l + r.b + r.s[1], 6) AS forecast_next,
+       ROUND(SQRT(r.sse / (n.n - {_HW_M})), 6) AS rmse_1step
+FROM rec r JOIN nn n ON n.event_type = r.event_type AND r.t = n.n
+WHERE n.n >= {2 * _HW_M + 1}
+"""
+
+
+# --------------------------------------------------------------------------
+# q299 — Page-Hinkley drift detection (Page 1954, the sequential CUSUM
+# variant drift monitors run on data streams): per type, the statistic
+# m_T = Σ_{t≤T} (y_t − ȳ_t − δ) with ȳ_t the running mean, and
+# PH_T = m_T − min_{t≤T} m_t; an alarm fires when PH exceeds λ. δ and λ
+# are calibrated per type from the full-series mean/stddev (δ = 5% of
+# the mean, λ = 3σ), broadcast back onto the day grid. All windows are
+# PARTITIONED by event_type over the calendar-bounded day grid — never
+# a global single-partition sort (the q166/q186 class this repo
+# audits against). Oracle: the identical window stack in DuckDB.
+# --------------------------------------------------------------------------
+
+_PH_DELTA_FRAC = 0.05
+_PH_LAMBDA_SD = 3.0
+
+
+def q299_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    cal = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.lit(_PH_DELTA_FRAC) * F.avg("y")).alias("delta"),
+        (F.lit(_PH_LAMBDA_SD) * F.stddev_samp("y")).alias("lam"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        daily.join(cal, "event_type")
+        .withColumn("cumavg", F.avg("y").over(cum))
+        .withColumn("m", F.sum(F.col("y") - F.col("cumavg") - F.col("delta")).over(cum))
+        .withColumn("ph", F.col("m") - F.min("m").over(cum))
+    )
+    return d.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("ph"), 6).alias("max_ph"),
+        F.round(F.max("lam"), 6).alias("lambda"),
+        F.sum((F.col("ph") > F.col("lam")).cast("int"))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph") > F.col("lam"), F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+Q299_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         {_PH_DELTA_FRAC} * AVG(y) AS delta,
+         {_PH_LAMBDA_SD} * STDDEV_SAMP(y) AS lam
+  FROM daily GROUP BY 1
+), cum AS (
+  SELECT d.event_type, d.day, d.y, c.n_days, c.delta, c.lam,
+         AVG(d.y) OVER w AS cumavg
+  FROM daily d JOIN cal c ON c.event_type = d.event_type
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING)
+), ms AS (
+  SELECT *, SUM(y - cumavg - delta) OVER w AS m
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+), ph AS (
+  SELECT *, m - MIN(m) OVER w AS ph
+  FROM ms
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, MAX(n_days) AS n_days,
+       ROUND(MAX(ph), 6) AS max_ph,
+       ROUND(MAX(lam), 6) AS lambda,
+       CAST(SUM(CASE WHEN ph > lam THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_days,
+       MIN(CASE WHEN ph > lam THEN day END) AS first_alarm_day
+FROM ph GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q300 — Yule-Walker AR(2) fit of the per-type daily count series:
+# the autoregression x_t = φ₁x_{t−1} + φ₂x_{t−2} + ε solved in closed
+# form from the lag-1/lag-2 autocorrelations (the 2×2 Toeplitz system):
+# φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), innovation variance
+# σ²ε = c₀(1−φ₁r₁−φ₂r₂). Complements q272 (the raw ACF) and q282 (the
+# PACF ladder) with the actual forecast-model coefficients. Lagged
+# pairs come from q272's exact day-offset self-join — one partial-agg
+# shuffle to the day grid, bounded joins after.
+# --------------------------------------------------------------------------
+
+
+def q300_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y") / (F.lit(1.0) * F.count(F.lit(1)))
+        ).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+    def _r(lag: int) -> DataFrame:
+        a, b = daily.alias("a"), daily.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("b.d") == F.col("a.d") + lag),
+            )
+            .join(
+                st.alias("st"),
+                F.col("a.event_type") == F.col("st.event_type"),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(
+                (
+                    F.sum(
+                        (F.col("a.y") - F.col("mu"))
+                        * (F.col("b.y") - F.col("mu"))
+                    )
+                    / F.max("den")
+                ).alias(f"r{lag}")
+            )
+        )
+
+    j = (
+        st.select("event_type", "n_days", (F.col("den") / F.col("n_days")).alias("c0"))
+        .join(_r(1), "event_type")
+        .join(_r(2), "event_type")
+        .filter(F.abs(1.0 - F.col("r1") * F.col("r1")) > 1e-12)
+    )
+    phi1 = F.col("r1") * (1.0 - F.col("r2")) / (
+        1.0 - F.col("r1") * F.col("r1")
+    )
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1.0 - F.col("r1") * F.col("r1")
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.round("r1", 6).alias("r1"),
+        F.round("r2", 6).alias("r2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(
+            F.col("c0") * (1.0 - phi1 * F.col("r1") - phi2 * F.col("r2")),
+            6,
+        ).alias("noise_var"),
+    )
+
+
+Q300_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, AVG(y) AS mu,
+         SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) AS den,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), r1t AS (
+  SELECT a.event_type,
+         SUM((a.y - mu) * (b.y - mu)) / MAX(den) AS r1
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + 1
+  JOIN st ON st.event_type = a.event_type
+  GROUP BY 1
+), r2t AS (
+  SELECT a.event_type,
+         SUM((a.y - mu) * (b.y - mu)) / MAX(den) AS r2
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + 2
+  JOIN st ON st.event_type = a.event_type
+  GROUP BY 1
+), j AS (
+  SELECT st.event_type, st.n_days, st.den / st.n_days AS c0, r1, r2
+  FROM st JOIN r1t ON r1t.event_type = st.event_type
+  JOIN r2t ON r2t.event_type = st.event_type
+  WHERE ABS(1.0 - r1 * r1) > 1e-12
+)
+SELECT event_type, n_days,
+       ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2,
+       ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+       ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2,
+       ROUND(c0 * (1.0
+             - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+             - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 6) AS noise_var
+FROM j
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q298_holt_winters": q298_holt_winters,
+    "q299_page_hinkley": q299_page_hinkley,
+    "q300_yule_walker": q300_yule_walker,
     "q295_holt_linear": q295_holt_linear,
     "q296_negbin_fit": q296_negbin_fit,
     "q297_tost_equivalence": q297_tost_equivalence,
@@ -7061,6 +7410,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q298_holt_winters": Q298_SQL,
+    "q299_page_hinkley": Q299_SQL,
+    "q300_yule_walker": Q300_SQL,
     "q289_isotonic": Q289_SQL,
     "q295_holt_linear": Q295_SQL,
     "q296_negbin_fit": Q296_SQL,

@@ -398,6 +398,10 @@ AUDIT = [
     ("kg98_shacl_shapes", 16, 5),
     ("kg100_snap_summary", 24, 8),
     ("kg101_transitive_reduction", 13, 3),
+    # day-grid folds / per-type windows: one partial agg + tiny rollup
+    ("q298_holt_winters", 2, 0),
+    ("q299_page_hinkley", 2, 0),
+    ("q300_yule_walker", 5, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
