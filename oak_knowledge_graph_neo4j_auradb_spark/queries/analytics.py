@@ -7315,8 +7315,240 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# q301 — Cramér's V association between the documents table's lang and
+# source columns: the chi-square independence statistic over the
+# lang×source contingency table, normalized to [0,1] by n·(min(r,c)−1)
+# — the corpus-balance audit that tells you whether source routing is
+# language-skewed (a stratification hazard for q42/q52's samplers).
+# Plan: ONE partial-agg shuffle to the contingency cells; expected
+# counts come from broadcast row/column marginals; the final stat is a
+# 1-row rollup. Includes the Bergsma-corrected V' (φ²corr with the
+# (r−1)(c−1)/ (n−1) bias term) alongside the classic V.
+# --------------------------------------------------------------------------
+
+
+def q301_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rowm = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").cast("double").alias("r"),
+        F.countDistinct("source").cast("double").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    stat = j.agg(
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    # Bergsma (2013) bias correction
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (F.col("r") - 1) * (F.col("c") - 1) / (F.col("n") - 1),
+    )
+    rc = F.col("r") - (F.col("r") - 1) * (F.col("r") - 1) / (F.col("n") - 1)
+    cc = F.col("c") - (F.col("c") - 1) * (F.col("c") - 1) / (F.col("n") - 1)
+    return stat.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_rows"),
+        F.col("c").cast("long").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(phi2 / F.least(F.col("r") - 1, F.col("c") - 1)), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(phi2c / F.least(rc - 1, cc - 1)), 6
+        ).alias("cramers_v_corrected"),
+    )
+
+
+Q301_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM documents GROUP BY 1, 2
+), rowm AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY 1),
+colm AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY 1),
+nn AS (
+  SELECT SUM(o) AS n,
+         CAST(COUNT(DISTINCT lang) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT source) AS DOUBLE) AS c
+  FROM cells
+), stat AS (
+  SELECT SUM((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n))
+           AS chi2,
+         MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
+  FROM cells JOIN rowm USING (lang) JOIN colm USING (source)
+  CROSS JOIN nn
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT((chi2 / n) / LEAST(r - 1, c - 1)), 6) AS cramers_v,
+       ROUND(SQRT(GREATEST(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+             / LEAST(r - (r - 1) * (r - 1) / (n - 1) - 1,
+                     c - (c - 1) * (c - 1) / (n - 1) - 1)), 6)
+         AS cramers_v_corrected
+FROM stat
+"""
+
+
+# --------------------------------------------------------------------------
+# q302 — G-test (log-likelihood ratio) of weekday uniformity per event
+# type: G = 2 Σ_d O_d ln(O_d / E_d) against the uniform E = n/7 — the
+# day-of-week load-balance gate (q139 profiles the weekday shape; this
+# renders the significance statistic, which dominates Pearson χ² for
+# sparse cells). Wilson-Hilferty maps G to an approximate z-score so
+# the gate needs no χ² CDF. One partial-agg shuffle to (type, weekday),
+# a 7-row-per-type rollup after.
+# --------------------------------------------------------------------------
+
+
+def q302_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wd = F.pmod(
+        F.floor(
+            F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+        ).cast("long")
+        + 4,
+        F.lit(7),
+    )  # 1970-01-01 was a Thursday → +4 makes 0 = Sunday
+    cells = ev.groupBy("event_type", wd.alias("wd")).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("o").alias("n"))
+    j = cells.join(tot, "event_type")
+    e = F.col("n") / 7.0
+    g = j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (2.0 * F.sum(F.col("o") * F.log(F.col("o") / e))).alias("g_raw"),
+    )
+    dof = F.lit(6.0)
+    # Wilson-Hilferty cube-root normal approximation of the χ²₆ tail
+    z = (
+        F.pow(F.col("g_raw") / dof, F.lit(1.0 / 3.0))
+        - (1.0 - 2.0 / (9.0 * dof))
+    ) / F.sqrt(2.0 / (9.0 * dof))
+    return g.select(
+        "event_type",
+        "n",
+        "n_cells",
+        F.lit(6).cast("long").alias("dof"),
+        F.round("g_raw", 6).alias("g_stat"),
+        F.round(z, 6).alias("z_wh"),
+        (z > 3.0).alias("nonuniform"),
+    )
+
+
+Q302_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS wd,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT event_type, SUM(o) AS n FROM cells GROUP BY 1),
+g AS (
+  SELECT c.event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         2.0 * SUM(o * LN(o / (n / 7.0))) AS g_raw
+  FROM cells c JOIN tot USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type, n, n_cells, CAST(6 AS BIGINT) AS dof,
+       ROUND(g_raw, 6) AS g_stat,
+       ROUND((POW(g_raw / 6.0, 1.0 / 3.0) - (1.0 - 2.0 / 54.0))
+             / SQRT(2.0 / 54.0), 6) AS z_wh,
+       (POW(g_raw / 6.0, 1.0 / 3.0) - (1.0 - 2.0 / 54.0))
+         / SQRT(2.0 / 54.0) > 3.0 AS nonuniform
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q303 — Theil inequality indices of order value per order priority,
+# with the between/within decomposition (Theil 1967): per group the
+# T index (1/n)Σ(x/μ_g)ln(x/μ_g) and L index (1/n)Σln(μ_g/x), plus
+# each group's value share s_g and the global between-group component
+# s_g·ln(μ_g/μ) — additive decomposability is WHY Theil (and not Gini,
+# q133) is the index sharded pipelines aggregate. o_totalprice is
+# strictly positive so the logs are total. One partial-agg pass for the
+# group moments; the x-level log moments ride the same shuffle; the
+# global mean is a broadcast 1-row aggregate.
+# --------------------------------------------------------------------------
+
+
+def q303_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+        F.sum(F.log("x")).alias("slx"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"), F.sum("sx").alias("sxt")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu_g = F.col("sx") / F.col("n")
+    mu = F.col("sxt") / F.col("nt")
+    # T_g = (1/n)Σ(x/μg)ln(x/μg) = sxlx/(n·μg) − ln(μg)
+    theil_t = F.col("sxlx") / (F.col("n") * mu_g) - F.log(mu_g)
+    # L_g = ln(μg) − (1/n)Σln(x)
+    theil_l = F.log(mu_g) - F.col("slx") / F.col("n")
+    share = F.col("sx") / F.col("sxt")
+    return j.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu_g, 6).alias("mean_value"),
+        F.round(share, 6).alias("value_share"),
+        F.round(theil_t, 6).alias("theil_t"),
+        F.round(theil_l, 6).alias("theil_l"),
+        F.round(share * F.log(mu_g / mu), 6).alias("between_component"),
+    )
+
+
+Q303_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(o_totalprice) AS sx,
+         SUM(o_totalprice * LN(o_totalprice)) AS sxlx,
+         SUM(LN(o_totalprice)) AS slx
+  FROM orders GROUP BY 1
+), tot AS (SELECT SUM(n) AS nt, SUM(sx) AS sxt FROM g)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       ROUND(sx / n, 6) AS mean_value,
+       ROUND(sx / sxt, 6) AS value_share,
+       ROUND(sxlx / (n * (sx / n)) - LN(sx / n), 6) AS theil_t,
+       ROUND(LN(sx / n) - slx / n, 6) AS theil_l,
+       ROUND((sx / sxt) * LN((sx / n) / (sxt / nt)), 6)
+         AS between_component
+FROM g CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q301_cramers_v": q301_cramers_v,
+    "q302_g_test": q302_g_test,
+    "q303_theil_inequality": q303_theil_inequality,
     "q298_holt_winters": q298_holt_winters,
     "q299_page_hinkley": q299_page_hinkley,
     "q300_yule_walker": q300_yule_walker,
@@ -7410,6 +7642,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q301_cramers_v": Q301_SQL,
+    "q302_g_test": Q302_SQL,
+    "q303_theil_inequality": Q303_SQL,
     "q298_holt_winters": Q298_SQL,
     "q299_page_hinkley": Q299_SQL,
     "q300_yule_walker": Q300_SQL,

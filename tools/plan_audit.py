@@ -402,6 +402,9 @@ AUDIT = [
     ("q298_holt_winters", 2, 0),
     ("q299_page_hinkley", 2, 0),
     ("q300_yule_walker", 5, 0),
+    ("q301_cramers_v", 6, 0),
+    ("q302_g_test", 3, 0),
+    ("q303_theil_inequality", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
