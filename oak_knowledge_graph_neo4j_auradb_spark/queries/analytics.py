@@ -7544,8 +7544,266 @@ FROM g CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# q304 — t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) of
+# the (lang, source) quasi-identifier groups against the ordered
+# sensitive attribute n_chars: t = ordered-distance EMD between the
+# group's distribution and the corpus distribution, computed on a
+# FIXED-WIDTH 64-bin histogram of the attribute (EMD over an ordered
+# grid = mean |cumulative p − cumulative q| over the first m−1 bins).
+# Completes the privacy stack: k-anonymity (q151 family) bounds group
+# size, l-diversity (q293) bounds sensitive variety, t-closeness bounds
+# distributional leakage. Plan: corpus + group histograms are two
+# partial-agg shuffles on bounded keys; the dense (group × bin) grid is
+# a broadcast cross join of two aggregated dims; the cumulative windows
+# are PARTITIONED per group over ≤64 rows.
+# --------------------------------------------------------------------------
+
+_TC_BIN_W = 256
+_TC_BINS = 64
+_TC_T = 0.3
+
+
+def q304_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.least(
+            F.lit(_TC_BINS - 1),
+            F.floor(F.col("n_chars") / _TC_BIN_W).cast("long"),
+        ).alias("bin"),
+    )
+    gh = d.groupBy("lang", "source", "bin").agg(
+        F.count(F.lit(1)).cast("double").alias("gc")
+    )
+    gt = gh.groupBy("lang", "source").agg(F.sum("gc").alias("gn"))
+    bh = d.groupBy("bin").agg(F.count(F.lit(1)).cast("double").alias("bc"))
+    bt = bh.agg(F.sum("bc").alias("n"), F.count(F.lit(1)).alias("m"))
+    grid = gt.crossJoin(F.broadcast(bh)).crossJoin(F.broadcast(bt))
+    dense = grid.join(gh, ["lang", "source", "bin"], "left").withColumn(
+        "gc", F.coalesce("gc", F.lit(0.0))
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn(
+        "cdiff",
+        F.sum(F.col("gc") / F.col("gn") - F.col("bc") / F.col("n")).over(w),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "source").orderBy("bin")
+        ),
+    )
+    out = (
+        cum.filter(F.col("rn") < F.col("m"))
+        .groupBy("lang", "source")
+        .agg(
+            F.max("gn").cast("long").alias("n"),
+            F.round(
+                F.sum(F.abs("cdiff")) / (F.max("m") - 1), 6
+            ).alias("t_closeness"),
+        )
+    )
+    return out.withColumn("breach", F.col("t_closeness") > _TC_T)
+
+
+Q304_SQL = f"""
+WITH d AS (
+  SELECT lang, source,
+         LEAST({_TC_BINS - 1},
+               CAST(FLOOR(n_chars / {_TC_BIN_W}) AS BIGINT)) AS bin
+  FROM documents
+), gh AS (
+  SELECT lang, source, bin, CAST(COUNT(*) AS DOUBLE) AS gc
+  FROM d GROUP BY 1, 2, 3
+), gt AS (SELECT lang, source, SUM(gc) AS gn FROM gh GROUP BY 1, 2),
+bh AS (SELECT bin, CAST(COUNT(*) AS DOUBLE) AS bc FROM d GROUP BY 1),
+bt AS (SELECT SUM(bc) AS n, COUNT(*) AS m FROM bh),
+dense AS (
+  SELECT gt.lang, gt.source, bh.bin, gt.gn, bh.bc, bt.n, bt.m,
+         COALESCE(gh.gc, 0.0) AS gc
+  FROM gt CROSS JOIN bh CROSS JOIN bt
+  LEFT JOIN gh ON gh.lang = gt.lang AND gh.source = gt.source
+              AND gh.bin = bh.bin
+), cum AS (
+  SELECT lang, source, gn, m,
+         SUM(gc / gn - bc / n) OVER w AS cdiff,
+         ROW_NUMBER() OVER w2 AS rn
+  FROM dense
+  WINDOW w AS (PARTITION BY lang, source ORDER BY bin
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY lang, source ORDER BY bin)
+)
+SELECT lang, source, CAST(MAX(gn) AS BIGINT) AS n,
+       ROUND(SUM(ABS(cdiff)) / (MAX(m) - 1), 6) AS t_closeness,
+       ROUND(SUM(ABS(cdiff)) / (MAX(m) - 1), 6) > {_TC_T} AS breach
+FROM cum WHERE rn < m
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q305 — STL-lite decomposition strength (Hyndman & Athanasopoulos,
+# FPP 3e §4.10) of the per-type daily series: trend = centered 7-day
+# moving average (full windows only), detrended = y − trend, seasonal =
+# weekday mean of the detrended series, remainder = detrended −
+# seasonal. Trend strength F_T = max(0, 1 − Var(R)/Var(y − S)) and
+# seasonal strength F_S = max(0, 1 − Var(R)/Var(detrended)) — the two
+# scalars a forecasting pipeline screens thousands of series with.
+# All windows are per-type over the bounded day grid; the weekday means
+# join back as a broadcast 35-row dim.
+# --------------------------------------------------------------------------
+
+
+def q305_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.withColumn(
+        "trend",
+        F.when(F.count(F.lit(1)).over(wma) == 7, F.avg("y").over(wma)),
+    ).withColumn("wd", F.pmod(F.col("day") + 4, F.lit(7)))
+    det = t.filter(F.col("trend").isNotNull()).withColumn(
+        "dt", F.col("y") - F.col("trend")
+    )
+    season = det.groupBy("event_type", "wd").agg(
+        F.avg("dt").alias("s")
+    )
+    r = det.join(season, ["event_type", "wd"]).withColumn(
+        "rem", F.col("dt") - F.col("s")
+    )
+    out = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.var_samp("rem").alias("vr"),
+        F.var_samp("dt").alias("vdt"),
+        F.var_samp(F.col("y") - F.col("s")).alias("vds"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vds")), 6
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vdt")), 6
+        ).alias("seasonal_strength"),
+        F.round("vr", 6).alias("var_remainder"),
+    )
+
+
+Q305_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, y,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+         (day + 4) % 7 AS wd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT event_type, day, y, wd, y - trend AS dt
+  FROM t WHERE trend IS NOT NULL
+), season AS (
+  SELECT event_type, wd, AVG(dt) AS s FROM det GROUP BY 1, 2
+), r AS (
+  SELECT d.event_type, d.y, d.dt, d.dt - se.s AS rem, d.y - se.s AS ds
+  FROM det d JOIN season se ON se.event_type = d.event_type
+                           AND se.wd = d.wd
+), o AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         VAR_SAMP(rem) AS vr, VAR_SAMP(dt) AS vdt, VAR_SAMP(ds) AS vds
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_days,
+       ROUND(GREATEST(0.0, 1.0 - vr / vds), 6) AS trend_strength,
+       ROUND(GREATEST(0.0, 1.0 - vr / vdt), 6) AS seasonal_strength,
+       ROUND(vr, 6) AS var_remainder
+FROM o
+"""
+
+
+# --------------------------------------------------------------------------
+# q306 — dedup yield curve: exact-duplicate rate measured on nested
+# md5-bucket subsamples of the corpus (25/50/75/100%) — the scaling
+# diagnostic that tells a dedup planner how duplicate yield grows with
+# corpus size (sub-linear growth ⇒ duplicates are local; super-linear ⇒
+# global near-universal templates, plan a full pass). Buckets nest
+# (b < 25 ⊂ b < 50 ⊂ …) so the curve is monotone in docs by
+# construction. One shuffle per (fraction, fingerprint) partial agg;
+# the fraction dim is a broadcast 4-row literal.
+# --------------------------------------------------------------------------
+
+_YIELD_FRACS = [25, 50, 75, 100]
+
+
+def q306_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    d = load(spark, sf_dir, "documents").select(
+        F.pmod(md5long(F.col("doc_id").cast("string")), F.lit(100)).alias(
+            "b"
+        ),
+        md5long(F.col("text")).alias("fp"),
+    )
+    fr = spark.createDataFrame(
+        [(f,) for f in _YIELD_FRACS], "frac int"
+    )
+    j = d.crossJoin(F.broadcast(fr)).filter(F.col("b") < F.col("frac"))
+    out = j.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct"),
+    )
+    return out.select(
+        F.col("frac").cast("long").alias("frac"),
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct"))
+            / (F.lit(1.0) * F.col("n_docs")),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+Q306_SQL = f"""
+WITH d AS (
+  SELECT {MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS b,
+         {MD5LONG_SQL.format(x="text")} AS fp
+  FROM documents
+), fr AS (SELECT UNNEST([{", ".join(str(f) for f in _YIELD_FRACS)}]) AS frac),
+j AS (SELECT frac, fp FROM d CROSS JOIN fr WHERE b < frac)
+SELECT CAST(frac AS BIGINT) AS frac,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+       ROUND((COUNT(*) - COUNT(DISTINCT fp)) / (1.0 * COUNT(*)), 6)
+         AS dup_rate
+FROM j GROUP BY frac
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q304_t_closeness": q304_t_closeness,
+    "q305_stl_strength": q305_stl_strength,
+    "q306_dedup_yield_curve": q306_dedup_yield_curve,
     "q301_cramers_v": q301_cramers_v,
     "q302_g_test": q302_g_test,
     "q303_theil_inequality": q303_theil_inequality,
@@ -7642,6 +7900,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q304_t_closeness": Q304_SQL,
+    "q305_stl_strength": Q305_SQL,
+    "q306_dedup_yield_curve": Q306_SQL,
     "q301_cramers_v": Q301_SQL,
     "q302_g_test": Q302_SQL,
     "q303_theil_inequality": Q303_SQL,

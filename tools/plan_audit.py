@@ -405,6 +405,9 @@ AUDIT = [
     ("q301_cramers_v", 6, 0),
     ("q302_g_test", 3, 0),
     ("q303_theil_inequality", 3, 0),
+    ("q304_t_closeness", 4, 0),
+    ("q305_stl_strength", 2, 0),
+    ("q306_dedup_yield_curve", 2, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
