@@ -7799,8 +7799,236 @@ FROM j GROUP BY frac
 """
 
 
+# --------------------------------------------------------------------------
+# q307 — Hill tail-index estimator (Hill 1975) of the document-length
+# distribution per source: α̂ = k / Σ_{i=1..k} ln(x_i / x_(k+1)) over
+# the k = ⌈10% n⌉ largest lengths — the power-law-exponent audit that
+# decides whether a feed's length tail is heavy enough to need
+# length-capped packing (q71). ORDER STATISTICS WITHOUT A SORT: the
+# per-source value histogram + a cumulative-from-top window over that
+# small aggregate finds the (k+1)-th largest value v*; ties at v*
+# contribute ln(v*/v*) = 0, so the top-k log-sum is exactly
+# Σ_{v > v*} c_v (ln v − ln v*) — q166's histogram-rank scale path, no
+# per-row window over raw docs. Oracle: the identical histogram logic.
+# --------------------------------------------------------------------------
+
+_HILL_FRAC = 0.10
+
+
+def q307_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    hist = d.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c").alias("n")
+    ).withColumn("k", F.ceil(F.lit(_HILL_FRAC) * F.col("n")).cast("double"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cumc", F.sum("c").over(w)).join(tot, "source")
+    # v* = largest value whose cumulative-from-top count reaches k+1
+    vstar = (
+        cum.filter(F.col("cumc") >= F.col("k") + 1)
+        .groupBy("source")
+        .agg(F.max("x").alias("v"))
+    )
+    s = (
+        hist.join(vstar, "source")
+        .filter(F.col("x") > F.col("v"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c") * (F.log("x") - F.log("v"))
+            ).alias("logsum")
+        )
+    )
+    return (
+        tot.join(vstar, "source")
+        .join(s, "source", "left")
+        .withColumn("logsum", F.coalesce("logsum", F.lit(0.0)))
+        .filter(F.col("logsum") > 0)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.col("v").alias("x_k1"),
+            F.round(F.col("k") / F.col("logsum"), 6).alias("hill_alpha"),
+        )
+    )
+
+
+Q307_SQL = f"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents
+), hist AS (
+  SELECT source, x, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT source, SUM(c) AS n, CAST(CEIL({_HILL_FRAC} * SUM(c)) AS DOUBLE)
+           AS k
+  FROM hist GROUP BY 1
+), cum AS (
+  SELECT h.source, h.x, h.c,
+         SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.x DESC
+                        ROWS UNBOUNDED PRECEDING) AS cumc,
+         t.k
+  FROM hist h JOIN tot t ON t.source = h.source
+), vstar AS (
+  SELECT source, MAX(x) AS v FROM cum WHERE cumc >= k + 1 GROUP BY 1
+), s AS (
+  SELECT h.source, SUM(h.c * (LN(h.x) - LN(v.v))) AS logsum
+  FROM hist h JOIN vstar v ON v.source = h.source
+  WHERE h.x > v.v GROUP BY 1
+)
+SELECT t.source, CAST(t.n AS BIGINT) AS n, CAST(t.k AS BIGINT) AS k,
+       v.v AS x_k1, ROUND(t.k / s.logsum, 6) AS hill_alpha
+FROM tot t JOIN vstar v ON v.source = t.source
+JOIN s ON s.source = t.source
+WHERE s.logsum > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# q308 — Atkinson inequality index (Atkinson 1970, ε = 0.5) of order
+# value per customer market segment: A_ε = 1 − (EDE/μ) with the
+# equally-distributed equivalent EDE = ((1/n)Σ x^{1−ε})^{1/(1−ε)} —
+# the welfare-weighted cousin of Gini (q133) and Theil (q303), and the
+# one with an explicit inequality-aversion knob. One orders⋈customer
+# join (AQE picks broadcast vs shuffle on the custkey spine), then a
+# single partial-agg pass per segment — x^0.5 rides the scan's codegen
+# span.
+# --------------------------------------------------------------------------
+
+_ATK_EPS = 0.5
+
+
+def q308_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = o.join(c, "o_custkey")
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("mu"),
+        F.avg(F.pow("o_totalprice", F.lit(1.0 - _ATK_EPS))).alias("mpow"),
+    )
+    ede = F.pow(F.col("mpow"), F.lit(1.0 / (1.0 - _ATK_EPS)))
+    return g.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        F.round("mu", 6).alias("mean_value"),
+        F.round(ede, 6).alias("ede"),
+        F.round(1.0 - ede / F.col("mu"), 6).alias("atkinson"),
+    )
+
+
+Q308_SQL = f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), g AS (
+  SELECT seg, CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mu,
+         AVG(POW(x, {1.0 - _ATK_EPS})) AS mpow
+  FROM j GROUP BY 1
+)
+SELECT seg, CAST(n AS BIGINT) AS n,
+       ROUND(mu, 6) AS mean_value,
+       ROUND(POW(mpow, {1.0 / (1.0 - _ATK_EPS)}), 6) AS ede,
+       ROUND(1.0 - POW(mpow, {1.0 / (1.0 - _ATK_EPS)}) / mu, 6)
+         AS atkinson
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q309 — Gumbel extreme-value fit of weekly peak load per event type
+# (block maxima, method of moments): σ̂ = s√6/π, μ̂ = m̄ − γσ̂ (Euler-
+# Mascheroni γ), and the T-block return level μ̂ − σ̂·ln(−ln(1−1/T)) —
+# the capacity-planning number ("the daily peak a 4-week horizon
+# should survive") that a rate-anomaly stack (q89) sizes its buffers
+# with. Two partial-agg shuffles (day grid → week maxima) + a per-type
+# rollup; everything after the first agg is calendar-bounded.
+# --------------------------------------------------------------------------
+
+_EULER_G = 0.5772156649015329
+_GUMBEL_T = 4
+
+
+def q309_gumbel_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    weekly = daily.groupBy(
+        "event_type", (F.floor(F.col("day") / 7)).alias("wk")
+    ).agg(F.max("y").alias("mx"), F.count(F.lit(1)).alias("nd"))
+    # only full 7-day blocks — partial weeks bias the maxima low
+    g = (
+        weekly.filter(F.col("nd") == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.avg("mx").alias("m"),
+            F.stddev_samp("mx").alias("s"),
+        )
+        .filter(F.col("n_blocks") >= 3)
+    )
+    import math
+
+    sigma = F.col("s") * math.sqrt(6.0) / math.pi
+    mu = F.col("m") - _EULER_G * sigma
+    rl = mu - sigma * F.log(
+        -F.log(F.lit(1.0 - 1.0 / _GUMBEL_T))
+    )
+    return g.select(
+        "event_type",
+        "n_blocks",
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(sigma, 6).alias("gumbel_sigma"),
+        F.round(rl, 6).alias(f"return_level_{_GUMBEL_T}wk"),
+    )
+
+
+Q309_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  SELECT event_type, day // 7 AS wk, MAX(y) AS mx, COUNT(*) AS nd
+  FROM daily GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         AVG(mx) AS m, STDDEV_SAMP(mx) AS s
+  FROM weekly WHERE nd = 7 GROUP BY 1
+  HAVING COUNT(*) >= 3
+)
+SELECT event_type, n_blocks,
+       ROUND(m - {_EULER_G} * (s * SQRT(6.0) / PI()), 6) AS gumbel_mu,
+       ROUND(s * SQRT(6.0) / PI(), 6) AS gumbel_sigma,
+       ROUND((m - {_EULER_G} * (s * SQRT(6.0) / PI()))
+             - (s * SQRT(6.0) / PI())
+               * LN(-LN(1.0 - 1.0 / {_GUMBEL_T})), 6)
+         AS return_level_{_GUMBEL_T}wk
+FROM g
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q307_hill_tail_index": q307_hill_tail_index,
+    "q308_atkinson_index": q308_atkinson_index,
+    "q309_gumbel_evt": q309_gumbel_evt,
     "q304_t_closeness": q304_t_closeness,
     "q305_stl_strength": q305_stl_strength,
     "q306_dedup_yield_curve": q306_dedup_yield_curve,
@@ -7900,6 +8128,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q307_hill_tail_index": Q307_SQL,
+    "q308_atkinson_index": Q308_SQL,
+    "q309_gumbel_evt": Q309_SQL,
     "q304_t_closeness": Q304_SQL,
     "q305_stl_strength": Q305_SQL,
     "q306_dedup_yield_curve": Q306_SQL,

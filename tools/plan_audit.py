@@ -408,6 +408,10 @@ AUDIT = [
     ("q304_t_closeness", 4, 0),
     ("q305_stl_strength", 2, 0),
     ("q306_dedup_yield_curve", 2, 0),
+    # histogram-space order statistics (q166's scale path)
+    ("q307_hill_tail_index", 4, 0),
+    ("q308_atkinson_index", 1, 0),
+    ("q309_gumbel_evt", 3, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
