@@ -8024,8 +8024,434 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q310 — split-conformal prediction intervals (Papadopoulos 2002,
+# Vovk's inductive conformal): md5-hash 3-way split of orders into
+# train/calibration/test; the predictor is the train-half per-segment
+# mean, the conformal radius q̂ is the ⌈0.9(n+1)⌉-th smallest
+# calibration residual read from a FIXED-WIDTH residual histogram
+# (bin = ⌊r/100⌋, q̂ = the bin's upper edge — a deterministic, bounded
+# discretization of the order statistic, never a global sort), and
+# coverage is evaluated on the held-out test split (finite-sample
+# guarantee ≥ 90% up to binning slack). One agg per split, histogram
+# windows per segment over ≤ a few hundred bins.
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.9
+_CONF_BIN = 100.0
+
+
+def q310_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import md5long
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(md5long(F.col("o_orderkey").cast("string")), F.lit(3)).alias(
+            "split"
+        ),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = o.join(c, "o_custkey")
+    mean = (
+        j.filter(F.col("split") == 0)
+        .groupBy("seg")
+        .agg(
+            F.avg("o_totalprice").alias("yhat"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+    )
+    calib = (
+        j.filter(F.col("split") == 1)
+        .join(F.broadcast(mean), "seg")
+        .select(
+            "seg",
+            F.floor(
+                F.abs(F.col("o_totalprice") - F.col("yhat")) / _CONF_BIN
+            ).alias("bin"),
+        )
+    )
+    ch = calib.groupBy("seg", "bin").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    ct = ch.groupBy("seg").agg(F.sum("cnt").alias("n_c"))
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rank = F.ceil(F.lit(_CONF_ALPHA) * (F.col("n_c") + 1))
+    qhat = (
+        ch.join(ct, "seg")
+        .withColumn("cum", F.sum("cnt").over(w))
+        .filter(F.col("cum") >= rank)
+        .groupBy("seg")
+        .agg(
+            ((F.min("bin") + 1) * _CONF_BIN).alias("q_hat"),
+            F.max("n_c").cast("long").alias("n_calib"),
+        )
+    )
+    test = (
+        j.filter(F.col("split") == 2)
+        .join(F.broadcast(mean), "seg")
+        .join(F.broadcast(qhat), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.avg(
+                    (
+                        F.abs(F.col("o_totalprice") - F.col("yhat"))
+                        <= F.col("q_hat")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return (
+        mean.join(qhat, "seg")
+        .join(test, "seg")
+        .select(
+            "seg",
+            "n_train",
+            "n_calib",
+            "n_test",
+            F.round("yhat", 6).alias("yhat"),
+            F.round("q_hat", 6).alias("q_hat"),
+            F.round(2.0 * F.col("q_hat"), 6).alias("width"),
+            "coverage",
+        )
+    )
+
+
+Q310_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         {MD5LONG_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 3 AS split
+  FROM orders
+), j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice, o.split
+  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+), mean AS (
+  SELECT seg, AVG(o_totalprice) AS yhat,
+         CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM j WHERE split = 0 GROUP BY 1
+), ch AS (
+  SELECT j.seg, FLOOR(ABS(j.o_totalprice - m.yhat) / {_CONF_BIN}) AS bin,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM j JOIN mean m ON m.seg = j.seg WHERE j.split = 1
+  GROUP BY 1, 2
+), ct AS (SELECT seg, SUM(cnt) AS n_c FROM ch GROUP BY 1),
+qhat AS (
+  SELECT seg, (MIN(bin) + 1) * {_CONF_BIN} AS q_hat,
+         CAST(MAX(n_c) AS BIGINT) AS n_calib
+  FROM (
+    SELECT ch.seg, ch.bin, ct.n_c,
+           SUM(ch.cnt) OVER (PARTITION BY ch.seg ORDER BY ch.bin
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ch JOIN ct ON ct.seg = ch.seg
+  ) WHERE cum >= CEIL({_CONF_ALPHA} * (n_c + 1))
+  GROUP BY 1
+), test AS (
+  SELECT j.seg, CAST(COUNT(*) AS BIGINT) AS n_test,
+         ROUND(AVG(CASE WHEN ABS(j.o_totalprice - m.yhat) <= q.q_hat
+                   THEN 1.0 ELSE 0.0 END), 6) AS coverage
+  FROM j JOIN mean m ON m.seg = j.seg
+  JOIN qhat q ON q.seg = j.seg
+  WHERE j.split = 2 GROUP BY 1
+)
+SELECT m.seg, m.n_train, q.n_calib, t.n_test,
+       ROUND(m.yhat, 6) AS yhat, ROUND(q.q_hat, 6) AS q_hat,
+       ROUND(2.0 * q.q_hat, 6) AS width, t.coverage
+FROM mean m JOIN qhat q ON q.seg = m.seg
+JOIN test t ON t.seg = m.seg
+"""
+
+
+# --------------------------------------------------------------------------
+# q311 — RFF-MMD two-sample drift test (Gretton et al. JMLR 2012 +
+# Rahimi-Recht features): maximum mean discrepancy between the two
+# md5-parity halves of the corpus over standardized document length,
+# estimated as ‖mean_A φ(x) − mean_B φ(x)‖² with D=16 random Fourier
+# features — the O(n) drift statistic that replaces the O(n²) kernel
+# MMD at corpus scale. W and b derive from md5-hash Box-Muller draws
+# (q260's engine-portable construction), so both twins build
+# bit-identical features. One stats agg (broadcast back), one 16×
+# long-form partial agg per half, one 16-row rollup.
+# --------------------------------------------------------------------------
+
+_MMD_D = 16
+_MMD_GAMMA = 0.5
+_MMD_DENOM = float(1 << 60)
+
+
+def q311_mmd_rff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from .common import md5long
+
+    d = load(spark, sf_dir, "documents").select(
+        F.pmod(md5long(F.col("doc_id").cast("string")), F.lit(2)).alias(
+            "half"
+        ),
+        F.col("n_chars").cast("double").alias("x"),
+    )
+    st = d.agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    z = d.crossJoin(F.broadcast(st)).select(
+        "half", ((F.col("x") - F.col("mu")) / F.col("sd")).alias("xs")
+    )
+    feats = spark.range(_MMD_D).select(F.col("id").cast("int").alias("j"))
+    u = lambda tag: (  # noqa: E731 — md5 uniform in (0,1), both engines
+        md5long(F.concat_ws("|", F.lit(tag), F.col("j"))) + 0.5
+    ) / F.lit(_MMD_DENOM)
+    wb = feats.select(
+        "j",
+        (
+            F.sqrt(-2.0 * F.log(u("w1")))
+            * F.cos(2.0 * _m.pi * u("w2"))
+            * _m.sqrt(2.0 * _MMD_GAMMA)
+        ).alias("w"),
+        (2.0 * _m.pi * u("b")).alias("b"),
+    )
+    phi = (
+        z.crossJoin(F.broadcast(wb))
+        .groupBy("half", "j")
+        .agg(
+            F.avg(
+                F.lit(_m.sqrt(2.0 / _MMD_D))
+                * F.cos(F.col("w") * F.col("xs") + F.col("b"))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = phi.filter(F.col("half") == 0).select(
+        "j", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = phi.filter(F.col("half") == 1).select(
+        "j", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    out = a.join(b, "j").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.lit(_MMD_D).cast("long").alias("d"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("mmd2_raw"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "d",
+        F.round("mmd2_raw", 6).alias("mmd2"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), F.col("mmd2_raw"))), 6).alias(
+            "mmd"
+        ),
+    )
+
+
+Q311_SQL = f"""
+WITH d AS (
+  SELECT {MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 2 AS half,
+         CAST(n_chars AS DOUBLE) AS x
+  FROM documents
+), st AS (SELECT AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM d),
+z AS (SELECT half, (x - mu) / sd AS xs FROM d CROSS JOIN st),
+feats AS (SELECT CAST(range AS INT) AS j FROM range({_MMD_D})),
+wb AS (
+  SELECT j,
+         SQRT(-2.0 * LN(({MD5LONG_SQL.format(x="'w1|' || j")} + 0.5)
+                        / {_MMD_DENOM}))
+         * COS(2 * PI() * ({MD5LONG_SQL.format(x="'w2|' || j")} + 0.5)
+               / {_MMD_DENOM})
+         * SQRT(2.0 * {_MMD_GAMMA}) AS w,
+         2 * PI() * ({MD5LONG_SQL.format(x="'b|' || j")} + 0.5)
+           / {_MMD_DENOM} AS b
+  FROM feats
+), phi AS (
+  SELECT half, j,
+         AVG(SQRT(2.0 / {_MMD_D}) * COS(w * xs + b)) AS m,
+         COUNT(*) AS n
+  FROM z CROSS JOIN wb GROUP BY 1, 2
+), o AS (
+  SELECT CAST(MAX(a.n) AS BIGINT) AS n_a,
+         CAST(MAX(b.n) AS BIGINT) AS n_b,
+         SUM((a.m - b.m) * (a.m - b.m)) AS mmd2_raw
+  FROM phi a JOIN phi b ON a.j = b.j AND a.half = 0 AND b.half = 1
+)
+SELECT n_a, n_b, CAST({_MMD_D} AS BIGINT) AS d,
+       ROUND(mmd2_raw, 6) AS mmd2,
+       ROUND(SQRT(GREATEST(0.0, mmd2_raw)), 6) AS mmd
+FROM o
+"""
+
+
+# --------------------------------------------------------------------------
+# q312 — covariate-balance table (standardized mean differences) for
+# q290's treatment assignment, raw vs IPW-weighted: SMD = (μ₁−μ₀)/
+# √((σ₁²+σ₀²)/2) per covariate (acctbal, order count, total spend),
+# and the same with q290's stabilized stratum weights — the diagnostic
+# that certifies an IPW analysis actually balanced its strata (|SMD| <
+# 0.1 is the conventional gate). Covariates stack into long form (3×
+# corpus-linear), weights broadcast from the stratum propensity dim,
+# and each covariate's moments are ONE partial agg keyed (cov, t).
+# Weighted moments use the population form Σwx²/Σw − (Σwx/Σw)².
+# --------------------------------------------------------------------------
+
+
+def q312_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 2 == 1).cast("int").alias("t"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("nb"),
+        F.col("c_acctbal").alias("x_acctbal"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x_norders"),
+            F.sum("o_totalprice").alias("x_spend"),
+        )
+    )
+    base = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).select(
+        "t",
+        "seg",
+        "nb",
+        "x_acctbal",
+        F.coalesce("x_norders", F.lit(0.0)).alias("x_norders"),
+        F.coalesce("x_spend", F.lit(0.0)).alias("x_spend"),
+    )
+    prop = (
+        base.groupBy("seg", "nb")
+        .agg(F.avg(F.col("t").cast("double")).alias("e"))
+        .filter((F.col("e") > 0) & (F.col("e") < 1))
+    )
+    j = base.join(F.broadcast(prop), ["seg", "nb"])
+    pbar = j.agg(F.avg(F.col("t").cast("double")).alias("pbar"))
+    j = j.crossJoin(F.broadcast(pbar)).withColumn(
+        "wt",
+        F.when(F.col("t") == 1, F.col("pbar") / F.col("e")).otherwise(
+            (1 - F.col("pbar")) / (1 - F.col("e"))
+        ),
+    )
+    lng = None
+    for cov in ("x_acctbal", "x_norders", "x_spend"):
+        part = j.select(
+            F.lit(cov).alias("cov"),
+            "t",
+            F.col(cov).cast("double").alias("x"),
+            "wt",
+        )
+        lng = part if lng is None else lng.union(part)
+    mom = lng.groupBy("cov", "t").agg(
+        F.avg("x").alias("mu"),
+        F.var_pop("x").alias("v"),
+        (F.sum(F.col("wt") * F.col("x")) / F.sum("wt")).alias("muw"),
+        (
+            F.sum(F.col("wt") * F.col("x") * F.col("x")) / F.sum("wt")
+            - (F.sum(F.col("wt") * F.col("x")) / F.sum("wt"))
+            * (F.sum(F.col("wt") * F.col("x")) / F.sum("wt"))
+        ).alias("vw"),
+    )
+    t1 = mom.filter(F.col("t") == 1).select(
+        "cov",
+        F.col("mu").alias("mu1"),
+        F.col("v").alias("v1"),
+        F.col("muw").alias("muw1"),
+        F.col("vw").alias("vw1"),
+    )
+    t0 = mom.filter(F.col("t") == 0).select(
+        "cov",
+        F.col("mu").alias("mu0"),
+        F.col("v").alias("v0"),
+        F.col("muw").alias("muw0"),
+        F.col("vw").alias("vw0"),
+    )
+    g = t1.join(t0, "cov")
+    smd = (F.col("mu1") - F.col("mu0")) / F.sqrt(
+        (F.col("v1") + F.col("v0")) / 2.0
+    )
+    smdw = (F.col("muw1") - F.col("muw0")) / F.sqrt(
+        (F.col("vw1") + F.col("vw0")) / 2.0
+    )
+    return g.select(
+        "cov",
+        F.round(smd, 6).alias("smd_raw"),
+        F.round(smdw, 6).alias("smd_weighted"),
+        (F.abs(smd) < 0.1).alias("balanced_raw"),
+        (F.abs(smdw) < 0.1).alias("balanced_weighted"),
+    )
+
+
+Q312_SQL = """
+WITH cust AS (
+  SELECT c_custkey, CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+         c_mktsegment AS seg, c_nationkey % 5 AS nb,
+         c_acctbal AS x_acctbal
+  FROM customer
+), osum AS (
+  SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS x_norders,
+         SUM(o_totalprice) AS x_spend
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT t, seg, nb, x_acctbal,
+         COALESCE(x_norders, 0.0) AS x_norders,
+         COALESCE(x_spend, 0.0) AS x_spend
+  FROM cust LEFT JOIN osum ON osum.o_custkey = cust.c_custkey
+), prop AS (
+  SELECT seg, nb, AVG(CAST(t AS DOUBLE)) AS e FROM base GROUP BY 1, 2
+  HAVING AVG(CAST(t AS DOUBLE)) > 0 AND AVG(CAST(t AS DOUBLE)) < 1
+), jb AS (
+  SELECT b.*, p.e,
+         (SELECT AVG(CAST(b2.t AS DOUBLE)) FROM base b2
+          JOIN prop p2 ON p2.seg = b2.seg AND p2.nb = b2.nb) AS pbar
+  FROM base b JOIN prop p ON p.seg = b.seg AND p.nb = b.nb
+), wts AS (
+  SELECT *, CASE WHEN t = 1 THEN pbar / e
+                 ELSE (1 - pbar) / (1 - e) END AS wt
+  FROM jb
+), lng AS (
+  SELECT 'x_acctbal' AS cov, t, CAST(x_acctbal AS DOUBLE) AS x, wt
+  FROM wts
+  UNION ALL
+  SELECT 'x_norders', t, x_norders, wt FROM wts
+  UNION ALL
+  SELECT 'x_spend', t, x_spend, wt FROM wts
+), mom AS (
+  SELECT cov, t, AVG(x) AS mu, VAR_POP(x) AS v,
+         SUM(wt * x) / SUM(wt) AS muw,
+         SUM(wt * x * x) / SUM(wt)
+           - (SUM(wt * x) / SUM(wt)) * (SUM(wt * x) / SUM(wt)) AS vw
+  FROM lng GROUP BY 1, 2
+), g AS (
+  SELECT a.cov, a.mu AS mu1, a.v AS v1, a.muw AS muw1, a.vw AS vw1,
+         b.mu AS mu0, b.v AS v0, b.muw AS muw0, b.vw AS vw0
+  FROM mom a JOIN mom b ON a.cov = b.cov AND a.t = 1 AND b.t = 0
+)
+SELECT cov,
+       ROUND((mu1 - mu0) / SQRT((v1 + v0) / 2.0), 6) AS smd_raw,
+       ROUND((muw1 - muw0) / SQRT((vw1 + vw0) / 2.0), 6) AS smd_weighted,
+       ABS((mu1 - mu0) / SQRT((v1 + v0) / 2.0)) < 0.1 AS balanced_raw,
+       ABS((muw1 - muw0) / SQRT((vw1 + vw0) / 2.0)) < 0.1
+         AS balanced_weighted
+FROM g
+"""
+
+
 QUERIES = {
     "q289_isotonic": q289_isotonic,
+    "q310_conformal_interval": q310_conformal_interval,
+    "q311_mmd_rff": q311_mmd_rff,
+    "q312_smd_balance": q312_smd_balance,
     "q307_hill_tail_index": q307_hill_tail_index,
     "q308_atkinson_index": q308_atkinson_index,
     "q309_gumbel_evt": q309_gumbel_evt,
@@ -8128,6 +8554,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q310_conformal_interval": Q310_SQL,
+    "q311_mmd_rff": Q311_SQL,
+    "q312_smd_balance": Q312_SQL,
     "q307_hill_tail_index": Q307_SQL,
     "q308_atkinson_index": Q308_SQL,
     "q309_gumbel_evt": Q309_SQL,

@@ -412,6 +412,9 @@ AUDIT = [
     ("q307_hill_tail_index", 4, 0),
     ("q308_atkinson_index", 1, 0),
     ("q309_gumbel_evt", 3, 0),
+    ("q310_conformal_interval", 6, 0),
+    ("q311_mmd_rff", 4, 0),
+    ("q312_smd_balance", 6, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
