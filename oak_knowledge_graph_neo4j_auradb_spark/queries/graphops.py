@@ -4913,8 +4913,97 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# kg102 — DAG audit by Kahn source peeling: per round, remove every
+# node with in-degree 0 and its outgoing edges; a graph is a DAG iff
+# the peel empties it, and the number of productive rounds is the DAG
+# depth + 1 (kg74's topological levels are this peel's round indices).
+# Any edges surviving all rounds sit in or downstream of a CYCLE — the
+# corruption a prerequisite KG must reject before load. Each round is
+# one distinct + one anti-join (kg97's checkpointed-peel shape); the
+# per-round profile (sources peeled, edges remaining) is the output.
+# Oracle: the identical peel unrolled round-by-round in SQL.
+# --------------------------------------------------------------------------
+
+_KAHN_ROUNDS = 12
+
+
+def kg102_dag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = (
+        gb.resolved.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rows = None
+    for k in range(_KAHN_ROUNDS):
+        srcs = (
+            e.select("subj")
+            .distinct()
+            .join(
+                e.select(F.col("obj").alias("subj")).distinct(),
+                "subj",
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        n_src = srcs.count()
+        if n_src == 0:
+            break
+        e = e.join(srcs, "subj", "left_anti").localCheckpoint()
+        row = spark.createDataFrame(
+            [(k, n_src, e.count())],
+            "round long, n_sources_peeled long, n_edges_remaining long",
+        )
+        rows = row if rows is None else rows.union(row)
+    out = rows
+    return out.withColumn(
+        "is_dag_so_far", F.col("n_edges_remaining") == 0
+    )
+
+
+def _kg102_sql(rounds: int = _KAHN_ROUNDS) -> str:
+    from .kg import _edges_union_sql
+
+    steps = [
+        """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT subj, obj FROM edges WHERE subj <> obj)"""
+    ]
+    rows = []
+    for k in range(rounds):
+        steps.append(
+            f"""
+src{k} AS MATERIALIZED (
+  SELECT DISTINCT subj FROM e{k}
+  WHERE subj NOT IN (SELECT obj FROM e{k})),
+e{k + 1} AS MATERIALIZED (
+  SELECT * FROM e{k} WHERE subj NOT IN (SELECT subj FROM src{k}))"""
+        )
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS round, "
+            f"CAST((SELECT COUNT(*) FROM src{k}) AS BIGINT)"
+            f" AS n_sources_peeled, "
+            f"CAST((SELECT COUNT(*) FROM e{k + 1}) AS BIGINT)"
+            f" AS n_edges_remaining"
+        )
+    union = " UNION ALL ".join(rows)
+    return (
+        f"{_edges_union_sql()},\n"
+        + ",".join(steps)
+        + f""",
+profile AS ({union})
+SELECT round, n_sources_peeled, n_edges_remaining,
+       n_edges_remaining = 0 AS is_dag_so_far
+FROM profile WHERE n_sources_peeled > 0
+"""
+    )
+
+
 QUERIES = {
     "q245_conductance": q245_conductance,
+    "kg102_dag_audit": kg102_dag_audit,
     "kg98_shacl_shapes": kg98_shacl_shapes,
     "kg100_snap_summary": kg100_snap_summary,
     "kg101_transitive_reduction": kg101_transitive_reduction,
@@ -4973,6 +5062,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg102_dag_audit": _kg102_sql(),
     "kg98_shacl_shapes": _kg98_sql(),
     "kg100_snap_summary": _kg100_sql(),
     "kg101_transitive_reduction": _kg101_sql(),

@@ -415,6 +415,9 @@ AUDIT = [
     ("q310_conformal_interval", 6, 0),
     ("q311_mmd_rff", 4, 0),
     ("q312_smd_balance", 6, 0),
+    # final plan is the union of per-round driver-literal profile rows;
+    # the peel itself runs in checkpointed rounds
+    ("kg102_dag_audit", 0, 0),
     ("q215_scc", 1, 0),
     # native UNION recursion: per-level BFS joins + the level profile
     # agg; the 6 Arrow stages are the sanctioned kg-build wide melt
