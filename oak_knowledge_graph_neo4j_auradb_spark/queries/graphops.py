@@ -5001,8 +5001,175 @@ FROM profile WHERE n_sources_peeled > 0
     )
 
 
+# --------------------------------------------------------------------------
+# kg103 — metapath-equivalence rule mining (AMIE-style, Galárraga et al.
+# WWW 2013, with composed heads; the PRA path-feature view of Lao &
+# Cohen 2010): the layered curriculum KG has NO direct predicate whose
+# label signature matches any 2-hop composition (verified — a
+# predicate-headed AMIE pass is structurally empty here), so the
+# meaningful rules are equivalences between 2-hop metapaths: does
+# p1(x,y) ∧ p2(y,z) reach the same (x,z) pairs as q1(x,y') ∧ q2(y',z)?
+# E.g. Unitoffering→Unit→Unitvariant vs Unitoffering→Programme→
+# Unitvariant. Score: support = |instance overlap| (distinct (x,z)),
+# confidence = support / n_paths(lhs); candidate pairs with support 0
+# are the negative evidence a rule pruner consumes. Plan: one mid-key
+# self-join builds the composition table (shuffle on the shared
+# endpoint, AQE skew-safe on hub nodes), a distinct, then a self-join
+# keyed on the FULL (xl, zl, x, z) instance — partial-agg friendly,
+# never label-pair fan-out; output is bounded by rule-pair cardinality.
+# Oracle: identical joins over the independent edges union.
+# --------------------------------------------------------------------------
+
+
+#: previous invocation's persisted composition table — pop-released on
+#: the next call (q25 pattern: the returned DF is lazy, so unpersisting
+#: inside the builder would force recomputation before collect).
+_KG103_CACHE: list[DataFrame] = []
+
+
+def kg103_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _KG103_CACHE:
+        _KG103_CACHE.pop().unpersist()
+    gb = _wide(spark, sf_dir)
+    e = (
+        gb.resolved.select(
+            "pred", "subj_label", "obj_label", "subj", "obj"
+        )
+        .distinct()
+    )
+    e1 = e.select(
+        F.col("pred").alias("p1"),
+        F.col("subj_label").alias("xl"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+        F.col("obj_label").alias("ml"),
+    )
+    e2 = e.select(
+        F.col("pred").alias("p2"),
+        F.col("subj").alias("y"),
+        F.col("subj_label").alias("ml"),
+        F.col("obj").alias("z"),
+        F.col("obj_label").alias("zl"),
+    )
+    comp = (
+        e1.join(e2, ["y", "ml"])
+        .select("p1", "p2", "ml", "xl", "zl", "x", "z")
+        .distinct()
+        .persist()
+    )
+    _KG103_CACHE.append(comp)
+    n_paths = comp.groupBy("p1", "p2", "ml", "xl", "zl").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rhs = comp.select(
+        F.col("p1").alias("q1"),
+        F.col("p2").alias("q2"),
+        F.col("ml").alias("qml"),
+        "xl",
+        "zl",
+        "x",
+        "z",
+    )
+    sup = (
+        comp.join(rhs, ["xl", "zl", "x", "z"])
+        .filter(
+            (F.col("p1") != F.col("q1"))
+            | (F.col("p2") != F.col("q2"))
+            | (F.col("ml") != F.col("qml"))
+        )
+        .groupBy("p1", "p2", "ml", "q1", "q2", "qml", "xl", "zl")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    rn = n_paths.select(
+        F.col("p1").alias("q1"),
+        F.col("p2").alias("q2"),
+        F.col("ml").alias("qml"),
+        "xl",
+        "zl",
+        F.col("n").alias("n_rhs"),
+    )
+    cand = (
+        n_paths.join(rn, ["xl", "zl"])
+        .filter(
+            (F.col("p1") != F.col("q1"))
+            | (F.col("p2") != F.col("q2"))
+            | (F.col("ml") != F.col("qml"))
+        )
+    )
+    out = (
+        cand.join(
+            sup, ["p1", "p2", "ml", "q1", "q2", "qml", "xl", "zl"], "left"
+        )
+        .withColumn("support", F.coalesce("support", F.lit(0)))
+        .select(
+            "p1",
+            "p2",
+            "ml",
+            "q1",
+            "q2",
+            "qml",
+            "xl",
+            "zl",
+            F.col("n").alias("n_lhs"),
+            "n_rhs",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support") / F.col("n"), 6).alias("confidence"),
+            F.round(
+                F.col("support")
+                / (F.col("n") + F.col("n_rhs") - F.col("support")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def _kg103_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (
+  SELECT DISTINCT pred, subj_label, obj_label, subj, obj FROM edges),
+comp AS MATERIALIZED (
+  SELECT DISTINCT a.pred AS p1, b.pred AS p2, a.obj_label AS ml,
+         a.subj_label AS xl, b.obj_label AS zl,
+         a.subj AS x, b.obj AS z
+  FROM e a JOIN e b ON b.subj = a.obj
+                   AND b.subj_label = a.obj_label
+), n_paths AS (
+  SELECT p1, p2, ml, xl, zl, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY 1, 2, 3, 4, 5
+), sup AS (
+  SELECT a.p1, a.p2, a.ml, b.p1 AS q1, b.p2 AS q2, b.ml AS qml,
+         a.xl, a.zl, CAST(COUNT(*) AS BIGINT) AS support
+  FROM comp a JOIN comp b
+    ON b.xl = a.xl AND b.zl = a.zl AND b.x = a.x AND b.z = a.z
+  WHERE a.p1 <> b.p1 OR a.p2 <> b.p2 OR a.ml <> b.ml
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+), cand AS (
+  SELECT l.p1, l.p2, l.ml, r.p1 AS q1, r.p2 AS q2, r.ml AS qml,
+         l.xl, l.zl, l.n AS n_lhs, r.n AS n_rhs
+  FROM n_paths l JOIN n_paths r ON r.xl = l.xl AND r.zl = l.zl
+  WHERE l.p1 <> r.p1 OR l.p2 <> r.p2 OR l.ml <> r.ml
+)
+SELECT c.p1, c.p2, c.ml, c.q1, c.q2, c.qml, c.xl, c.zl,
+       c.n_lhs, c.n_rhs,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+       ROUND(COALESCE(s.support, 0) / (1.0 * c.n_lhs), 6) AS confidence,
+       ROUND(COALESCE(s.support, 0)
+             / (1.0 * (c.n_lhs + c.n_rhs - COALESCE(s.support, 0))), 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN sup s ON s.p1 = c.p1 AND s.p2 = c.p2 AND s.ml = c.ml
+               AND s.q1 = c.q1 AND s.q2 = c.q2 AND s.qml = c.qml
+               AND s.xl = c.xl AND s.zl = c.zl
+"""
+
+
 QUERIES = {
     "q245_conductance": q245_conductance,
+    "kg103_amie_rules": kg103_amie_rules,
     "kg102_dag_audit": kg102_dag_audit,
     "kg98_shacl_shapes": kg98_shacl_shapes,
     "kg100_snap_summary": kg100_snap_summary,
@@ -5062,6 +5229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg103_amie_rules": _kg103_sql(),
     "kg102_dag_audit": _kg102_sql(),
     "kg98_shacl_shapes": _kg98_sql(),
     "kg100_snap_summary": _kg100_sql(),

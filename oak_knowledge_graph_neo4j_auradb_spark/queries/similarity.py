@@ -2675,8 +2675,102 @@ FROM metr GROUP BY qlab
 """
 
 
+# --------------------------------------------------------------------------
+# q315 — embedding ISOTROPY audit (Ethayarajh EMNLP 2019; Mu & Viswanath
+# ICLR 2018 "all-but-the-top"): for unit-normalized vectors the average
+# pairwise cosine equals ‖mean(û)‖² up to the 1/n self-term, so the
+# squared norm of the mean unit vector IS the anisotropy score — O(n),
+# never a pair join. Scored twice: raw, and after per-dimension
+# standardization (the whitening-lite that removes the common-mean
+# component); a healthy post-whitening score is ≈ 0. Long-form
+# posexplode → per-dim moment agg (broadcast back) → per-vector norms
+# via JVM array folds — corpus-linear, three partial-agg shuffles.
+# --------------------------------------------------------------------------
+
+
+def q315_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    lng = e.select("vec_id", F.posexplode("v").alias("i", "x"))
+    dimstats = lng.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+
+    def mean_unit_sq(df, xcol):
+        # ‖mean over vectors of (x/‖v‖)‖² from long form: per-vector
+        # norm, normalize, per-dim mean, then Σ mean².
+        norms = df.groupBy("vec_id").agg(
+            F.sqrt(F.sum(F.col(xcol) * F.col(xcol))).alias("nrm")
+        )
+        unit = df.join(norms, "vec_id").select(
+            "i", (F.col(xcol) / F.col("nrm")).alias("u")
+        )
+        dm = unit.groupBy("i").agg(F.avg("u").alias("m"))
+        return dm.agg(F.sum(F.col("m") * F.col("m")).alias("s"))
+
+    raw = mean_unit_sq(lng, "x").select(
+        F.col("s").alias("iso_raw")
+    )
+    wl = lng.join(F.broadcast(dimstats), "i").select(
+        "vec_id", "i", ((F.col("x") - F.col("mu")) / F.col("sd")).alias("xw")
+    )
+    white = mean_unit_sq(wl, "xw").select(F.col("s").alias("iso_white"))
+    n = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.size("v")).cast("long").alias("dim"),
+    )
+    return (
+        n.crossJoin(raw)
+        .crossJoin(white)
+        .select(
+            "n",
+            "dim",
+            F.round("iso_raw", 6).alias("anisotropy_raw"),
+            F.round("iso_white", 6).alias("anisotropy_whitened"),
+            F.round(F.col("iso_raw") - F.col("iso_white"), 6).alias(
+                "reduction"
+            ),
+        )
+    )
+
+
+Q315_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lng AS (
+  SELECT vec_id, i - 1 AS i, CAST(v[i] AS DOUBLE) AS x
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+), dimstats AS (
+  SELECT i, AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM lng GROUP BY 1
+), nr AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM lng GROUP BY 1
+), dm_raw AS (
+  SELECT l.i, AVG(l.x / nr.nrm) AS m
+  FROM lng l JOIN nr ON nr.vec_id = l.vec_id GROUP BY 1
+), iso_raw AS (SELECT SUM(m * m) AS s FROM dm_raw),
+wl AS (
+  SELECT l.vec_id, l.i, (l.x - d.mu) / d.sd AS xw
+  FROM lng l JOIN dimstats d ON d.i = l.i
+), nrw AS (
+  SELECT vec_id, SQRT(SUM(xw * xw)) AS nrm FROM wl GROUP BY 1
+), dm_w AS (
+  SELECT w.i, AVG(w.xw / nrw.nrm) AS m
+  FROM wl w JOIN nrw ON nrw.vec_id = w.vec_id GROUP BY 1
+), iso_w AS (SELECT SUM(m * m) AS s FROM dm_w),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(len(v)) AS BIGINT) AS dim
+  FROM e
+)
+SELECT nn.n, nn.dim,
+       ROUND(iso_raw.s, 6) AS anisotropy_raw,
+       ROUND(iso_w.s, 6) AS anisotropy_whitened,
+       ROUND(iso_raw.s - iso_w.s, 6) AS reduction
+FROM nn CROSS JOIN iso_raw CROSS JOIN iso_w
+"""
+
+
 QUERIES = {
     "q263_ranking_metrics": q263_ranking_metrics,
+    "q315_isotropy_audit": q315_isotropy_audit,
     "q260_rff_kernel": q260_rff_kernel,
     "q257_ivf_probe_recall": q257_ivf_probe_recall,
     "q259_hard_negatives": q259_hard_negatives,
@@ -2700,6 +2794,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q315_isotropy_audit": Q315_SQL,
     "q263_ranking_metrics": _q263_sql(),
     "q260_rff_kernel": _q260_sql(),
     "q257_ivf_probe_recall": _q257_sql(),

@@ -2197,7 +2197,101 @@ WHERE rouge2_f >= {_ROUGE_MIN_F}
 """
 
 
+# --------------------------------------------------------------------------
+# q313 — Burrows' Delta stylometry (Burrows 2002): per source, the mean
+# |z-score| of its relative frequencies of the K=50 most common corpus
+# words, standardized ACROSS sources — the authorship-attribution
+# distance that here flags sources whose function-word profile deviates
+# from the corpus norm (a style-drift / synthetic-contamination audit).
+# Plan: token counts collapse to (source, word) in one partial-agg
+# shuffle; the top-K vocabulary is a 50-row TakeOrderedAndProject over
+# the aggregated global counts (never a raw-doc sort); the cross-source
+# μ/σ per word is a 50-row × 20-source agg. Oracle: identical counts in
+# DuckDB with the same deterministic (count DESC, word) tie-break.
+# --------------------------------------------------------------------------
+
+_DELTA_K = 50
+
+
+def q313_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sw = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = (
+        sw.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), "w")
+        .limit(_DELTA_K)
+        .select("w")
+    )
+    f = (
+        sw.join(F.broadcast(vocab), "w")
+        .join(stot, "source")
+        .select("source", "w", (F.col("c") / F.col("n")).alias("f"))
+    )
+    # dense (source × vocab) grid so absent words contribute f = 0
+    grid = stot.select("source").crossJoin(F.broadcast(vocab))
+    dense = grid.join(f, ["source", "w"], "left").withColumn(
+        "f", F.coalesce("f", F.lit(0.0))
+    )
+    stats = dense.groupBy("w").agg(
+        F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
+    )
+    z = (
+        dense.join(F.broadcast(stats), "w")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source",
+            "w",
+            ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    # tie-safe arg-max: zero-padded |z| then word, lexicographic MAX —
+    # identical in both engines (DuckDB arg_max has no composite key)
+    key = F.format_string("%020.12f|%s", F.abs("z"), F.col("w"))
+    return z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("k_words"),
+        F.round(F.avg(F.abs("z")), 6).alias("delta"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        F.substring(F.max(key), 22, 10_000).alias("top_marker_word"),
+    )
+
+
+Q313_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+), stot AS (SELECT source, SUM(c) AS n FROM sw GROUP BY 1),
+vocab AS (
+  SELECT w FROM (SELECT w, SUM(c) AS gc FROM sw GROUP BY 1)
+  ORDER BY gc DESC, w LIMIT {_DELTA_K}
+), dense AS (
+  SELECT st.source, v.w,
+         COALESCE(sw.c / st.n, 0.0) AS f
+  FROM stot st CROSS JOIN vocab v
+  LEFT JOIN sw ON sw.source = st.source AND sw.w = v.w
+), stats AS (
+  SELECT w, AVG(f) AS mu, STDDEV_SAMP(f) AS sd FROM dense GROUP BY 1
+), z AS (
+  SELECT d.source, d.w, (d.f - s.mu) / s.sd AS z
+  FROM dense d JOIN stats s ON s.w = d.w WHERE s.sd > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS k_words,
+       ROUND(AVG(ABS(z)), 6) AS delta,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z,
+       substr(MAX(printf('%020.12f|%s', ABS(z), w)), 22)
+         AS top_marker_word
+FROM z GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q313_burrows_delta": q313_burrows_delta,
     "q278_rouge2": q278_rouge2,
     "q266_ppmi_embedding": q266_ppmi_embedding,
     "q262_lexical_diversity": q262_lexical_diversity,
@@ -2229,6 +2323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q313_burrows_delta": Q313_SQL,
     "q278_rouge2": Q278_SQL,
     "q266_ppmi_embedding": _q266_sql(),
     "q262_lexical_diversity": Q262_SQL,
