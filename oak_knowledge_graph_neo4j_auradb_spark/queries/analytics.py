@@ -8447,7 +8447,263 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q316 — Mann-Whitney U one-vs-rest screen (Mann & Whitney 1947): for
+# each language, the tie-corrected normal-approximation U test of
+# whether that language's document lengths are stochastically longer
+# than the rest of the corpus, plus the rank-biserial effect size.
+# Ranks are NEVER materialized per row: the global value histogram
+# (one row per distinct n_chars) carries cumulative offsets and
+# midranks — the only unpartitioned window runs over that aggregate —
+# and per-group rank sums are Σ n_gv · midrank(v), one partial-agg
+# shuffle on (lang, n_chars). All moment sums in double (rank sums
+# reach ~N² — int64 overflows near 3e9 rows; the 6dp rendering makes
+# double exact enough).
+# --------------------------------------------------------------------------
+
+
+def _midrank_hist(df: DataFrame, group: str, value: str):
+    """(per-group histogram joined to global midranks, global totals).
+
+    Returns ``(gh, tot)``: ``gh`` has one row per (group, value) with
+    ``c`` (count), ``m`` (midrank), ``n_g`` implicit via later agg;
+    ``tot`` is a 1-row frame with N and the tie term T = Σ(t³−t).
+    """
+    hist = df.groupBy(value).agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    w = Window.orderBy(value).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = hist.select(
+        value,
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0.0))
+            + (F.col("t") + 1.0) / 2.0
+        ).alias("m"),
+    )
+    gh = (
+        df.groupBy(group, value)
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .join(mid.select(value, "m"), value)
+    )
+    tot = hist.agg(
+        F.sum("t").alias("n_all"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_t"
+        ),
+    )
+    return gh, tot
+
+
+def q316_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    gh, tot = _midrank_hist(d, "lang", "v")
+    g = gh.groupBy("lang").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c") * F.col("m")).alias("r_g"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    n1, n2 = F.col("n_g"), F.col("n_all") - F.col("n_g")
+    u = F.col("r_g") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    var = (n1 * n2 / 12.0) * (
+        (F.col("n_all") + 1.0)
+        - F.col("tie_t") / (F.col("n_all") * (F.col("n_all") - 1.0))
+    )
+    return j.select(
+        "lang",
+        F.col("n_g").cast("long").alias("n"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 6).alias("z"),
+        F.round(1.0 - 2.0 * u / (n1 * n2), 6).alias("rank_biserial"),
+    )
+
+
+Q316_SQL = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+), hist AS (
+  SELECT v, CAST(COUNT(*) AS DOUBLE) AS t FROM d GROUP BY 1
+), mid AS (
+  SELECT v, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           + (t + 1.0) / 2.0 AS m
+  FROM hist
+), gh AS (
+  SELECT lang, v, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2
+), g AS (
+  SELECT gh.lang, SUM(gh.c) AS n_g, SUM(gh.c * mid.m) AS r_g
+  FROM gh JOIN mid ON mid.v = gh.v GROUP BY 1
+), tot AS (
+  SELECT SUM(t) AS n_all, SUM(t * t * t - t) AS tie_t FROM hist
+)
+SELECT lang, CAST(n_g AS BIGINT) AS n,
+       ROUND(r_g - n_g * (n_g + 1.0) / 2.0, 2) AS u_stat,
+       ROUND((r_g - n_g * (n_g + 1.0) / 2.0
+              - n_g * (n_all - n_g) / 2.0)
+             / SQRT((n_g * (n_all - n_g) / 12.0)
+                    * ((n_all + 1.0)
+                       - tie_t / (n_all * (n_all - 1.0)))), 6) AS z,
+       ROUND(1.0 - 2.0 * (r_g - n_g * (n_g + 1.0) / 2.0)
+             / (n_g * (n_all - n_g)), 6) AS rank_biserial
+FROM g CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q317 — Kruskal-Wallis H across sources (Kruskal & Wallis 1952) on
+# document lengths, with the tie correction C = 1 − Σ(t³−t)/(N³−N):
+# the k-sample generalization of q316 over the same midrank-histogram
+# machinery — rank sums from the (source, value) partial agg, H from a
+# k-row rollup. Never a global per-row sort.
+# --------------------------------------------------------------------------
+
+
+def q317_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    gh, tot = _midrank_hist(d, "source", "v")
+    g = gh.groupBy("source").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(F.col("c") * F.col("m")).alias("r_g"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("sr"),
+    ).crossJoin(F.broadcast(tot))
+    n = F.col("n_all")
+    h = 12.0 / (n * (n + 1.0)) * F.col("sr") - 3.0 * (n + 1.0)
+    c = 1.0 - F.col("tie_t") / (n * n * n - n)
+    return agg.select(
+        "k_groups",
+        n.cast("long").alias("n"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / c, 6).alias("h_tie_corrected"),
+    )
+
+
+Q317_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+), hist AS (
+  SELECT v, CAST(COUNT(*) AS DOUBLE) AS t FROM d GROUP BY 1
+), mid AS (
+  SELECT v, t,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           + (t + 1.0) / 2.0 AS m
+  FROM hist
+), gh AS (
+  SELECT source, v, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2
+), g AS (
+  SELECT gh.source, SUM(gh.c) AS n_g, SUM(gh.c * mid.m) AS r_g
+  FROM gh JOIN mid ON mid.v = gh.v GROUP BY 1
+), tot AS (
+  SELECT SUM(t) AS n_all, SUM(t * t * t - t) AS tie_t FROM hist
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         SUM(r_g * r_g / n_g) AS sr
+  FROM g
+)
+SELECT k_groups, CAST(n_all AS BIGINT) AS n,
+       ROUND(12.0 / (n_all * (n_all + 1.0)) * sr
+             - 3.0 * (n_all + 1.0), 6) AS h_stat,
+       ROUND((12.0 / (n_all * (n_all + 1.0)) * sr
+              - 3.0 * (n_all + 1.0))
+             / (1.0 - tie_t / (n_all * n_all * n_all - n_all)), 6)
+         AS h_tie_corrected
+FROM agg CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q318 — Brown-Forsythe robust variance-homogeneity test (Brown &
+# Forsythe 1974): Levene's W computed on absolute deviations from the
+# GROUP MEDIAN (robust to the heavy-tailed event values), i.e. a
+# one-way ANOVA F over z_ij = |x_ij − med_j|. Group medians are one
+# exact-percentile agg (Spark sorts within group partitions, never
+# globally); the F reuses q146's two-level moment algebra. Guarded to
+# groups with n > 1 so a single-row type cannot 0/0 the within-group
+# term (the q182/q199 lesson).
+# --------------------------------------------------------------------------
+
+
+def q318_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.median("v").alias("med"),
+        F.count(F.lit(1)).alias("n_g"),
+    ).filter(F.col("n_g") > 1)
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+        F.sum("ss").alias("ss_all"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_all")
+    ssw = F.col("ss_all") - F.col("sb")
+    f_bf = (ssb / (F.col("k") - 1.0)) / (
+        ssw / (F.col("n_all") - F.col("k"))
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_all").cast("long").alias("n"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f_bf, 6).alias("f_bf"),
+    )
+
+
+Q318_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+  SELECT event_type, MEDIAN(v) AS med FROM ev
+  GROUP BY 1 HAVING COUNT(*) > 1
+), z AS (
+  SELECT ev.event_type, ABS(ev.v - med.med) AS z
+  FROM ev JOIN med ON med.event_type = ev.event_type
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(z) AS s, SUM(z * z) AS ss
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(n) AS n_all,
+         SUM(s) AS s_all, SUM(ss) AS ss_all,
+         SUM(s * s / n) AS sb
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n_all AS BIGINT) AS n,
+       ROUND(sb - s_all * s_all / n_all, 4) AS ss_between,
+       ROUND(ss_all - sb, 4) AS ss_within,
+       ROUND(((sb - s_all * s_all / n_all) / (k - 1.0))
+             / ((ss_all - sb) / (n_all - k)), 6) AS f_bf
+FROM tot
+"""
+
+
 QUERIES = {
+    "q316_mann_whitney": q316_mann_whitney,
+    "q317_kruskal_wallis": q317_kruskal_wallis,
+    "q318_brown_forsythe": q318_brown_forsythe,
     "q289_isotonic": q289_isotonic,
     "q310_conformal_interval": q310_conformal_interval,
     "q311_mmd_rff": q311_mmd_rff,
@@ -8554,6 +8810,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q316_mann_whitney": Q316_SQL,
+    "q317_kruskal_wallis": Q317_SQL,
+    "q318_brown_forsythe": Q318_SQL,
     "q310_conformal_interval": Q310_SQL,
     "q311_mmd_rff": Q311_SQL,
     "q312_smd_balance": Q312_SQL,

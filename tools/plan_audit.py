@@ -415,6 +415,18 @@ AUDIT = [
     ("q310_conformal_interval", 6, 0),
     ("q311_mmd_rff", 4, 0),
     ("q312_smd_balance", 6, 0),
+    # midrank-histogram rank tests: (group, value) partial aggs + the
+    # sanctioned cumulative window over the tiny value histogram
+    ("q316_mann_whitney", 5, 0),
+    ("q317_kruskal_wallis", 6, 0),
+    ("q318_brown_forsythe", 3, 0),
+    # token agg + 50-row top-k + dense grid joins, all on tiny dims
+    ("q313_burrows_delta", 5, 0),
+    # long-form posexplode: per-dim and per-vector partial aggs only
+    ("q315_isotropy_audit", 8, 0),
+    # kg103 rides the kg-build wide melt like kg100; its own tail is
+    # the mid-key composition self-join + instance-overlap self-join
+    ("kg103_amie_rules", 46, 12),
     # final plan is the union of per-round driver-literal profile rows;
     # the peel itself runs in checkpointed rounds
     ("kg102_dag_audit", 0, 0),
