@@ -5167,7 +5167,120 @@ LEFT JOIN sup s ON s.p1 = c.p1 AND s.p2 = c.p2 AND s.ml = c.ml
 """
 
 
+# --------------------------------------------------------------------------
+# kg104 — rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
+# 2006 normalization left to the caller): for each degree threshold k,
+# the density φ(k) = 2·E_k / (N_k·(N_k−1)) of the subgraph induced by
+# nodes with degree > k on the UNDIRECTED distinct edge set — the
+# hub-interconnection audit that flags whether high-degree curriculum
+# entities (programmes, units) form a tightly wired core. Plan: degree
+# table (one agg), per-edge min-endpoint degree (two joins, AQE
+# broadcast), then BOTH tails come from degree HISTOGRAMS × the 6-row
+# threshold grid — never a per-k rescan of the edge set.
+# --------------------------------------------------------------------------
+
+_RC_GRID = (1, 2, 4, 8, 16, 32)
+
+
+def kg104_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = (
+        gb.resolved.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    md_hist = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .groupBy(F.least("du", "dv").alias("md"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_e"))
+    )
+    deg_hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_n")
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in _RC_GRID], "k int"
+    )
+    nk = (
+        grid.crossJoin(deg_hist)
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_n").alias("n_nodes"))
+    )
+    ek = (
+        grid.crossJoin(md_hist)
+        .filter(F.col("md") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_e").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .filter(F.col("n_nodes") > 1)
+        .select(
+            "k",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(
+                2.0
+                * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1.0)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+def _kg104_sql() -> str:
+    from .kg import _edges_union_sql
+
+    grid = ", ".join(f"({k})" for k in _RC_GRID)
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+  FROM edges WHERE subj <> obj
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+), md_hist AS (
+  SELECT LEAST(du.deg, dv.deg) AS md, CAST(COUNT(*) AS BIGINT) AS n_e
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  GROUP BY 1
+), deg_hist AS (
+  SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_n FROM deg GROUP BY 1
+), grid(k) AS (VALUES {grid}),
+nk AS (
+  SELECT k, SUM(n_n) AS n_nodes FROM grid JOIN deg_hist ON deg > k
+  GROUP BY 1
+), ek AS (
+  SELECT k, SUM(n_e) AS n_edges FROM grid JOIN md_hist ON md > k
+  GROUP BY 1
+)
+SELECT nk.k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       ROUND(2.0 * COALESCE(ek.n_edges, 0)
+             / (nk.n_nodes * (nk.n_nodes - 1.0)), 6) AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes > 1
+"""
+
+
 QUERIES = {
+    "kg104_rich_club": kg104_rich_club,
     "q245_conductance": q245_conductance,
     "kg103_amie_rules": kg103_amie_rules,
     "kg102_dag_audit": kg102_dag_audit,
@@ -5229,6 +5342,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg104_rich_club": _kg104_sql(),
     "kg103_amie_rules": _kg103_sql(),
     "kg102_dag_audit": _kg102_sql(),
     "kg98_shacl_shapes": _kg98_sql(),

@@ -4078,7 +4078,228 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q319 — Heaps'-law exponent fit per source (Heaps 1978, V = k·N^β):
+# shard each source's token stream into 16 deterministic doc_id
+# buckets, count cumulative tokens N and cumulative NEW vocabulary V
+# at each shard boundary (first-occurrence shard = min shard per
+# distinct token — one partial agg on the hashed token, never a
+# per-token window), then OLS-fit ln V on ln N over the ≤16 points per
+# source. β well below 1 is the healthy sublinear vocab growth; β ≈ 1
+# flags template/ID-heavy sources whose "vocabulary" never saturates.
+# Plan: two (source-keyed) partial-agg shuffles + a 16-row-per-source
+# cumulative window over the aggregate — corpus-linear.
+# --------------------------------------------------------------------------
+
+_HEAPS_SHARDS = 16
+
+
+def q319_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        # hash-shard: doc_id mod N correlates with source in the feed
+        # (round-robin assignment), which would leave each source only
+        # a few distinct shards; the md5 bucket is uniform everywhere
+        F.pmod(md5long(F.col("doc_id").cast("string")), F.lit(_HEAPS_SHARDS)).alias(
+            "shard"
+        ),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select("source", "shard", md5long(F.col("w")).alias("tok"))
+    toks = d.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok")
+    )
+    first = d.groupBy("source", "tok").agg(F.min("shard").alias("shard"))
+    new = first.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("double").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = (
+        # left join: a shard can add tokens but no NEW vocabulary —
+        # it must still advance cumulative N (inner join would silently
+        # drop its token mass from every later point)
+        toks.join(new, ["source", "shard"], "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0.0)))
+        .select(
+            "source",
+            "shard",
+            F.log(F.sum("n_tok").over(w)).alias("ln_n"),
+            F.log(F.sum("n_new").over(w)).alias("ln_v"),
+        )
+    )
+    g = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.avg("ln_n").alias("mx"),
+        F.avg("ln_v").alias("my"),
+        F.avg(F.col("ln_n") * F.col("ln_v")).alias("mxy"),
+        F.avg(F.col("ln_n") * F.col("ln_n")).alias("mxx"),
+        F.avg(F.col("ln_v") * F.col("ln_v")).alias("myy"),
+    ).filter(
+        # degenerate-fit guard: a source confined to one shard (or with
+        # identical cumulative N at every point) has no slope to fit
+        (F.col("n_points") > 2)
+        & (F.col("mxx") - F.col("mx") * F.col("mx") > 0)
+        & (F.col("myy") - F.col("my") * F.col("my") > 0)
+    )
+    beta = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    r2 = (
+        (F.col("mxy") - F.col("mx") * F.col("my"))
+        * (F.col("mxy") - F.col("mx") * F.col("my"))
+        / (
+            (F.col("mxx") - F.col("mx") * F.col("mx"))
+            * (F.col("myy") - F.col("my") * F.col("my"))
+        )
+    )
+    return g.select(
+        "source",
+        "n_points",
+        # + 0.0 canonicalizes IEEE negative zero (a flat fit rounds to
+        # -0.0 in one engine and 0.0 in the other)
+        (F.round(beta, 6) + 0.0).alias("beta"),
+        F.round(F.exp(F.col("my") - beta * F.col("mx")), 6).alias("k"),
+        (F.round(r2, 6) + 0.0).alias("r2"),
+    )
+
+
+Q319_SQL = f"""
+WITH d AS (
+  SELECT source,
+         {MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR)")}
+           % {_HEAPS_SHARDS} AS shard,
+         {MD5LONG_SQL.format(x="t.w")} AS tok
+  FROM documents, unnest({TOKENS_SQL.format(x='text')}) AS t(w)
+), toks AS (
+  SELECT source, shard, CAST(COUNT(*) AS DOUBLE) AS n_tok
+  FROM d GROUP BY 1, 2
+), first AS (
+  SELECT source, tok, MIN(shard) AS shard FROM d GROUP BY 1, 2
+), nw AS (
+  SELECT source, shard, CAST(COUNT(*) AS DOUBLE) AS n_new
+  FROM first GROUP BY 1, 2
+), pts AS (
+  SELECT t.source, t.shard,
+         LN(SUM(t.n_tok) OVER (PARTITION BY t.source ORDER BY t.shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ln_n,
+         LN(SUM(COALESCE(nw.n_new, 0.0)) OVER (PARTITION BY t.source
+            ORDER BY t.shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ln_v
+  FROM toks t LEFT JOIN nw ON nw.source = t.source AND nw.shard = t.shard
+), g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+         AVG(ln_n) AS mx, AVG(ln_v) AS my,
+         AVG(ln_n * ln_v) AS mxy, AVG(ln_n * ln_n) AS mxx,
+         AVG(ln_v * ln_v) AS myy
+  FROM pts GROUP BY 1
+  HAVING COUNT(*) > 2 AND AVG(ln_n * ln_n) - AVG(ln_n) * AVG(ln_n) > 0
+     AND AVG(ln_v * ln_v) - AVG(ln_v) * AVG(ln_v) > 0
+)
+SELECT source, n_points,
+       ROUND((mxy - mx * my) / (mxx - mx * mx), 6) + 0.0 AS beta,
+       ROUND(EXP(my - (mxy - mx * my) / (mxx - mx * mx) * mx), 6) AS k,
+       ROUND((mxy - mx * my) * (mxy - mx * my)
+             / ((mxx - mx * mx) * (myy - my * my)), 6) + 0.0 AS r2
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q320 — Brier score with the Murphy (1973) three-term decomposition
+# over q81/q167's quality score vs the lang='en' pseudo-label:
+# Brier = reliability − resolution + uncertainty holds exactly only
+# for forecasts constant within each bin, so the residual of the
+# identity is reported too — a nonzero residual IS the within-bin
+# forecast variance, itself a useful calibration diagnostic. Reuses
+# `_quality_score`/`_QSCORE_CTES` verbatim (the q167 contract). One
+# 10-bin partial agg + a 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q320_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    scored = d.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        _quality_score(F.col("t")).alias("s"),
+    )
+    b = F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long")
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("s").alias("sbar"),
+        F.avg("y").alias("ybar"),
+        F.sum(
+            (F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))
+        ).alias("sq"),
+    )
+    g = bins.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("sq").alias("sq_all"),
+        F.sum(
+            F.col("n")
+            * (F.col("sbar") - F.col("ybar"))
+            * (F.col("sbar") - F.col("ybar"))
+        ).alias("rel_n"),
+        F.sum(F.col("n") * F.col("ybar")).alias("y_n"),
+        F.sum(
+            F.col("n") * F.col("ybar") * F.col("ybar")
+        ).alias("yy_n"),
+    )
+    ybar = F.col("y_n") / F.col("n_all")
+    brier = F.col("sq_all") / F.col("n_all")
+    rel = F.col("rel_n") / F.col("n_all")
+    res = F.col("yy_n") / F.col("n_all") - ybar * ybar
+    unc = ybar * (1.0 - ybar)
+    return g.select(
+        F.col("n_all").cast("long").alias("n"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("decomp_residual"),
+    )
+
+
+Q320_SQL = f"""
+{_QSCORE_CTES},
+sc AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, s FROM s
+), bins AS (
+  SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(s) AS sbar, AVG(y) AS ybar,
+         SUM((s - y) * (s - y)) AS sq
+  FROM sc GROUP BY 1
+), g AS (
+  SELECT SUM(n) AS n_all, SUM(sq) AS sq_all,
+         SUM(n * (sbar - ybar) * (sbar - ybar)) AS rel_n,
+         SUM(n * ybar) AS y_n, SUM(n * ybar * ybar) AS yy_n
+  FROM bins
+)
+SELECT CAST(n_all AS BIGINT) AS n,
+       ROUND(sq_all / n_all, 6) AS brier,
+       ROUND(rel_n / n_all, 6) AS reliability,
+       ROUND(yy_n / n_all - (y_n / n_all) * (y_n / n_all), 6)
+         AS resolution,
+       ROUND((y_n / n_all) * (1.0 - y_n / n_all), 6) AS uncertainty,
+       ROUND(sq_all / n_all
+             - (rel_n / n_all
+                - (yy_n / n_all - (y_n / n_all) * (y_n / n_all))
+                + (y_n / n_all) * (1.0 - y_n / n_all)), 6)
+         AS decomp_residual
+FROM g
+"""
+
+
 QUERIES = {
+    "q319_heaps_fit": q319_heaps_fit,
+    "q320_brier_decomposition": q320_brier_decomposition,
     "q277_perplexity_buckets": q277_perplexity_buckets,
     "q280_neyman_allocation": q280_neyman_allocation,
     "q283_ipf_raking": q283_ipf_raking,
@@ -4138,6 +4359,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q319_heaps_fit": Q319_SQL,
+    "q320_brier_decomposition": Q320_SQL,
     "q277_perplexity_buckets": Q277_SQL,
     "q280_neyman_allocation": Q280_SQL,
     "q283_ipf_raking": _q283_sql(),

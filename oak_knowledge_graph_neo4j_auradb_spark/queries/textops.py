@@ -2290,7 +2290,116 @@ FROM z GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q321 — log-likelihood-ratio keyness (Dunning 1993): for each source,
+# the top-3 terms most over-represented vs the rest of the corpus by
+# the G² statistic over the 2×2 contingency (term-in-source,
+# term-elsewhere, other-in-source, other-elsewhere), restricted to
+# terms with corpus frequency ≥ 5 and enrichment a > E[a] — the
+# distinctive-vocabulary screen a corpus linguist (or a contamination
+# hunter) runs per shard. Plan: ONE (source, word) partial-agg
+# shuffle; margins are a broadcast word dim + a 20-row source dim; the
+# top-3 window is partitioned by source OVER THE AGGREGATE. G² is
+# rendered at 4dp and ranked on the rounded value with a word
+# tie-break so engine ulp noise cannot flip ranks.
+# --------------------------------------------------------------------------
+
+_KEYNESS_MIN_GW = 5
+_KEYNESS_TOP = 3
+
+
+def q321_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sw = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    rs = sw.groupBy("source").agg(F.sum("a").alias("rs"))
+    gw = (
+        sw.groupBy("w")
+        .agg(F.sum("a").alias("gw"))
+        .filter(F.col("gw") >= _KEYNESS_MIN_GW)
+    )
+    n = sw.agg(F.sum("a").alias("n_all"))
+    j = (
+        sw.join(F.broadcast(gw), "w")
+        .join(F.broadcast(rs), "source")
+        .crossJoin(F.broadcast(n))
+    )
+
+    def term(x, e):
+        return F.when(x > 0, x * F.log(x / e)).otherwise(F.lit(0.0))
+
+    a = F.col("a")
+    b = F.col("gw") - a
+    c = F.col("rs") - a
+    dd = F.col("n_all") - F.col("gw") - F.col("rs") + a
+    ea = F.col("rs") * F.col("gw") / F.col("n_all")
+    eb = (F.col("n_all") - F.col("rs")) * F.col("gw") / F.col("n_all")
+    ec = F.col("rs") * (F.col("n_all") - F.col("gw")) / F.col("n_all")
+    ed = (
+        (F.col("n_all") - F.col("rs"))
+        * (F.col("n_all") - F.col("gw"))
+        / F.col("n_all")
+    )
+    g2 = 2.0 * (term(a, ea) + term(b, eb) + term(c, ec) + term(dd, ed))
+    scored = j.filter(a > ea).select(
+        "source", "w", a.cast("long").alias("count"),
+        F.round(g2, 4).alias("g2"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("g2"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _KEYNESS_TOP)
+        .select("source", "rank", F.col("w").alias("word"), "count", "g2")
+    )
+
+
+Q321_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS a FROM tok GROUP BY 1, 2
+), rs AS (SELECT source, SUM(a) AS rs FROM sw GROUP BY 1),
+gw AS (
+  SELECT w, SUM(a) AS gw FROM sw GROUP BY 1
+  HAVING SUM(a) >= {_KEYNESS_MIN_GW}
+), n AS (SELECT SUM(a) AS n_all FROM sw),
+j AS (
+  SELECT sw.source, sw.w, sw.a, gw.gw, rs.rs, n.n_all
+  FROM sw JOIN gw ON gw.w = sw.w JOIN rs ON rs.source = sw.source
+  CROSS JOIN n
+), scored AS (
+  SELECT source, w, CAST(a AS BIGINT) AS count,
+         ROUND(2.0 * (
+           CASE WHEN a > 0
+                THEN a * LN(a / (rs * gw / n_all)) ELSE 0.0 END
+         + CASE WHEN gw - a > 0
+                THEN (gw - a) * LN((gw - a)
+                     / ((n_all - rs) * gw / n_all)) ELSE 0.0 END
+         + CASE WHEN rs - a > 0
+                THEN (rs - a) * LN((rs - a)
+                     / (rs * (n_all - gw) / n_all)) ELSE 0.0 END
+         + CASE WHEN n_all - gw - rs + a > 0
+                THEN (n_all - gw - rs + a) * LN((n_all - gw - rs + a)
+                     / ((n_all - rs) * (n_all - gw) / n_all))
+                ELSE 0.0 END), 4) AS g2
+  FROM j WHERE a > rs * gw / n_all
+)
+SELECT source, rank, word, count, g2 FROM (
+  SELECT source, w AS word, count, g2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY g2 DESC, w) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {_KEYNESS_TOP}
+"""
+
+
 QUERIES = {
+    "q321_llr_keyness": q321_llr_keyness,
     "q313_burrows_delta": q313_burrows_delta,
     "q278_rouge2": q278_rouge2,
     "q266_ppmi_embedding": q266_ppmi_embedding,
@@ -2323,6 +2432,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q321_llr_keyness": Q321_SQL,
     "q313_burrows_delta": Q313_SQL,
     "q278_rouge2": Q278_SQL,
     "q266_ppmi_embedding": _q266_sql(),

@@ -420,6 +420,15 @@ AUDIT = [
     ("q316_mann_whitney", 5, 0),
     ("q317_kruskal_wallis", 6, 0),
     ("q318_brown_forsythe", 3, 0),
+    # one (source, word) partial agg; margins broadcast; top-3 window
+    # partitioned by source OVER the aggregate
+    ("q321_llr_keyness", 5, 0),
+    # kg-build melt + degree histograms × 6-row threshold grid
+    ("kg104_rich_club", 17, 3),
+    # hash-sharded vocab-growth points + per-source OLS rollup
+    ("q319_heaps_fit", 4, 0),
+    # 10-bin calibration partial agg + 1-row Murphy rollup
+    ("q320_brier_decomposition", 2, 0),
     # token agg + 50-row top-k + dense grid joins, all on tiny dims
     ("q313_burrows_delta", 5, 0),
     # long-form posexplode: per-dim and per-vector partial aggs only
