@@ -5279,7 +5279,83 @@ WHERE nk.n_nodes > 1
 """
 
 
+# --------------------------------------------------------------------------
+# kg105 — predicate functionality / inverse-functionality audit
+# (Galárraga et al. WWW 2013 §4.2, Suchanek et al. PARIS VLDB 2012):
+# per predicate, fun(p) = #distinct subjects / #triples and
+# ifun(p) = #distinct objects / #triples, plus the out-degree
+# cardinality profile (min / max objects per subject). fun ≈ 1 marks a
+# functional property (each subject has one object — candidate UNIQUE
+# constraint and the denominator of AMIE's PCA confidence); ifun ≈ 1
+# marks an inverse-functional property (the entity-resolution join
+# key). Plan: one (pred, subj) partial agg feeding both the triple
+# totals and the cardinality profile, one distinct-object agg — all
+# predicate-bounded rollups.
+# --------------------------------------------------------------------------
+
+
+def kg105_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("pred", "subj", "obj").distinct()
+    per_subj = e.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obj")
+    )
+    s = per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.sum("n_obj").cast("long").alias("n_triples"),
+        F.min("n_obj").alias("min_out"),
+        F.max("n_obj").alias("max_out"),
+    )
+    o = e.groupBy("pred").agg(
+        F.countDistinct("obj").cast("long").alias("n_obj")
+    )
+    return s.join(o, "pred").select(
+        "pred",
+        "n_triples",
+        "n_subj",
+        "n_obj",
+        F.round(F.col("n_subj") / F.col("n_triples"), 6).alias("fun"),
+        F.round(F.col("n_obj") / F.col("n_triples"), 6).alias("ifun"),
+        F.col("min_out").cast("long").alias("min_out"),
+        F.col("max_out").cast("long").alias("max_out"),
+        (F.col("n_subj") == F.col("n_triples")).alias("is_functional"),
+        (F.col("n_obj") == F.col("n_triples")).alias(
+            "is_inverse_functional"
+        ),
+    )
+
+
+def _kg105_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (SELECT DISTINCT pred, subj, obj FROM edges),
+per_subj AS (
+  SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS n_obj
+  FROM e GROUP BY 1, 2
+), s AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subj,
+         CAST(SUM(n_obj) AS BIGINT) AS n_triples,
+         CAST(MIN(n_obj) AS BIGINT) AS min_out,
+         CAST(MAX(n_obj) AS BIGINT) AS max_out
+  FROM per_subj GROUP BY 1
+), o AS (
+  SELECT pred, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+  FROM e GROUP BY 1
+)
+SELECT s.pred, s.n_triples, s.n_subj, o.n_obj,
+       ROUND(s.n_subj / (1.0 * s.n_triples), 6) AS fun,
+       ROUND(o.n_obj / (1.0 * s.n_triples), 6) AS ifun,
+       s.min_out, s.max_out,
+       s.n_subj = s.n_triples AS is_functional,
+       o.n_obj = s.n_triples AS is_inverse_functional
+FROM s JOIN o ON o.pred = s.pred
+"""
+
+
 QUERIES = {
+    "kg105_functionality": kg105_functionality,
     "kg104_rich_club": kg104_rich_club,
     "q245_conductance": q245_conductance,
     "kg103_amie_rules": kg103_amie_rules,
@@ -5342,6 +5418,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg105_functionality": _kg105_sql(),
     "kg104_rich_club": _kg104_sql(),
     "kg103_amie_rules": _kg103_sql(),
     "kg102_dag_audit": _kg102_sql(),

@@ -2398,7 +2398,173 @@ SELECT source, rank, word, count, g2 FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q322 — NPMI collocation mining (Church & Hanks 1990 PMI; Bouma 2009
+# normalization): the top-20 bigram collocations by normalized PMI
+# npmi = ln(p(ab)/(p(a)p(b))) / −ln p(ab), restricted to bigrams seen
+# ≥ 5 times — the multiword-expression extractor a tokenizer team runs
+# before merging units into the vocab. Plan: one bigram partial agg +
+# two unigram-margin broadcasts over the array-native zip (no Python);
+# the global top-20 is orderBy().limit() — a distributed
+# TakeOrderedAndProject, never a single-partition sort. Ranked on the
+# 6dp-rounded score with a bigram tie-break so ulp noise cannot flip
+# ranks.
+# --------------------------------------------------------------------------
+
+_NPMI_MIN_C = 5
+_NPMI_TOP = 20
+
+
+def q322_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("t")
+    )
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c2 = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .filter(F.col("c2") >= _NPMI_MIN_C)
+    )
+    left = bg.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("ca"))
+    right = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    n = bg.agg(F.count(F.lit(1)).cast("double").alias("n_bg"))
+    j = (
+        c2.join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(n))
+    )
+    p_ab = F.col("c2") / F.col("n_bg")
+    pmi = F.log(
+        p_ab / ((F.col("ca") / F.col("n_bg")) * (F.col("cb") / F.col("n_bg")))
+    )
+    npmi = pmi / -F.log(p_ab)
+    return (
+        j.select(
+            F.concat("a", F.lit(" "), "b").alias("bigram"),
+            F.col("c2").cast("long").alias("count"),
+            F.round(npmi, 6).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), F.asc("bigram"))
+        .limit(_NPMI_TOP)
+    )
+
+
+Q322_SQL = f"""
+WITH tokd AS (
+  SELECT {TOKENS_SQL.format(x='text')} AS t FROM documents
+), bgt AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), c2 AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bgt GROUP BY 1, 2
+  HAVING COUNT(*) >= {_NPMI_MIN_C}
+), l AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS ca FROM bgt GROUP BY 1),
+r AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS cb FROM bgt GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bg FROM bgt)
+SELECT c2.a || ' ' || c2.b AS bigram,
+       CAST(c2.c2 AS BIGINT) AS count,
+       ROUND(LN((c2.c2 / n.n_bg) / ((l.ca / n.n_bg) * (r.cb / n.n_bg)))
+             / -LN(c2.c2 / n.n_bg), 6) AS npmi
+FROM c2 JOIN l ON l.a = c2.a JOIN r ON r.b = c2.b CROSS JOIN n
+ORDER BY npmi DESC, bigram ASC
+LIMIT {_NPMI_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# q323 — pairwise Jensen-Shannon divergence between source unigram
+# distributions (Lin 1991): the 20×20 source-similarity half-matrix a
+# corpus-mixing planner reads before setting sampling weights. The
+# matched-vocabulary sum comes from ONE self-join of the (source,
+# word) relative-frequency table on word (s1 < s2); the unmatched-mass
+# contribution has the closed form (P_unm + Q_unm)·ln2/2, recovered
+# from each pair's matched probability mass — so the full JSD needs NO
+# dense source × vocab grid and no per-pair rescan. Natural log; JSD
+# is reported in nats, bounded by ln 2.
+# --------------------------------------------------------------------------
+
+
+def q323_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sw = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    f = sw.join(tot, "source").select(
+        "source", "w", (F.col("c") / F.col("n")).alias("p")
+    )
+    a = f.select(
+        F.col("source").alias("s1"), "w", F.col("p").alias("pa")
+    )
+    b = f.select(
+        F.col("source").alias("s2"), "w", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(
+                F.col("pa") / 2.0 * F.log(F.col("pa") / m)
+                + F.col("pb") / 2.0 * F.log(F.col("pb") / m)
+            ).alias("matched"),
+            F.sum("pa").alias("pm1"),
+            F.sum("pb").alias("pm2"),
+        )
+    )
+    ln2 = math.log(2.0)
+    return pairs.select(
+        "s1",
+        "s2",
+        F.round(
+            F.col("matched")
+            + ((1.0 - F.col("pm1")) + (1.0 - F.col("pm2")))
+            * (ln2 / 2.0),
+            6,
+        ).alias("jsd"),
+    )
+
+
+Q323_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+), tot AS (SELECT source, SUM(c) AS n FROM sw GROUP BY 1),
+f AS (
+  SELECT sw.source, sw.w, sw.c / tot.n AS p
+  FROM sw JOIN tot ON tot.source = sw.source
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2,
+         SUM(a.p / 2.0 * LN(a.p / ((a.p + b.p) / 2.0))
+             + b.p / 2.0 * LN(b.p / ((a.p + b.p) / 2.0))) AS matched,
+         SUM(a.p) AS pm1, SUM(b.p) AS pm2
+  FROM f a JOIN f b ON b.w = a.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2,
+       ROUND(matched
+             + ((1.0 - pm1) + (1.0 - pm2)) * (LN(2.0) / 2.0), 6) AS jsd
+FROM pairs
+"""
+
+
 QUERIES = {
+    "q322_npmi_collocations": q322_npmi_collocations,
+    "q323_source_jsd": q323_source_jsd,
     "q321_llr_keyness": q321_llr_keyness,
     "q313_burrows_delta": q313_burrows_delta,
     "q278_rouge2": q278_rouge2,
@@ -2432,6 +2598,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q322_npmi_collocations": Q322_SQL,
+    "q323_source_jsd": Q323_SQL,
     "q321_llr_keyness": Q321_SQL,
     "q313_burrows_delta": Q313_SQL,
     "q278_rouge2": Q278_SQL,

@@ -429,6 +429,13 @@ AUDIT = [
     ("q319_heaps_fit", 4, 0),
     # 10-bin calibration partial agg + 1-row Murphy rollup
     ("q320_brier_decomposition", 2, 0),
+    # bigram partial agg + unigram-margin joins + distributed top-20
+    ("q322_npmi_collocations", 4, 0),
+    # (source, word) freq table self-joined on word; closed-form
+    # unmatched-mass term — no dense grid
+    ("q323_source_jsd", 3, 0),
+    # kg-build melt + (pred, subj) rollup + distinct-object agg
+    ("kg105_functionality", 23, 6),
     # token agg + 50-row top-k + dense grid joins, all on tiny dims
     ("q313_burrows_delta", 5, 0),
     # long-form posexplode: per-dim and per-vector partial aggs only
