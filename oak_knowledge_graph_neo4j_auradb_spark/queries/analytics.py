@@ -8700,7 +8700,94 @@ FROM tot
 """
 
 
+# --------------------------------------------------------------------------
+# q325 — temporal train/test leakage audit (Kaufman et al. TKDD 2012
+# "leakage in data mining"): split the event stream at the 80% point
+# of the observed time range; per event type, report what fraction of
+# test-window users also appear in the train window — the identity
+# overlap a time-based split is supposed to eliminate before a model
+# is fit on per-user features. Plan: one (event_type, user) partial
+# agg carrying min/max epoch, the global range as a broadcast 1-row
+# frame, then a per-type rollup. Epoch arithmetic in double — both
+# engines render parquet timestamps to the identical epoch seconds.
+# --------------------------------------------------------------------------
+
+_LEAK_SPLIT = 0.8
+
+
+def q325_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long")
+        .cast("double").alias("ep"),
+    )
+    rng = ev.agg(
+        F.min("ep").alias("t0"), F.max("ep").alias("t1")
+    ).select(
+        (F.col("t0") + _LEAK_SPLIT * (F.col("t1") - F.col("t0"))).alias(
+            "cut"
+        )
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max((F.col("ep") < F.col("cut")).cast("int")).alias(
+                "in_train"
+            ),
+            F.max((F.col("ep") >= F.col("cut")).cast("int")).alias(
+                "in_test"
+            ),
+        )
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("in_train").cast("long").alias("n_train_users"),
+            F.sum("in_test").cast("long").alias("n_test_users"),
+            F.sum(
+                (F.col("in_train") * F.col("in_test"))
+            ).cast("long").alias("n_leaked"),
+        )
+        .filter(F.col("n_test_users") > 0)
+        .select(
+            "event_type",
+            "n_train_users",
+            "n_test_users",
+            "n_leaked",
+            F.round(
+                F.col("n_leaked") / F.col("n_test_users"), 6
+            ).alias("leakage"),
+        )
+    )
+
+
+Q325_SQL = f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS ep
+  FROM events
+), rng AS (
+  SELECT MIN(ep) + {_LEAK_SPLIT} * (MAX(ep) - MIN(ep)) AS cut FROM ev
+), per_user AS (
+  SELECT event_type, user_id,
+         MAX(CASE WHEN ep < rng.cut THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN ep >= rng.cut THEN 1 ELSE 0 END) AS in_test
+  FROM ev CROSS JOIN rng GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+       CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+       CAST(SUM(in_train * in_test) AS BIGINT) AS n_leaked,
+       ROUND(SUM(in_train * in_test) / (1.0 * SUM(in_test)), 6)
+         AS leakage
+FROM per_user GROUP BY 1 HAVING SUM(in_test) > 0
+"""
+
+
 QUERIES = {
+    "q325_temporal_leakage": q325_temporal_leakage,
     "q316_mann_whitney": q316_mann_whitney,
     "q317_kruskal_wallis": q317_kruskal_wallis,
     "q318_brown_forsythe": q318_brown_forsythe,
@@ -8810,6 +8897,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q325_temporal_leakage": Q325_SQL,
     "q316_mann_whitney": Q316_SQL,
     "q317_kruskal_wallis": Q317_SQL,
     "q318_brown_forsythe": Q318_SQL,

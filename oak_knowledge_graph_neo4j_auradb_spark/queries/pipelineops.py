@@ -4297,7 +4297,106 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q324 — n-gram novelty curve (the memorization audit of Carlini et al.
+# 2023 / the "novel n-gram fraction" reported for LLM train-test
+# splits): hash-split documents 80/20 into train/test, then for
+# n ∈ {1,2,3} report the fraction of DISTINCT test n-grams never seen
+# in train. Novelty rising with n is the healthy signature; a low
+# trigram novelty flags the test shard as near-duplicated from train.
+# Plan: token arrays once, per-n grams via JVM HOF transform (no
+# Python), distinct gram sets keyed by (n, 60-bit gram hash), ONE
+# left-anti join — never a per-n rescan of the corpus.
+# --------------------------------------------------------------------------
+
+_NOVELTY_NS = (1, 2, 3)
+
+
+def q324_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        (F.pmod(md5long(F.col("doc_id").cast("string")), F.lit(10)) < 8)
+        .alias("is_train"),
+        tokens(F.col("text")).alias("t"),
+    )
+    per_n = []
+    for n in _NOVELTY_NS:
+        grams = F.expr(
+            f"transform(sequence(1, size(t) - {n} + 1),"
+            f" i -> concat_ws(' ', slice(t, i, {n})))"
+        )
+        per_n.append(
+            d.filter(F.size("t") >= n).select(
+                "is_train",
+                F.lit(n).alias("n"),
+                F.explode(grams).alias("g"),
+            )
+        )
+    g = per_n[0]
+    for f2 in per_n[1:]:
+        g = g.unionByName(f2)
+    g = g.select("is_train", "n", md5long(F.col("g")).alias("h"))
+    train = g.filter("is_train").select("n", "h").distinct()
+    test = g.filter(~F.col("is_train")).select("n", "h").distinct()
+    novel = (
+        test.join(train, ["n", "h"], "left_anti")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    base = test.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    return (
+        base.join(novel, "n", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .select(
+            "n",
+            "n_test",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_test"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def _q324_sql() -> str:
+    parts = []
+    for n in _NOVELTY_NS:
+        parts.append(f"""
+  SELECT is_train, {n} AS n,
+         {MD5LONG_SQL.format(
+             x=" || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+         )} AS h
+  FROM tokd, unnest(generate_series(1, len(t) - {n} + 1)) AS u(i)
+  WHERE len(t) >= {n}""")
+    union = "\n  UNION ALL".join(parts)
+    return f"""
+WITH tokd AS (
+  SELECT {MD5LONG_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 10 < 8
+           AS is_train,
+         {TOKENS_SQL.format(x='text')} AS t
+  FROM documents
+), g AS ({union}
+), train AS (SELECT DISTINCT n, h FROM g WHERE is_train),
+test AS (SELECT DISTINCT n, h FROM g WHERE NOT is_train),
+novel AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM test WHERE NOT EXISTS (
+    SELECT 1 FROM train WHERE train.n = test.n AND train.h = test.h)
+  GROUP BY 1
+), base AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_test FROM test GROUP BY 1
+)
+SELECT base.n, base.n_test,
+       CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(COALESCE(novel.n_novel, 0) / (1.0 * base.n_test), 6)
+         AS novelty
+FROM base LEFT JOIN novel ON novel.n = base.n
+"""
+
+
 QUERIES = {
+    "q324_ngram_novelty": q324_ngram_novelty,
     "q319_heaps_fit": q319_heaps_fit,
     "q320_brier_decomposition": q320_brier_decomposition,
     "q277_perplexity_buckets": q277_perplexity_buckets,
@@ -4359,6 +4458,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q324_ngram_novelty": _q324_sql(),
     "q319_heaps_fit": Q319_SQL,
     "q320_brier_decomposition": Q320_SQL,
     "q277_perplexity_buckets": Q277_SQL,

@@ -436,6 +436,10 @@ AUDIT = [
     ("q323_source_jsd", 3, 0),
     # kg-build melt + (pred, subj) rollup + distinct-object agg
     ("kg105_functionality", 23, 6),
+    # per-n gram unions → ONE distinct + anti-join on (n, hash)
+    ("q324_ngram_novelty", 7, 0),
+    # (type, user) partial agg + broadcast time cut + per-type rollup
+    ("q325_temporal_leakage", 3, 0),
     # token agg + 50-row top-k + dense grid joins, all on tiny dims
     ("q313_burrows_delta", 5, 0),
     # long-form posexplode: per-dim and per-vector partial aggs only
