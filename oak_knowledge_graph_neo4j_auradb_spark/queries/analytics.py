@@ -8786,7 +8786,126 @@ FROM per_user GROUP BY 1 HAVING SUM(in_test) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# q327 — Weibull probability-plot fit of inter-arrival gaps (Weibull
+# 1951; Bernard's median-rank regression, the standard reliability-
+# engineering estimator): per event type, fit ln(−ln(1−F)) = k·ln g −
+# k·ln λ over the empirical CDF of per-user arrival gaps, giving shape
+# k (k < 1 = bursty/clustered arrivals, k ≈ 1 = memoryless Poisson,
+# k > 1 = regular cadence) and scale λ. The CDF uses median ranks
+# F = (r − 0.3)/(n + 0.4) computed from the per-type GAP HISTOGRAM —
+# the cumulative window runs over distinct gap values per type, never
+# per event. The per-user lag window is partitioned by (type, user):
+# distributed. OLS via the 6-moment rollup, degenerate types guarded.
+# --------------------------------------------------------------------------
+
+
+def q327_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("ep"),
+    )
+    wl = Window.partitionBy("event_type", "user_id").orderBy(
+        "ep", "event_id"
+    )
+    gaps = (
+        ev.withColumn("gap", F.col("ep") - F.lag("ep").over(wl))
+        .filter(F.col("gap") > 0)
+        .select("event_type", F.col("gap").cast("double").alias("g"))
+    )
+    hist = gaps.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_t = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    pts = (
+        hist.withColumn("r", F.sum("c").over(wc))
+        .join(n_t, "event_type")
+        .select(
+            "event_type",
+            "c",
+            "n",
+            F.log("g").alias("x"),
+            F.log(
+                -F.log(
+                    1.0 - (F.col("r") - 0.3) / (F.col("n") + 0.4)
+                )
+            ).alias("y"),
+        )
+    )
+    g = pts.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum("c").alias("np"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(
+        (F.col("np") > 2)
+        & (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np") > 0)
+    )
+    k = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np")
+    )
+    b = F.col("sy") / F.col("np") - k * F.col("sx") / F.col("np")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(k, 6).alias("shape_k"),
+        F.round(F.exp(-b / k), 4).alias("scale_lambda"),
+    )
+
+
+Q327_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), gaps AS (
+  SELECT event_type, CAST(gap AS DOUBLE) AS g FROM (
+    SELECT event_type,
+           ep - LAG(ep) OVER (PARTITION BY event_type, user_id
+                              ORDER BY ep, event_id) AS gap
+    FROM ev)
+  WHERE gap > 0
+), hist AS (
+  SELECT event_type, g, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM gaps GROUP BY 1, 2
+), n_t AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM gaps GROUP BY 1
+), pts AS (
+  SELECT h.event_type, h.c, n_t.n, LN(h.g) AS x,
+         LN(-LN(1.0 - (SUM(h.c) OVER (PARTITION BY h.event_type
+              ORDER BY h.g ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) - 0.3) / (n_t.n + 0.4))) AS y
+  FROM hist h JOIN n_t ON n_t.event_type = h.event_type
+), g AS (
+  SELECT event_type, ANY_VALUE(n) AS n, SUM(c) AS np,
+         SUM(c * x) AS sx, SUM(c * y) AS sy,
+         SUM(c * x * y) AS sxy, SUM(c * x * x) AS sxx
+  FROM pts GROUP BY 1
+  HAVING SUM(c) > 2 AND SUM(c * x * x) - SUM(c * x) * SUM(c * x) / SUM(c) > 0
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       ROUND((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS shape_k,
+       ROUND(EXP(-(sy / np - (sxy - sx * sy / np) / (sxx - sx * sx / np)
+                  * sx / np)
+                 / ((sxy - sx * sy / np) / (sxx - sx * sx / np))), 4)
+         AS scale_lambda
+FROM g
+"""
+
+
 QUERIES = {
+    "q327_weibull_fit": q327_weibull_fit,
     "q325_temporal_leakage": q325_temporal_leakage,
     "q316_mann_whitney": q316_mann_whitney,
     "q317_kruskal_wallis": q317_kruskal_wallis,
@@ -8897,6 +9016,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q327_weibull_fit": Q327_SQL,
     "q325_temporal_leakage": Q325_SQL,
     "q316_mann_whitney": Q316_SQL,
     "q317_kruskal_wallis": Q317_SQL,

@@ -2562,7 +2562,92 @@ FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# q326 — Good-Turing unseen mass + lexical-concentration profile per
+# source (Good 1953; Yule 1944; Simpson 1949): from the frequency-of-
+# frequency table — P(unseen) ≈ n₁/N (the Good-Turing leave-one-out
+# estimate of how much probability mass the NEXT document will spend
+# on never-seen words), Yule's K = 10⁴·(Σ f²·V_f − N)/N², and
+# Simpson's repeat-rate D = Σ f(f−1)/(N(N−1)). High unseen mass marks
+# an open vocabulary still growing (cf. q319's Heaps β); high K marks
+# template repetition. Plan: (source, word) partial agg → (source,
+# freq) freq-of-freq agg → 20-row rollup; all corpus-linear, moments
+# in double (f² sums overflow int64 past ~10⁹-token hapax-heavy
+# sources).
+# --------------------------------------------------------------------------
+
+
+def q326_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    sw = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    fof = sw.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("double").alias("vf")
+    )
+    g = fof.groupBy("source").agg(
+        F.sum(F.col("f") * F.col("vf")).alias("n"),
+        F.sum("vf").alias("v"),
+        F.sum(F.when(F.col("f") == 1, F.col("vf")).otherwise(0.0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("f") == 2, F.col("vf")).otherwise(0.0)).alias(
+            "n2"
+        ),
+        F.sum(F.col("f") * F.col("f") * F.col("vf")).alias("sf2"),
+        F.sum(F.col("f") * (F.col("f") - 1.0) * F.col("vf")).alias(
+            "sff"
+        ),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_types"),
+        F.col("n1").cast("long").alias("hapax"),
+        F.col("n2").cast("long").alias("dis_legomena"),
+        F.round(F.col("n1") / F.col("n"), 6).alias("p_unseen"),
+        F.round(
+            1.0e4 * (F.col("sf2") - F.col("n")) / (F.col("n") * F.col("n")),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.col("sff") / (F.col("n") * (F.col("n") - 1.0)), 6
+        ).alias("simpson_d"),
+    )
+
+
+Q326_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKENS_SQL.format(x="text")}) AS w FROM documents
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY 1, 2
+), fof AS (
+  SELECT source, f, CAST(COUNT(*) AS DOUBLE) AS vf FROM sw GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         SUM(f * vf) AS n, SUM(vf) AS v,
+         SUM(CASE WHEN f = 1 THEN vf ELSE 0.0 END) AS n1,
+         SUM(CASE WHEN f = 2 THEN vf ELSE 0.0 END) AS n2,
+         SUM(f * f * vf) AS sf2,
+         SUM(f * (f - 1.0) * vf) AS sff
+  FROM fof GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(v AS BIGINT) AS n_types,
+       CAST(n1 AS BIGINT) AS hapax,
+       CAST(n2 AS BIGINT) AS dis_legomena,
+       ROUND(n1 / n, 6) AS p_unseen,
+       ROUND(1.0e4 * (sf2 - n) / (n * n), 6) AS yule_k,
+       ROUND(sff / (n * (n - 1.0)), 6) AS simpson_d
+FROM g
+"""
+
+
 QUERIES = {
+    "q326_good_turing": q326_good_turing,
     "q322_npmi_collocations": q322_npmi_collocations,
     "q323_source_jsd": q323_source_jsd,
     "q321_llr_keyness": q321_llr_keyness,
@@ -2598,6 +2683,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q326_good_turing": Q326_SQL,
     "q322_npmi_collocations": Q322_SQL,
     "q323_source_jsd": Q323_SQL,
     "q321_llr_keyness": Q321_SQL,

@@ -440,6 +440,10 @@ AUDIT = [
     ("q324_ngram_novelty", 7, 0),
     # (type, user) partial agg + broadcast time cut + per-type rollup
     ("q325_temporal_leakage", 3, 0),
+    # (source, word) agg → freq-of-freq agg → 20-row rollup
+    ("q326_good_turing", 3, 0),
+    # per-user lag window (partitioned) + gap histogram + OLS rollup
+    ("q327_weibull_fit", 4, 0),
     # token agg + 50-row top-k + dense grid joins, all on tiny dims
     ("q313_burrows_delta", 5, 0),
     # long-form posexplode: per-dim and per-vector partial aggs only
