@@ -5354,7 +5354,141 @@ FROM s JOIN o ON o.pred = s.pred
 """
 
 
+# --------------------------------------------------------------------------
+# kg106 — ER-cluster robustness under hub-mention removal (the
+# targeted-attack curve of Albert, Jeong & Barabási 2000, applied to
+# entity-resolution quality per Christen 2012 §6: hub mentions that
+# glue many clusters together are the over-merge risk): on the kg38
+# co-mention similarity graph, remove the top-k highest-degree
+# mentions (k ∈ {0,1,2,4,8}, degree-desc/name-asc deterministic) and
+# report how the component structure decomposes — n_components rising
+# sharply with k means canonicalization hinges on a few ambiguous
+# mentions. Plan: the edge list and degree table build once; the hub
+# list is a bounded 8-row collect; each k runs the salted min-label CC
+# on the filtered edges (5 bounded runs, NOT a per-k corpus rescan).
+# Components are defined over edge-bearing nodes, matching the
+# recursive-closure twins.
+# --------------------------------------------------------------------------
+
+_ATTACK_KS = (0, 1, 2, 4, 8)
+
+
+def kg106_er_attack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(docs_df(spark, sf_dir))
+    units = m.filter(F.col("label") == "Unit").select(
+        "doc_id", F.col("mention").alias("src")
+    )
+    threads = m.filter(F.col("label") == "Thread").select(
+        "doc_id", F.col("mention").alias("dst")
+    )
+    edges = (
+        units.join(threads, on="doc_id").select("src", "dst").distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hubs = [
+        r["node"]
+        for r in deg.orderBy(F.desc("deg"), F.asc("node"))
+        .limit(max(_ATTACK_KS))
+        .collect()
+    ]
+    outs = []
+    for k in _ATTACK_KS:
+        drop = hubs[:k]
+        e_k = edges.filter(
+            ~F.col("src").isin(drop) & ~F.col("dst").isin(drop)
+        )
+        cc = connected_components(e_k, max_iter=30)
+        per = cc.groupBy("canonical_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        outs.append(
+            per.agg(
+                F.lit(k).alias("k_removed"),
+                F.sum("sz").cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("max_component"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    edges.unpersist()
+    return out.select(
+        "k_removed",
+        "n_nodes",
+        "n_components",
+        "max_component",
+        F.round(F.col("max_component") / F.col("n_nodes"), 6).alias(
+            "frac_largest"
+        ),
+    )
+
+
+def _kg106_sql() -> str:
+    base = (
+        _KV_SQL.replace("\n  WITH sp AS", "\nWITH RECURSIVE sp AS")
+        + """,
+um AS (
+  SELECT doc_id, unnest(regexp_extract_all(v, 'unit-[a-z]+-[0-9]{4}')) AS u
+  FROM kv WHERE kind = 'text'
+), tm AS (
+  SELECT doc_id, unnest(regexp_extract_all(v, 'thread-[0-9]{3}')) AS t
+  FROM kv WHERE kind = 'text'
+), e0 AS (
+  SELECT DISTINCT um.u AS src, tm.t AS dst FROM um JOIN tm USING (doc_id)
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+  GROUP BY node
+), hubs AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rk
+  FROM deg
+)"""
+    )
+    parts = []
+    for k in _ATTACK_KS:
+        parts.append(f""",
+ek{k} AS (
+  SELECT src, dst FROM e0
+  WHERE src NOT IN (SELECT node FROM hubs WHERE rk <= {k})
+    AND dst NOT IN (SELECT node FROM hubs WHERE rk <= {k})
+), sym{k} AS (
+  SELECT src AS n, dst AS m FROM ek{k}
+  UNION
+  SELECT dst AS n, src AS m FROM ek{k}
+), reach{k}(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT n FROM sym{k})
+  UNION
+  SELECT e.n, r.m FROM sym{k} e JOIN reach{k} r ON e.m = r.n
+), comp{k} AS (
+  SELECT n, MIN(m) AS c FROM reach{k} GROUP BY n
+), stat{k} AS (
+  SELECT {k} AS k_removed,
+         CAST(SUM(sz) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(MAX(sz) AS BIGINT) AS max_component
+  FROM (SELECT c, COUNT(*) AS sz FROM comp{k} GROUP BY c) s
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM stat{k}" for k in _ATTACK_KS)
+    return (
+        base
+        + "".join(parts)
+        + f"""
+SELECT k_removed, n_nodes, n_components, max_component,
+       ROUND(max_component / (1.0 * n_nodes), 6) AS frac_largest
+FROM ({union})
+"""
+    )
+
+
 QUERIES = {
+    "kg106_er_attack_curve": kg106_er_attack_curve,
     "kg105_functionality": kg105_functionality,
     "kg104_rich_club": kg104_rich_club,
     "q245_conductance": q245_conductance,
@@ -5418,6 +5552,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg106_er_attack_curve": _kg106_sql(),
     "kg105_functionality": _kg105_sql(),
     "kg104_rich_club": _kg104_sql(),
     "kg103_amie_rules": _kg103_sql(),

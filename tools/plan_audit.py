@@ -440,6 +440,8 @@ AUDIT = [
     ("q324_ngram_novelty", 7, 0),
     # (type, user) partial agg + broadcast time cut + per-type rollup
     ("q325_temporal_leakage", 3, 0),
+    # co-mention edges once + 5 bounded CC runs (checkpointed rounds)
+    ("kg106_er_attack_curve", 10, 0),
     # (source, word) agg → freq-of-freq agg → 20-row rollup
     ("q326_good_turing", 3, 0),
     # per-user lag window (partitioned) + gap histogram + OLS rollup
