@@ -2768,7 +2768,209 @@ FROM nn CROSS JOIN iso_raw CROSS JOIN iso_w
 """
 
 
+# --------------------------------------------------------------------------
+# q328 — k-NN hubness audit (Radovanović et al. JMLR 2010): the
+# k-occurrence distribution N_k(x) = how often each vector appears in
+# other vectors' top-K — high-dimensional spaces grow "hubs" that
+# pollute ANN results and "anti-hubs" that are never retrieved. One
+# summary row: skewness of N_k (the canonical hubness score), the
+# anti-hub count (N_k = 0), the max, and the argmax hub. Small-scale
+# baseline uses the exact all-pairs graph (the q29 idiom — fine at the
+# bounded embedding-table size); at corpus scale the identical
+# aggregation runs over the q30/q33 LSH/IVF candidate graph instead of
+# the cross join — the downstream moments are candidate-set agnostic.
+# The top-K window partitions by query_id: distributed.
+# --------------------------------------------------------------------------
+
+_HUB_K = 5
+
+
+def q328_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    en = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
+    q = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top = (
+        en.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+    )
+    occ = top.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("double").alias("occ")
+    )
+    full = (
+        en.select("vec_id")
+        .join(occ, "vec_id", "left")
+        .withColumn("occ", F.coalesce("occ", F.lit(0.0)))
+    )
+    key = F.format_string(
+        "%010.0f|%010d", F.col("occ"), F.lit(10**10) - F.col("vec_id")
+    )
+    g = full.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("occ").alias("m1"),
+        F.avg(F.col("occ") * F.col("occ")).alias("m2r"),
+        F.avg(F.col("occ") * F.col("occ") * F.col("occ")).alias("m3r"),
+        F.count_if(F.col("occ") == 0).cast("long").alias("n_antihub"),
+        F.max("occ").alias("max_occ"),
+        F.max(key).alias("hubkey"),
+    )
+    m2 = F.col("m2r") - F.col("m1") * F.col("m1")
+    m3 = (
+        F.col("m3r")
+        - 3.0 * F.col("m1") * F.col("m2r")
+        + 2.0 * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(F.col("m1"), 6).alias("mean_k_occ"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        "n_antihub",
+        F.col("max_occ").cast("long").alias("max_occ"),
+        (
+            F.lit(10**10)
+            - F.substring(F.col("hubkey"), 12, 10).cast("long")
+        ).alias("hub_vec_id"),
+    )
+
+
+def _q328_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         {_cos_sql('q.v', 'e.v')} AS sim
+  FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id
+), top AS (
+  SELECT vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= {_HUB_K}
+), occ AS (
+  SELECT e.vec_id,
+         CAST(COALESCE(o.c, 0) AS DOUBLE) AS occ
+  FROM e LEFT JOIN (
+    SELECT vec_id, COUNT(*) AS c FROM top GROUP BY 1) o
+  ON o.vec_id = e.vec_id
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(occ) AS m1,
+         AVG(occ * occ) AS m2r, AVG(occ * occ * occ) AS m3r,
+         CAST(COUNT(*) FILTER (WHERE occ = 0) AS BIGINT) AS n_antihub,
+         MAX(occ) AS max_occ,
+         MAX(printf('%010.0f|%010d', occ,
+                    10000000000 - vec_id)) AS hubkey
+  FROM occ
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       ROUND(m1, 6) AS mean_k_occ,
+       ROUND((m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1)
+             / POW(m2r - m1 * m1, 1.5), 6) AS skewness,
+       n_antihub,
+       CAST(max_occ AS BIGINT) AS max_occ,
+       10000000000 - CAST(substr(hubkey, 12, 10) AS BIGINT)
+         AS hub_vec_id
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q329 — mutual-kNN reciprocity audit (the mutual-graph pruning
+# diagnostic behind UMAP's fuzzy union and mutual-kNN clustering): the
+# fraction of directed top-K edges whose reverse edge also exists.
+# Low reciprocity co-occurs with high hubness (q328) — hubs absorb
+# in-edges they never return — so the pair (skewness, reciprocity) is
+# the standard ANN-graph health readout. Same candidate-graph caveat
+# as q328: exact all-pairs here, LSH/IVF candidates at corpus scale.
+# Per-label breakdown keeps the readout actionable (which class's
+# neighborhood structure is degenerate).
+# --------------------------------------------------------------------------
+
+
+def q329_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    en = e.select("vec_id", "v", "label", norm(F.col("v")).alias("n"))
+    q = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    sim = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    top = (
+        en.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qlab", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+        .select("query_id", "qlab", "vec_id")
+    )
+    rev = top.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("query_id").alias("vec_id"),
+        F.lit(1).alias("mutual"),
+    )
+    j = top.join(rev, ["query_id", "vec_id"], "left")
+    return (
+        j.groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("mutual", F.lit(0)))
+            .cast("long")
+            .alias("n_mutual"),
+        )
+        .select(
+            "label",
+            "n_edges",
+            "n_mutual",
+            F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )
+
+
+def _q329_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS (
+  SELECT q.vec_id AS query_id, q.label AS qlab, e.vec_id,
+         {_cos_sql('q.v', 'e.v')} AS sim
+  FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id
+), top AS (
+  SELECT query_id, qlab, vec_id FROM (
+    SELECT query_id, qlab, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM sims) WHERE rk <= {_HUB_K}
+)
+SELECT t.qlab AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(r.query_id) AS BIGINT) AS n_mutual,
+       ROUND(COUNT(r.query_id) / (1.0 * COUNT(*)), 6) AS reciprocity
+FROM top t LEFT JOIN top r
+  ON r.query_id = t.vec_id AND r.vec_id = t.query_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q329_knn_reciprocity": q329_knn_reciprocity,
+    "q328_knn_hubness": q328_knn_hubness,
     "q263_ranking_metrics": q263_ranking_metrics,
     "q315_isotropy_audit": q315_isotropy_audit,
     "q260_rff_kernel": q260_rff_kernel,
@@ -2794,6 +2996,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q329_knn_reciprocity": _q329_sql(),
+    "q328_knn_hubness": _q328_sql(),
     "q315_isotropy_audit": Q315_SQL,
     "q263_ranking_metrics": _q263_sql(),
     "q260_rff_kernel": _q260_sql(),

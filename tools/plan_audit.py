@@ -442,6 +442,10 @@ AUDIT = [
     ("q325_temporal_leakage", 3, 0),
     # co-mention edges once + 5 bounded CC runs (checkpointed rounds)
     ("kg106_er_attack_curve", 10, 0),
+    # exact all-pairs baseline (LSH candidates at scale); top-K window
+    # partitioned by query; moments rollup
+    ("q328_knn_hubness", 4, 0),
+    ("q329_knn_reciprocity", 5, 0),
     # (source, word) agg → freq-of-freq agg → 20-row rollup
     ("q326_good_turing", 3, 0),
     # per-user lag window (partitioned) + gap histogram + OLS rollup
