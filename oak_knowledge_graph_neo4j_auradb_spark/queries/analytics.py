@@ -8904,7 +8904,168 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q330 — 1-D Wasserstein-1 (earth-mover) length drift, each source vs
+# the rest of the corpus: W₁ = ∫|F_s(v) − F_rest(v)| dv computed
+# EXACTLY from the value histogram — the area between the two
+# empirical CDFs, summed over distinct-value gaps. Complements the
+# sup-norm KS (q120) and the vocab-space JSD (q323): W₁ is the drift
+# measure that weighs HOW FAR probability mass moved, the right
+# trigger for re-fitting length-binned samplers. Plan: one (source,
+# value) partial agg; the CDF walk is a cumulative window over the
+# value histogram per source (aggregated input); the v-gap comes from
+# a lead() on the same tiny frame.
+# --------------------------------------------------------------------------
+
+
+def q330_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    sv = d.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vt = sv.groupBy("v").agg(F.sum("c").alias("ct"))
+    # dense per-source value grid: every source needs a CDF point at
+    # every GLOBAL distinct value (the rest-CDF changes there)
+    grid = sv.select("source").distinct().crossJoin(vt)
+    dense = (
+        grid.join(sv, ["source", "v"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0.0)))
+    )
+    stot = sv.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ntot = vt.agg(F.sum("ct").alias("n_all"))
+    wcdf = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlead = Window.partitionBy("source").orderBy("v")
+    pts = (
+        dense.join(stot, "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "v",
+            (F.sum("c").over(wcdf) / F.col("n_s")).alias("f_s"),
+            (
+                (F.sum("ct").over(wcdf) - F.sum("c").over(wcdf))
+                / (F.col("n_all") - F.col("n_s"))
+            ).alias("f_r"),
+            (F.lead("v").over(wlead) - F.col("v")).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return pts.groupBy("source").agg(
+        F.round(
+            F.sum(F.abs(F.col("f_s") - F.col("f_r")) * F.col("gap")), 4
+        ).alias("w1"),
+        F.round(
+            F.max(F.abs(F.col("f_s") - F.col("f_r"))), 6
+        ).alias("ks_sup"),
+    )
+
+
+Q330_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+), sv AS (
+  SELECT source, v, CAST(COUNT(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2
+), vt AS (SELECT v, SUM(c) AS ct FROM sv GROUP BY 1),
+grid AS (
+  SELECT s.source, vt.v, vt.ct FROM (SELECT DISTINCT source FROM sv) s
+  CROSS JOIN vt
+), dense AS (
+  SELECT g.source, g.v, g.ct, COALESCE(sv.c, 0.0) AS c
+  FROM grid g LEFT JOIN sv ON sv.source = g.source AND sv.v = g.v
+), stot AS (SELECT source, SUM(c) AS n_s FROM sv GROUP BY 1),
+ntot AS (SELECT SUM(ct) AS n_all FROM vt),
+pts AS (
+  SELECT d.source, d.v,
+         SUM(d.c) OVER w / st.n_s AS f_s,
+         (SUM(d.ct) OVER w - SUM(d.c) OVER w)
+           / (ntot.n_all - st.n_s) AS f_r,
+         LEAD(d.v) OVER (PARTITION BY d.source ORDER BY d.v) - d.v
+           AS gap
+  FROM dense d JOIN stot st ON st.source = d.source CROSS JOIN ntot
+  WINDOW w AS (PARTITION BY d.source ORDER BY d.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source,
+       ROUND(SUM(ABS(f_s - f_r) * gap), 4) AS w1,
+       ROUND(MAX(ABS(f_s - f_r)), 6) AS ks_sup
+FROM pts WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q331 — diurnal concentration via circular statistics (Mardia & Jupp
+# 2000; Rayleigh 1880): map each event's second-of-day onto the unit
+# circle θ = 2π·s/86400 and report, per event type, the circular mean
+# hour, the mean resultant length R̄ (0 = uniform over the day, 1 =
+# a single spike), and the Rayleigh test statistic z = n·R̄² whose
+# large-n null is Exp(1) — the right uniformity test for periodic
+# data, where a linear histogram χ² ignores wrap-around. One partial
+# agg of (Σcos, Σsin) per type; atan2 rendered identically by both
+# libms at 6dp.
+# --------------------------------------------------------------------------
+
+
+def q331_circular_diurnal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    two_pi = 2.0 * math.pi
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.col("ts").cast("timestamp_ltz").cast("long") % 86400)
+            .cast("double")
+            * (two_pi / 86400.0)
+        ).alias("theta"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.cos("theta")).alias("sc"),
+        F.sum(F.sin("theta")).alias("ss"),
+    )
+    rbar = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / F.col(
+        "n"
+    )
+    mean_hour = (
+        F.atan2(F.col("ss"), F.col("sc")) / two_pi * 24.0 + 24.0
+    ) % 24.0
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(mean_hour, 4).alias("mean_hour"),
+        F.round(rbar, 6).alias("resultant_r"),
+        F.round(F.col("n") * rbar * rbar, 4).alias("rayleigh_z"),
+    )
+
+
+Q331_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS DOUBLE)
+           * ({2.0 * math.pi} / 86400.0) AS theta
+  FROM events
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(COS(theta)) AS sc, SUM(SIN(theta)) AS ss
+  FROM ev GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND((ATAN2(ss, sc) / {2.0 * math.pi} * 24.0 + 24.0) % 24.0, 4)
+         AS mean_hour,
+       ROUND(SQRT(sc * sc + ss * ss) / n, 6) AS resultant_r,
+       ROUND(n * (SQRT(sc * sc + ss * ss) / n)
+               * (SQRT(sc * sc + ss * ss) / n), 4) AS rayleigh_z
+FROM g
+"""
+
+
 QUERIES = {
+    "q330_wasserstein_drift": q330_wasserstein_drift,
+    "q331_circular_diurnal": q331_circular_diurnal,
     "q327_weibull_fit": q327_weibull_fit,
     "q325_temporal_leakage": q325_temporal_leakage,
     "q316_mann_whitney": q316_mann_whitney,
@@ -9016,6 +9177,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q330_wasserstein_drift": Q330_SQL,
+    "q331_circular_diurnal": Q331_SQL,
     "q327_weibull_fit": Q327_SQL,
     "q325_temporal_leakage": Q325_SQL,
     "q316_mann_whitney": Q316_SQL,

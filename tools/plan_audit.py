@@ -446,6 +446,10 @@ AUDIT = [
     # partitioned by query; moments rollup
     ("q328_knn_hubness", 4, 0),
     ("q329_knn_reciprocity", 5, 0),
+    # (source, value) hist + per-source CDF window over the aggregate
+    ("q330_wasserstein_drift", 5, 0),
+    # one (Σcos, Σsin) partial agg per type
+    ("q331_circular_diurnal", 1, 0),
     # (source, word) agg → freq-of-freq agg → 20-row rollup
     ("q326_good_turing", 3, 0),
     # per-user lag window (partitioned) + gap histogram + OLS rollup
