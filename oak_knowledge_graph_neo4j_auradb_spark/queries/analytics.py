@@ -9063,7 +9063,149 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q332 — HAC / Newey-West (1987) robust standard error for the daily-
+# mean trend: OLS of the daily mean event value on day index, then the
+# Bartlett-kernel long-run variance of the residual score series with
+# lag window L = 7 — the autocorrelation-consistent SE a metrics team
+# needs before declaring a trend significant (naive OLS SEs overstate
+# precision when daily shocks persist). Everything after the ONE
+# (day) partial agg runs on the ≤ 90-row day grid: the lag terms are
+# a bounded self-join of the residual grid on day offsets 1..7.
+# Reports slope, naive SE, NW SE, and the inflation ratio.
+# --------------------------------------------------------------------------
+
+_NW_LAGS = 7
+
+
+def q332_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        (
+            F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = ev.groupBy("day").agg(F.avg("v").alias("y")).persist()
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        (F.col("day") - F.col("d0")).cast("double").alias("x"), "y"
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    )
+    beta = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    alpha = F.col("my") - beta * F.col("mx")
+    mm = m.select(
+        "n", "mx", "mxx", beta.alias("beta"), alpha.alias("alpha")
+    )
+    res = pts.crossJoin(F.broadcast(mm)).select(
+        "x",
+        "n",
+        "mx",
+        "mxx",
+        "beta",
+        (
+            (F.col("x") - F.col("mx"))
+            * (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x"))
+        ).alias("u"),
+    ).persist()
+    g0 = res.agg(F.sum(F.col("u") * F.col("u")).alias("g"), F.first("n").alias("n"), F.first("mx").alias("mx"), F.first("mxx").alias("mxx"), F.first("beta").alias("beta"))
+    lag = res.select(F.col("x").alias("xl"), F.col("u").alias("ul"))
+    cross = (
+        res.join(
+            lag,
+            (F.col("x") - F.col("xl") >= 1)
+            & (F.col("x") - F.col("xl") <= _NW_LAGS),
+        )
+        .select(
+            (F.col("x") - F.col("xl")).alias("l"),
+            (F.col("u") * F.col("ul")).alias("uu"),
+        )
+        .groupBy("l")
+        .agg(F.sum("uu").alias("gl"))
+        .agg(
+            F.sum(
+                (1.0 - F.col("l") / (F.lit(_NW_LAGS) + 1.0)) * 2.0 * F.col("gl")
+            ).alias("g_lags")
+        )
+    )
+    out = g0.crossJoin(F.broadcast(cross))
+    sxx = F.col("n") * (F.col("mxx") - F.col("mx") * F.col("mx"))
+    var_naive = (F.col("g") / (F.col("n") - 2.0)) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    ) / F.col("n")
+    var_nw = (F.col("g") + F.coalesce(F.col("g_lags"), F.lit(0.0))) / (
+        sxx * sxx
+    )
+    r = out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("beta"), 6).alias("slope"),
+        F.round(F.sqrt(var_naive), 6).alias("se_naive"),
+        F.round(F.sqrt(var_nw), 6).alias("se_newey_west"),
+        F.round(F.sqrt(var_nw / var_naive), 4).alias("se_inflation"),
+    )
+    for c in (daily, res):
+        c.unpersist()
+    return r
+
+
+Q332_SQL = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), daily AS (SELECT day, AVG(v) AS y FROM ev GROUP BY 1),
+d0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+  SELECT CAST(day - d0.d0 AS DOUBLE) AS x, y FROM daily CROSS JOIN d0
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx, AVG(y) AS my,
+         AVG(x * y) AS mxy, AVG(x * x) AS mxx
+  FROM pts
+), mm AS (
+  SELECT n, mx, mxx,
+         (mxy - mx * my) / (mxx - mx * mx) AS beta,
+         my - (mxy - mx * my) / (mxx - mx * mx) * mx AS alpha
+  FROM m
+), res AS (
+  SELECT pts.x, (pts.x - mm.mx) * (pts.y - mm.alpha - mm.beta * pts.x)
+           AS u
+  FROM pts CROSS JOIN mm
+), g0 AS (SELECT SUM(u * u) AS g FROM res),
+cross_l AS (
+  SELECT SUM((1.0 - l / ({_NW_LAGS} + 1.0)) * 2.0 * gl) AS g_lags
+  FROM (
+    SELECT a.x - b.x AS l, SUM(a.u * b.u) AS gl
+    FROM res a JOIN res b
+      ON a.x - b.x >= 1 AND a.x - b.x <= {_NW_LAGS}
+    GROUP BY 1)
+)
+SELECT CAST(mm.n AS BIGINT) AS n_days,
+       ROUND(mm.beta, 6) AS slope,
+       ROUND(SQRT((g0.g / (mm.n - 2.0)) / (mm.mxx - mm.mx * mm.mx)
+                  / mm.n), 6) AS se_naive,
+       ROUND(SQRT((g0.g + COALESCE(cross_l.g_lags, 0.0))
+                  / POW(mm.n * (mm.mxx - mm.mx * mm.mx), 2)), 6)
+         AS se_newey_west,
+       ROUND(SQRT(((g0.g + COALESCE(cross_l.g_lags, 0.0))
+                   / POW(mm.n * (mm.mxx - mm.mx * mm.mx), 2))
+                  / ((g0.g / (mm.n - 2.0))
+                     / (mm.mxx - mm.mx * mm.mx) / mm.n)), 4)
+         AS se_inflation
+FROM mm CROSS JOIN g0 CROSS JOIN cross_l
+"""
+
+
 QUERIES = {
+    "q332_newey_west": q332_newey_west,
     "q330_wasserstein_drift": q330_wasserstein_drift,
     "q331_circular_diurnal": q331_circular_diurnal,
     "q327_weibull_fit": q327_weibull_fit,
@@ -9177,6 +9319,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q332_newey_west": Q332_SQL,
     "q330_wasserstein_drift": Q330_SQL,
     "q331_circular_diurnal": Q331_SQL,
     "q327_weibull_fit": Q327_SQL,

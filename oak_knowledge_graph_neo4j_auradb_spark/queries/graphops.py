@@ -5487,7 +5487,111 @@ FROM ({union})
     )
 
 
+# --------------------------------------------------------------------------
+# kg107 — NODF nestedness of the unit × thread incidence (Almeida-Neto
+# et al. Oikos 2008): are the thread sets of narrower units nested
+# inside broader units' thread sets? Per unordered unit pair {i, j},
+# paired nestedness = 100·|T_i ∩ T_j| / min(|T_i|, |T_j|) when degrees
+# differ, 0 on degree ties; NODF_rows = mean over all n(n−1)/2 pairs.
+# The thread-side NODF comes from the transposed incidence the same
+# way. High NODF = the curriculum forms a spine of threads that
+# broader units extend — the structure a sequencing planner exploits.
+# Plan: overlaps from the SHARED-KEY co-occurrence self-join (fan-out
+# bounded by per-thread unit counts, the kg72 projection shape);
+# non-sharing pairs contribute 0 and never materialize — the
+# denominator is n(n−1)/2 from the degree table alone.
+# --------------------------------------------------------------------------
+
+
+def kg107_nestedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    inc = (
+        gb.resolved.filter(F.col("pred") == "HAS_THREAD")
+        .select(F.col("subj").alias("u"), F.col("obj").alias("t"))
+        .distinct()
+        .persist()
+    )
+
+    def nodf(df, row, col):
+        deg = df.groupBy(row).agg(F.count(F.lit(1)).alias("deg"))
+        a = df.select(F.col(row).alias("i"), col)
+        b = df.select(F.col(row).alias("j"), col)
+        ov = (
+            a.join(b, col)
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).cast("double").alias("ov"))
+        )
+        di = deg.select(F.col(row).alias("i"), F.col("deg").alias("d_i"))
+        dj = deg.select(F.col(row).alias("j"), F.col("deg").alias("d_j"))
+        num = (
+            ov.join(di, "i")
+            .join(dj, "j")
+            .filter(F.col("d_i") != F.col("d_j"))
+            .agg(
+                F.sum(
+                    100.0 * F.col("ov") / F.least("d_i", "d_j")
+                ).alias("num")
+            )
+        )
+        n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        return num.crossJoin(n).select(
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.coalesce(F.col("num"), F.lit(0.0))
+                / (F.col("n") * (F.col("n") - 1.0) / 2.0),
+                6,
+            ).alias("nodf"),
+        )
+
+    rows = nodf(inc, "u", "t").select(
+        F.lit("units").alias("axis"), "n", "nodf"
+    )
+    cols = nodf(inc, "t", "u").select(
+        F.lit("threads").alias("axis"), "n", "nodf"
+    )
+    out = rows.unionByName(cols)
+    inc.unpersist()
+    return out
+
+
+def _kg107_sql() -> str:
+    from .kg import _edges_union_sql
+
+    def side(row, col, axis):
+        return f"""
+  SELECT '{axis}' AS axis, CAST(n.n AS BIGINT) AS n,
+         ROUND(COALESCE(num.s, 0.0) / (n.n * (n.n - 1.0) / 2.0), 6)
+           AS nodf
+  FROM (
+    SELECT SUM(100.0 * ov.ov / LEAST(di.deg, dj.deg)) AS s
+    FROM (
+      SELECT a.{row} AS i, b.{row} AS j,
+             CAST(COUNT(*) AS DOUBLE) AS ov
+      FROM inc a JOIN inc b ON b.{col} = a.{col} AND a.{row} < b.{row}
+      GROUP BY 1, 2) ov
+    JOIN (SELECT {row} AS i, COUNT(*) AS deg FROM inc GROUP BY 1) di
+      ON di.i = ov.i
+    JOIN (SELECT {row} AS j, COUNT(*) AS deg FROM inc GROUP BY 1) dj
+      ON dj.j = ov.j
+    WHERE di.deg <> dj.deg) num
+  CROSS JOIN (
+    SELECT CAST(COUNT(DISTINCT {row}) AS DOUBLE) AS n FROM inc) n"""
+
+    return f"""
+{_edges_union_sql()},
+inc AS MATERIALIZED (
+  SELECT DISTINCT subj AS u, obj AS t FROM edges
+  WHERE pred = 'HAS_THREAD'
+)
+{side('u', 't', 'units')}
+UNION ALL
+{side('t', 'u', 'threads')}
+"""
+
+
 QUERIES = {
+    "kg107_nestedness": kg107_nestedness,
     "kg106_er_attack_curve": kg106_er_attack_curve,
     "kg105_functionality": kg105_functionality,
     "kg104_rich_club": kg104_rich_club,
@@ -5552,6 +5656,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg107_nestedness": _kg107_sql(),
     "kg106_er_attack_curve": _kg106_sql(),
     "kg105_functionality": _kg105_sql(),
     "kg104_rich_club": _kg104_sql(),

@@ -4137,12 +4137,16 @@ def q319_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("ln_n") * F.col("ln_v")).alias("mxy"),
         F.avg(F.col("ln_n") * F.col("ln_n")).alias("mxx"),
         F.avg(F.col("ln_v") * F.col("ln_v")).alias("myy"),
+        F.countDistinct("ln_n").alias("dx"),
+        F.countDistinct("ln_v").alias("dy"),
     ).filter(
-        # degenerate-fit guard: a source confined to one shard (or with
-        # identical cumulative N at every point) has no slope to fit
-        (F.col("n_points") > 2)
-        & (F.col("mxx") - F.col("mx") * F.col("mx") > 0)
-        & (F.col("myy") - F.col("my") * F.col("my") > 0)
+        # degenerate-fit guard: a source confined to one shard, or with
+        # a flat cumulative-N or cumulative-V series, has no slope to
+        # fit. The guard is on EXACT distinct counts, not the computed
+        # variance — avg(y²)−avg(y)² of a constant series rounds to
+        # ±1e-16 with an engine-dependent SIGN, so a variance>0 guard
+        # keeps the row in one engine and drops it in the other.
+        (F.col("n_points") > 2) & (F.col("dx") > 1) & (F.col("dy") > 1)
     )
     beta = (F.col("mxy") - F.col("mx") * F.col("my")) / (
         F.col("mxx") - F.col("mx") * F.col("mx")
@@ -4195,8 +4199,8 @@ WITH d AS (
          AVG(ln_n * ln_v) AS mxy, AVG(ln_n * ln_n) AS mxx,
          AVG(ln_v * ln_v) AS myy
   FROM pts GROUP BY 1
-  HAVING COUNT(*) > 2 AND AVG(ln_n * ln_n) - AVG(ln_n) * AVG(ln_n) > 0
-     AND AVG(ln_v * ln_v) - AVG(ln_v) * AVG(ln_v) > 0
+  HAVING COUNT(*) > 2 AND COUNT(DISTINCT ln_n) > 1
+     AND COUNT(DISTINCT ln_v) > 1
 )
 SELECT source, n_points,
        ROUND((mxy - mx * my) / (mxx - mx * mx), 6) + 0.0 AS beta,

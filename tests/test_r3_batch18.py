@@ -64,8 +64,12 @@ def test_q319_matches_python(spark):
         my = sum(y for _, y in pts) / n
         mxy = sum(x * y for x, y in pts) / n
         mxx = sum(x * x for x, _ in pts) / n
-        myy = sum(y * y for _, y in pts) / n
-        if n <= 2 or mxx - mx * mx <= 0 or myy - my * my <= 0:
+        # exact distinct-count degeneracy guard, mirroring the query
+        if (
+            n <= 2
+            or len({x for x, _ in pts}) <= 1
+            or len({y for _, y in pts}) <= 1
+        ):
             continue
         beta = (mxy - mx * my) / (mxx - mx * mx)
         expect[src] = (n, beta)

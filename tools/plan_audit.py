@@ -442,6 +442,11 @@ AUDIT = [
     ("q325_temporal_leakage", 3, 0),
     # co-mention edges once + 5 bounded CC runs (checkpointed rounds)
     ("kg106_er_attack_curve", 10, 0),
+    # kg-build melt embedded per nodf side in the STATIC plan (kg77
+    # pattern); its own tail is two bounded co-occurrence self-joins
+    ("kg107_nestedness", 44, 9),
+    # day-grid OLS + Bartlett lag self-join, all on the ≤90-row grid
+    ("q332_newey_west", 7, 0),
     # exact all-pairs baseline (LSH candidates at scale); top-K window
     # partitioned by query; moments rollup
     ("q328_knn_hubness", 4, 0),
