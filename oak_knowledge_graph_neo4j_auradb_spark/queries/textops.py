@@ -2646,7 +2646,116 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q333 — token-level bigram mutual information per source (Shannon
+# 1948; the "information gain of one word of context"): I(W₁;W₂) =
+# H(W) − H(W₂|W₁), estimated from the source's bigram and unigram
+# tables. Near-zero MI = the next token is as unpredictable with
+# context as without (noise / shuffled text); high MI relative to
+# H(W) = rigid templates. Reported with both entropies so the ratio
+# MI/H is readable directly. Plan: array-native bigrams (no Python),
+# one (source, bigram) and one (source, unigram) partial agg, entropy
+# as Σ p ln p over each aggregate, a 20-row rollup join. Natural log.
+# --------------------------------------------------------------------------
+
+
+def q333_token_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("t")
+    )
+    pairs = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("source", F.explode(pairs).alias("p"))
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c2 = bg.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    c1 = bg.groupBy("source", "a").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = bg.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    h2 = (
+        c2.join(n, "source")
+        .groupBy("source")
+        .agg(
+            (
+                -F.sum(
+                    F.col("c") / F.col("n") * F.log(F.col("c") / F.col("n"))
+                )
+            ).alias("h_joint")
+        )
+    )
+    h1 = (
+        c1.join(n, "source")
+        .groupBy("source")
+        .agg(
+            (
+                -F.sum(
+                    F.col("c") / F.col("n") * F.log(F.col("c") / F.col("n"))
+                )
+            ).alias("h_uni")
+        )
+    )
+    return (
+        h1.join(h2, "source")
+        .join(n, "source")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.round("h_uni", 6).alias("h_unigram"),
+            F.round(
+                F.col("h_joint") - F.col("h_uni"), 6
+            ).alias("h_conditional"),
+            F.round(
+                2.0 * F.col("h_uni") - F.col("h_joint"), 6
+            ).alias("mutual_info"),
+            F.round(
+                (2.0 * F.col("h_uni") - F.col("h_joint")) / F.col("h_uni"),
+                6,
+            ).alias("mi_ratio"),
+        )
+    )
+
+
+Q333_SQL = f"""
+WITH tokd AS (
+  SELECT source, {TOKENS_SQL.format(x='text')} AS t FROM documents
+), bgt AS (
+  SELECT source, t[i] AS a, t[i + 1] AS b
+  FROM tokd, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+), n AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n FROM bgt GROUP BY 1
+), h2 AS (
+  SELECT c2.source,
+         -SUM(c2.c / n.n * LN(c2.c / n.n)) AS h_joint
+  FROM (SELECT source, a, b, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bgt GROUP BY 1, 2, 3) c2
+  JOIN n ON n.source = c2.source GROUP BY 1
+), h1 AS (
+  SELECT c1.source,
+         -SUM(c1.c / n.n * LN(c1.c / n.n)) AS h_uni
+  FROM (SELECT source, a, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bgt GROUP BY 1, 2) c1
+  JOIN n ON n.source = c1.source GROUP BY 1
+)
+SELECT h1.source, CAST(n.n AS BIGINT) AS n_bigrams,
+       ROUND(h1.h_uni, 6) AS h_unigram,
+       ROUND(h2.h_joint - h1.h_uni, 6) AS h_conditional,
+       ROUND(2.0 * h1.h_uni - h2.h_joint, 6) AS mutual_info,
+       ROUND((2.0 * h1.h_uni - h2.h_joint) / h1.h_uni, 6) AS mi_ratio
+FROM h1 JOIN h2 ON h2.source = h1.source JOIN n ON n.source = h1.source
+"""
+
+
 QUERIES = {
+    "q333_token_mi": q333_token_mi,
     "q326_good_turing": q326_good_turing,
     "q322_npmi_collocations": q322_npmi_collocations,
     "q323_source_jsd": q323_source_jsd,
@@ -2683,6 +2792,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q333_token_mi": Q333_SQL,
     "q326_good_turing": Q326_SQL,
     "q322_npmi_collocations": Q322_SQL,
     "q323_source_jsd": Q323_SQL,

@@ -431,6 +431,8 @@ AUDIT = [
     ("q320_brier_decomposition", 2, 0),
     # bigram partial agg + unigram-margin joins + distributed top-20
     ("q322_npmi_collocations", 4, 0),
+    # bigram/unigram entropies per source: two aggs + 20-row rollup
+    ("q333_token_mi", 5, 0),
     # (source, word) freq table self-joined on word; closed-form
     # unmatched-mass term — no dense grid
     ("q323_source_jsd", 3, 0),
