@@ -425,8 +425,9 @@ AUDIT = [
     ("q321_llr_keyness", 5, 0),
     # kg-build melt + degree histograms × 6-row threshold grid
     ("kg104_rich_club", 17, 3),
-    # hash-sharded vocab-growth points + per-source OLS rollup
-    ("q319_heaps_fit", 4, 0),
+    # hash-sharded vocab-growth points + per-source OLS rollup; the
+    # two exact COUNT(DISTINCT ln) degeneracy guards add 2 exchanges
+    ("q319_heaps_fit", 6, 0),
     # 10-bin calibration partial agg + 1-row Murphy rollup
     ("q320_brier_decomposition", 2, 0),
     # bigram partial agg + unigram-margin joins + distributed top-20
