@@ -5590,7 +5590,94 @@ UNION ALL
 """
 
 
+# --------------------------------------------------------------------------
+# kg108 — degree power-law exponent via the Clauset-Shalizi-Newman
+# (SIAM Rev. 2009) continuous-approximation MLE on the tail d ≥ d_min:
+# α̂ = 1 + n_tail / Σ ln(d / (d_min − ½)), with the tail fraction and
+# max degree alongside — the summary a capacity planner reads to size
+# skew handling (α near 2 = heavy hubs, salting mandatory; α > 3 =
+# light tail). Computed entirely from the degree HISTOGRAM (weighted
+# log-sum over distinct degree values), d_min = 2 fixed; undirected
+# distinct edges. One degree agg + one histogram rollup.
+# --------------------------------------------------------------------------
+
+_PL_DMIN = 2
+
+
+def kg108_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = (
+        gb.resolved.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tail = hist.filter(F.col("deg") >= _PL_DMIN)
+    g = tail.agg(
+        F.sum("c").alias("n_tail"),
+        F.sum(
+            F.col("c") * F.log(F.col("deg") / (_PL_DMIN - 0.5))
+        ).alias("sl"),
+        F.max("deg").cast("long").alias("max_deg"),
+    ).crossJoin(
+        F.broadcast(hist.agg(F.sum("c").alias("n_all")))
+    )
+    return g.select(
+        F.col("n_all").cast("long").alias("n_nodes"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(_PL_DMIN).alias("d_min"),
+        "max_deg",
+        F.round(1.0 + F.col("n_tail") / F.col("sl"), 6).alias("alpha"),
+        F.round(F.col("n_tail") / F.col("n_all"), 6).alias(
+            "tail_fraction"
+        ),
+    )
+
+
+def _kg108_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+  FROM edges WHERE subj <> obj
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+), hist AS (
+  SELECT deg, CAST(COUNT(*) AS DOUBLE) AS c FROM deg GROUP BY 1
+), t AS (
+  SELECT SUM(c) AS n_tail,
+         SUM(c * LN(deg / ({_PL_DMIN} - 0.5))) AS sl,
+         CAST(MAX(deg) AS BIGINT) AS max_deg
+  FROM hist WHERE deg >= {_PL_DMIN}
+), a AS (SELECT SUM(c) AS n_all FROM hist)
+SELECT CAST(a.n_all AS BIGINT) AS n_nodes,
+       CAST(t.n_tail AS BIGINT) AS n_tail,
+       {_PL_DMIN} AS d_min,
+       t.max_deg,
+       ROUND(1.0 + t.n_tail / t.sl, 6) AS alpha,
+       ROUND(t.n_tail / a.n_all, 6) AS tail_fraction
+FROM t CROSS JOIN a
+"""
+
+
 QUERIES = {
+    "kg108_powerlaw_mle": kg108_powerlaw_mle,
     "kg107_nestedness": kg107_nestedness,
     "kg106_er_attack_curve": kg106_er_attack_curve,
     "kg105_functionality": kg105_functionality,
@@ -5656,6 +5743,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg108_powerlaw_mle": _kg108_sql(),
     "kg107_nestedness": _kg107_sql(),
     "kg106_er_attack_curve": _kg106_sql(),
     "kg105_functionality": _kg105_sql(),

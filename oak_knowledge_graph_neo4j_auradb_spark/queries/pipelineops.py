@@ -4399,7 +4399,56 @@ FROM base LEFT JOIN novel ON novel.n = base.n
 """
 
 
+# --------------------------------------------------------------------------
+# q335 — Kish effective sample size & design effect (Kish 1965) for a
+# length-weighted corpus draw: with importance weights w ∝ n_chars
+# (the "sample long documents proportionally more" policy), the
+# per-source n_eff = (Σw)²/Σw² and deff = n/n_eff quantify how much
+# statistical power the weighting burns — deff ≫ 1 flags a source
+# whose heavy-tailed lengths make weighted estimates unstable (the
+# q136/q87 samplers' companion diagnostic). One partial agg per
+# source; moments in double.
+# --------------------------------------------------------------------------
+
+
+def q335_kish_neff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("w")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    neff = F.col("sw") * F.col("sw") / F.col("sww")
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(neff, 4).alias("n_eff"),
+        F.round(F.col("n") / neff, 6).alias("design_effect"),
+        F.round(neff / F.col("n"), 6).alias("efficiency"),
+    )
+
+
+Q335_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS w FROM documents
+), g AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(w) AS sw, SUM(w * w) AS sww
+  FROM d GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       ROUND(sw * sw / sww, 4) AS n_eff,
+       ROUND(n / (sw * sw / sww), 6) AS design_effect,
+       ROUND((sw * sw / sww) / n, 6) AS efficiency
+FROM g
+"""
+
+
 QUERIES = {
+    "q335_kish_neff": q335_kish_neff,
     "q324_ngram_novelty": q324_ngram_novelty,
     "q319_heaps_fit": q319_heaps_fit,
     "q320_brier_decomposition": q320_brier_decomposition,
@@ -4462,6 +4511,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q335_kish_neff": Q335_SQL,
     "q324_ngram_novelty": _q324_sql(),
     "q319_heaps_fit": Q319_SQL,
     "q320_brier_decomposition": Q320_SQL,

@@ -2754,7 +2754,79 @@ FROM h1 JOIN h2 ON h2.source = h1.source JOIN n ON n.source = h1.source
 """
 
 
+# --------------------------------------------------------------------------
+# q334 — near-dup threshold coherence via triangle closure (the
+# transitivity audit behind cluster-dedup correctness, cf. Broder
+# 1997's similarity-graph clustering): among wedges A~B~C in the
+# verified q25 pair graph, how often does the closing pair A~C also
+# verify? Low closure means the Jaccard threshold sits in a regime
+# where connected-components dedup (q50) chains through borderline
+# pairs — the knob a dedup owner tunes before trusting CC clusters.
+# Plan: reuses q25's banded-LSH pair plan verbatim (one shared
+# candidate build), symmetrize, ONE wedge self-join keyed on the
+# shared endpoint, one semi-join against the pair set — all bounded by
+# the sparse near-dup graph, never corpus-quadratic.
+# --------------------------------------------------------------------------
+
+
+def q334_neardup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q25_lsh_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    w1 = und.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    w2 = und.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = (
+        w1.join(w2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .select("a", "b", "c")
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("c"),
+            F.lit(1).alias("is_closed"),
+        ),
+        ["a", "c"],
+        "left",
+    )
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.sum(F.coalesce("is_closed", F.lit(0)))
+        .cast("long")
+        .alias("n_closed"),
+        F.round(
+            F.sum(F.coalesce("is_closed", F.lit(0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("closure_rate"),
+    )
+
+
+def _q334_sql() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({Q25_SQL})
+), und AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+), wedges AS (
+  SELECT w1.doc_a AS a, w1.doc_b AS b, w2.doc_b AS c
+  FROM und w1 JOIN und w2 ON w2.doc_a = w1.doc_b
+  WHERE w1.doc_a < w2.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       CAST(COUNT(p.doc_a) AS BIGINT) AS n_closed,
+       ROUND(COUNT(p.doc_a) / (1.0 * COUNT(*)), 6) AS closure_rate
+FROM wedges w
+LEFT JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c
+"""
+
+
 QUERIES = {
+    "q334_neardup_closure": q334_neardup_closure,
     "q333_token_mi": q333_token_mi,
     "q326_good_turing": q326_good_turing,
     "q322_npmi_collocations": q322_npmi_collocations,
@@ -2792,6 +2864,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q334_neardup_closure": _q334_sql(),
     "q333_token_mi": Q333_SQL,
     "q326_good_turing": Q326_SQL,
     "q322_npmi_collocations": Q322_SQL,

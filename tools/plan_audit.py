@@ -445,6 +445,12 @@ AUDIT = [
     ("q325_temporal_leakage", 3, 0),
     # co-mention edges once + 5 bounded CC runs (checkpointed rounds)
     ("kg106_er_attack_curve", 10, 0),
+    # q25 pair plan + one wedge self-join + one closure semi-join
+    ("q334_neardup_closure", 5, 0),
+    # kg-build melt + degree histogram rollup (CSN tail MLE)
+    ("kg108_powerlaw_mle", 15, 3),
+    # one moments agg per source
+    ("q335_kish_neff", 1, 0),
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
