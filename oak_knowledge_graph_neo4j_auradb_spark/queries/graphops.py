@@ -5676,7 +5676,108 @@ FROM t CROSS JOIN a
 """
 
 
+# --------------------------------------------------------------------------
+# kg109 — nominal (label) assortativity from the edge mixing matrix
+# (Newman PRE 67, 026126 (2003), eq. 2): r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ) /
+# (1 − Σᵢaᵢbᵢ) over the subj-label × obj-label mixing matrix of the
+# resolved edge set — the one-number answer to "do edges stay inside a
+# label class or bridge classes?". A layered curriculum KG is maximally
+# DISassortative (every predicate bridges two different labels, the
+# diagonal is empty), so r < 0 is itself the schema-sanity assertion.
+# Complements kg81 (degree assortativity). Plan: one (subj_label,
+# obj_label) partial agg → the ≤13×13 mixing matrix; margins and the
+# trace are rollups of that tiny frame.
+# --------------------------------------------------------------------------
+
+
+def kg109_label_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj_label", "obj_label")
+    mix = e.groupBy("subj_label", "obj_label").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = mix.agg(F.sum("c").alias("m"))
+    p = mix.crossJoin(F.broadcast(tot)).select(
+        "subj_label", "obj_label", (F.col("c") / F.col("m")).alias("e")
+    )
+    a = p.groupBy(F.col("subj_label").alias("lab")).agg(
+        F.sum("e").alias("a_i")
+    )
+    b = p.groupBy(F.col("obj_label").alias("lab")).agg(
+        F.sum("e").alias("b_i")
+    )
+    ab = (
+        a.join(b, "lab", "full")
+        .select(
+            (
+                F.coalesce("a_i", F.lit(0.0))
+                * F.coalesce("b_i", F.lit(0.0))
+            ).alias("ab")
+        )
+        .agg(F.sum("ab").alias("sum_ab"))
+    )
+    tr = p.filter(F.col("subj_label") == F.col("obj_label")).agg(
+        F.coalesce(F.sum("e"), F.lit(0.0)).alias("trace")
+    )
+    n_lab = (
+        e.select(F.col("subj_label").alias("lab"))
+        .unionByName(e.select(F.col("obj_label").alias("lab")))
+        .distinct()
+        .count()
+    )
+    return (
+        tr.crossJoin(F.broadcast(ab))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.lit(n_lab).alias("n_labels"),
+            F.round("trace", 6).alias("trace"),
+            F.round("sum_ab", 6).alias("sum_ab"),
+            F.round(
+                (F.col("trace") - F.col("sum_ab"))
+                / (1.0 - F.col("sum_ab")),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+def _kg109_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+mix AS MATERIALIZED (
+  SELECT subj_label, obj_label, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM edges GROUP BY 1, 2
+), tot AS (SELECT SUM(c) AS m FROM mix),
+p AS (
+  SELECT subj_label, obj_label, c / tot.m AS e
+  FROM mix CROSS JOIN tot
+), a AS (SELECT subj_label AS lab, SUM(e) AS a_i FROM p GROUP BY 1),
+b AS (SELECT obj_label AS lab, SUM(e) AS b_i FROM p GROUP BY 1),
+ab AS (
+  SELECT SUM(COALESCE(a.a_i, 0.0) * COALESCE(b.b_i, 0.0)) AS sum_ab
+  FROM a FULL JOIN b ON b.lab = a.lab
+), tr AS (
+  SELECT COALESCE(SUM(e), 0.0) AS trace FROM p
+  WHERE subj_label = obj_label
+), nl AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_labels FROM (
+    SELECT subj_label AS lab FROM mix
+    UNION SELECT obj_label FROM mix)
+)
+SELECT CAST(tot.m AS BIGINT) AS n_edges, nl.n_labels,
+       ROUND(tr.trace, 6) AS trace,
+       ROUND(ab.sum_ab, 6) AS sum_ab,
+       ROUND((tr.trace - ab.sum_ab) / (1.0 - ab.sum_ab), 6)
+         AS assortativity
+FROM tr CROSS JOIN ab CROSS JOIN tot CROSS JOIN nl
+"""
+
+
 QUERIES = {
+    "kg109_label_mixing": kg109_label_mixing,
     "kg108_powerlaw_mle": kg108_powerlaw_mle,
     "kg107_nestedness": kg107_nestedness,
     "kg106_er_attack_curve": kg106_er_attack_curve,
@@ -5743,6 +5844,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg109_label_mixing": _kg109_sql(),
     "kg108_powerlaw_mle": _kg108_sql(),
     "kg107_nestedness": _kg107_sql(),
     "kg106_er_attack_curve": _kg106_sql(),

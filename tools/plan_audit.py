@@ -449,6 +449,8 @@ AUDIT = [
     ("q334_neardup_closure", 5, 0),
     # kg-build melt + degree histogram rollup (CSN tail MLE)
     ("kg108_powerlaw_mle", 15, 3),
+    # kg-build melt + 13x13 mixing-matrix rollups
+    ("kg109_label_mixing", 25, 6),
     # one moments agg per source
     ("q335_kish_neff", 1, 0),
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
