@@ -2056,7 +2056,55 @@ FROM base CROSS JOIN hh
 """
 
 
+# --------------------------------------------------------------------------
+# q336 — Spark 4 VARIANT-type JSON path (SPARK-45891): parse the
+# events `props` JSON column into the binary VARIANT encoding ONCE,
+# then extract typed fields with `variant_get` — the
+# semi-structured-data fast path that replaces per-access string
+# re-parsing (the VariantGet expression runs against the decoded
+# binary, inside codegen, with no schema declared up front). Per event
+# type: count, distinct k, mean k, and the count in k's top decile
+# band (k ≥ 90) — enough shape to prove typed extraction, aggregation,
+# and predicate use of a VARIANT field. Oracle: DuckDB's native JSON
+# path extraction over the same strings. One partial agg; the parse
+# is projection-local (no shuffle of its own).
+# --------------------------------------------------------------------------
+
+
+def q336_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count_if(F.col("k") >= 90).cast("long").alias("n_top_band"),
+        )
+    )
+
+
+Q336_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       CAST(COUNT(*) FILTER (WHERE k >= 90) AS BIGINT) AS n_top_band
+FROM ev GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q336_variant_props": q336_variant_props,
     "q243_join_size_estimate": q243_join_size_estimate,
     "q176_multiset_ops": q176_multiset_ops,
     "q125_salted_join": q125_salted_join,
@@ -2112,6 +2160,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q336_variant_props": Q336_SQL,
     "q243_join_size_estimate": Q243_SQL,
     "q176_multiset_ops": Q176_SQL,
     "q125_salted_join": Q125_SQL,

@@ -453,6 +453,8 @@ AUDIT = [
     ("kg109_label_mixing", 25, 6),
     # one moments agg per source
     ("q335_kish_neff", 1, 0),
+    # VARIANT parse in the scan projection + 2-phase count-distinct agg
+    ("q336_variant_props", 2, 0),
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
