@@ -4447,7 +4447,117 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q337 — expected / maximum calibration error (Naeini et al. AAAI 2015;
+# the ECE/MCE pair every LLM eval reports): over q81/q167's quality
+# score vs the lang='en' pseudo-label, ECE = Σ (n_k/N)·|s̄_k − ȳ_k| and
+# MCE = max_k |s̄_k − ȳ_k| on the 10 equal-width bins, with the
+# per-bin gap table folded in as the count-weighted mean absolute gap.
+# Complements q320 (Brier decomposition = the squared-error view; ECE
+# is the L1 view regulators and eval harnesses quote). Same verbatim
+# `_quality_score`; one 10-bin partial agg + a 1-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q337_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("lang", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    scored = d.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        _quality_score(F.col("t")).alias("s"),
+    )
+    b = F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long")
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("s").alias("sbar"),
+        F.avg("y").alias("ybar"),
+    )
+    gap = F.abs(F.col("sbar") - F.col("ybar"))
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.sum(F.col("n") * gap) / F.sum("n"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+Q337_SQL = f"""
+{_QSCORE_CTES},
+sc AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, s FROM s
+), bins AS (
+  SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(s) AS sbar, AVG(y) AS ybar
+  FROM sc GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM(n * ABS(sbar - ybar)) / SUM(n), 6) AS ece,
+       ROUND(MAX(ABS(sbar - ybar)), 6) AS mce
+FROM bins
+"""
+
+
+# --------------------------------------------------------------------------
+# q339 — duplicate token-mass share (the "how much of my compute goes
+# to repeated text" number, cf. Lee et al. ACL 2022 on dedup and LLM
+# quality): group documents by exact content hash; report, per
+# source, the fraction of DOCUMENTS in >1-member groups and the
+# fraction of TOKENS those documents carry — token mass is what the
+# training loop pays, and it routinely exceeds the doc fraction when
+# duplicated docs are long. One (hash) agg + one join-back + a
+# 20-row rollup; the hash is 60-bit md5 (q20's idiom).
+# --------------------------------------------------------------------------
+
+
+def q339_dup_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        md5long(F.col("text")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("double").alias("n_tok"),
+    )
+    dup = d.groupBy("h").agg(F.count(F.lit(1)).alias("grp"))
+    j = d.join(dup, "h").withColumn(
+        "is_dup", (F.col("grp") > 1).cast("double")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.round(F.avg("is_dup"), 6).alias("dup_doc_frac"),
+        F.round(
+            F.sum(F.col("is_dup") * F.col("n_tok")) / F.sum("n_tok"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+Q339_SQL = f"""
+WITH d AS (
+  SELECT source, {MD5LONG_SQL.format(x='text')} AS h,
+         CAST(len({TOKENS_SQL.format(x='text')}) AS DOUBLE) AS n_tok
+  FROM documents
+), dup AS (SELECT h, COUNT(*) AS grp FROM d GROUP BY 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       ROUND(AVG(CASE WHEN grp > 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS dup_doc_frac,
+       ROUND(SUM(CASE WHEN grp > 1 THEN n_tok ELSE 0.0 END)
+             / SUM(n_tok), 6) AS dup_token_frac
+FROM d JOIN dup ON dup.h = d.h
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q337_calibration_error": q337_calibration_error,
+    "q339_dup_token_mass": q339_dup_token_mass,
     "q335_kish_neff": q335_kish_neff,
     "q324_ngram_novelty": q324_ngram_novelty,
     "q319_heaps_fit": q319_heaps_fit,
@@ -4511,6 +4621,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q337_calibration_error": Q337_SQL,
+    "q339_dup_token_mass": Q339_SQL,
     "q335_kish_neff": Q335_SQL,
     "q324_ngram_novelty": _q324_sql(),
     "q319_heaps_fit": Q319_SQL,

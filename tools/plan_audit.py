@@ -455,6 +455,10 @@ AUDIT = [
     ("q335_kish_neff", 1, 0),
     # VARIANT parse in the scan projection + 2-phase count-distinct agg
     ("q336_variant_props", 2, 0),
+    # 10-bin calibration agg + 1-row L1/Linf rollup
+    ("q337_calibration_error", 2, 0),
+    # content-hash group agg + join-back + 20-row rollup
+    ("q339_dup_token_mass", 2, 0),
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
