@@ -5776,7 +5776,206 @@ FROM tr CROSS JOIN ab CROSS JOIN tot CROSS JOIN nl
 """
 
 
+# --------------------------------------------------------------------------
+# kg110 — LINKING-AMBIGUITY audit: the candidate fan-out distribution
+# of the fuzzy entity linker, per label. Every distinct noisy surface
+# form (kg87's deterministic single-deletion typo model) is linked to
+# its ≤10 best dictionary candidates at edit distance ≤ 1; per label
+# the audit reports how many forms resolve at all, how many are
+# AMBIGUOUS (≥ 2 candidates — the forms that need a context-aware
+# disambiguator rather than the dictionary alone), the max fan-out,
+# and the mean fan-out among linked forms. This is the sizing table
+# for the disambiguation stage: ambiguous_share × mention volume is
+# exactly the workload a cross-encoder reranker would take at 100 TB.
+# Scale: the dictionary side broadcasts (node-scale); surface forms
+# dedup with one partial-agg shuffle; the per-form candidate count
+# partitions on the form key — never a global window.
+# --------------------------------------------------------------------------
+
+
+def kg110_linking_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config.curriculum_schema import NODES
+
+    gb = _wide(spark, sf_dir)
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select("label", "mention")
+        .distinct()
+    )
+    p = (F.length("mention") % F.lit(5)) + F.lit(2)
+    noisy = m.select(
+        F.lit("x").alias("doc_id"),
+        "label",
+        F.concat(
+            F.substr(F.col("mention"), F.lit(1), p - 1),
+            F.substr(F.col("mention"), p + 1, F.length("mention")),
+        ).alias("mention"),
+    ).distinct()
+    dims = node_dims(gb.wide, NODES, spark).filter(
+        F.col("label").isin("Unit", "Thread")
+    )
+    cand = (
+        link_candidates(noisy, dims, max_edit=1, top_k=10)
+        .select("label", "mention", "nid")
+        .distinct()
+    )
+    fan = cand.groupBy("label", "mention").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    base = noisy.select("label", "mention").join(
+        fan, ["label", "mention"], "left"
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forms"),
+        F.count("n_cand").cast("long").alias("n_linked"),
+        F.count_if(F.col("n_cand") >= 2).cast("long").alias("n_ambiguous"),
+        F.coalesce(F.max("n_cand"), F.lit(0)).cast("long").alias(
+            "max_fanout"
+        ),
+        F.round(F.avg("n_cand"), 6).alias("mean_fanout_linked"),
+    )
+
+
+def _kg110_sql() -> str:
+    return (
+        _noisy_cand_sql(10)
+        + """,
+cand_d AS (SELECT DISTINCT label, mention, nid FROM topk),
+fan AS (
+  SELECT label, mention, COUNT(*) AS n_cand
+  FROM cand_d GROUP BY label, mention
+),
+forms AS (SELECT DISTINCT label, mention FROM noisy)
+SELECT f.label, CAST(COUNT(*) AS BIGINT) AS n_forms,
+       CAST(COUNT(fan.n_cand) AS BIGINT) AS n_linked,
+       CAST(COUNT(*) FILTER (WHERE fan.n_cand >= 2) AS BIGINT)
+         AS n_ambiguous,
+       CAST(COALESCE(MAX(fan.n_cand), 0) AS BIGINT) AS max_fanout,
+       ROUND(AVG(fan.n_cand), 6) AS mean_fanout_linked
+FROM forms f LEFT JOIN fan ON f.label = fan.label AND f.mention = fan.mention
+GROUP BY f.label
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# kg111 — HUB EDGE-MASS concentration: what share of all resolved
+# edges touches the top-1%-degree nodes? The number that decides
+# whether skew handling is optional or existential — if 40% of edge
+# mass rides on 1% of nodes (curriculum graphs: 'keystage'/'year'
+# hubs), every join keyed on the endpoint needs AQE skew splitting or
+# salting (exactly what the flagship does), and GNN-style neighbor
+# sampling needs hub caps. The p99 degree cutoff is derived EXACTLY
+# from the degree histogram (inverted-CDF over the small (degree,
+# n_nodes) aggregate — the only unpartitioned window in the plan);
+# edge shares follow from one semi-join of edges against the hub set.
+# Reported per direction (out/in) since functional predicates make the
+# two profiles asymmetric.
+# --------------------------------------------------------------------------
+
+
+def kg111_hub_edge_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    e = gb.resolved.select("subj", "obj").distinct().persist()
+    try:
+        rows = []
+        for direction, key in (("out", "subj"), ("in", "obj")):
+            deg = e.groupBy(F.col(key).alias("node")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("c"))
+            w = Window.orderBy("deg").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            w_all = Window.orderBy("deg").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            cum = hist.select(
+                "deg",
+                F.sum("c").over(w).alias("cum"),
+                F.sum("c").over(w_all).alias("n"),
+            )
+            cut = cum.filter(
+                F.col("cum") >= F.ceil(F.col("n") * 0.99)
+            ).agg(F.min("deg").alias("cutoff"))
+            hubs = deg.crossJoin(F.broadcast(cut)).filter(
+                F.col("deg") >= F.col("cutoff")
+            )
+            stats = (
+                e.join(
+                    hubs.select(F.col("node").alias(key), F.lit(1).alias("_h")),
+                    key,
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_edges"),
+                    F.count("_h").alias("n_hub_edges"),
+                )
+                .crossJoin(F.broadcast(hubs.agg(
+                    F.count(F.lit(1)).alias("n_hubs"),
+                    F.min("cutoff").alias("cutoff"),
+                )))
+                .select(
+                    F.lit(direction).alias("direction"),
+                    F.col("cutoff").cast("long").alias("p99_degree"),
+                    F.col("n_hubs").cast("long").alias("n_hubs"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    F.col("n_hub_edges").cast("long").alias("n_hub_edges"),
+                    F.round(
+                        F.col("n_hub_edges") / F.col("n_edges"), 6
+                    ).alias("hub_edge_share"),
+                )
+            )
+            rows.append(stats)
+        out = rows[0].unionByName(rows[1])
+        return out
+    finally:
+        e.unpersist()
+
+
+def _kg111_sql() -> str:
+    from .kg import _edges_union_sql
+
+    parts = []
+    for direction, key in (("out", "subj"), ("in", "obj")):
+        parts.append(f"""
+SELECT '{direction}' AS direction,
+       CAST((SELECT cutoff FROM cut_{direction}) AS BIGINT) AS p99_degree,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg_{direction}
+        WHERE deg >= (SELECT cutoff FROM cut_{direction})) AS n_hubs,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) FILTER (WHERE d.deg >= (SELECT cutoff
+            FROM cut_{direction})) AS BIGINT) AS n_hub_edges,
+       ROUND(COUNT(*) FILTER (WHERE d.deg >= (SELECT cutoff
+            FROM cut_{direction})) / (1.0 * COUNT(*)), 6)
+         AS hub_edge_share
+FROM e JOIN deg_{direction} d ON e.{key} = d.node""")
+    degs = []
+    for direction, key in (("out", "subj"), ("in", "obj")):
+        degs.append(f"""
+deg_{direction} AS (
+  SELECT {key} AS node, COUNT(*) AS deg FROM e GROUP BY {key}
+),
+cum_{direction} AS (
+  SELECT deg, SUM(c) OVER (ORDER BY deg) AS cum, SUM(c) OVER () AS n
+  FROM (SELECT deg, COUNT(*) AS c FROM deg_{direction} GROUP BY deg)
+),
+cut_{direction} AS (
+  SELECT MIN(deg) AS cutoff FROM cum_{direction} WHERE cum >= ceil(n * 0.99)
+)""")
+    return (
+        _edges_union_sql()
+        + ", e AS (SELECT DISTINCT subj, obj FROM edges),"
+        + ",".join(degs)
+        + parts[0]
+        + "\nUNION ALL\n"
+        + parts[1]
+    )
+
+
 QUERIES = {
+    "kg110_linking_ambiguity": kg110_linking_ambiguity,
+    "kg111_hub_edge_share": kg111_hub_edge_share,
     "kg109_label_mixing": kg109_label_mixing,
     "kg108_powerlaw_mle": kg108_powerlaw_mle,
     "kg107_nestedness": kg107_nestedness,
@@ -5844,6 +6043,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg110_linking_ambiguity": _kg110_sql(),
+    "kg111_hub_edge_share": _kg111_sql(),
     "kg109_label_mixing": _kg109_sql(),
     "kg108_powerlaw_mle": _kg108_sql(),
     "kg107_nestedness": _kg107_sql(),

@@ -4555,7 +4555,239 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q342 — ORC ROUNDTRIP: write the document slice as ORC (Spark's
+# second built-in columnar format), read it back, and checksum —
+# format-portability proof for the source layer (S-family): the same
+# narrow projection + checksums q181 pins for CSV, here over a binary
+# columnar format with its own reader/writer stack (predicate pushdown
+# and column pruning work identically — Catalyst treats both as
+# FileFormat scans). The oracle computes the identical checksums from
+# the original parquet, so a pass certifies byte-faithful values
+# through the ORC encode/decode path. Scale: the write is one narrow
+# job (no shuffle), the read-back aggregate is partial-aggregable.
+# --------------------------------------------------------------------------
+
+
+def q342_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="q342_"), "docs_orc")
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long"
+    ).orc(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10)"
+            " as bigint))"
+        ).alias("text_xor"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(lang), 1, 15), 16, 10)"
+            " as bigint))"
+        ).alias("lang_xor"),
+    )
+
+
+Q342_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor({MD5LONG_SQL.format(x='text')}) AS text_xor,
+       bit_xor({MD5LONG_SQL.format(x='lang')}) AS lang_xor
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q343 — OUTPUT-SHARD BALANCE audit: before a 100-TB corpus export,
+# verify the planned shard assignment (hash(doc_id) % n_shards)
+# balances BYTES, not just row counts — a skewed shard is the straggler
+# that holds the whole write barrier. Per-shard byte totals come from
+# one partial-agg shuffle on the 64-key shard id; the balance metrics
+# (max/mean ratio, coefficient of variation, mean absolute difference
+# Gini) are computed on the 64-row aggregate — the all-pairs |xi−xj|
+# Gini form is O(shards²) on that aggregate, never on docs. Output is
+# a single summary row both engines derive from identical integer
+# sums.
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+def q343_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        md5long(F.col("doc_id").cast("string")) % _N_SHARDS
+    ).alias("shard")
+    per = d.select(shard, "n_chars").groupBy("shard").agg(
+        F.sum("n_chars").alias("bytes")
+    )
+    a = per.select(F.col("shard").alias("sa"), F.col("bytes").alias("xa"))
+    b = per.select(F.col("shard").alias("sb"), F.col("bytes").alias("xb"))
+    pair = a.crossJoin(b)
+    g = pair.agg(
+        F.countDistinct("sa").cast("long").alias("n_shards"),
+        (F.sum(F.abs(F.col("xa") - F.col("xb")))
+         / (2 * F.countDistinct("sa") * F.sum(
+             F.when(F.col("sb") == 0, F.col("xa")).otherwise(0)
+         ))).alias("gini"),
+    )
+    stats = per.agg(
+        F.min("bytes").cast("long").alias("min_bytes"),
+        F.max("bytes").cast("long").alias("max_bytes"),
+        F.avg("bytes").alias("mean_bytes"),
+        F.stddev_pop("bytes").alias("sd"),
+    )
+    return stats.crossJoin(g).select(
+        "n_shards",
+        "min_bytes",
+        "max_bytes",
+        F.round("mean_bytes", 4).alias("mean_bytes"),
+        F.round(F.col("max_bytes") / F.col("mean_bytes"), 6).alias(
+            "max_over_mean"
+        ),
+        F.round(F.col("sd") / F.col("mean_bytes"), 6).alias("cv"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+Q343_SQL = f"""
+WITH per AS (
+  SELECT {MD5LONG_SQL.format(x='CAST(doc_id AS VARCHAR)')} % {_N_SHARDS}
+           AS shard,
+         SUM(n_chars) AS bytes
+  FROM documents GROUP BY 1
+), pair AS (
+  SELECT a.shard AS sa, a.bytes AS xa, b.shard AS sb, b.bytes AS xb
+  FROM per a CROSS JOIN per b
+), g AS (
+  SELECT COUNT(DISTINCT sa) AS n_shards,
+         SUM(abs(xa - xb))
+           / (2.0 * COUNT(DISTINCT sa)
+              * SUM(CASE WHEN sb = 0 THEN xa ELSE 0 END)) AS gini
+  FROM pair
+), stats AS (
+  SELECT MIN(bytes) AS min_bytes, MAX(bytes) AS max_bytes,
+         AVG(bytes) AS mean_bytes, stddev_pop(bytes) AS sd
+  FROM per
+)
+SELECT CAST(n_shards AS BIGINT) AS n_shards,
+       CAST(min_bytes AS BIGINT) AS min_bytes,
+       CAST(max_bytes AS BIGINT) AS max_bytes,
+       ROUND(mean_bytes, 4) AS mean_bytes,
+       ROUND(max_bytes / mean_bytes, 6) AS max_over_mean,
+       ROUND(sd / mean_bytes, 6) AS cv,
+       ROUND(gini, 6) AS gini
+FROM stats CROSS JOIN g
+"""
+
+
+# --------------------------------------------------------------------------
+# q344 — QUALITY-QUANTILE PARITY by source: the curation-bias audit —
+# does any source contribute disproportionately to the TOP quality
+# quartile the pipeline keeps? Global p75 of the q22-style composite
+# quality score is derived EXACTLY from the rounded-score histogram
+# (inverted-CDF rule: smallest value with cum ≥ ceil(0.75·n)) — the
+# only unpartitioned window runs over distinct score values, never
+# docs. Per-source above-p75 shares and the parity gap vs the corpus
+# share follow from one partial-agg groupBy. A |gap| that drifts
+# across snapshots means the quality model started favoring a source.
+# --------------------------------------------------------------------------
+
+
+def q344_quantile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.greatest(F.length("text"), F.lit(1))
+    ntok = F.greatest(F.size(tok), F.lit(1))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?'\"()-]", ""))
+    digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    score = F.round(
+        F.lit(0.6) * (alpha / n)
+        + F.lit(0.2) * (1 - F.least(punct / n * 10, F.lit(1.0)))
+        + F.lit(0.2) * (1 - F.least(digit / n * 10, F.lit(1.0))),
+        4,
+    )
+    scored = d.select("source", score.alias("s"))
+    hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "s",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    p75 = cum.filter(
+        F.col("cum") >= F.ceil(F.col("n") * 0.75)
+    ).agg(F.min("s").alias("p75"))
+    j = scored.crossJoin(F.broadcast(p75))
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("s") > F.col("p75")).cast("long").alias("n_top"),
+        F.first("p75").alias("p75"),
+    )
+    tot = per.agg(
+        (F.sum("n_top") / F.sum("n_docs")).alias("overall_share")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_top",
+        F.round("p75", 4).alias("p75"),
+        F.round(F.col("n_top") / F.col("n_docs"), 6).alias("top_share"),
+        F.round(
+            F.col("n_top") / F.col("n_docs") - F.col("overall_share"), 6
+        ).alias("parity_gap"),
+    )
+
+
+Q344_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         ROUND(0.6 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / (1.0 * greatest(length(text), 1)))
+             + 0.2 * (1 - least(length(regexp_replace(text,
+                        '[^.,;:!?''"()-]', '', 'g'))
+                      / (1.0 * greatest(length(text), 1)) * 10, 1.0))
+             + 0.2 * (1 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      / (1.0 * greatest(length(text), 1)) * 10, 1.0)),
+           4) AS s
+  FROM documents
+), hist AS (
+  SELECT s, COUNT(*) AS c FROM scored GROUP BY s
+), cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s) AS cum, SUM(c) OVER () AS n
+  FROM hist
+), p75 AS (
+  SELECT MIN(s) AS p75 FROM cum WHERE cum >= ceil(n * 0.75)
+), per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         COUNT(*) FILTER (WHERE s > (SELECT p75 FROM p75)) AS n_top
+  FROM scored GROUP BY source
+), tot AS (
+  SELECT SUM(n_top) / (1.0 * SUM(n_docs)) AS overall_share FROM per
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_top AS BIGINT) AS n_top,
+       ROUND((SELECT p75 FROM p75), 4) AS p75,
+       ROUND(n_top / (1.0 * n_docs), 6) AS top_share,
+       ROUND(n_top / (1.0 * n_docs) - overall_share, 6) AS parity_gap
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "q342_orc_roundtrip": q342_orc_roundtrip,
+    "q343_shard_balance": q343_shard_balance,
+    "q344_quantile_parity": q344_quantile_parity,
     "q337_calibration_error": q337_calibration_error,
     "q339_dup_token_mass": q339_dup_token_mass,
     "q335_kish_neff": q335_kish_neff,
@@ -4621,6 +4853,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q342_orc_roundtrip": Q342_SQL,
+    "q343_shard_balance": Q343_SQL,
+    "q344_quantile_parity": Q344_SQL,
     "q337_calibration_error": Q337_SQL,
     "q339_dup_token_mass": Q339_SQL,
     "q335_kish_neff": Q335_SQL,

@@ -2825,7 +2825,190 @@ LEFT JOIN pairs p ON p.doc_a = w.a AND p.doc_b = w.c
 """
 
 
+# --------------------------------------------------------------------------
+# q340 — ASYMMETRIC CONTAINMENT near-dup detection: C(A,B) =
+# |A∩B| / min(|A|,|B|) over shingle sets. Symmetric Jaccard misses
+# subset-style duplication (a short doc quoted whole inside a long
+# one has high containment but low Jaccard — the union term drowns
+# it); training-data pipelines dedup on BOTH. Candidates come from
+# the SAME 4-band × 2-row MinHash LSH as q25 — band keys are minima
+# over the full shingle set, so a contained doc still collides with
+# its container whenever a band's two minima fall inside the shared
+# region — and the exact intersection runs only on candidate pairs
+# (candidates ≪ docs²; no all-pairs join). `subset_only` marks pairs
+# q25's Jaccard ≥ 0.4 gate would have missed. Scale: identical plan
+# family to q25 (band-key shuffle + per-pair verify), audit-pinned.
+# --------------------------------------------------------------------------
+
+
+def q340_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    feats = (
+        d.select("doc_id", sh.alias("sh"))
+        .withColumn("hx", shingle_hashes(F.col("sh")))
+        .select("doc_id", "sh", minhash_struct(F.col("hx")).alias("m"))
+        .select("doc_id", "sh", "m.*")
+    )
+    bands = feats.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pairs.join(
+        feats.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        on="doc_a",
+    ).join(
+        feats.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        on="doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter / F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    jac = inter / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            r4(cont).alias("containment"),
+            r4(jac).alias("jaccard"),
+            (F.round(jac, 4) < 0.4).alias("subset_only"),
+        )
+        .filter(F.col("containment") >= 0.6)
+    )
+
+
+Q340_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, sh,
+         {', '.join(f'{s} AS mh{i}' for i, s in enumerate(minhash_sig_sql('sh')))}
+  FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+        FROM documents)
+), bands AS (
+  SELECT doc_id, sh, b.band,
+         CASE b.band WHEN 0 THEN mh0 || '_' || mh1
+                     WHEN 1 THEN mh2 || '_' || mh3
+                     WHEN 2 THEN mh4 || '_' || mh5
+                     ELSE mh6 || '_' || mh7 END AS key
+  FROM feats, (SELECT unnest([0,1,2,3]) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(len(list_intersect(sh_a, sh_b))
+               / (1.0 * least(len(sh_a), len(sh_b))), 4) AS containment,
+         ROUND(len(list_intersect(sh_a, sh_b))
+               / (1.0 * (len(sh_a) + len(sh_b)
+                         - len(list_intersect(sh_a, sh_b)))), 4) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, containment, jaccard,
+       jaccard < 0.4 AS subset_only
+FROM scored WHERE containment >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# q341 — TOKENIZER FERTILITY per (source, lang): the corpus-level
+# budget table a pretraining run costs out with — BPE-pretoken count
+# per whitespace word (fertility), chars per token (compression), and
+# the digit-run / punctuation-run token shares (high shares flag
+# sources that will waste context window on number-heavy or
+# markup-heavy text). q34 is the per-document stream; this is the
+# per-source rollup with composition shares. One partial-aggregable
+# groupBy over regexp counts — whole-stage codegen, no Python, one
+# exchange on the tiny (source, lang) key space.
+# --------------------------------------------------------------------------
+
+
+def q341_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    per = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(pieces).alias("nt"),
+        F.size(ws).alias("nw"),
+        F.size(
+            F.filter(pieces, lambda t: t.rlike("^ ?[0-9]+$"))
+        ).alias("ndig"),
+        F.size(
+            F.filter(pieces, lambda t: t.rlike(r"^ ?[^\sa-zA-Z0-9]+$"))
+        ).alias("npunct"),
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("ndig").alias("ndig"),
+        F.sum("npunct").alias("npunct"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r4(F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+        r4(F.col("n_chars") / F.col("n_tokens")).alias("chars_per_token"),
+        r4(F.col("ndig") / F.col("n_tokens")).alias("digit_tok_share"),
+        r4(F.col("npunct") / F.col("n_tokens")).alias("punct_tok_share"),
+    )
+
+
+Q341_SQL = f"""
+WITH per AS (
+  SELECT source, lang, n_chars,
+         len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS nt,
+         len(string_split_regex(trim(text), '\\s+')) AS nw,
+         len(list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+                         t -> regexp_full_match(t, ' ?[0-9]+'))) AS ndig,
+         len(list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+                         t -> regexp_full_match(t, ' ?[^\\sa-zA-Z0-9]+')))
+           AS npunct
+  FROM documents
+), g AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         SUM(nw) AS n_words, SUM(n_chars) AS n_chars,
+         SUM(ndig) AS ndig, SUM(npunct) AS npunct
+  FROM per GROUP BY source, lang
+)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(n_tokens / (1.0 * n_words), 4) AS fertility,
+       ROUND(n_chars / (1.0 * n_tokens), 4) AS chars_per_token,
+       ROUND(ndig / (1.0 * n_tokens), 4) AS digit_tok_share,
+       ROUND(npunct / (1.0 * n_tokens), 4) AS punct_tok_share
+FROM g
+"""
+
+
 QUERIES = {
+    "q340_containment_dedup": q340_containment_dedup,
+    "q341_tokenizer_fertility": q341_tokenizer_fertility,
     "q334_neardup_closure": q334_neardup_closure,
     "q333_token_mi": q333_token_mi,
     "q326_good_turing": q326_good_turing,
@@ -2864,6 +3047,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q340_containment_dedup": Q340_SQL,
+    "q341_tokenizer_fertility": Q341_SQL,
     "q334_neardup_closure": _q334_sql(),
     "q333_token_mi": Q333_SQL,
     "q326_good_turing": Q326_SQL,

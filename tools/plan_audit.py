@@ -462,6 +462,20 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # q25's band-key plan family; exchange-reused self-join + verify
+    ("q340_containment_dedup", 1, 0),
+    # one partial-agg rollup on the tiny (source, lang) key
+    ("q341_tokenizer_fertility", 1, 0),
+    # ORC read-back agg — the write is its own job; scan + 1-row agg
+    ("q342_orc_roundtrip", 1, 0),
+    # 64-key shard agg + 64x64 pair agg on the aggregate only
+    ("q343_shard_balance", 3, 0),
+    # score histogram + cum window over distinct scores + source agg
+    ("q344_quantile_parity", 5, 0),
+    # broadcast dict block-join + per-form rank + label rollup
+    ("kg110_linking_ambiguity", 9, 2),
+    # kg-build melt + per-direction degree histogram/cutoff/semi-join
+    ("kg111_hub_edge_share", 22, 3),
     # day-grid OLS + Bartlett lag self-join, all on the ≤90-row grid
     ("q332_newey_west", 7, 0),
     # exact all-pairs baseline (LSH candidates at scale); top-K window
