@@ -5973,7 +5973,104 @@ cut_{direction} AS (
     )
 
 
+# --------------------------------------------------------------------------
+# kg113 — ENTITY CO-MENTION PMI: association strength between entity
+# surface forms that appear in the same document — the statistic that
+# turns raw co-occurrence (kg38 clusters on it) into RANKED candidate
+# edges for KG augmentation: PMI = ln(c_ab·N / (c_a·c_b)) over
+# doc-level co-mentions, support ≥ 2. High-PMI pairs are the
+# "these two units are discussed together far more than chance"
+# signals a curriculum-graph editor reviews for missing prerequisite
+# or thread edges. Scale: the pair stream is a self-join on doc_id
+# with per-doc fan-out bounded by mentions-per-doc² (single-digit
+# here; capped by extraction in any corpus), then one partial-agg
+# shuffle per pair key; the marginals join back broadcast (entity
+# vocabulary ≪ corpus). Integer counts inside the log — both engines
+# compute identical doubles.
+# --------------------------------------------------------------------------
+
+
+def kg113_comention_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        extract_mentions(docs_df(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.concat_ws(":", "label", "mention").alias("ent"),
+        )
+        .distinct()
+    )
+    n_docs = m.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = m.groupBy("ent").agg(F.count(F.lit(1)).alias("c"))
+    a = m.select("doc_id", F.col("ent").alias("ent_a"))
+    b = m.select("doc_id", F.col("ent").alias("ent_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(c.select(F.col("ent").alias("ent_a"),
+                                 F.col("c").alias("c_a"))),
+            "ent_a",
+        )
+        .join(
+            F.broadcast(c.select(F.col("ent").alias("ent_b"),
+                                 F.col("c").alias("c_b"))),
+            "ent_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return out.select(
+        "ent_a",
+        "ent_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(
+            F.log(F.col("c_ab") * F.col("n")
+                  / (F.col("c_a") * F.col("c_b"))),
+            6,
+        ).alias("pmi"),
+    )
+
+
+def _kg113_sql() -> str:
+    return f"""
+{_KV_SQL},
+mention AS (
+  SELECT doc_id, 'Unit' AS label,
+         unnest(regexp_extract_all(v, 'unit-[a-z]+-[0-9]{{4}}')) AS mention
+  FROM kv WHERE kind = 'text'
+  UNION ALL
+  SELECT doc_id, 'Thread' AS label,
+         unnest(regexp_extract_all(v, 'thread-[0-9]{{3}}')) AS mention
+  FROM kv WHERE kind = 'text'
+),
+m AS (SELECT DISTINCT doc_id, label || ':' || mention AS ent FROM mention),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM m),
+c AS (SELECT ent, COUNT(*) AS c FROM m GROUP BY ent),
+pairs AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, COUNT(*) AS c_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT ent_a, ent_b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+       ROUND(ln(c_ab * nd.n / (1.0 * ca.c * cb.c)), 6) AS pmi
+FROM pairs
+JOIN c ca ON ca.ent = pairs.ent_a
+JOIN c cb ON cb.ent = pairs.ent_b
+CROSS JOIN nd
+"""
+
+
 QUERIES = {
+    "kg113_comention_pmi": kg113_comention_pmi,
     "kg110_linking_ambiguity": kg110_linking_ambiguity,
     "kg111_hub_edge_share": kg111_hub_edge_share,
     "kg109_label_mixing": kg109_label_mixing,
@@ -6043,6 +6140,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg113_comention_pmi": _kg113_sql(),
     "kg110_linking_ambiguity": _kg110_sql(),
     "kg111_hub_edge_share": _kg111_sql(),
     "kg109_label_mixing": _kg109_sql(),

@@ -2968,7 +2968,114 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q345 — JOHNSON-LINDENSTRAUSS PROJECTION distortion audit: project
+# the 64-d embeddings to k=16 with the Achlioptas ±1 scheme (sign from
+# the same exact-rational LCG family as q30's SRP planes, so both
+# engines derive identical signs) and measure how well pairwise
+# squared distances survive: per consecutive-id pair, ratio =
+# ‖y_a−y_b‖² / ‖x_a−x_b‖². JL theory says the ratio concentrates
+# around 1 with σ ≈ √(2/k) ≈ 0.35 — the audit reports the observed
+# mean/min/max and the within-[0.5, 1.5] mass, the number that decides
+# whether a 4× cheaper index (16-d kernels, 4× smaller ANN memory) is
+# safe to build on. Scale: the projection is a narrow per-row map
+# (16 sequential folds over 64 elements, whole-stage codegen); the
+# audit pairs are a bounded consecutive-id self-join, never all-pairs.
+# Per-pair arithmetic is a deterministic left fold in both engines;
+# only the 6dp-rounded MEAN aggregates across rows.
+# --------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def _jl_proj(v: Column) -> Column:
+    """k=16 Achlioptas projection: y_j = Σ_i s(j,i)·v_i / √k with
+    s(j,i) = +1 iff (j·1009 + i·9176 + 1) mod 2003 < 1001."""
+    def signer(j: int):
+        return lambda x, i: F.when(
+            ((F.lit(j) * _PA) + i * _PB + 1) % _PM < 1001, x
+        ).otherwise(-x)
+
+    comps = []
+    for j in range(_JL_K):
+        signed = F.transform(v, signer(j))
+        comps.append(
+            F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
+            / F.lit(4.0)
+        )
+    return F.array(*comps)
+
+
+def q345_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    p = e.select("vec_id", "v", _jl_proj(F.col("v")).alias("y"))
+    a = p.select(
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("ida"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    d2 = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(l, r, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "ida")
+        .select(
+            (d2(F.col("ya"), F.col("yb"))
+             / d2(F.col("va"), F.col("vb"))).alias("ratio")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.count_if((F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("within_50pct"),
+    )
+
+
+def _q345_sql() -> str:
+    comps = ", ".join(
+        f"list_sum(list_transform(v, (x, i) -> CASE WHEN "
+        f"(({j} * {_PA} + (i - 1) * {_PB} + 1) % {_PM}) < 1001 "
+        f"THEN x ELSE -x END)) / 4.0"
+        for j in range(_JL_K)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT vec_id, v, [{comps}] AS y FROM e
+), pr AS (
+  SELECT
+    list_sum(list_transform(list_zip(a.y, b.y),
+             q -> (q[1] - q[2]) * (q[1] - q[2])))
+    / list_sum(list_transform(list_zip(a.v, b.v),
+             q -> (q[1] - q[2]) * (q[1] - q[2]))) AS ratio
+  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(ratio), 6) AS mean_ratio,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio,
+       ROUND(COUNT(*) FILTER (WHERE ratio BETWEEN 0.5 AND 1.5)
+             / (1.0 * COUNT(*)), 6) AS within_50pct
+FROM pr
+"""
+
+
 QUERIES = {
+    "q345_jl_distortion": q345_jl_distortion,
     "q329_knn_reciprocity": q329_knn_reciprocity,
     "q328_knn_hubness": q328_knn_hubness,
     "q263_ranking_metrics": q263_ranking_metrics,
@@ -2996,6 +3103,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q345_jl_distortion": _q345_sql(),
     "q329_knn_reciprocity": _q329_sql(),
     "q328_knn_hubness": _q328_sql(),
     "q315_isotropy_audit": Q315_SQL,

@@ -462,6 +462,10 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # 16 codegen folds per row + bounded consecutive-id self-join
+    ("q345_jl_distortion", 1, 0),
+    # doc-key self-join (fan-out ≤ mentions/doc²) + pair agg + marginals
+    ("kg113_comention_pmi", 5, 0),
     # q25's band-key plan family; exchange-reused self-join + verify
     ("q340_containment_dedup", 1, 0),
     # one partial-agg rollup on the tiny (source, lang) key
