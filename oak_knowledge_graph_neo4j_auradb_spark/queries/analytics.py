@@ -9204,7 +9204,145 @@ FROM mm CROSS JOIN g0 CROSS JOIN cross_l
 """
 
 
+# --------------------------------------------------------------------------
+# q347 — SAX SYMBOLIZATION + motif census per event type: the daily
+# count series is PAA-compressed (4-day segment sums — exact integer
+# arithmetic), z-normalized per type from the segment moments (integer
+# sums → exact doubles), mapped to a 4-symbol alphabet at the standard
+# N(0,1) quartile breakpoints (±0.6745, 0), and mined for trigram
+# motifs (3 consecutive symbols). The top motif per type is the
+# recurring shape an anomaly monitor alerts on when it STOPS
+# appearing. Scale: everything after the one (type, day) partial agg
+# lives on the tiny per-type segment grid — windows partition by type,
+# never global; the alphabet map is a pure projection.
+# --------------------------------------------------------------------------
+
+
+def q347_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _eday("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d0 = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    seg = (
+        daily.join(d0, "event_type")
+        .select(
+            "event_type",
+            F.floor((F.col("day") - F.col("d0")) / 4).alias("seg"),
+            "c",
+        )
+        .groupBy("event_type", "seg")
+        .agg(F.sum("c").alias("v"))
+    )
+    mom = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("ns")
+    sd = F.sqrt(F.col("s2") / F.col("ns") - mu * mu)
+    z = (F.col("v") - mu) / sd
+    sym = (
+        F.when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    # a constant series has sd = 0 → NaN z; drop it rather than let the
+    # two engines disagree on NaN comparisons (q163's c > 1 idiom)
+    s = (
+        seg.join(mom, "event_type")
+        .filter(
+            (F.col("ns") >= 3)
+            & (F.col("s2") * F.col("ns") > F.col("s1") * F.col("s1"))
+        )
+        .select("event_type", "seg", sym.alias("sym"))
+    )
+    w = Window.partitionBy("event_type").orderBy("seg")
+    tri = (
+        s.select(
+            "event_type",
+            "seg",
+            F.concat(
+                F.col("sym"),
+                F.lead("sym", 1).over(w),
+                F.lead("sym", 2).over(w),
+            ).alias("motif"),
+        )
+        .filter(F.col("motif").isNotNull())
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("motif").asc()
+    )
+    return (
+        tri.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("motif").alias("top_motif"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+Q347_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1
+), seg AS (
+  SELECT daily.event_type,
+         (daily.day - d0.d0) // 4 AS seg, SUM(c) AS v
+  FROM daily JOIN d0 ON daily.event_type = d0.event_type
+  GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, COUNT(*) AS ns, SUM(v) AS s1, SUM(v * v) AS s2
+  FROM seg GROUP BY 1
+), s AS (
+  SELECT seg.event_type, seg.seg,
+         CASE
+           WHEN (v - s1 / (1.0 * ns))
+                / sqrt(s2 / (1.0 * ns) - (s1 / (1.0 * ns)) * (s1 / (1.0 * ns)))
+                < -0.6745 THEN 'a'
+           WHEN (v - s1 / (1.0 * ns))
+                / sqrt(s2 / (1.0 * ns) - (s1 / (1.0 * ns)) * (s1 / (1.0 * ns)))
+                < 0.0 THEN 'b'
+           WHEN (v - s1 / (1.0 * ns))
+                / sqrt(s2 / (1.0 * ns) - (s1 / (1.0 * ns)) * (s1 / (1.0 * ns)))
+                < 0.6745 THEN 'c'
+           ELSE 'd'
+         END AS sym
+  FROM seg JOIN mom ON seg.event_type = mom.event_type
+  WHERE mom.ns >= 3 AND mom.s2 * mom.ns > mom.s1 * mom.s1
+), tri AS (
+  SELECT event_type,
+         sym || lead(sym, 1) OVER (PARTITION BY event_type ORDER BY seg)
+             || lead(sym, 2) OVER (PARTITION BY event_type ORDER BY seg)
+           AS motif
+  FROM s
+), cnt AS (
+  SELECT event_type, motif, COUNT(*) AS n
+  FROM tri WHERE motif IS NOT NULL GROUP BY 1, 2
+), top AS (
+  SELECT event_type, motif, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, motif ASC) AS rn
+  FROM cnt
+)
+SELECT event_type, motif AS top_motif, CAST(n AS BIGINT) AS n_occurrences
+FROM top WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q347_sax_motifs": q347_sax_motifs,
     "q332_newey_west": q332_newey_west,
     "q330_wasserstein_drift": q330_wasserstein_drift,
     "q331_circular_diurnal": q331_circular_diurnal,
@@ -9319,6 +9457,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q347_sax_motifs": Q347_SQL,
     "q332_newey_west": Q332_SQL,
     "q330_wasserstein_drift": Q330_SQL,
     "q331_circular_diurnal": Q331_SQL,

@@ -3085,7 +3085,91 @@ FROM pr
 """
 
 
+# --------------------------------------------------------------------------
+# q348 — MAXIMUM INNER PRODUCT SEARCH via the NN reduction: retrieval
+# scores are inner products (not cosine) whenever the index stores
+# unnormalized embeddings with popularity-scaled norms. The classic
+# reduction (Bachrach et al.): augment every corpus vector with
+# x̃ = [x, √(M²−‖x‖²)] (M = max corpus norm, a broadcast 1-row agg)
+# and queries with q̃ = [q, 0]; then ‖q̃−x̃‖² = ‖q‖² + M² − 2⟨q,x⟩, so
+# cosine/L2 ANN machinery (q30-q33) ranks by inner product exactly.
+# The query emits, per query, the top-3 by DIRECT dot product along
+# with the augmented-space cosine — monotone-agreement between the
+# two columns is the correctness certificate the reduction rides on
+# (pinned by the batch-31 tests; rank ties broken by neighbor id).
+# Scale: queries broadcast; per-row fold arithmetic; top-k windows
+# partition by query id.
+# --------------------------------------------------------------------------
+
+
+def q348_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vec(load(spark, sf_dir, "embeddings"))
+    en = e.select("vec_id", "v", norm(F.col("v")).alias("n"))
+    mx = en.agg(F.max("n").alias("m"))
+    q = F.broadcast(
+        en.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    )
+    cand = (
+        en.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(mx))
+    )
+    ip = dot(F.col("qv"), F.col("v"))
+    # augmented-space cosine: ⟨q̃,x̃⟩ / (‖q̃‖·‖x̃‖) = ⟨q,x⟩ / (‖q‖·M)
+    aug_cos = ip / (F.col("qn") * F.col("m"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        ip.alias("ip"),
+        aug_cos.alias("aug_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            r4(F.col("ip")).alias("ip"),
+            F.round("aug_cos", 6).alias("aug_cos"),
+        )
+    )
+
+
+def _q348_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), en AS (
+  SELECT vec_id, v, {_norm_sql('v')} AS n FROM e
+), mx AS (SELECT MAX(n) AS m FROM en),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('q.v', 'c.v')} AS ip,
+         {_dot_sql('q.v', 'c.v')} / (q.n * mx.m) AS aug_cos
+  FROM en q JOIN en c ON c.vec_id <> q.vec_id
+  CROSS JOIN mx
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY ip DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       ROUND(ip, 4) AS ip, ROUND(aug_cos, 6) AS aug_cos
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
+    "q348_mips_topk": q348_mips_topk,
     "q345_jl_distortion": q345_jl_distortion,
     "q329_knn_reciprocity": q329_knn_reciprocity,
     "q328_knn_hubness": q328_knn_hubness,
@@ -3114,6 +3198,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q348_mips_topk": _q348_sql(),
     "q345_jl_distortion": _q345_sql(),
     "q329_knn_reciprocity": _q329_sql(),
     "q328_knn_hubness": _q328_sql(),

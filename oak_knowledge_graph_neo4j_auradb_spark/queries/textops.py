@@ -3006,7 +3006,141 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q346 — b-BIT MINHASH (b=1) estimator accuracy: store only the low
+# bit of each of the 8 MinHash values (64× signature compression vs
+# 64-bit values — the Li–König trick that makes billion-doc signature
+# tables fit in memory) and estimate Jaccard from bit agreement:
+# E[agree] = 0.5 + J/2, so Ĵ₁ = clamp(2·agree/8 − 1, 0). The audit
+# compares, on the SAME LSH candidate pairs as q25/q144, the mean
+# absolute error of the full-value estimator (matches/8) vs the 1-bit
+# estimator against exact shingle Jaccard — the table that prices the
+# memory/accuracy trade before switching the dedup fleet to b-bit
+# sketches. Scale: candidate generation is the banded plan (no
+# all-pairs); the estimators are per-pair integer arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q346_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    feats = (
+        d.select("doc_id", sh.alias("sh"))
+        .withColumn("hx", shingle_hashes(F.col("sh")))
+        .select("doc_id", "sh", minhash_struct(F.col("hx")).alias("m"))
+        .select("doc_id", "sh", "m.*")
+    )
+    bands = feats.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    cand = pairs.join(fa, "doc_a").join(fb, "doc_b")
+    full_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    bit_match = sum(
+        F.when(F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2, 1).otherwise(0)
+        for i in range(8)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union.cast("double")
+    per = cand.select(
+        (full_match / F.lit(8.0) - jac).alias("err_full"),
+        (
+            F.greatest(2 * bit_match / F.lit(8.0) - 1, F.lit(0.0)) - jac
+        ).alias("err_1bit"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("err_full"))), 6).alias("mae_full"),
+        F.round(F.avg(F.abs(F.col("err_1bit"))), 6).alias("mae_1bit"),
+        F.round(F.avg("err_full"), 6).alias("bias_full"),
+        F.round(F.avg("err_1bit"), 6).alias("bias_1bit"),
+    )
+
+
+Q346_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, sh,
+         {', '.join(f'{s} AS mh{i}' for i, s in enumerate(minhash_sig_sql('sh')))}
+  FROM (SELECT doc_id, {SHINGLES_SQL.format(t=TOKENS_SQL.format(x='text'))} AS sh
+        FROM documents)
+), bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band WHEN 0 THEN mh0 || '_' || mh1
+                     WHEN 1 THEN mh2 || '_' || mh3
+                     WHEN 2 THEN mh4 || '_' || mh5
+                     ELSE mh6 || '_' || mh7 END AS key
+  FROM feats, (SELECT unnest([0,1,2,3]) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT p.doc_a, p.doc_b, fa.sh AS sh_a, fb.sh AS sh_b,
+         {' + '.join(f'(CASE WHEN fa.mh{i} = fb.mh{i} THEN 1 ELSE 0 END)' for i in range(8))}
+           AS full_match,
+         {' + '.join(f'(CASE WHEN fa.mh{i} % 2 = fb.mh{i} % 2 THEN 1 ELSE 0 END)' for i in range(8))}
+           AS bit_match
+  FROM pairs p
+  JOIN feats fa ON fa.doc_id = p.doc_a
+  JOIN feats fb ON fb.doc_id = p.doc_b
+), per AS (
+  SELECT full_match / 8.0
+           - len(list_intersect(sh_a, sh_b))
+             / (1.0 * (len(sh_a) + len(sh_b)
+                       - len(list_intersect(sh_a, sh_b)))) AS err_full,
+         greatest(2 * bit_match / 8.0 - 1, 0.0)
+           - len(list_intersect(sh_a, sh_b))
+             / (1.0 * (len(sh_a) + len(sh_b)
+                       - len(list_intersect(sh_a, sh_b)))) AS err_1bit
+  FROM cand
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(abs(err_full)), 6) AS mae_full,
+       ROUND(AVG(abs(err_1bit)), 6) AS mae_1bit,
+       ROUND(AVG(err_full), 6) AS bias_full,
+       ROUND(AVG(err_1bit), 6) AS bias_1bit
+FROM per
+"""
+
+
 QUERIES = {
+    "q346_bbit_minhash": q346_bbit_minhash,
     "q340_containment_dedup": q340_containment_dedup,
     "q341_tokenizer_fertility": q341_tokenizer_fertility,
     "q334_neardup_closure": q334_neardup_closure,
@@ -3047,6 +3181,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q346_bbit_minhash": Q346_SQL,
     "q340_containment_dedup": Q340_SQL,
     "q341_tokenizer_fertility": Q341_SQL,
     "q334_neardup_closure": _q334_sql(),

@@ -462,6 +462,12 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # banded candidate plan + per-pair integer estimators + 1-row agg
+    ("q346_bbit_minhash", 2, 0),
+    # (type, day) partial agg; segments/windows on the tiny grid only
+    ("q347_sax_motifs", 4, 0),
+    # broadcast query set + max-norm 1-row agg + per-query top-3 window
+    ("q348_mips_topk", 2, 0),
     # 16 codegen folds per row + bounded consecutive-id self-join
     ("q345_jl_distortion", 1, 0),
     # doc-key self-join (fan-out ≤ mentions/doc²) + pair agg + marginals
