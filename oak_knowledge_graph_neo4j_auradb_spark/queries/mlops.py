@@ -1660,7 +1660,91 @@ FROM g CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# q351 — QUERY-LIKELIHOOD retrieval with Dirichlet smoothing: the
+# other classic lexical ranker next to BM25 (q157), same 3-term query
+# for comparability. score(q,d) = Σ_t log((tf_td + μ·p(t|C)) /
+# (dl_d + μ)) with μ = 100 and collection model p(t|C) = ctf_t / |C|.
+# Unlike BM25 the sum runs over ALL query terms (a missing term
+# contributes the smoothed log), so the join is per-doc × 3 query
+# terms via a broadcast term table + left join on the tf stream —
+# never a corpus-wide explode beyond the one tf aggregation both
+# rankers share. Top-15 by score; logs of exact rationals, identical
+# in both engines.
+# --------------------------------------------------------------------------
+
+_QL_MU = 100.0
+
+
+def q351_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).alias("ctot"))
+    ctf = (
+        toks.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # every (doc, query-term) cell, including tf = 0 cells: docs × the
+    # broadcast 3-row term table, left-joined against the tf stream
+    cells = (
+        dl.crossJoin(F.broadcast(ctf))
+        .join(tf, ["doc_id", "tok"], "left")
+        .crossJoin(F.broadcast(coll))
+    )
+    contrib = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) +
+         _QL_MU * F.col("ctf") / F.col("ctot"))
+        / (F.col("dl") + _QL_MU)
+    )
+    scored = cells.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("ql_score"),
+        F.count_if(F.col("tf").isNotNull()).cast("long").alias(
+            "n_terms_present"
+        ),
+    )
+    return scored.orderBy(F.desc("ql_score"), "doc_id").limit(15)
+
+
+_QL_IN = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+Q351_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{t}}) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), coll AS (SELECT COUNT(*) AS ctot FROM toks),
+ctf AS (
+  SELECT tok, COUNT(*) AS ctf FROM toks WHERE tok IN ({_QL_IN})
+  GROUP BY tok
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({_QL_IN}) GROUP BY doc_id, tok
+), cells AS (
+  SELECT dl.doc_id, dl.dl, ctf.tok, ctf.ctf, tf.tf, coll.ctot
+  FROM dl CROSS JOIN ctf
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = ctf.tok
+  CROSS JOIN coll
+)
+SELECT doc_id,
+       ROUND(SUM(ln((COALESCE(tf, 0) + {_QL_MU} * ctf / (1.0 * ctot))
+                    / (dl + {_QL_MU}))), 6) AS ql_score,
+       CAST(COUNT(tf) AS BIGINT) AS n_terms_present
+FROM cells GROUP BY doc_id
+ORDER BY ql_score DESC, doc_id LIMIT 15
+""".format(t=TOKENS_SQL.format(x="text"))
+
+
 QUERIES = {
+    "q351_query_likelihood": q351_query_likelihood,
     "q271_logistic_irls": q271_logistic_irls,
     "q286_woe_iv": q286_woe_iv,
     "q270_prf_expansion": q270_prf_expansion,
@@ -1683,6 +1767,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q351_query_likelihood": Q351_SQL,
     "q271_logistic_irls": _q271_sql(),
     "q286_woe_iv": Q286_SQL,
     "q270_prf_expansion": Q270_SQL,

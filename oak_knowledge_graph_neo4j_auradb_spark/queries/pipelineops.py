@@ -4784,7 +4784,107 @@ FROM per CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# q349 — TOKEN-BUDGET EPOCH ALLOCATOR: the planning table a
+# pretraining run derives before launch — given a total token budget
+# (here 3× the corpus) and temperature-smoothed source weights
+# (α = 0.3 over available mass, q242's scheme), how many tokens and
+# epochs does each source contribute once epoch caps bite? Sources
+# whose raw target exceeds the 4-epoch cap are clipped to 4·available
+# and their surplus is redistributed to the unclipped sources
+# proportionally to weight (ONE redistribution round, documented —
+# the fixed-point iteration is a driver-side loop over a ≤thousands-
+# row source table in production). All inputs are integer sums; the
+# weights and allocations are exact-rational doubles both engines
+# derive identically. One partial-agg shuffle on the source key.
+# --------------------------------------------------------------------------
+
+_BUDGET_X = 3.0  # total budget as a multiple of available corpus mass
+_EPOCH_CAP = 4.0
+
+
+def q349_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    avail = d.groupBy("source").agg(F.sum("n_chars").alias("avail"))
+    g = avail.agg(
+        F.sum("avail").alias("tot"),
+        F.sum(F.pow(F.col("avail").cast("double"), 0.3)).alias("ptot"),
+    )
+    w = avail.crossJoin(F.broadcast(g)).select(
+        "source",
+        "avail",
+        (F.pow(F.col("avail").cast("double"), 0.3) / F.col("ptot")).alias(
+            "weight"
+        ),
+        (F.col("tot") * _BUDGET_X).alias("budget"),
+    )
+    raw = w.withColumn("raw_target", F.col("weight") * F.col("budget"))
+    clipped = raw.withColumn(
+        "is_clipped", F.col("raw_target") > _EPOCH_CAP * F.col("avail")
+    )
+    sums = clipped.agg(
+        F.sum(
+            F.when(F.col("is_clipped"), _EPOCH_CAP * F.col("avail"))
+            .otherwise(0.0)
+        ).alias("clip_alloc"),
+        F.sum(
+            F.when(~F.col("is_clipped"), F.col("weight")).otherwise(0.0)
+        ).alias("free_w"),
+    )
+    out = clipped.crossJoin(F.broadcast(sums)).withColumn(
+        "alloc",
+        F.when(F.col("is_clipped"), _EPOCH_CAP * F.col("avail")).otherwise(
+            (F.col("budget") - F.col("clip_alloc"))
+            * F.col("weight")
+            / F.col("free_w")
+        ),
+    )
+    return out.select(
+        "source",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.round("weight", 6).alias("weight"),
+        F.round("raw_target", 2).alias("raw_target"),
+        "is_clipped",
+        F.round("alloc", 2).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("avail"), 4).alias("epochs"),
+    )
+
+
+Q349_SQL = f"""
+WITH avail AS (
+  SELECT source, SUM(n_chars) AS avail FROM documents GROUP BY source
+), g AS (
+  SELECT SUM(avail) AS tot, SUM(pow(avail, 0.3)) AS ptot FROM avail
+), w AS (
+  SELECT source, avail, pow(avail, 0.3) / ptot AS weight,
+         tot * {_BUDGET_X} AS budget
+  FROM avail CROSS JOIN g
+), clipped AS (
+  SELECT *, weight * budget AS raw_target,
+         weight * budget > {_EPOCH_CAP} * avail AS is_clipped
+  FROM w
+), sums AS (
+  SELECT SUM(CASE WHEN is_clipped THEN {_EPOCH_CAP} * avail ELSE 0.0 END)
+           AS clip_alloc,
+         SUM(CASE WHEN is_clipped THEN 0.0 ELSE weight END) AS free_w
+  FROM clipped
+), out AS (
+  SELECT c.*, CASE WHEN is_clipped THEN {_EPOCH_CAP} * avail
+                   ELSE (budget - clip_alloc) * weight / free_w END AS alloc
+  FROM clipped c CROSS JOIN sums
+)
+SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+       ROUND(weight, 6) AS weight,
+       ROUND(raw_target, 2) AS raw_target,
+       is_clipped,
+       ROUND(alloc, 2) AS alloc_tokens,
+       ROUND(alloc / avail, 4) AS epochs
+FROM out
+"""
+
+
 QUERIES = {
+    "q349_token_budget": q349_token_budget,
     "q342_orc_roundtrip": q342_orc_roundtrip,
     "q343_shard_balance": q343_shard_balance,
     "q344_quantile_parity": q344_quantile_parity,
@@ -4853,6 +4953,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q349_token_budget": Q349_SQL,
     "q342_orc_roundtrip": Q342_SQL,
     "q343_shard_balance": Q343_SQL,
     "q344_quantile_parity": Q344_SQL,

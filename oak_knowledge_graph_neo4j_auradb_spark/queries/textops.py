@@ -3139,7 +3139,89 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# q350 — CHARACTER-CLASS PROFILE per source: the byte-level hygiene
+# scan run before any tokenizer decision — shares of lowercase
+# letters, uppercase, digits, whitespace and other (punctuation /
+# control / non-ASCII) characters, plus mean token length. A source
+# whose "other" share jumps between snapshots has a scraping or
+# encoding regression; uppercase and digit shares feed the
+# lowercasing / number-masking decisions. Pure regexp_replace length
+# arithmetic in whole-stage codegen + one partial-agg shuffle on the
+# tiny source key.
+# --------------------------------------------------------------------------
+
+
+def q350_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lower = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length(F.regexp_replace("text", r"[^\s]", ""))
+    total = F.length("text")
+    ntok = F.size(tokens(F.col("text")))
+    per = d.select(
+        "source",
+        total.alias("nc"),
+        lower.alias("lo"),
+        upper.alias("up"),
+        digit.alias("di"),
+        space.alias("sp"),
+        ntok.alias("nt"),
+    )
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").alias("nc"),
+        F.sum("lo").alias("lo"),
+        F.sum("up").alias("up"),
+        F.sum("di").alias("di"),
+        F.sum("sp").alias("sp"),
+        F.sum("nt").alias("nt"),
+    )
+    other = F.col("nc") - F.col("lo") - F.col("up") - F.col("di") - F.col("sp")
+    return g.select(
+        "source",
+        "n_docs",
+        F.col("nc").cast("long").alias("n_chars"),
+        r4(F.col("lo") / F.col("nc")).alias("lower_share"),
+        r4(F.col("up") / F.col("nc")).alias("upper_share"),
+        r4(F.col("di") / F.col("nc")).alias("digit_share"),
+        r4(F.col("sp") / F.col("nc")).alias("space_share"),
+        r4(other / F.col("nc")).alias("other_share"),
+        r4(
+            (F.col("lo") + F.col("up") + F.col("di")) / F.col("nt")
+        ).alias("mean_token_len"),
+    )
+
+
+Q350_SQL = f"""
+WITH per AS (
+  SELECT source, length(text) AS nc,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS lo,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS up,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS di,
+         length(regexp_replace(text, '[^\\s]', '', 'g')) AS sp,
+         len({TOKENS_SQL.format(x='text')}) AS nt
+  FROM documents
+), g AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(nc) AS nc, SUM(lo) AS lo,
+         SUM(up) AS up, SUM(di) AS di, SUM(sp) AS sp, SUM(nt) AS nt
+  FROM per GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(nc AS BIGINT) AS n_chars,
+       ROUND(lo / (1.0 * nc), 4) AS lower_share,
+       ROUND(up / (1.0 * nc), 4) AS upper_share,
+       ROUND(di / (1.0 * nc), 4) AS digit_share,
+       ROUND(sp / (1.0 * nc), 4) AS space_share,
+       ROUND((nc - lo - up - di - sp) / (1.0 * nc), 4) AS other_share,
+       ROUND((lo + up + di) / (1.0 * nt), 4) AS mean_token_len
+FROM g
+"""
+
+
 QUERIES = {
+    "q350_charclass_profile": q350_charclass_profile,
     "q346_bbit_minhash": q346_bbit_minhash,
     "q340_containment_dedup": q340_containment_dedup,
     "q341_tokenizer_fertility": q341_tokenizer_fertility,
@@ -3181,6 +3263,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q350_charclass_profile": Q350_SQL,
     "q346_bbit_minhash": Q346_SQL,
     "q340_containment_dedup": Q340_SQL,
     "q341_tokenizer_fertility": Q341_SQL,

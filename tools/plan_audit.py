@@ -462,6 +462,12 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # source agg + two broadcast 1-row aggs (weights, clip surplus)
+    ("q349_token_budget", 3, 0),
+    # regexp length arithmetic in the scan span + one source agg
+    ("q350_charclass_profile", 1, 0),
+    # shared tf agg + broadcast 3-term table + top-15 TakeOrdered
+    ("q351_query_likelihood", 4, 0),
     # banded candidate plan + per-pair integer estimators + 1-row agg
     ("q346_bbit_minhash", 2, 0),
     # (type, day) partial agg; segments/windows on the tiny grid only
