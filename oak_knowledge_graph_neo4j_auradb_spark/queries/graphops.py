@@ -6069,7 +6069,100 @@ CROSS JOIN nd
 """
 
 
+# --------------------------------------------------------------------------
+# kg115 — PRA (Path Ranking Algorithm) metapath features for the
+# HAS_THREAD relation: for every observed (unit, thread) edge, count
+# the HT∘HT⁻¹∘HT support paths — unit → t' ← u' → thread with
+# u' ≠ unit and t' ≠ thread — the classic PRA random-walk feature a
+# link-prediction model weighs alongside the TransE energies (kg80)
+# and Adamic-Adar overlaps. Also emits the path count normalized by
+# the endpoint degrees (the walk-probability form PRA actually uses).
+# Scale: three self-joins of the tiny HAS_THREAD slice, each on an
+# endpoint key (AQE-skew-safe — threads are the hub side); never
+# touches the corpus.
+# --------------------------------------------------------------------------
+
+
+def kg115_pra_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    ht = (
+        gb.resolved.filter(F.col("pred") == "HAS_THREAD")
+        .select(F.col("subj").alias("u"), F.col("obj").alias("t"))
+        .distinct()
+        .persist()
+    )
+    try:
+        du = ht.groupBy("u").agg(F.count(F.lit(1)).alias("deg_u"))
+        dt = ht.groupBy("t").agg(F.count(F.lit(1)).alias("deg_t"))
+        # u -HT-> t1 <-HT- u2 -HT-> t : join chain on (t1) then (u2)
+        h1 = ht.select(F.col("u").alias("u0"), F.col("t").alias("t1"))
+        h2 = ht.select(F.col("u").alias("u2"), F.col("t").alias("t1"))
+        h3 = ht.select(F.col("u").alias("u2"), F.col("t").alias("t3"))
+        paths = (
+            h1.join(h2, "t1")
+            .filter(F.col("u2") != F.col("u0"))
+            .join(h3, "u2")
+            .filter(F.col("t3") != F.col("t1"))
+            .groupBy(F.col("u0").alias("u"), F.col("t3").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+        )
+        out = (
+            ht.join(paths, ["u", "t"], "left")
+            .join(du, "u")
+            .join(dt, "t")
+            .select(
+                "u",
+                "t",
+                F.coalesce("n_paths", F.lit(0)).cast("long").alias(
+                    "pra_paths"
+                ),
+                F.col("deg_u").cast("long").alias("deg_u"),
+                F.col("deg_t").cast("long").alias("deg_t"),
+                F.round(
+                    F.coalesce("n_paths", F.lit(0))
+                    / (F.col("deg_u") * F.col("deg_t")),
+                    6,
+                ).alias("pra_norm"),
+            )
+        )
+        out = out.localCheckpoint()
+        return out
+    finally:
+        ht.unpersist()
+
+
+def _kg115_sql() -> str:
+    from .kg import _edges_union_sql
+
+    return f"""
+{_edges_union_sql()},
+ht AS (
+  SELECT DISTINCT subj AS u, obj AS t FROM edges WHERE pred = 'HAS_THREAD'
+),
+du AS (SELECT u, COUNT(*) AS deg_u FROM ht GROUP BY u),
+dt AS (SELECT t, COUNT(*) AS deg_t FROM ht GROUP BY t),
+paths AS (
+  SELECT h1.u AS u, h3.t AS t, COUNT(*) AS n_paths
+  FROM ht h1
+  JOIN ht h2 ON h2.t = h1.t AND h2.u <> h1.u
+  JOIN ht h3 ON h3.u = h2.u AND h3.t <> h1.t
+  GROUP BY 1, 2
+)
+SELECT ht.u, ht.t,
+       CAST(COALESCE(p.n_paths, 0) AS BIGINT) AS pra_paths,
+       CAST(du.deg_u AS BIGINT) AS deg_u,
+       CAST(dt.deg_t AS BIGINT) AS deg_t,
+       ROUND(COALESCE(p.n_paths, 0) / (1.0 * du.deg_u * dt.deg_t), 6)
+         AS pra_norm
+FROM ht
+LEFT JOIN paths p ON p.u = ht.u AND p.t = ht.t
+JOIN du ON du.u = ht.u
+JOIN dt ON dt.t = ht.t
+"""
+
+
 QUERIES = {
+    "kg115_pra_features": kg115_pra_features,
     "kg113_comention_pmi": kg113_comention_pmi,
     "kg110_linking_ambiguity": kg110_linking_ambiguity,
     "kg111_hub_edge_share": kg111_hub_edge_share,
@@ -6140,6 +6233,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg115_pra_features": _kg115_sql(),
     "kg113_comention_pmi": _kg113_sql(),
     "kg110_linking_ambiguity": _kg110_sql(),
     "kg111_hub_edge_share": _kg111_sql(),

@@ -712,7 +712,154 @@ def kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# kg114 — SLUG-NORMALIZATION COLLAPSE audit: how many raw
+# supplementary unit_slug surface forms does the J2 suffix rule
+# (strip trailing -<digits>, functions/scalars.py:normalize_unit_slug)
+# merge per normalized id? The histogram (collapse factor k →
+# n_normalized_ids) is the ER-impact statement of the normalization
+# stage: k = 1 ids gained nothing, large k means the rule is doing
+# real entity resolution — and a sudden k-profile shift flags an
+# upstream slug-format change. One distinct + one two-level agg over
+# the supplementary reconstruction, no joins.
+# --------------------------------------------------------------------------
+
+
+def kg114_slug_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import normalize_unit_slug
+
+    sup = reconstruct_wide(docs_df(spark, sf_dir), "supplementary")
+    raw = (
+        sup.select(F.col("unit_slug").alias("raw"))
+        .filter(F.col("raw").isNotNull() & (F.trim("raw") != ""))
+        .distinct()
+    )
+    per = raw.select(
+        normalize_unit_slug(F.col("raw")).alias("nid"), "raw"
+    ).groupBy("nid").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_normalized_ids"),
+            F.min("nid").alias("example_nid"),
+        )
+        .select(F.col("k").cast("long").alias("k_raw_forms"),
+                "n_normalized_ids", "example_nid")
+    )
+
+
+KG114_SQL = f"""
+{_KV_SQL},
+supw AS (
+  SELECT doc_id, MAX(CASE WHEN k = 'unit_slug' THEN v END) AS unit_slug
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+),
+raw AS (
+  SELECT DISTINCT unit_slug AS raw FROM supw
+  WHERE unit_slug IS NOT NULL AND trim(unit_slug) <> ''
+),
+per AS (
+  SELECT COALESCE(NULLIF(regexp_extract(raw, '^(.+)-[0-9]+$', 1), ''), raw)
+           AS nid,
+         COUNT(*) AS k
+  FROM raw GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k_raw_forms,
+       CAST(COUNT(*) AS BIGINT) AS n_normalized_ids,
+       MIN(nid) AS example_nid
+FROM per GROUP BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# kg116 — CROSS-MODAL CONSISTENCY audit: do near-duplicate media
+# assets (kg42's embedding-LSH pairs) carry near-duplicate CAPTIONS
+# (kg94's preceding-text alignment)? For every kg42 pair the audit
+# reports the token Jaccard between the two assets' captions (each
+# asset's canonical caption = the lexicographic min across its
+# placements — deterministic) and flags agreement at ≥ 0.5. Pairs
+# where visually-identical media carry unrelated captions are exactly
+# the mislabeled-media candidates a multimodal training set must
+# quarantine. Composes two audited plans; the join-back is per
+# candidate pair (pairs ≪ assets²).
+# --------------------------------------------------------------------------
+
+
+def kg116_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import tokens as _tok
+
+    pairs = kg42_media_embedding_neardup(spark, sf_dir)
+    caps = (
+        kg94_media_alignment(spark, sf_dir)
+        .filter(F.col("caption").isNotNull())
+        .groupBy("media_ref")
+        .agg(F.min("caption").alias("caption"))
+    )
+    j = (
+        pairs.join(
+            caps.select(F.col("media_ref").alias("ref1"),
+                        F.col("caption").alias("cap1")),
+            "ref1",
+            "left",
+        )
+        .join(
+            caps.select(F.col("media_ref").alias("ref2"),
+                        F.col("caption").alias("cap2")),
+            "ref2",
+            "left",
+        )
+    )
+    ta, tb = _tok(F.col("cap1")), _tok(F.col("cap2"))
+    inter = F.size(F.array_intersect(F.array_distinct(ta),
+                                     F.array_distinct(tb)))
+    union = F.size(F.array_union(ta, tb))
+    jac = F.when(
+        F.col("cap1").isNotNull() & F.col("cap2").isNotNull(),
+        F.round(inter / union.cast("double"), 4),
+    )
+    return j.select(
+        "ref1",
+        "ref2",
+        F.col("sim").alias("embed_sim"),
+        jac.alias("caption_jaccard"),
+        (F.coalesce(jac >= 0.5, F.lit(False))).alias("captions_agree"),
+    )
+
+
+def _kg116_sql() -> str:
+    from .common import TOKENS_SQL as _TSQL
+
+    kg42 = _kg42_sql()
+    kg94 = KG94_SQL
+    ta = _TSQL.format(x="c1.caption")
+    tb = _TSQL.format(x="c2.caption")
+    return f"""
+WITH pairs AS ({kg42}),
+align AS ({kg94}),
+caps AS (
+  SELECT media_ref, MIN(caption) AS caption
+  FROM align WHERE caption IS NOT NULL GROUP BY media_ref
+)
+SELECT p.ref1, p.ref2, p.sim AS embed_sim,
+       CASE WHEN c1.caption IS NOT NULL AND c2.caption IS NOT NULL THEN
+         ROUND(len(list_intersect(list_distinct({ta}), list_distinct({tb})))
+               / (1.0 * len(list_distinct({ta} || {tb}))), 4)
+       END AS caption_jaccard,
+       COALESCE(
+         CASE WHEN c1.caption IS NOT NULL AND c2.caption IS NOT NULL THEN
+           ROUND(len(list_intersect(list_distinct({ta}), list_distinct({tb})))
+                 / (1.0 * len(list_distinct({ta} || {tb}))), 4) >= 0.5
+         END, FALSE) AS captions_agree
+FROM pairs p
+LEFT JOIN caps c1 ON c1.media_ref = p.ref1
+LEFT JOIN caps c2 ON c2.media_ref = p.ref2
+"""
+
+
 QUERIES = {
+    "kg114_slug_collapse": kg114_slug_collapse,
+    "kg116_crossmodal_consistency": kg116_crossmodal_consistency,
     "kg30_reconstruct_wide": kg30_reconstruct_wide,
     "kg31_span_fingerprint": kg31_span_fingerprint,
     "kg32_media_assets": kg32_media_assets,
@@ -932,6 +1079,8 @@ KG36_SQL = _node_hist_sql()
 KG37_SQL = _edge_hist_sql()
 
 ORACLES = {
+    "kg114_slug_collapse": KG114_SQL,
+    "kg116_crossmodal_consistency": _kg116_sql(),
     "kg30_reconstruct_wide": KG30_SQL,
     "kg31_span_fingerprint": KG31_SQL,
     "kg32_media_assets": KG32_SQL,

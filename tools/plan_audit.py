@@ -462,6 +462,12 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # supplementary reconstruct + distinct + two-level agg
+    ("kg114_slug_collapse", 3, 0),
+    # kg115's joins run pre-checkpoint (q68 pattern); audited plan is a scan
+    ("kg115_pra_features", 0, 0),
+    # kg42 pair plan + kg94 caption agg + per-pair join-back (Arrow embed x6)
+    ("kg116_crossmodal_consistency", 4, 6),
     # source agg + two broadcast 1-row aggs (weights, clip surplus)
     ("q349_token_budget", 3, 0),
     # regexp length arithmetic in the scan span + one source agg
