@@ -9341,7 +9341,71 @@ FROM top WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q353 — WATERMARK-LATENESS audit: before picking a streaming
+# watermark delay, replay the batch feed in ARRIVAL order (event_id —
+# the ingest sequence) and measure, per event type, how many events
+# arrive with event-time older than the per-user high-water mark by
+# more than each candidate delay (60 s / 600 s / 3600 s). This is the
+# state-loss-vs-latency table `withWatermark` is tuned from (the
+# streaming ingest in streamq.py uses exactly these semantics). The
+# running max partitions by user_id — the keyed-state shape of the
+# real stateful operator — never a global sequential scan.
+# --------------------------------------------------------------------------
+
+_WM_DELAYS = (60, 600, 3600)
+
+
+def q353_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag = F.coalesce(F.max("es").over(w) - F.col("es"), F.lit(0))
+    flags = ev.select(
+        "event_type",
+        lag.alias("lateness"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.round(
+                F.count_if(F.col("lateness") > d) / F.count(F.lit(1)), 6
+            ).alias(f"late_frac_{d}s")
+            for d in _WM_DELAYS
+        ],
+        F.max("lateness").cast("long").alias("max_lateness_s"),
+    )
+
+
+Q353_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), flags AS (
+  SELECT event_type,
+         COALESCE(MAX(es) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - es,
+                  0) AS lateness
+  FROM ev
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {', '.join(f"ROUND(COUNT(*) FILTER (WHERE lateness > {d}) / (1.0 * COUNT(*)), 6) AS late_frac_{d}s" for d in _WM_DELAYS)},
+       CAST(MAX(lateness) AS BIGINT) AS max_lateness_s
+FROM flags GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "q353_lateness_audit": q353_lateness_audit,
     "q347_sax_motifs": q347_sax_motifs,
     "q332_newey_west": q332_newey_west,
     "q330_wasserstein_drift": q330_wasserstein_drift,
@@ -9457,6 +9521,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q353_lateness_audit": Q353_SQL,
     "q347_sax_motifs": Q347_SQL,
     "q332_newey_west": Q332_SQL,
     "q330_wasserstein_drift": Q330_SQL,

@@ -2103,7 +2103,50 @@ FROM ev GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q354 — SQL PIPE SYNTAX (Spark 4, SPARK-49555): the |> operator
+# chain — FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> ORDER BY —
+# compiles to the identical Catalyst plan as the nested-SELECT form,
+# so this pins (a) that the engine surface accepts the linear style
+# data engineers increasingly write ETL in, and (b) that its results
+# are bit-equal to the classic form the DuckDB oracle runs. Money is
+# summed in integer cents (the repo's exactness idiom — a DOUBLE sum
+# would be partial-order-dependent).
+# --------------------------------------------------------------------------
+
+
+def q354_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q354_orders")
+    return spark.sql(
+        """
+        FROM q354_orders
+        |> WHERE o_orderstatus <> 'F'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(cents) AS total_cents,
+                     DATE_FORMAT(MIN(o_orderdate), 'yyyy-MM-dd')
+                       AS first_order
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+Q354_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q354_pipe_syntax": q354_pipe_syntax,
     "q336_variant_props": q336_variant_props,
     "q243_join_size_estimate": q243_join_size_estimate,
     "q176_multiset_ops": q176_multiset_ops,
@@ -2160,6 +2203,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q354_pipe_syntax": Q354_SQL,
     "q336_variant_props": Q336_SQL,
     "q243_join_size_estimate": Q243_SQL,
     "q176_multiset_ops": Q176_SQL,

@@ -3220,7 +3220,98 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# q352 — VOCABULARY COVERAGE curve: what fraction of total token mass
+# do the top-K vocabulary types cover, for K ∈ {1, 10, 100, 1000,
+# 10000}? The sizing table for vocab truncation / embedding-table
+# memory: Zipf says coverage grows ~log K, and the K where coverage
+# crosses ~99% is the OOV budget (q85) in reverse. Scale: type counts
+# are one partial-agg shuffle; ranking runs on the COUNT HISTOGRAM
+# (one row per distinct frequency — the q37 scale idiom), so no
+# global row window ever touches the vocabulary itself; the five K
+# thresholds read the cumulative curve.
+# --------------------------------------------------------------------------
+
+_COV_KS = (1, 10, 100, 1000, 10000)
+
+
+def q352_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    types = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # frequency histogram: one row per distinct count value
+    hist = types.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "c",
+        "n_types",
+        F.sum("n_types").over(w).alias("cum_types"),
+        F.sum(F.col("c") * F.col("n_types")).over(w).alias("cum_mass"),
+        F.sum(F.col("c") * F.col("n_types")).over(w_all).alias("tot_mass"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k long")
+    # for each K: full histogram rows below the cut + a partial row —
+    # coverage(K) = (mass of rows with cum_types ≤ K) + (K − types
+    # already taken) · c of the boundary row
+    j = F.broadcast(ks).join(
+        cum,
+        cum.cum_types - cum.n_types < ks.k,  # rows that contribute
+    )
+    per = j.groupBy("k").agg(
+        F.sum(
+            F.when(
+                F.col("cum_types") <= F.col("k"),
+                F.col("c") * F.col("n_types"),
+            ).otherwise(
+                (F.col("k") - (F.col("cum_types") - F.col("n_types")))
+                * F.col("c")
+            )
+        ).alias("mass"),
+        F.min("tot_mass").alias("tot"),
+        F.max(F.least(F.col("cum_types"), F.col("k"))).alias("k_eff"),
+    )
+    return per.select(
+        "k",
+        F.col("k_eff").cast("long").alias("types_used"),
+        F.col("mass").cast("long").alias("covered_tokens"),
+        F.round(F.col("mass") / F.col("tot"), 6).alias("coverage"),
+    )
+
+
+Q352_SQL = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL.format(x='text')}) AS tok FROM documents
+), types AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+), hist AS (
+  SELECT c, COUNT(*) AS n_types FROM types GROUP BY c
+), cum AS (
+  SELECT c, n_types,
+         SUM(n_types) OVER (ORDER BY c DESC) AS cum_types,
+         SUM(c * n_types) OVER (ORDER BY c DESC) AS cum_mass,
+         SUM(c * n_types) OVER () AS tot_mass
+  FROM hist
+), ks AS (SELECT unnest([{', '.join(str(k) for k in _COV_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(MAX(least(cum.cum_types, ks.k)) AS BIGINT) AS types_used,
+       CAST(SUM(CASE WHEN cum.cum_types <= ks.k THEN cum.c * cum.n_types
+                ELSE (ks.k - (cum.cum_types - cum.n_types)) * cum.c END)
+            AS BIGINT) AS covered_tokens,
+       ROUND(SUM(CASE WHEN cum.cum_types <= ks.k THEN cum.c * cum.n_types
+                 ELSE (ks.k - (cum.cum_types - cum.n_types)) * cum.c END)
+             / (1.0 * MIN(cum.tot_mass)), 6) AS coverage
+FROM ks JOIN cum ON cum.cum_types - cum.n_types < ks.k
+GROUP BY ks.k
+"""
+
+
 QUERIES = {
+    "q352_vocab_coverage": q352_vocab_coverage,
     "q350_charclass_profile": q350_charclass_profile,
     "q346_bbit_minhash": q346_bbit_minhash,
     "q340_containment_dedup": q340_containment_dedup,
@@ -3263,6 +3354,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q352_vocab_coverage": Q352_SQL,
     "q350_charclass_profile": Q350_SQL,
     "q346_bbit_minhash": Q346_SQL,
     "q340_containment_dedup": Q340_SQL,

@@ -462,6 +462,12 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # type agg + frequency-histogram windows + broadcast K thresholds
+    ("q352_vocab_coverage", 3, 0),
+    # per-user running-max window (keyed state shape) + type rollup
+    ("q353_lateness_audit", 2, 0),
+    # pipe-syntax chain compiles to the classic agg plan
+    ("q354_pipe_syntax", 2, 0),
     # supplementary reconstruct + distinct + two-level agg
     ("kg114_slug_collapse", 3, 0),
     # kg115's joins run pre-checkpoint (q68 pattern); audited plan is a scan
