@@ -30,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# a realistic per-core heap for the 32-thread headline run: the session
+# default 8g is 0.25 GB/core — clusters provision 2–8 GB/core, and at
+# 8g the flagship's execution is GC-bound whenever the other headline
+# queries' working sets share the old gen (measured 8.7 s solo vs
+# ~12 s in-bench at 8g). --scaling already runs its rungs at 48g.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 #: headline set — the KG pipeline end-to-end plus one representative of
 #: each operator family (join/agg/window/dedup/LSH/ANN)
 HEADLINE = [
@@ -51,11 +58,12 @@ def run_noop(df) -> None:
 
 
 def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
-    from oak_knowledge_graph_neo4j_auradb_spark.queries import QUERIES
+    from oak_knowledge_graph_neo4j_auradb_spark.queries import (
+        QUERIES,
+        release_caches,
+    )
     from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import n_docs_for
     from oak_knowledge_graph_neo4j_auradb_spark.session import get_spark
-
-    from oak_knowledge_graph_neo4j_auradb_spark.queries.kg import clear_builds
 
     spark = get_spark(
         app_name="oak-kg-bench",
@@ -82,19 +90,23 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     # coalesced partition counts), so their codegen only compiles on
     # the first full-scale execution — measured 8.6 s steady-state vs
     # 16-30 s first-execution for the flagship on an idle host.
-    clear_builds()
+    release_caches()
     for name in names:
         run_noop(QUERIES[name](spark, sf_dir))
     # two timed passes, best per query (flagship_at's practice): a
     # single-JVM local run shares the host with whatever else it is
     # doing — same-day swings of 1.5-2× with every query proportionally
     # slower are documented in BASELINE.md, and min-of-2 recovers the
-    # machine's actual capability. clear_builds() between passes drops
-    # the memoized GraphBuild (and its persisted resolved table) so the
-    # second pass re-executes the full pipeline honestly.
+    # machine's actual capability. release_caches() between passes
+    # drops EVERY query-surface persist — the memoized GraphBuild AND
+    # q25's MinHash feature table — so each pass re-executes its full
+    # pipeline honestly and no pass pays heap pressure for a cache only
+    # a PREVIOUS pass's queries used (measured: the flagship reads
+    # ~8.7 s solo but ~11.5 s when a stale 40k-doc shingle cache from
+    # the prior pass is still pinned in executor memory).
     passes: list[dict[str, float]] = []
     for _ in range(2):
-        clear_builds()
+        release_caches()
         t: dict[str, float] = {}
         for name in names:
             t0 = time.monotonic()
