@@ -9404,7 +9404,226 @@ FROM flags GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q355 — LJUNG-BOX white-noise test per event type: the portmanteau
+# statistic Q = n(n+2)·Σ_{k≤7} r_k²/(n−k) over the daily-count ACF
+# (q272's recurrence, lags 1–7), vs the χ²₇ 95% critical value
+# 14.0671. Q > crit ⇒ the series is NOT white noise (seasonality /
+# trend structure worth modeling); a monitoring feed whose Q drops to
+# ~χ² expectation lost its weekly signal. r_k is rounded at 6dp
+# before squaring so both engines sum identical rationals (the
+# ~90-element unrounded float sums are the only cross-engine risk).
+# All joins live on the tiny (type, day) grid.
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 7
+_LB_CRIT = 14.0671  # chi^2_{0.95, 7}
+
+
+def q355_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y") / (F.lit(1.0) * F.count(F.lit(1)))
+        ).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    acf = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.d") == F.col("a.d") + F.col("lag")),
+        )
+        .join(st.alias("st"), F.col("a.event_type") == F.col("st.event_type"))
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.max("n_days").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("a.y") - F.col("mu"))
+                    * (F.col("b.y") - F.col("mu"))
+                )
+                / F.max("den"),
+                6,
+            ).alias("r"),
+        )
+    )
+    q = acf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.round(
+            F.max("n") * (F.max("n") + 2)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))),
+            4,
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "event_type",
+        "n_days",
+        "n_lags",
+        "q_stat",
+        (F.col("q_stat") > _LB_CRIT).alias("reject_white_noise"),
+    )
+
+
+Q355_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, AVG(y) AS mu,
+         SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) AS den,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY 1
+), lags AS (SELECT unnest(generate_series(1, {_LB_LAGS})) AS lag),
+acf AS (
+  SELECT a.event_type, lags.lag, MAX(st.n_days) AS n,
+         ROUND(SUM((a.y - st.mu) * (b.y - st.mu)) / MAX(st.den), 6) AS r
+  FROM daily a
+  CROSS JOIN lags
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + lags.lag
+  JOIN st ON st.event_type = a.event_type
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lags,
+       ROUND(MAX(n) * (MAX(n) + 2)
+             * SUM(r * r / (n - lag)), 4) AS q_stat,
+       ROUND(MAX(n) * (MAX(n) + 2)
+             * SUM(r * r / (n - lag)), 4) > {_LB_CRIT}
+         AS reject_white_noise
+FROM acf GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q356 — FREEDMAN-DIACONIS bin sizing: the histogram-infrastructure
+# audit — for each monitored metric, derive the FD bin width
+# 2·IQR/n^(1/3) and the implied bin count from EXACT quartiles
+# (inverted-CDF over the integer-cents value histogram — never a
+# global sort). Dashboards and drift detectors (q117/q187) consume
+# this to keep bin granularity stable as the corpus grows; a bin
+# count that jumps an order of magnitude between snapshots means the
+# value distribution's tails moved. Integer cents end-to-end until
+# the final width division.
+# --------------------------------------------------------------------------
+
+
+def _fd_one(df: DataFrame, metric: str, cents: F.Column) -> DataFrame:
+    hist = df.select(cents.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    q1 = cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.25)).agg(
+        F.min("v").alias("q1")
+    )
+    q3 = cum.filter(F.col("cum") >= F.ceil(F.col("n") * 0.75)).agg(
+        F.min("v").alias("q3")
+    )
+    ext = cum.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.max("n").alias("n"),
+    )
+    j = ext.crossJoin(F.broadcast(q1)).crossJoin(F.broadcast(q3))
+    width = (
+        2.0
+        * (F.col("q3") - F.col("q1"))
+        / F.pow(F.col("n").cast("double"), 1.0 / 3.0)
+    )
+    return j.select(
+        F.lit(metric).alias("metric"),
+        F.col("n").cast("long").alias("n"),
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        F.round(width, 4).alias("fd_width_cents"),
+        F.when(
+            F.col("q3") > F.col("q1"),
+            F.ceil((F.col("hi") - F.col("lo")) / width).cast("long"),
+        ).alias("n_bins"),
+    )
+
+
+def q356_fd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    a = _fd_one(
+        o,
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    b = _fd_one(
+        ev, "event_value", F.round(F.col("value") * 100).cast("long")
+    )
+    return a.unionByName(b)
+
+
+def _fd_sql(table: str, metric: str, cents_expr: str) -> str:
+    return f"""
+SELECT '{metric}' AS metric, CAST(MAX(n) AS BIGINT) AS n,
+       CAST((SELECT MIN(v) FROM cum_{metric}
+             WHERE cum >= ceil(n * 0.25)) AS BIGINT) AS q1_cents,
+       CAST((SELECT MIN(v) FROM cum_{metric}
+             WHERE cum >= ceil(n * 0.75)) AS BIGINT) AS q3_cents,
+       ROUND(2.0 * ((SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.75))
+                    - (SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.25)))
+             / pow(MAX(n), 1.0 / 3.0), 4) AS fd_width_cents,
+       CASE WHEN (SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.75))
+                 > (SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.25))
+       THEN CAST(ceil((MAX(v) - MIN(v))
+            / (2.0 * ((SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.75))
+                      - (SELECT MIN(v) FROM cum_{metric} WHERE cum >= ceil(n * 0.25)))
+               / pow(MAX(n), 1.0 / 3.0))) AS BIGINT)
+       END AS n_bins
+FROM cum_{metric}
+"""
+
+
+Q356_SQL = f"""
+WITH h_o_totalprice AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, COUNT(*) AS c
+  FROM orders GROUP BY 1
+), cum_o_totalprice AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+  FROM h_o_totalprice
+), h_event_value AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v, COUNT(*) AS c
+  FROM events GROUP BY 1
+), cum_event_value AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+  FROM h_event_value
+)
+{_fd_sql('orders', 'o_totalprice', '')}
+UNION ALL
+{_fd_sql('events', 'event_value', '')}
+"""
+
+
 QUERIES = {
+    "q355_ljung_box": q355_ljung_box,
+    "q356_fd_bins": q356_fd_bins,
     "q353_lateness_audit": q353_lateness_audit,
     "q347_sax_motifs": q347_sax_motifs,
     "q332_newey_west": q332_newey_west,
@@ -9521,6 +9740,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q355_ljung_box": Q355_SQL,
+    "q356_fd_bins": Q356_SQL,
     "q353_lateness_audit": Q353_SQL,
     "q347_sax_motifs": Q347_SQL,
     "q332_newey_west": Q332_SQL,

@@ -462,6 +462,10 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # (type, day) grid ACF joins + per-type Q rollup
+    ("q355_ljung_box", 4, 0),
+    # cents-domain-bounded value histograms + quartile cuts, per metric
+    ("q356_fd_bins", 4, 0),
     # type agg + frequency-histogram windows + broadcast K thresholds
     ("q352_vocab_coverage", 3, 0),
     # per-user running-max window (keyed state shape) + type rollup
