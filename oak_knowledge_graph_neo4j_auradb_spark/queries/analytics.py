@@ -9621,7 +9621,113 @@ UNION ALL
 """
 
 
+# --------------------------------------------------------------------------
+# q357 — BINARY-SEGMENTATION changepoint (one split) per event type:
+# the level-shift locator that complements CUSUM (q265) and
+# Page-Hinkley (q299) — for every candidate split of the daily-count
+# series, the SSE reduction (total within-SS minus left+right
+# within-SS) from prefix sums; the best split is the changepoint a
+# full binseg recursion would take first. Prefix sums are windows
+# PARTITIONED BY TYPE over the tiny day grid; sums are exact integer
+# arithmetic until the final variance divisions, so both engines
+# score splits identically. The argmax is a per-type rank window,
+# never global.
+# --------------------------------------------------------------------------
+
+
+def q357_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / F.lit(86400)
+    ).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("i"),
+        F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "ci"
+        ),
+        F.sum(F.col("y") * F.col("y"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("qi"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("y").over(wt).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wt).alias("q"),
+    )
+    # q180 lesson: square in double — s² on a 10¹²-event feed would
+    # overflow int64 (ANSI Spark throws, DuckDB promotes — divergence)
+    s_d = F.col("s").cast("double")
+    ci_d = F.col("ci").cast("double")
+    sst = F.col("q") - s_d * s_d / F.col("n")
+    ssl = F.col("qi") - ci_d * ci_d / F.col("i")
+    ssr = (F.col("q") - F.col("qi")) - (s_d - ci_d) * (
+        s_d - ci_d
+    ) / (F.col("n") - F.col("i"))
+    scored = cum.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "d",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(sst, 4).alias("sse_total"),
+        F.round(sst - ssl - ssr, 4).alias("sse_reduction"),
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.col("sse_reduction").desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("d").alias("split_day"),
+            "sse_total",
+            "sse_reduction",
+        )
+    )
+
+
+Q357_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY d) AS ci,
+         SUM(y * y) OVER (PARTITION BY event_type ORDER BY d) AS qi,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(y) OVER (PARTITION BY event_type) AS s,
+         SUM(y * y) OVER (PARTITION BY event_type) AS q
+  FROM daily
+), scored AS (
+  SELECT event_type, d, n,
+         ROUND(q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 4)
+           AS sse_total,
+         ROUND((q - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               - (qi - CAST(ci AS DOUBLE) * CAST(ci AS DOUBLE) / i)
+               - ((q - qi) - (CAST(s AS DOUBLE) - CAST(ci AS DOUBLE))
+                  * (CAST(s AS DOUBLE) - CAST(ci AS DOUBLE)) / (n - i)),
+               4) AS sse_reduction
+  FROM cum WHERE i < n
+), top AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY sse_reduction DESC, d ASC) AS rn
+  FROM scored
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, d AS split_day,
+       sse_total, sse_reduction
+FROM top WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "q357_binseg_changepoint": q357_binseg_changepoint,
     "q355_ljung_box": q355_ljung_box,
     "q356_fd_bins": q356_fd_bins,
     "q353_lateness_audit": q353_lateness_audit,
@@ -9740,6 +9846,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q357_binseg_changepoint": Q357_SQL,
     "q355_ljung_box": Q355_SQL,
     "q356_fd_bins": Q356_SQL,
     "q353_lateness_audit": Q353_SQL,

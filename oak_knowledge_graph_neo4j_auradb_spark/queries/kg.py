@@ -857,7 +857,79 @@ LEFT JOIN caps c2 ON c2.media_ref = p.ref2
 """
 
 
+# --------------------------------------------------------------------------
+# kg117 — PER-LABEL ISOLATION audit: which node labels carry nodes no
+# resolved edge ever touches? kg67 reports the overall orphan count;
+# this is the per-label breakdown a graph-completeness review works
+# from — a Lesson isolation rate above ~0 means HAS_LESSON endpoints
+# failed resolution (or the source feed dropped the join keys), while
+# Schemaversion is EXPECTED to be 100% isolated (it is a metadata
+# node no relationship config targets). One anti-join of the fused
+# node dimension against the distinct endpoint set — both already
+# built by the flagship plan; label is the partition-friendly 13-key
+# rollup.
+# --------------------------------------------------------------------------
+
+
+def kg117_label_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    dims = gb.extras["dims"].select(
+        "label", F.col("nid").cast("string").alias("nid")
+    )
+    r = gb.resolved
+    conn = (
+        r.select(
+            F.col("subj_label").alias("label"),
+            F.col("subj").cast("string").alias("nid"),
+        )
+        .unionByName(
+            r.select(
+                F.col("obj_label").alias("label"),
+                F.col("obj").cast("string").alias("nid"),
+            )
+        )
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    j = dims.join(conn, ["label", "nid"], "left")
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.count_if(F.col("_c").isNull()).cast("long").alias("n_isolated"),
+        F.round(
+            F.count_if(F.col("_c").isNull()) / F.count(F.lit(1)), 6
+        ).alias("isolation_rate"),
+    )
+
+
+def _kg117_sql() -> str:
+    dims_union = "\n  UNION ALL\n".join(
+        f"  SELECT '{label}' AS label, id AS nid FROM dim_{label}"
+        for label in [*_LABEL_ID_SQL, "Thread"]
+    )
+    return f"""
+{_edges_union_sql()},
+alln AS (
+{dims_union}
+  UNION ALL
+  SELECT 'Schemaversion' AS label, 'v0.1.0-alpha' AS nid
+),
+conn AS (
+  SELECT DISTINCT subj_label AS label, subj AS nid FROM edges
+  UNION
+  SELECT DISTINCT obj_label AS label, obj AS nid FROM edges
+)
+SELECT a.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) FILTER (WHERE c.nid IS NULL) AS BIGINT) AS n_isolated,
+       ROUND(COUNT(*) FILTER (WHERE c.nid IS NULL) / (1.0 * COUNT(*)), 6)
+         AS isolation_rate
+FROM alln a
+LEFT JOIN conn c ON c.label = a.label AND c.nid = a.nid
+GROUP BY a.label
+"""
+
+
 QUERIES = {
+    "kg117_label_isolation": kg117_label_isolation,
     "kg114_slug_collapse": kg114_slug_collapse,
     "kg116_crossmodal_consistency": kg116_crossmodal_consistency,
     "kg30_reconstruct_wide": kg30_reconstruct_wide,
@@ -1079,6 +1151,7 @@ KG36_SQL = _node_hist_sql()
 KG37_SQL = _edge_hist_sql()
 
 ORACLES = {
+    "kg117_label_isolation": _kg117_sql(),
     "kg114_slug_collapse": KG114_SQL,
     "kg116_crossmodal_consistency": _kg116_sql(),
     "kg30_reconstruct_wide": KG30_SQL,

@@ -462,6 +462,10 @@ AUDIT = [
     # kg-build melt embedded per nodf side in the STATIC plan (kg77
     # pattern); its own tail is two bounded co-occurrence self-joins
     ("kg107_nestedness", 44, 9),
+    # per-type prefix-sum windows on the day grid + per-type argmax
+    ("q357_binseg_changepoint", 2, 0),
+    # kg-build melt (dims + resolved) + one label-keyed anti-join rollup
+    ("kg117_label_isolation", 24, 8),
     # (type, day) grid ACF joins + per-type Q rollup
     ("q355_ljung_box", 4, 0),
     # cents-domain-bounded value histograms + quartile cuts, per metric
