@@ -9435,7 +9435,11 @@ def q355_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("y") * F.sum("y") / (F.lit(1.0) * F.count(F.lit(1)))
         ).alias("den"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
-    )
+    # Degenerate-series guard (same as q347's sd=0 gate): a constant
+    # daily-count series has den=0, where Spark's divide yields NULL but
+    # DuckDB float semantics can produce inf/NaN — drop it in BOTH
+    # engines before the autocovariance divide.
+    ).filter(F.col("den") > 0)
     lags = spark.range(1, _LB_LAGS + 1).select(
         F.col("id").cast("long").alias("lag")
     )
@@ -9489,6 +9493,7 @@ WITH daily AS (
          SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) AS den,
          COUNT(*) AS n_days
   FROM daily GROUP BY 1
+  HAVING SUM(y * y) - SUM(y) * SUM(y) / (1.0 * COUNT(*)) > 0
 ), lags AS (SELECT unnest(generate_series(1, {_LB_LAGS})) AS lag),
 acf AS (
   SELECT a.event_type, lags.lag, MAX(st.n_days) AS n,
@@ -9580,7 +9585,7 @@ def q356_fd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
-def _fd_sql(table: str, metric: str, cents_expr: str) -> str:
+def _fd_sql(metric: str) -> str:
     return f"""
 SELECT '{metric}' AS metric, CAST(MAX(n) AS BIGINT) AS n,
        CAST((SELECT MIN(v) FROM cum_{metric}
@@ -9615,9 +9620,9 @@ WITH h_o_totalprice AS (
   SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
   FROM h_event_value
 )
-{_fd_sql('orders', 'o_totalprice', '')}
+{_fd_sql('o_totalprice')}
 UNION ALL
-{_fd_sql('events', 'event_value', '')}
+{_fd_sql('event_value')}
 """
 
 

@@ -2202,10 +2202,14 @@ SELECT node, down, up, centrality FROM (
 # the RNG replaced by a content hash, so the "random" walks are
 # bit-identical across engines, partitionings, and cluster sizes
 # (the same trick as the md5-uniform sampling family, q42/q87).
-# Plan: the neighbor-list table is node-sized and broadcasts; each of
-# the L rounds is one broadcast join + projection (no shuffle); walks
-# that reach a sink stop early. Oracle: the identical hash arithmetic
-# over DuckDB's sorted list() with unrolled steps.
+# Plan: each of the L rounds is a plain equi-join walk⋈nbrs on the
+# current node — NO explicit broadcast hint: node count grows linearly
+# with the corpus (Lesson/Unitvariant nodes ∝ docs), so at 10^12 docs
+# the adjacency table exceeds any executor's memory.  AQE broadcasts
+# it at small SF where it genuinely fits and falls back to a shuffled
+# hash join at scale; walks that reach a sink stop early.  Oracle: the
+# identical hash arithmetic over DuckDB's sorted list() with unrolled
+# steps.
 # --------------------------------------------------------------------------
 
 _WALK_LEN = 4
@@ -2232,7 +2236,7 @@ def kg76_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     done = walk.limit(0)
     for d in range(1, _WALK_LEN + 1):
-        j = walk.join(F.broadcast(nbrs), walk.node == F.col("nb_node"), "left")
+        j = walk.join(nbrs, walk.node == F.col("nb_node"), "left")
         stopped = j.filter(F.col("nb_node").isNull()).select(
             "walk_id", "node", "path", "depth"
         )

@@ -23,6 +23,7 @@ driver-side collection.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4575,7 +4576,14 @@ def q342_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="q342_"), "docs_orc")
+    # Deterministic scratch path keyed on the sf_dir so repeated runs
+    # (bench warm blocks, the 452-query sweep) overwrite one directory
+    # instead of leaking a fresh mkdtemp copy of the corpus per call.
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "q342_orc_%s" % re.sub(r"\W", "_", sf_dir),
+        "docs_orc",
+    )
     d.write.mode("overwrite").orc(out)
     back = spark.read.schema(
         "doc_id long, text string, lang string, n_chars long"
