@@ -9,10 +9,12 @@ pipeline (reference lifecycle: hasura_extractor.py → data_cleaner.py →
 schema_mapper.py); the DuckDB oracle replays the same stage in ANSI-ish
 SQL over the *same parquet file*, so the driver's value-hash compare is a
 genuine independent re-derivation. Full-pipeline outputs (node/edge
-histograms, the flagship resolved-triple stream) are not reasonably
-SQL-expressible — they get rows-only driver checks here and exact
-golden-triple equality against the pure-Python reference oracle in
-`tests/test_golden_graph.py` (P/R = 1.0).
+histograms kg36/kg37 and the complete flagship resolved-triple stream
+kg99, props included) are ALSO SQL-twinned — generated from the same
+configs the Spark plans compile from (`_kg99_sql` et al.) — and
+additionally pinned by exact golden-triple equality against the
+pure-Python reference oracle in `tests/test_golden_graph.py`
+(P/R = 1.0). 452/452 queries carry a strict DuckDB twin.
 """
 
 from __future__ import annotations
@@ -1150,6 +1152,226 @@ def _edge_hist_sql() -> str:
 KG36_SQL = _node_hist_sql()
 KG37_SQL = _edge_hist_sql()
 
+
+# --------------------------------------------------------------------------
+# kg99 DuckDB oracle — the COMPLETE flagship output (config_key, pred,
+# subj, obj, subj_label, obj_label, props_json) re-derived in SQL. This
+# extends the kg36/kg37 generator with the two pieces the histograms
+# don't need:
+#   1. ORDER — first-seen dedup per (subj, obj) within each config
+#      follows the reference's consolidated row order (_row_seq from
+#      doc_id, psby explode position, supplementary doc order, sup psby
+#      position), reproduced here as a row_number() QUALIFY instead of
+#      Spark's min-struct aggregate (operators/mapper.py:431-434);
+#   2. PROPS — the winning row's property map rendered exactly as
+#      Spark's to_json(map): entries in config order, null values
+#      omitted, int props round-tripped double→bigint, computed
+#      is_not_null booleans 'true'/'false', lastUpdated pinned to the
+#      deterministic RUN_TS (plans/pipeline.py:45).
+# --------------------------------------------------------------------------
+
+
+def _kg99_base_sql() -> str:
+    """Order-carrying variant of the consolidated wide table: widex plus
+    (_row_seq, _psby_pos, _sup_seq, _sup_pos) — the exact total order
+    `consolidate` emits as ``_ord`` (operators/joins.py:67-84)."""
+    prim_cols = [
+        "is_legacy", "programme_subject_slug", "programme_phase_slug",
+        "programme_keystage_slug", "programme_year_slug", "unit_slug",
+        "programme_slug_by_year", "programme_tier_slug",
+        "programme_examboard_slug", "unitvariant_id", "lesson_slug",
+        "order_in_unit", "programme_optionality",
+    ]
+    piv = ",\n           ".join(f"{_piv(c)} AS {c}" for c in prim_cols)
+    arr = (
+        "CASE WHEN {0} LIKE '[%' "
+        "THEN json_transform({0}, '[\"VARCHAR\"]') ELSE [{0}] END"
+    )
+    pos_unnest = (
+        "LATERAL unnest(list_transform({0}._l, (e, i) -> "
+        "{{'e': e, 'i': i}})) AS t(u)"
+    )
+    return f"""
+{_KV_SQL},
+primw AS (
+  SELECT doc_id, CAST(substring(doc_id, 5) AS BIGINT) AS _row_seq, {piv}
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'primary'
+),
+supw AS (
+  SELECT doc_id, CAST(substring(doc_id, 5) AS BIGINT) AS _sup_seq,
+         {_piv("unit_slug")} AS unit_slug,
+         {_piv("programme_slug_by_year")} AS psby_raw,
+         {_piv("unit_order")} AS unit_order,
+         {_piv("threads")} AS threads
+  FROM kv GROUP BY doc_id
+  HAVING MAX(CASE WHEN k = '_mv' THEN v END) = 'supplementary'
+),
+prim_x AS (
+  SELECT p.* EXCLUDE (_l), t.u.i - 1 AS _psby_pos, t.u.e AS psby
+  FROM (SELECT *, {arr.format("programme_slug_by_year")} AS _l
+        FROM primw WHERE is_legacy = 'False') p,
+  {pos_unnest.format("p")}
+),
+sup_x AS (
+  SELECT COALESCE(NULLIF(regexp_extract(s.unit_slug, '^(.+)-[0-9]+$', 1),
+                         ''), s.unit_slug) AS unit_slug,
+         t.u.i - 1 AS _sup_pos, t.u.e AS psby,
+         s._sup_seq, s.unit_order AS sup_unit_order, s.threads
+  FROM (SELECT *, {arr.format("psby_raw")} AS _l FROM supw) s,
+  {pos_unnest.format("s")}
+),
+widex AS (
+  SELECT p.*, COALESCE(s._sup_seq, -1) AS _sup_seq,
+         COALESCE(s._sup_pos, -1) AS _sup_pos,
+         s.sup_unit_order, s.threads
+  FROM prim_x p LEFT JOIN sup_x s
+    ON p.unit_slug = s.unit_slug AND p.psby = s.psby
+),
+titems AS (
+  SELECT unnest(json_transform(replace(t.threads, chr(39), chr(34)),
+         {_THREAD_STRUCT})) AS it
+  FROM (SELECT DISTINCT threads FROM widex
+        WHERE threads IS NOT NULL AND threads LIKE '[%'
+          AND threads <> '[]') t
+)
+"""
+
+
+#: hasura_col → widex column for relationship property sources
+_PROP_COL_SQL = {
+    "unit_order": "sup_unit_order",
+    "order_in_unit": "order_in_unit",
+    "programme_optionality": "programme_optionality",
+}
+
+_PY_WS_SQL = (
+    "\\s\\x{001c}-\\x{001f}\\x{0085}\\x{00a0}\\x{1680}"
+    "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}"
+)
+
+
+def _props_json_sql(cfg: dict) -> tuple[str, list[str]]:
+    """(json_expr, prop_source_columns): the to_json(map) rendering of a
+    relationship config's props — entries in config order, nulls omitted
+    (operators/mapper.py:436-464)."""
+    from ..plans.pipeline import RUN_TS
+
+    parts, src_cols = [], []
+    for pname, pcfg in cfg.get("properties", {}).items():
+        hcol = pcfg.get("hasura_col")
+        if hcol == "current_timestamp":
+            parts.append(f"'\"{pname}\":\"{RUN_TS}\"'")
+            continue
+        col = _PROP_COL_SQL[hcol]
+        src_cols.append(col)
+        if pcfg.get("computed") == "is_not_null":
+            # string source: present iff non-null, non-blank, non-empty-
+            # struct (functions/scalars.py:is_empty_str)
+            t = (
+                f"regexp_replace({col}, "
+                f"'^[{_PY_WS_SQL}]+|[{_PY_WS_SQL}]+$', '')"
+            )
+            val = (
+                f"CASE WHEN {col} IS NOT NULL AND {t} <> '' "
+                f"AND NOT regexp_matches({t}, "
+                "'^(\\[[ \\t\\n\\r]*\\]|\\{[ \\t\\n\\r]*\\})$') "
+                "THEN 'true' ELSE 'false' END"
+            )
+            parts.append(f"'\"{pname}\":\"' || ({val}) || '\"'")
+        elif pcfg.get("type") == "int":
+            v = f"CAST(CAST(TRY_CAST({col} AS DOUBLE) AS BIGINT) AS VARCHAR)"
+            parts.append(
+                f"CASE WHEN {v} IS NOT NULL "
+                f"THEN '\"{pname}\":\"' || {v} || '\"' END"
+            )
+        else:  # plain string prop
+            parts.append(
+                f"CASE WHEN {col} IS NOT NULL "
+                f"THEN '\"{pname}\":' || to_json({col}) END"
+            )
+    return "'{' || concat_ws(',', " + ", ".join(parts) + ") || '}'", src_cols
+
+
+def _kg99_sql() -> str:
+    from ..config.curriculum_schema import RELATIONSHIPS as _R
+
+    dims = []
+    for label, expr in _LABEL_ID_SQL.items():
+        dims.append(
+            f"dim_{label} AS (SELECT DISTINCT {expr} AS id FROM widex "
+            f"WHERE {_ok(expr)})"
+        )
+    dims.append(
+        "dim_Thread AS (SELECT DISTINCT it.thread_slug AS id FROM titems "
+        f"WHERE {_ok('it.thread_slug')})"
+    )
+
+    def end_expr(field: str) -> str:
+        if field == "unitOfferingSlug":
+            return _UO_SQL
+        if field == "unitvariant_id":
+            return _LABEL_ID_SQL["Unitvariant"]
+        if field == "programme_slug_by_year":
+            return "trim(psby)"
+        return f"trim({field})"
+
+    parts = []
+    for key, cfg in _R.items():
+        sf, ef = cfg["start_csv_field"], cfg["end_csv_field"]
+        pred = cfg.get("relationship_type", key)
+        slbl, elbl = cfg["start_node_type"], cfg["end_node_type"]
+        pj, src_cols = _props_json_sql(cfg)
+        if ef == "threads":
+            # array endpoint; props are constant → DISTINCT suffices
+            cand = (
+                f"SELECT DISTINCT s, it.thread_slug AS e, {pj} AS props_json "
+                f"FROM ("
+                f"SELECT {end_expr(sf)} AS s, "
+                f"unnest(json_transform(replace(threads, chr(39), chr(34)), "
+                f"{_THREAD_STRUCT})) AS it "
+                f"FROM widex WHERE threads IS NOT NULL AND threads LIKE '[%' "
+                f"AND {end_expr(sf)} IS NOT NULL AND trim({end_expr(sf)}) <> '') "
+                f"WHERE it.thread_slug IS NOT NULL AND trim(it.thread_slug) <> ''"
+            )
+        else:
+            s, e = end_expr(sf), end_expr(ef)
+            if src_cols:
+                # first-seen winner per (s, e) in consolidated row order
+                sel_srcs = ", ".join(sorted(set(src_cols)))
+                cand = (
+                    f"SELECT s, e, {pj} AS props_json FROM ("
+                    f"SELECT {s} AS s, {e} AS e, {sel_srcs}, "
+                    f"row_number() OVER (PARTITION BY {s}, {e} "
+                    f"ORDER BY _row_seq, _psby_pos, _sup_seq, _sup_pos) AS rn "
+                    f"FROM widex "
+                    f"WHERE {s} IS NOT NULL AND trim({s}) <> '' "
+                    f"AND {e} IS NOT NULL AND trim({e}) <> '') "
+                    f"WHERE rn = 1"
+                )
+            else:
+                cand = (
+                    f"SELECT DISTINCT {s} AS s, {e} AS e, {pj} AS props_json "
+                    f"FROM widex "
+                    f"WHERE {s} IS NOT NULL AND trim({s}) <> '' "
+                    f"AND {e} IS NOT NULL AND trim({e}) <> ''"
+                )
+        parts.append(
+            f"SELECT '{key}' AS config_key, '{pred}' AS pred, "
+            f"c.s AS subj, c.e AS obj, "
+            f"'{slbl}' AS subj_label, '{elbl}' AS obj_label, "
+            f"c.props_json FROM ({cand}) c "
+            f"WHERE c.s IN (SELECT id FROM dim_{slbl}) "
+            f"AND c.e IN (SELECT id FROM dim_{elbl})"
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return (
+        f"{_kg99_base_sql()},\n" + ",\n".join(dims) + f"\n{u}"
+    )
+
+
+KG99_SQL = _kg99_sql()
+
 ORACLES = {
     "kg117_label_isolation": _kg117_sql(),
     "kg114_slug_collapse": KG114_SQL,
@@ -1168,6 +1390,8 @@ ORACLES = {
     "kg42_media_embedding_neardup": _kg42_sql(),
     "kg83_scene_cuts": KG83_SQL,
     "kg85_subset_growth": _kg85_sql(),
-    # kg99: full-pipeline triple stream with per-edge props — golden-tested
-    # against the reference-semantics oracle in tests/test_golden_graph.py
+    # kg99: the COMPLETE flagship stream incl. rendered props — also
+    # golden-tested against the pure-Python reference oracle
+    # (tests/test_golden_graph.py, exact equality / P=R=1.0)
+    "kg99_flagship": KG99_SQL,
 }
