@@ -13,10 +13,12 @@ Decode layering (this container has no image/audio libs):
   so every downstream stage, schema, and batch shape is real and
   testable.
 * :func:`decode_media` — metadata extraction over the binary column.
-  The *real* decode hook (`_decode_real`) raises ``NotImplementedError``
-  (PIL/ffmpeg absent); the deterministic stub derives width/height/
-  duration from the payload hash so results are stable and
-  oracle-checkable.
+  The *real* decode hook (`_decode_real`) parses genuine uncompressed
+  BMP and PCM WAV bytes with self-contained struct parsers (and routes
+  through PIL when available for compressed formats); the deterministic
+  stub derives width/height from the payload hash so the synthetic
+  corpus stays oracle-checkable. Compressed codecs without PIL remain
+  a documented NotImplementedError.
 * :func:`sample_frames` — UDTF-shaped row expansion (1 video → N frame
   rows) via ``mapInPandas``: the output-batch-larger-than-input-batch
   pattern real frame sampling needs.
@@ -94,11 +96,82 @@ def fetch_payload(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(gen, PAYLOAD_SCHEMA)
 
 
+def _decode_bmp(payload: bytes) -> dict:
+    """Parse a real (uncompressed, BITMAPINFOHEADER) BMP: 'BM' magic,
+    int32-LE width at offset 18, int32-LE height at 22 (negative =
+    top-down; dimensions are |height|). Pure struct parsing — the same
+    header walk PIL's BmpImagePlugin does, with no external library."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib >= 40:  # BITMAPINFOHEADER and successors: int32 dims
+        w, h = struct.unpack_from("<ii", payload, 18)
+    else:  # BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack_from("<HH", payload, 18)
+    return {
+        "n_bytes": len(payload),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+        "width": int(abs(w)),
+        "height": int(abs(h)),
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Parse a real PCM WAV: RIFF/WAVE container, 'fmt ' chunk for
+    (channels, sample_rate), 'data' chunk for the sample count. The
+    FEATURE_SCHEMA mapping for audio is documented as width=sample_rate,
+    height=n_channels (the schema is image-shaped; audio reuses it
+    rather than forking the feature table per modality)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, channels, rate = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None:
+        raise ValueError("WAV payload has no fmt chunk")
+    return {
+        "n_bytes": len(payload),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+        "width": int(rate),
+        "height": int(channels),
+    }
+
+
 def _decode_real(payload: bytes) -> dict:
-    """The real decoder hook — wire PIL / torchaudio / ffmpeg here."""
+    """Real-bytes decoder: self-contained parsers for uncompressed BMP
+    and PCM WAV (no external library needed), with PIL as the optional
+    wider-codec path when available. Anything else raises — compressed
+    formats genuinely need image/audio libraries this container lacks."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    try:  # optional wider-codec path (PNG/JPEG/…) if PIL is present
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(BytesIO(payload)) as im:
+            return {
+                "n_bytes": len(payload),
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                "width": int(im.width),
+                "height": int(im.height),
+            }
+    except ImportError:
+        pass
     raise NotImplementedError(
-        "real media decode requires image/audio libraries not present "
-        "in this environment; use decode_media(stub=True)"
+        "compressed media decode requires image/audio libraries not "
+        "present in this environment; use decode_media(stub=True) or "
+        "feed BMP/WAV payloads"
     )
 
 

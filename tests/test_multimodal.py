@@ -41,9 +41,105 @@ def test_decode_stub_features(assets):
     assert 0 <= row["width"] < 1920 and 0 <= row["height"] < 1080
 
 
-def test_real_decode_is_stubbed(assets):
+def test_real_decode_rejects_unknown_codecs(assets):
+    # the synthetic refs' utf-8 payloads are neither BMP nor WAV, and
+    # compressed formats genuinely need libraries this container lacks
     with pytest.raises(Exception, match="NotImplementedError|not present"):
         decode_media(fetch_payload(assets), stub=False).first()
+
+
+def _make_bmp(width: int, height: int) -> bytes:
+    """A real, viewer-openable 24-bit uncompressed BMP."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = b"".join(
+        bytes([(x * 7) % 256, (y * 11) % 256, 200]) + b""
+        for y in range(height)
+        for x in range(width)
+    )
+    # rebuild with row padding
+    rows = []
+    idx = 0
+    for y in range(height):
+        rows.append(pixels[idx : idx + row] + b"\x00" * pad)
+        idx += row
+    body = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def _make_wav(rate: int, channels: int, n_samples: int) -> bytes:
+    """A real, player-openable 16-bit PCM WAV."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", (i * 997) % 32768 - 16384) * channels
+        for i in range(n_samples)
+    )
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_real_decode_bmp_and_wav_through_kg40_path(spark):
+    """VERDICT r3 item 6: real bytes through the kg40 feature path —
+    decode_media(stub=False) over an Arrow-batched payload frame parses
+    genuine BMP headers and WAV fmt chunks end-to-end."""
+    bmp = _make_bmp(13, 7)
+    wav = _make_wav(16000, 2, 100)
+    pdf = [
+        ("doc-1", "lesson_asset_id_slidedeck", "asset://a.bmp", bytearray(bmp)),
+        ("doc-2", "lesson_video_id", "asset://b.wav", bytearray(wav)),
+    ]
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        PAYLOAD_SCHEMA,
+    )
+
+    payloads = spark.createDataFrame(pdf, PAYLOAD_SCHEMA)
+    feats = {r["media_ref"]: r for r in decode_media(payloads, stub=False).collect()}
+    b = feats["asset://a.bmp"]
+    assert (b["width"], b["height"]) == (13, 7)
+    assert b["n_bytes"] == len(bmp)
+    assert b["content_md5"] == hashlib.md5(bmp).hexdigest()
+    w = feats["asset://b.wav"]
+    assert (w["width"], w["height"]) == (16000, 2)  # rate, channels
+    assert w["n_bytes"] == len(wav)
+
+
+def test_real_decode_negative_height_bmp_and_core_header():
+    """Top-down BMPs store negative height; BITMAPCOREHEADER uses u16
+    dims — both real on-disk variants parse."""
+    import struct
+
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        _decode_bmp,
+    )
+
+    bmp = bytearray(_make_bmp(5, 4))
+    struct.pack_into("<i", bmp, 22, -4)  # top-down variant
+    d = _decode_bmp(bytes(bmp))
+    assert (d["width"], d["height"]) == (5, 4)
+
+    core = struct.pack("<2sIHHI", b"BM", 26 + 12, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 9, 3, 1, 24
+    )
+    d2 = _decode_bmp(core)
+    assert (d2["width"], d2["height"]) == (9, 3)
 
 
 def test_frame_sampling_expands_rows(assets):

@@ -66,6 +66,26 @@ def test_fixed_five_have_no_raw_global_window(spark, name):
     assert count_raw_global_windows(df) == 0
 
 
+def test_detector_flags_raw_entity_keyed_aggregate(spark, sf_dir):
+    """VERDICT r3 tightening: a groupBy(doc_id) aggregate retains corpus
+    cardinality, so a global window above it must STILL be flagged —
+    the aggregate alone is not evidence of boundedness."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = d.groupBy("doc_id").agg(F.sum("n_chars").alias("s"))
+    bad = per_doc.withColumn("r", F.row_number().over(Window.orderBy("s")))
+    assert count_raw_global_windows(bad) >= 1
+
+    # but a second, genuinely-reducing aggregate above it covers again
+    hist = per_doc.groupBy("s").count()
+    ok = hist.withColumn(
+        "cum",
+        F.sum("count").over(
+            Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert count_raw_global_windows(ok) == 0
+
+
 def test_every_query_is_audited_or_exempt():
     """Coverage pin: every registered batch query must carry a plan-
     audit budget (AUDIT) or a documented exemption (UNAUDITABLE) — so a

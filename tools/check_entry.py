@@ -106,7 +106,15 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # strict mode compares via pandas (the driver's value-hash
+            # path); fetch ONCE and derive the row count from it — a
+            # separate collect() would re-execute the whole plan and
+            # double the sweep's wall time.
+            spdf = sdf.toPandas() if strict else None
+            if strict:
+                srows = list(spdf.itertuples(index=False, name=None))
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             manifest[name] = {
@@ -134,7 +142,7 @@ def main() -> int:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
+        if not problems and not strict:
             a = canon_rows(scols, srows)
             b = canon_rows(dcols, drows)
             if a != b:
@@ -142,7 +150,9 @@ def main() -> int:
                 diff_b = [r for r in b if r not in set(a)][:3]
                 problems.append(f"values only-spark={diff_a} only-duck={diff_b}")
         if not problems and strict:
-            a = canon_pdf_strict(sdf.toPandas())
+            # strict implies the tolerant compare: identical typed canon
+            # forms also agree at 6-decimal tolerance
+            a = canon_pdf_strict(spdf)
             b = canon_pdf_strict(con.sql(oracles[name]).df())
             if a != b:
                 diff_a = [r for r in a if r not in set(b)][:2]
