@@ -162,7 +162,11 @@ def _canonical_str(col: Column, ptype: str) -> Column:
     if ptype == "float":
         return col.cast("string")
     if ptype == "boolean":
-        return F.when(col, "true").otherwise("false")
+        # null must STAY null (property omitted) — otherwise('false')
+        # alone would render a missing value as a real false
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col, "true"
+        ).otherwise("false")
     if ptype == "list":
         return F.to_json(col)
     return col
@@ -214,10 +218,13 @@ def extract_node(
             sv = pcfg.get("synthetic_value")
             hcol = pcfg.get("hasura_col")
             if sv is not None and sv != "":
-                if ptype == "boolean":
-                    sel.append(F.lit(bool(sv)).alias(pname))
-                else:
+                if isinstance(sv, bool):
+                    # config carries a real boolean — pass through
                     sel.append(F.lit(sv).alias(pname))
+                else:
+                    sel.append(
+                        clean_typed(F.lit(str(sv)), ptype).alias(pname)
+                    )
             elif hcol == "current_timestamp":
                 sel.append(F.lit(run_ts).alias(pname))
         return spark.range(1).select(*sel)
@@ -230,7 +237,13 @@ def extract_node(
     prop_cols = []
     for pname, pcfg in props.items():
         hcol = pcfg.get("hasura_col")
-        if hcol and hcol in wide.columns:
+        sv = pcfg.get("synthetic_value")
+        if sv is not None and sv != "":
+            # constant property on a per-row node — synthetic values win
+            # over column sources (schema_mapper.py:189-196; the oracle's
+            # extract_nodes sv-first branch)
+            prop_cols.append((pname, pcfg, None))
+        elif hcol and hcol in wide.columns:
             prop_cols.append((pname, pcfg, hcol))
         elif hcol == "current_timestamp":
             prop_cols.append((pname, pcfg, None))
@@ -255,7 +268,7 @@ def extract_node(
         ptype = pcfg.get("type", "string")
         sv = pcfg.get("synthetic_value")
         if sv is not None and sv != "":
-            sel.append(F.lit(sv).alias(pname))
+            sel.append(clean_typed(F.lit(str(sv)), ptype).alias(pname))
         elif hcol is None:
             sel.append(F.lit(run_ts).alias(pname))
         else:
@@ -303,7 +316,7 @@ def _extract_expanded_node(
         sv = pcfg.get("synthetic_value")
         hcol = pcfg.get("hasura_col")
         if sv is not None and sv != "":
-            sel.append(F.lit(sv).alias(pname))
+            sel.append(clean_typed(F.lit(str(sv)), ptype).alias(pname))
         elif hcol == "current_timestamp":
             sel.append(F.lit(run_ts).alias(pname))
         elif hcol:

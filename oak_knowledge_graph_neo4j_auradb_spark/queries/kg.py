@@ -31,7 +31,12 @@ DOC_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path
 
 #: docs per driver scale factor — 10× per step, matching the testdata ratios
 N_DOCS_BY_SF = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
-ORACLE_SF_NDOCS = 4000  # the driver's correctness gate runs at sf0.01
+#: corpus the DuckDB oracle SQL is generated against (the driver's
+#: correctness gate runs at sf0.01 = 4000 docs). The env override lets
+#: the 10×-scale sweep (`SPARK_GRAFT_ORACLE_NDOCS=40000 check_entry
+#: --strict /root/testdata/sf0.1`) regenerate every kg oracle against
+#: the same corpus the Spark side reads at that scale factor.
+ORACLE_SF_NDOCS = int(os.environ.get("SPARK_GRAFT_ORACLE_NDOCS", "4000"))
 
 
 def n_docs_for(sf_dir: str) -> int:
@@ -930,7 +935,110 @@ GROUP BY a.label
 """
 
 
+# --------------------------------------------------------------------------
+# kg118 — LEGACY-INCLUSION GRAPH DIFF: the what-if audit for the
+# data_cleaner's is_legacy filter — per (subj_label, pred, obj_label)
+# pattern, how many resolved edge identities would the graph GAIN if
+# legacy rows were kept, and (as a monotonicity proof) how many it
+# would LOSE (must be 0: adding source rows can only add first-seen
+# candidates and dim members). This is the impact statement a schema
+# owner reads before changing a config filter — the graph-version diff
+# operator every KG maintenance cycle needs. Scale: both edge sets are
+# the audited flagship plan; the diff is one EXCEPT per direction on
+# (labels, pred, subj, obj) — partial-aggregable, no all-pairs.
+# --------------------------------------------------------------------------
+
+_EDGE5 = ("subj_label", "pred", "obj_label", "subj", "obj")
+
+
+def kg118_legacy_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.pipeline import build_graph
+
+    cur = _wide(spark, sf_dir).resolved.select(*_EDGE5).distinct()
+    unf = (
+        build_graph(
+            spark, docs_df(spark, sf_dir), filters={}, persist_wide=False
+        )
+        .resolved.select(*_EDGE5)
+        .distinct()
+    )
+    added = (
+        unf.subtract(cur)
+        .groupBy("subj_label", "pred", "obj_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .withColumn("direction", F.lit("added"))
+    )
+    removed = (
+        cur.subtract(unf)
+        .groupBy("subj_label", "pred", "obj_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .withColumn("direction", F.lit("removed"))
+    )
+    return added.unionByName(removed).select(
+        "direction", "subj_label", "pred", "obj_label", "n_edges"
+    )
+
+
+def _kg118_sql() -> str:
+    def q(flag: bool) -> str:
+        return (
+            _edges_union_sql(legacy_filter=flag)
+            + "\nSELECT subj_label, pred, obj_label, subj, obj FROM edges"
+        )
+
+    return f"""
+WITH cur AS ({q(True)}),
+unf AS ({q(False)}),
+added AS (SELECT * FROM unf EXCEPT SELECT * FROM cur),
+removed AS (SELECT * FROM cur EXCEPT SELECT * FROM unf)
+SELECT 'added' AS direction, subj_label, pred, obj_label,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM added GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'removed' AS direction, subj_label, pred, obj_label,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM removed GROUP BY 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# kg120 — PREDICATE CO-OCCURRENCE over shared subjects: for every pair
+# of relationship types, how many subject nodes carry BOTH — the graph-
+# schema drift monitor (a Unit suddenly losing its HAS_THREAD while
+# keeping HAS_UNITVARIANT shows up as a pair-count shift before any
+# downstream query breaks). Plan: distinct (subj, pred) — one partial
+# agg — self-joined on subj; the join fan-out per subject is bounded by
+# the predicate-type count (≤12), never by corpus size.
+# --------------------------------------------------------------------------
+
+
+def kg120_pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gb = _wide(spark, sf_dir)
+    sp = gb.resolved.select("subj", "pred").distinct()
+    a = sp.select(F.col("subj"), F.col("pred").alias("pred_a"))
+    b = sp.select(F.col("subj"), F.col("pred").alias("pred_b"))
+    return (
+        a.join(b, "subj")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count_distinct("subj").cast("long").alias("n_subjects"))
+    )
+
+
+def _kg120_sql() -> str:
+    return f"""
+{_edges_union_sql()},
+subj_pred AS (SELECT DISTINCT subj, pred FROM edges)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(COUNT(DISTINCT a.subj) AS BIGINT) AS n_subjects
+FROM subj_pred a JOIN subj_pred b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "kg118_legacy_graph_diff": kg118_legacy_graph_diff,
+    "kg120_pred_cooccurrence": kg120_pred_cooccurrence,
     "kg117_label_isolation": kg117_label_isolation,
     "kg114_slug_collapse": kg114_slug_collapse,
     "kg116_crossmodal_consistency": kg116_crossmodal_consistency,
@@ -980,11 +1088,13 @@ _THREAD_STRUCT = (
 )
 
 
-def _hist_base_sql() -> str:
+def _hist_base_sql(legacy_filter: bool = True) -> str:
     """CTEs reproducing the consolidated exploded wide table: pivot both
     MVs, explode programme_slug_by_year on both sides, normalize the
     supplementary unit_slug suffix, left-join on the composite key
-    (hasura_extractor.py:100-258), filter is_legacy (data_cleaner)."""
+    (hasura_extractor.py:100-258), filter is_legacy (data_cleaner).
+    ``legacy_filter=False`` keeps legacy rows — the kg118 what-if
+    variant."""
     prim_cols = [
         "is_legacy", "programme_subject_slug", "programme_phase_slug",
         "programme_keystage_slug", "programme_year_slug", "unit_slug",
@@ -1012,7 +1122,7 @@ supw AS (
 ),
 prim_x AS (
   SELECT *, {unn.format("programme_slug_by_year")} AS psby
-  FROM primw WHERE is_legacy = 'False'
+  FROM primw{" WHERE is_legacy = 'False'" if legacy_filter else ""}
 ),
 sup_x AS (
   SELECT COALESCE(NULLIF(regexp_extract(unit_slug, '^(.+)-[0-9]+$', 1), ''),
@@ -1074,7 +1184,7 @@ def _node_hist_sql() -> str:
     )
 
 
-def _edges_union_sql() -> str:
+def _edges_union_sql(legacy_filter: bool = True) -> str:
     """The full resolved edge set re-derived in SQL: CTE preamble +
     ``edges`` = UNION ALL over every relationship config of its
     distinct, endpoint-resolved (subj_label, pred, obj_label, subj, obj)
@@ -1134,7 +1244,7 @@ def _edges_union_sql() -> str:
         )
     u = "\nUNION ALL\n".join(parts)
     return (
-        f"{_hist_base_sql()},\n" + ",\n".join(dims) + ",\n"
+        f"{_hist_base_sql(legacy_filter)},\n" + ",\n".join(dims) + ",\n"
         f"edges AS (\n{u}\n)"
     )
 
@@ -1373,6 +1483,8 @@ def _kg99_sql() -> str:
 KG99_SQL = _kg99_sql()
 
 ORACLES = {
+    "kg118_legacy_graph_diff": _kg118_sql(),
+    "kg120_pred_cooccurrence": _kg120_sql(),
     "kg117_label_isolation": _kg117_sql(),
     "kg114_slug_collapse": KG114_SQL,
     "kg116_crossmodal_consistency": _kg116_sql(),

@@ -167,6 +167,71 @@ FROM c GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q358 — PACK-BOUNDARY SPLIT stats: over q71's streaming-pack layout,
+# how many documents straddle a context-window boundary per shard
+# group (lang)? A straddled document gets its tail attention-masked or
+# truncated by the trainer, so the straddle fraction and the worst
+# span (bins one document crosses) are the knobs a pretraining-data
+# owner tunes (budget vs document length distribution) before cutting
+# shards. Reuses q71's cumsum layout VERBATIM (q119 reuse discipline);
+# the window partitions by lang, so at cluster scale packing
+# parallelizes per shard group — no global sort, no raw global window.
+# --------------------------------------------------------------------------
+
+
+def q358_pack_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("tok_n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("tok_n").over(w))
+    first_b = F.floor((F.col("cum") - F.col("tok_n")) / _PACK_BUDGET)
+    last_b = F.floor((F.col("cum") - 1) / _PACK_BUDGET)
+    span = F.when(F.col("tok_n") > 0, last_b - first_b + 1).otherwise(
+        F.lit(1)
+    )
+    c = c.withColumn("span", span)
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("span") > 1).cast("long").alias("n_straddle"),
+        F.round(F.count_if(F.col("span") > 1) / F.count(F.lit(1)), 6).alias(
+            "straddle_frac"
+        ),
+        F.max("span").cast("long").alias("max_bins_spanned"),
+    )
+
+
+Q358_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({TOKENS_SQL.format(x='text')}) AS tok_n
+  FROM documents
+), c AS (
+  SELECT lang, tok_n,
+         SUM(tok_n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), s AS (
+  SELECT lang,
+         CASE WHEN tok_n > 0
+              THEN floor((cum - 1) / {_PACK_BUDGET})
+                   - floor((cum - tok_n) / {_PACK_BUDGET}) + 1
+              ELSE 1 END AS span
+  FROM c
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE span > 1) AS BIGINT) AS n_straddle,
+       ROUND(COUNT(*) FILTER (WHERE span > 1) / (1.0 * COUNT(*)), 6)
+         AS straddle_frac,
+       CAST(MAX(span) AS BIGINT) AS max_bins_spanned
+FROM s GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q72 — pattern scrubbing / redaction: count sensitive-pattern matches
 # (digit runs stand in for phone/ID patterns in the synthetic corpus)
 # and measure the redacted payload. The regex runs JVM-side
@@ -4936,6 +5001,7 @@ QUERIES = {
     "q112_bigram_lm": q112_bigram_lm,
     "q70_block_boilerplate": q70_block_boilerplate,
     "q71_pack_offset": q71_pack_offset,
+    "q358_pack_boundary_stats": q358_pack_boundary_stats,
     "q72_pattern_scrub": q72_pattern_scrub,
     "q73_zscore_outliers": q73_zscore_outliers,
     "q74_int8_quantize": q74_int8_quantize,
@@ -5005,6 +5071,7 @@ ORACLES = {
     "q112_bigram_lm": Q112_SQL,
     "q70_block_boilerplate": Q70_SQL,
     "q71_pack_offset": Q71_SQL,
+    "q358_pack_boundary_stats": Q358_SQL,
     "q72_pattern_scrub": Q72_SQL,
     "q73_zscore_outliers": Q73_SQL,
     "q74_int8_quantize": Q74_SQL,

@@ -3310,7 +3310,83 @@ GROUP BY ks.k
 """
 
 
+# --------------------------------------------------------------------------
+# q359 — EXACT-SUBSTRING duplicate spans (Lee et al. 2022's exact
+#-match complement to MinHash): hash every W=20-token window at stride
+# S=10 and report document pairs sharing ≥2 window hashes — catching
+# verbatim copied passages that near-dup similarity smooths over (two
+# long documents sharing one paragraph have low Jaccard but must still
+# be caught for decontamination). Plan: per-doc window hashing is one
+# narrow codegen'd projection (slice + md5, no Python); the inverted
+# index (whash → docs) is one partial agg; window hashes with df > 50
+# are dropped as boilerplate BEFORE the pair join, which analytically
+# bounds candidate volume to Σ df² over surviving hashes — never
+# all-pairs. Stride 2× halves index size at ≥1-window-overlap recall
+# for spans ≥ W+S tokens.
+# --------------------------------------------------------------------------
+
+_XW, _XS, _XDF = 20, 10, 50
+
+
+def q359_exact_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = d.selectExpr(
+        "doc_id",
+        f"""explode(transform(
+              CASE WHEN size({_TOK_EXPR}) >= {_XW}
+                   THEN sequence(0, size({_TOK_EXPR}) - {_XW}, {_XS})
+                   ELSE array() END,
+              i -> md5(array_join(slice({_TOK_EXPR}, i + 1, {_XW}),
+                                  char(31))))) AS whash""",
+    ).distinct()
+    df_ok = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _XDF))
+        .select("whash")
+    )
+    keyed = wins.join(df_ok, "whash")
+    a = keyed.select("whash", F.col("doc_id").alias("doc_a"))
+    b = keyed.select("whash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "whash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= 2)
+    )
+
+
+_TOK_EXPR = "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+Q359_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL.format(x='text')} AS tok FROM documents
+), wins AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           CASE WHEN len(tok) >= {_XW}
+                THEN generate_series(0, len(tok) - {_XW}, {_XS})
+                ELSE [] END,
+           i -> md5(array_to_string(tok[i + 1 : i + {_XW}], chr(31)))))
+           AS whash
+  FROM t
+), ok AS (
+  SELECT whash FROM wins GROUP BY whash
+  HAVING COUNT(*) BETWEEN 2 AND {_XDF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM wins a
+JOIN ok USING (whash)
+JOIN wins b ON b.whash = a.whash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
+    "q359_exact_substring_dups": q359_exact_substring_dups,
     "q352_vocab_coverage": q352_vocab_coverage,
     "q350_charclass_profile": q350_charclass_profile,
     "q346_bbit_minhash": q346_bbit_minhash,
@@ -3354,6 +3430,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q359_exact_substring_dups": Q359_SQL,
     "q352_vocab_coverage": Q352_SQL,
     "q350_charclass_profile": Q350_SQL,
     "q346_bbit_minhash": Q346_SQL,

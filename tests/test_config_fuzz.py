@@ -1,0 +1,223 @@
+"""Property-fuzz of the mapping-config dialect (VERDICT r3 item 10).
+
+The production curriculum config is pinned by the golden tests; this
+fuzzes the dialect's cross-product — random node/relationship configs
+(id columns, property types int/float/boolean/string/list/datetime,
+synthetic constants, current_timestamp, computed is_null/is_not_null,
+expand_list array nodes) — and asserts the Spark pipeline and the
+pure-Python reference-semantics oracle (`oracle/pyoracle.py`) emit
+identical node and triple sets under EVERY generated config.
+
+Both sides consume the same structures: the Spark side through
+``build_graph(node_configs=…, rel_configs=…)``, the oracle through its
+module globals (monkeypatched per example).
+"""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oak_knowledge_graph_neo4j_auradb_spark.oracle import pyoracle
+from oak_knowledge_graph_neo4j_auradb_spark.plans.pipeline import build_graph
+from oak_knowledge_graph_neo4j_auradb_spark.sources.docgen import (
+    make_universe,
+    universe_to_arrow,
+)
+
+N_DOCS = 80
+RUN_TS = "2026-01-01T00:00:00"
+
+#: id-column pool: (hasura_col, id_type) — endpoints and node ids
+ID_COLS = [
+    ("unit_slug", "string"),
+    ("lesson_slug", "string"),
+    ("programme_keystage_slug", "string"),
+    ("programme_subject_slug", "string"),
+    ("unitvariant_id", "int"),
+]
+
+#: property-source pool: hasura columns with interesting src dtypes
+PROP_COLS = [
+    "unit_id",                  # long
+    "order_in_unit",            # double
+    "unit_order",               # double, supplementary side
+    "lesson_title",             # string
+    "programme_optionality",    # string, often null
+    "unit_subjectcategories",   # JSON list string
+    "lesson_quiz_id_starter",   # double, nullable
+]
+
+PROP_TYPES = ["int", "float", "boolean", "string", "list", "datetime"]
+
+
+@st.composite
+def prop_cfg(draw):
+    kind = draw(st.sampled_from(["column", "synthetic", "timestamp", "computed"]))
+    if kind == "synthetic":
+        return {"synthetic_value": draw(st.sampled_from(["sv-a", "42"])),
+                "type": "string"}
+    if kind == "timestamp":
+        return {"hasura_col": "current_timestamp", "type": "datetime"}
+    col = draw(st.sampled_from(PROP_COLS))
+    if kind == "computed":
+        return {"hasura_col": col, "type": "boolean",
+                "computed": draw(st.sampled_from(["is_not_null", "is_null"]))}
+    return {"hasura_col": col, "type": draw(st.sampled_from(PROP_TYPES))}
+
+
+@st.composite
+def graph_cfg(draw):
+    n_labels = draw(st.integers(min_value=1, max_value=3))
+    picks = draw(
+        st.lists(
+            st.sampled_from(ID_COLS),
+            min_size=n_labels,
+            max_size=n_labels,
+            unique_by=lambda t: t[0],
+        )
+    )
+    nodes = {}
+    for i, (col, id_type) in enumerate(picks):
+        props = {
+            f"p{j}": draw(prop_cfg())
+            for j in range(draw(st.integers(min_value=0, max_value=3)))
+        }
+        nodes[f"L{i}"] = {
+            "id_field": {"hasura_col": col, "type": id_type,
+                         "property_name": "id"},
+            "properties": props,
+        }
+    if draw(st.booleans()):
+        nodes["T"] = {
+            "id_field": {"hasura_col": "threads", "type": "string",
+                         "expand_list": True, "property_name": "thread_slug"},
+            "properties": {
+                "tid": {"hasura_col": "thread_id", "type": "int"},
+                "tt": {"hasura_col": "thread_title", "type": "string"},
+            },
+        }
+    labels = [l for l in nodes if l != "T"]
+    rels = {}
+    for k in range(draw(st.integers(min_value=1, max_value=2))):
+        a, b = draw(st.sampled_from(labels)), draw(st.sampled_from(labels))
+        props = {
+            f"rp{j}": draw(prop_cfg())
+            for j in range(draw(st.integers(min_value=0, max_value=2)))
+        }
+        rels[f"rel{k}"] = {
+            "relationship_type": f"REL{k}",
+            "start_node_type": a,
+            "end_node_type": b,
+            "start_csv_field": nodes[a]["id_field"]["hasura_col"],
+            "end_csv_field": nodes[b]["id_field"]["hasura_col"],
+            "properties": props,
+        }
+    return nodes, rels
+
+
+def canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, list):
+        return json.dumps(list(v))
+    if isinstance(v, float):
+        return str(v)
+    return str(v)
+
+
+def canon_props(d):
+    return {k: canon_value(v) for k, v in d.items() if v is not None}
+
+
+def apply_engine_deviation(props: dict, prop_cfgs: dict) -> dict:
+    """The engine's ONE documented deviation from reference semantics
+    (functions/scalars.py:clean_int docstring): a numeric-typed property
+    whose value fails to parse becomes NULL in the typed column (and is
+    counted by the quarantine metrics) instead of the reference's silent
+    fallback to the cleaned string. Map the oracle's fallback strings to
+    the engine's nulls before comparing."""
+    out = {}
+    for k, v in props.items():
+        ptype = prop_cfgs.get(k, {}).get("type", "string")
+        if ptype in ("int", "float") and isinstance(v, str):
+            continue  # oracle string-fallback ⇒ engine null
+        out[k] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def fuzz_docs(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    uni = make_universe(N_DOCS)
+    path = str(tmp_path_factory.mktemp("docs") / "documents.parquet")
+    pq.write_table(universe_to_arrow(uni), path)
+    return uni, spark.read.parquet(path)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cfg=graph_cfg())
+def test_random_config_matches_oracle(spark, fuzz_docs, cfg):
+    nodes_cfg, rels_cfg = cfg
+    uni, docs = fuzz_docs
+
+    gb = build_graph(
+        spark, docs, run_ts=RUN_TS, node_configs=nodes_cfg,
+        rel_configs=rels_cfg,
+    )
+    try:
+        old_n, old_r = pyoracle.NODES, pyoracle.RELATIONSHIPS
+        pyoracle.NODES, pyoracle.RELATIONSHIPS = nodes_cfg, rels_cfg
+        try:
+            oracle = pyoracle.run_oracle(uni, run_ts=RUN_TS)
+        finally:
+            pyoracle.NODES, pyoracle.RELATIONSHIPS = old_n, old_r
+
+        for label in nodes_cfg:
+            got = {}
+            for row in gb.nodes[label].collect():
+                d = row.asDict(recursive=True)
+                got[canon_value(d.pop("id"))] = canon_props(d)
+            pcfgs = nodes_cfg[label].get("properties", {})
+            want = {}
+            for r in oracle["nodes"][label]:
+                d = apply_engine_deviation(dict(r), pcfgs)
+                want[canon_value(d.pop("id"))] = canon_props(d)
+            assert set(got) == set(want), (
+                label,
+                sorted(set(got) ^ set(want))[:5],
+                nodes_cfg[label],
+            )
+            for nid in want:
+                assert got[nid] == want[nid], (label, nid, got[nid], want[nid])
+
+        got_t = {}
+        for row in gb.triples.collect():
+            d = row.asDict(recursive=True)
+            got_t[(d["config_key"], d["subj"], d["obj"])] = (
+                d["pred"], d["subj_label"], d["obj_label"],
+                dict(d["props"] or {}),
+            )
+        want_t = {}
+        for t in oracle["triples"]:
+            rp = rels_cfg[t["config_key"]].get("properties", {})
+            want_t[(t["config_key"], t["subj"], t["obj"])] = (
+                t["pred"], t["subj_label"], t["obj_label"],
+                canon_props(apply_engine_deviation(t["props"], rp)),
+            )
+        assert set(got_t) == set(want_t), (
+            sorted(set(got_t) ^ set(want_t))[:5], rels_cfg,
+        )
+        for k in want_t:
+            assert got_t[k] == want_t[k], (k, got_t[k], want_t[k], rels_cfg)
+    finally:
+        gb.unpersist()

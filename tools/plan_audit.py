@@ -656,6 +656,11 @@ AUDIT = [
     ("kg61_thematic_connections", 14, 6),
     ("kg62_cross_curricular", 29, 9),
     ("kg63_lesson_details", 3, 3),
+    # round 4 additions
+    ("q358_pack_boundary_stats", 1, 0),
+    ("q359_exact_substring_dups", 3, 0),
+    ("kg118_legacy_graph_diff", 22, 6),
+    ("kg120_pred_cooccurrence", 12, 3),
 ]
 
 
