@@ -207,31 +207,50 @@ _STOPWORDS = (
 def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality features + a composite score — the
     filter stage every pretraining pipeline runs before tokenization.
-    Pure narrow projection: survives any scale unchanged."""
+    Pure narrow projection: survives any scale unchanged.
+
+    The composite is assembled in EXACT integer arithmetic (one
+    numerator over the common denominator 10·n·ntok) and divided once:
+    a floating sum of the four weighted terms differs between engines
+    at rounding boundaries — DuckDB's vectorized path contracts
+    multiply-adds to FMA (score 0.90375 exactly) while the JVM does not
+    (0.9037499…9), flipping the 4dp rendering; caught by the sf0.1
+    strict sweep, round 4. Integer sums are associativity-free."""
     d = load(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    n = F.greatest(F.length("text"), F.lit(1))
-    ntok = F.greatest(F.size(tok), F.lit(1))
-    punct = F.length(F.regexp_replace("text", r"[^.,;:!?'\"()-]", ""))
-    digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    n = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    ntok = F.greatest(F.size(tok), F.lit(1)).cast("long")
+    punct = F.length(
+        F.regexp_replace("text", r"[^.,;:!?'\"()-]", "")
+    ).cast("long")
+    digit = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
     stop = F.size(
         F.filter(tok, lambda t: t.isin(*[F.lit(s) for s in _STOPWORDS]))
+    ).cast("long")
+    num = (
+        4 * alpha * ntok
+        + 3 * F.least(5 * stop, ntok) * n
+        + 2 * (n - F.least(10 * punct, n)) * ntok
+        + (n - F.least(10 * digit, n)) * ntok
     )
-    sw_ratio = stop / ntok
-    score = (
-        F.lit(0.4) * (alpha / n)
-        + F.lit(0.3) * F.least(sw_ratio * 5, F.lit(1.0))
-        + F.lit(0.2) * (1 - F.least(punct / n * 10, F.lit(1.0)))
-        + F.lit(0.1) * (1 - F.least(digit / n * 10, F.lit(1.0)))
-    )
+    # 4dp half-up rounding done in EXACT integer space:
+    # round(num/denom, 4) = (2·10⁴·num + denom) ÷ (2·denom). A float
+    # round of the quotient double is engine-divergent at exact .xxxx5
+    # rationals (Spark's Round rounds the shortest decimal rendering of
+    # the double — 0.72624999…9 reads "0.72625" → up — while DuckDB
+    # rounds the binary value → down). Integer div sidesteps the class.
+    denom = 10 * n * ntok
+    a = 20000 * num + denom
+    b = 2 * denom
+    score_i = ((a - F.pmod(a, b)) / b).cast("long")
     return d.select(
         "doc_id",
         r4(punct / n).alias("punct_ratio"),
         r4(digit / n).alias("digit_ratio"),
         r4(alpha / n).alias("alpha_ratio"),
-        r4(sw_ratio).alias("stopword_ratio"),
-        r4(score).alias("quality_score"),
+        r4(stop / ntok).alias("stopword_ratio"),
+        (score_i / F.lit(10000.0)).alias("quality_score"),
     )
 
 
@@ -252,10 +271,12 @@ SELECT doc_id,
        ROUND(digit * 1.0 / n, 4) AS digit_ratio,
        ROUND(alpha * 1.0 / n, 4) AS alpha_ratio,
        ROUND(stop * 1.0 / ntok, 4) AS stopword_ratio,
-       ROUND(0.4 * (alpha * 1.0 / n)
-             + 0.3 * least(stop * 5.0 / ntok, 1.0)
-             + 0.2 * (1 - least(punct * 10.0 / n, 1.0))
-             + 0.1 * (1 - least(digit * 10.0 / n, 1.0)), 4) AS quality_score
+       ((20000 * (4 * alpha * ntok
+                  + 3 * least(5 * stop, ntok) * n
+                  + 2 * (n - least(10 * punct, n)) * ntok
+                  + (n - least(10 * digit, n)) * ntok)
+         + 10 * n * ntok) // (20 * n * ntok))
+       / CAST(10000 AS DOUBLE) AS quality_score
 FROM f
 """
 
