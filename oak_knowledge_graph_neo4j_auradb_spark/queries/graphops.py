@@ -3899,16 +3899,26 @@ FROM ({union}) GROUP BY v
 # row carries the (node → component) list and the kept-edge list, one
 # edge per step in (w, s, d) order. Different algorithm, same unique
 # answer: exactly the cross-check you want for an MSF at scale.
+# The edge SAMPLE is scale-aware (modulus grows with sf so the sampled
+# graph stays ~600 edges): the serial Kruskal oracle is O(E·V) in list
+# ops — at sf0.1 a fixed modulus made the ORACLE the bottleneck (>45
+# min) while the distributed Borůvka side finished in seconds. The
+# correctness statement is per-edge-sample exact, at every sf.
 # --------------------------------------------------------------------------
+
+
+def _msf_modulus(n_docs: int) -> int:
+    return 100 * max(1, n_docs // 4000)
 
 
 def q225_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import boruvka_forest
     from .common import md5long
+    from .kg import n_docs_for
 
     li = load(spark, sf_dir, "lineitem")
     e = (
-        li.filter(F.col("l_partkey") % 100 == 0)
+        li.filter(F.col("l_partkey") % _msf_modulus(n_docs_for(sf_dir)) == 0)
         .select(
             F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias(
                 "src"
@@ -3925,15 +3935,17 @@ def q225_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q225_sql() -> str:
     from .common import MD5LONG_SQL
+    from .kg import ORACLE_SF_NDOCS
 
     w = MD5LONG_SQL.format(x="src || '|' || dst")
+    m = _msf_modulus(ORACLE_SF_NDOCS)
     return f"""
 WITH RECURSIVE
 e0 AS (
   SELECT src, dst, {w} AS w FROM (
     SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
                     'p' || CAST(l_partkey AS VARCHAR) AS dst
-    FROM lineitem WHERE l_partkey % 100 = 0
+    FROM lineitem WHERE l_partkey % {m} = 0
   )
 ),
 ec AS (
