@@ -147,12 +147,20 @@ def sorted_rank(
     ``ROW_NUMBER() OVER (ORDER BY col)`` exactly — requires ``col``
     values be unique (ties could straddle a range boundary), which
     holds for the distinct-key dimensions this numbers.
+
+    The ranged partitioning is pinned with ``localCheckpoint``: the
+    offsets aggregate and the probe side otherwise re-execute the
+    ``repartitionByRange`` independently, and its SAMPLED boundaries
+    can differ between executions — at 50k keys that produced
+    duplicate/gapped ranks (caught by the sf0.1 strict sweep, round
+    4). One materialization of a node-scale dimension is cheap; rank
+    integrity is not optional.
     """
     from pyspark.sql import Window
 
     t = df.repartitionByRange(parts, F.asc(col)).withColumn(
         "_pid", F.spark_partition_id()
-    )
+    ).localCheckpoint()
     pc = t.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
