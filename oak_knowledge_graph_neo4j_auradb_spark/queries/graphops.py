@@ -1544,10 +1544,16 @@ def q91_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes").cast("long").alias("n_nodes"),
             F.coalesce("internal", F.lit(0)).cast("long").alias("internal_edges"),
             F.col("deg_sum").cast("long").alias("deg_sum"),
-            F.round(
-                F.coalesce("internal", F.lit(0)) / F.col("_m")
-                - F.pow(F.col("deg_sum") / (2.0 * F.col("_m")), 2),
-                6,
+            # + 0.0 collapses IEEE negative zero (a tiny negative
+            # contribution rounds to -0.0 in DuckDB's float round while
+            # Spark's BigDecimal round yields +0.0 — caught at sf0.1)
+            (
+                F.round(
+                    F.coalesce("internal", F.lit(0)) / F.col("_m")
+                    - F.pow(F.col("deg_sum") / (2.0 * F.col("_m")), 2),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("contribution"),
         )
     )
@@ -1575,7 +1581,7 @@ SELECT sizes.community,
        CAST(COALESCE(intr.internal, 0) AS BIGINT) AS internal_edges,
        CAST(ds.deg_sum AS BIGINT) AS deg_sum,
        ROUND(COALESCE(intr.internal, 0) / mm.m
-             - POW(ds.deg_sum / (2.0 * mm.m), 2), 6) AS contribution
+             - POW(ds.deg_sum / (2.0 * mm.m), 2), 6) + 0.0 AS contribution
 FROM sizes
 JOIN ds ON sizes.community = ds.community
 LEFT JOIN intr ON sizes.community = intr.community
