@@ -700,19 +700,26 @@ def q178_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark disallows mixing a group-agg pandas UDF with built-in
     # aggregates in one agg() — the count comes from a sibling agg
-    # joined back on the (tiny) group key
-    geo = ev.groupBy("event_type").agg(
+    # joined back on the (tiny) group key. The geometric mean is
+    # defined over the POSITIVE values only (ln(0) is an error in
+    # DuckDB and -inf in numpy — zeros appear from sf0.1 up); n stays
+    # the full group count.
+    geo = ev.filter(F.col("v") > 0).groupBy("event_type").agg(
         F.round(_geomean(F.col("v")), 6).alias("geo_mean")
     )
     cnt = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    return cnt.join(geo, "event_type").select("event_type", "n", "geo_mean")
+    return cnt.join(geo, "event_type", "left").select(
+        "event_type", "n", "geo_mean"
+    )
 
 
 Q178_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(exp(AVG(ln(CAST(value AS DOUBLE)))), 6) AS geo_mean
+       ROUND(exp(AVG(CASE WHEN value > 0
+                          THEN ln(CAST(value AS DOUBLE)) END)), 6)
+         AS geo_mean
 FROM events GROUP BY event_type
 """
 

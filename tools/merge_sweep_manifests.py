@@ -12,6 +12,8 @@ import datetime
 import json
 import sys
 
+sys.path.insert(0, ".")
+
 
 def load_entries(path: str) -> dict:
     with open(path) as f:
