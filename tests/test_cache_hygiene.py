@@ -55,3 +55,4 @@ def test_release_caches_idempotent(spark):
     queries.release_caches()
     assert not queries.kg._BUILDS
     assert not queries.textops._Q25_FEATS_CACHE
+    assert not queries.common._SORTED_RANK_PINS

@@ -76,6 +76,46 @@ def canon_pdf_strict(pdf):
     )
 
 
+def _persistent_ids(spark) -> set:
+    return {
+        k for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _gc_settle(spark, baseline: set = frozenset(), rounds: int = 6, wait: float = 1.5) -> set:
+    """Drive Python + JVM GC until the persistent-RDD set stabilizes.
+
+    ``localCheckpoint`` blocks (iterative lineage cuts throughout
+    graphops/components) are freed by Spark's ContextCleaner only after
+    the referencing JVM objects are collected — a few GC cycles with a
+    short settle wait drains them. What remains after the set goes
+    stable is genuinely stuck storage (the round-4 sorted_rank class).
+    """
+    import gc
+
+    jvm = spark.sparkContext._jvm
+    prev = None
+    stable = 0
+    for _ in range(rounds):
+        # Two JVM GCs per cycle: the first collects objects whose py4j
+        # detach just landed, the second collects what the first made
+        # unreachable (Dataset → plan → checkpointed RDD chains) so the
+        # ContextCleaner's weak references enqueue within one cycle.
+        gc.collect()
+        jvm.System.gc()
+        time.sleep(0.5)
+        jvm.System.gc()
+        time.sleep(wait)
+        cur = _persistent_ids(spark)
+        if not cur - baseline:
+            return cur
+        stable = stable + 1 if cur == prev else 0
+        if stable >= 2:
+            break
+        prev = cur
+    return _persistent_ids(spark)
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
@@ -99,6 +139,15 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_fail = 0
+    # Persist-leak audit (round-4 VERDICT ask #3): record which
+    # persistent-RDD ids each query introduced; after the sweep,
+    # release_caches() + GC-settle and attribute any residue back to
+    # the query that created it ("leaked" per manifest entry). This
+    # costs one py4j call per query instead of a full cache drain +
+    # rebuild per query, so the memoized kg builds keep their value.
+    leak_baseline = _persistent_ids(spark)
+    leak_known = set(leak_baseline)
+    persist_ids: dict[str, set] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -122,7 +171,13 @@ def main() -> int:
                 "err": f"spark: {type(e).__name__}: {str(e)[:200]}",
             }
             n_fail += 1
+            cur = _persistent_ids(spark)
+            persist_ids[name] = cur - leak_known
+            leak_known |= cur
             continue
+        cur = _persistent_ids(spark)
+        persist_ids[name] = cur - leak_known
+        leak_known |= cur
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
@@ -172,6 +227,28 @@ def main() -> int:
                 "strict": strict,
                 "sec": round(time.time() - t0, 2),
             }
+    # End-of-sweep leak attribution: drain the query-surface caches,
+    # let GC settle (flushes ContextCleaner-managed localCheckpoint
+    # blocks), and charge any residual persistent storage back to the
+    # query whose run introduced it.
+    sdf = spdf = srows = None  # noqa: F841 — drop last iteration's refs
+    from oak_knowledge_graph_neo4j_auradb_spark import queries as _qmod
+
+    _qmod.release_caches()
+    residual = _gc_settle(spark, leak_baseline) - leak_baseline
+    attributed = set()
+    for name, m in manifest.items():
+        owned = residual & persist_ids.get(name, set())
+        m["leaked"] = len(owned)
+        attributed |= owned
+    leak_unattr = len(residual - attributed)
+    leak_total = len(residual)
+    print(
+        f"leak audit: residual={leak_total} "
+        f"unattributed={leak_unattr}"
+        + ("" if leak_total == 0 else "  ** STORAGE LEAK **")
+    )
+
     print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
     if manifest_path:
         import datetime
@@ -189,6 +266,8 @@ def main() -> int:
                         datetime.timezone.utc
                     ).isoformat(timespec="seconds"),
                     "totals": counts,
+                    "leaked_total": leak_total,
+                    "leaked_unattributed": leak_unattr,
                     "queries": manifest,
                 },
                 f,
