@@ -243,8 +243,13 @@ def q22_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = 10 * n * ntok
     a = 20000 * num + denom
     b = 2 * denom
-    score_i = ((a - F.pmod(a, b)) / b).cast("long")
-    return d.select(
+    # True long division via the SQL `div` operator — no double
+    # intermediate anywhere. The earlier (a - pmod(a,b)) / b form
+    # promoted the exact quotient to double before the long cast; past
+    # 2^53 (n·ntok ≳ 4.5e11, megabyte-scale docs) the double can land
+    # one ulp low and truncate to q-1 while DuckDB's `//` stays exact.
+    score_i = F.expr("_q22_a div _q22_b")
+    return d.withColumn("_q22_a", a).withColumn("_q22_b", b).select(
         "doc_id",
         r4(punct / n).alias("punct_ratio"),
         r4(digit / n).alias("digit_ratio"),
