@@ -271,6 +271,33 @@ def clean_list(col: Column) -> Column:
     )
 
 
+def synthetic_prop_col(sv, data_type: str) -> Column:
+    """Config-constant synthetic property → typed literal Column.
+
+    One shared path for ALL node kinds (single/static, per-row,
+    expanded) so a given config constant renders identically everywhere
+    — round 4 had the static branch passing bools through as typed
+    literals while the other two stringified first ('true' vs 'True' on
+    a string-typed property; round-4 ADVICE). Non-string scalars apply
+    the reference's clean_value coercions driver-side
+    (schema_mapper.py:789-868: int(float(v)), float(v), bool(v),
+    str(v)) — e.g. a bool sv on an int property is 1, on a string
+    property 'True', exactly as the pyoracle computes. String constants
+    keep the full clean_typed path (trim/quote-strip/unescape/parse)."""
+    if isinstance(sv, (bool, int, float)):
+        if data_type == "int":
+            return F.lit(int(float(sv))).cast("long")
+        if data_type == "float":
+            return F.lit(float(sv)).cast("double")
+        if data_type == "boolean":
+            return F.lit(bool(sv))
+        if data_type == "list":
+            return F.lit([str(sv).strip()])
+        # string / datetime: Python str() rendering, e.g. True → 'True'
+        return F.lit(str(sv).strip())
+    return clean_typed(F.lit(str(sv)), data_type)
+
+
 def clean_typed(col: Column, data_type: str) -> Column:
     """Dispatch on the config ``type`` field (schema_mapper.py:789-868)."""
     if data_type == "int":

@@ -43,6 +43,7 @@ from pyspark.sql.types import ArrayType, MapType, StringType
 from ..config.curriculum_schema import column_dtype
 from ..functions.scalars import (
     clean_typed,
+    synthetic_prop_col,
     is_empty_str,
     is_nullish_id,
 )
@@ -218,13 +219,7 @@ def extract_node(
             sv = pcfg.get("synthetic_value")
             hcol = pcfg.get("hasura_col")
             if sv is not None and sv != "":
-                if isinstance(sv, bool):
-                    # config carries a real boolean — pass through
-                    sel.append(F.lit(sv).alias(pname))
-                else:
-                    sel.append(
-                        clean_typed(F.lit(str(sv)), ptype).alias(pname)
-                    )
+                sel.append(synthetic_prop_col(sv, ptype).alias(pname))
             elif hcol == "current_timestamp":
                 sel.append(F.lit(run_ts).alias(pname))
         return spark.range(1).select(*sel)
@@ -268,7 +263,7 @@ def extract_node(
         ptype = pcfg.get("type", "string")
         sv = pcfg.get("synthetic_value")
         if sv is not None and sv != "":
-            sel.append(clean_typed(F.lit(str(sv)), ptype).alias(pname))
+            sel.append(synthetic_prop_col(sv, ptype).alias(pname))
         elif hcol is None:
             sel.append(F.lit(run_ts).alias(pname))
         else:
@@ -316,7 +311,7 @@ def _extract_expanded_node(
         sv = pcfg.get("synthetic_value")
         hcol = pcfg.get("hasura_col")
         if sv is not None and sv != "":
-            sel.append(clean_typed(F.lit(str(sv)), ptype).alias(pname))
+            sel.append(synthetic_prop_col(sv, ptype).alias(pname))
         elif hcol == "current_timestamp":
             sel.append(F.lit(run_ts).alias(pname))
         elif hcol:

@@ -4641,12 +4641,15 @@ def q342_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    # Deterministic scratch path keyed on the sf_dir so repeated runs
-    # (bench warm blocks, the 452-query sweep) overwrite one directory
-    # instead of leaking a fresh mkdtemp copy of the corpus per call.
+    # Deterministic scratch path keyed on (sf_dir, pid): repeated calls
+    # within one process (bench warm blocks, the sweep) overwrite one
+    # directory instead of leaking a fresh mkdtemp copy per call, while
+    # the pid keeps concurrent processes (a sweep beside a bench, or
+    # parallel pytest workers) from clobbering each other's directory
+    # mid-read (round-4 ADVICE).
     out = os.path.join(
         tempfile.gettempdir(),
-        "q342_orc_%s" % re.sub(r"\W", "_", sf_dir),
+        "q342_orc_%s_p%d" % (re.sub(r"\W", "_", sf_dir), os.getpid()),
         "docs_orc",
     )
     d.write.mode("overwrite").orc(out)

@@ -56,8 +56,20 @@ PROP_TYPES = ["int", "float", "boolean", "string", "list", "datetime"]
 def prop_cfg(draw):
     kind = draw(st.sampled_from(["column", "synthetic", "timestamp", "computed"]))
     if kind == "synthetic":
-        return {"synthetic_value": draw(st.sampled_from(["sv-a", "42"])),
-                "type": "string"}
+        # non-string constants included: round 4's static branch passed a
+        # bool sv through as a typed literal while the per-row/expanded
+        # branches stringified it ('true' vs 'True' on a string property)
+        # — unified in synthetic_prop_col, pinned here across all types
+        sv = draw(st.sampled_from(["sv-a", "42", True, False, 7, 2.5]))
+        # string svs stay string-typed (an unparseable 'sv-a' on an int
+        # property hits the engine's deliberate null-instead-of-string-
+        # fallback divergence, quarantined upstream); non-string scalars
+        # exercise every type through the driver-side clean_value path
+        ptype = (
+            "string" if isinstance(sv, str)
+            else draw(st.sampled_from(PROP_TYPES))
+        )
+        return {"synthetic_value": sv, "type": ptype}
     if kind == "timestamp":
         return {"hasura_col": "current_timestamp", "type": "datetime"}
     col = draw(st.sampled_from(PROP_COLS))

@@ -15,17 +15,39 @@ import sys
 sys.path.insert(0, ".")
 
 
-def load_entries(path: str) -> dict:
+def load_part(path: str) -> tuple[dict, str | None]:
     with open(path) as f:
         d = json.load(f)
-    return d.get("queries", d)
+    if "queries" in d:
+        return d["queries"], d.get("sf_dir")
+    return d, None
 
 
 def main() -> int:
     out, *parts = sys.argv[1:]
+    # sf_dir comes from the parts (all must agree), overridable with a
+    # leading --sf-dir flag — the round-4 version hardcoded sf0.1, so
+    # merging sf0.01 parts produced a manifest mislabeling which corpus
+    # it certified (round-4 ADVICE).
+    sf_dir = None
+    if parts and parts[0] == "--sf-dir":
+        sf_dir = parts[1]
+        parts = parts[2:]
     merged: dict[str, dict] = {}
     for p in parts:
-        merged.update(load_entries(p))
+        entries, part_sf = load_part(p)
+        if part_sf is not None:
+            if sf_dir is None:
+                sf_dir = part_sf
+            elif part_sf != sf_dir:
+                raise SystemExit(
+                    f"part {p} is for {part_sf}, but merging as {sf_dir}"
+                )
+        merged.update(entries)
+    if sf_dir is None:
+        raise SystemExit(
+            "no part carries an sf_dir — pass --sf-dir DIR explicitly"
+        )
     counts: dict[str, int] = {}
     for m in merged.values():
         counts[m["status"]] = counts.get(m["status"], 0) + 1
@@ -36,7 +58,7 @@ def main() -> int:
     with open(out, "w") as f:
         json.dump(
             {
-                "sf_dir": "/root/testdata/sf0.1",
+                "sf_dir": sf_dir,
                 "strict": True,
                 "generated_at": datetime.datetime.now(
                     datetime.timezone.utc
