@@ -145,15 +145,115 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by PNG color type (3 = palette: one index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: bytes, stride: int, bpp: int, height: int) -> bytes:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth). ``stride`` is bytes per scanline, ``bpp`` the filter unit
+    (bytes per complete pixel, min 1). Raises on a bad filter byte or a
+    short stream — decode failures surface instead of yielding garbage."""
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG stream {len(raw)}B != {(stride + 1) * height}B expected"
+        )
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Full self-contained PNG decode: chunk walk → IHDR, zlib-inflate
+    the concatenated IDAT stream, reverse the scanline filters. Returns
+    (width, height, defiltered pixel bytes — palette indices for color
+    type 3). stdlib-only (struct + zlib); the one unsupported shape is
+    Adam7 interlacing (interlace=1), which raises explicitly. A wrong
+    CRC/forged length surfaces as an inflate or length error rather
+    than silent garbage."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    hdr = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = (channels * depth * w + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    pixels = _png_defilter(zlib.decompress(bytes(idat)), stride, bpp, h)
+    return int(w), int(h), pixels
+
+
 def _decode_real(payload: bytes) -> dict:
-    """Real-bytes decoder: self-contained parsers for uncompressed BMP
-    and PCM WAV (no external library needed), with PIL as the optional
-    wider-codec path when available. Anything else raises — compressed
-    formats genuinely need image/audio libraries this container lacks."""
+    """Real-bytes decoder: self-contained parsers for uncompressed BMP,
+    PCM WAV, and (new, round 5) non-interlaced PNG — zlib is stdlib, so
+    the full IDAT inflate + defilter needs no external library. PIL
+    remains the optional wider-codec path (JPEG/MP4) when available."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:8] == _PNG_MAGIC:
+        w, h, _pixels = _decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "content_md5": hashlib.md5(payload).hexdigest(),
+            "width": w,
+            "height": h,
+        }
     try:  # optional wider-codec path (PNG/JPEG/…) if PIL is present
         from io import BytesIO
 
@@ -169,9 +269,9 @@ def _decode_real(payload: bytes) -> dict:
     except ImportError:
         pass
     raise NotImplementedError(
-        "compressed media decode requires image/audio libraries not "
-        "present in this environment; use decode_media(stub=True) or "
-        "feed BMP/WAV payloads"
+        "JPEG/MP4 decode requires image/audio libraries not present in "
+        "this environment; use decode_media(stub=True) or feed "
+        "BMP/WAV/PNG payloads"
     )
 
 

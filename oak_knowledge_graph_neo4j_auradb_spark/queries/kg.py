@@ -29,8 +29,18 @@ from ..sources.docgen import ensure_documents
 
 DOC_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_data_cache")
 
-#: docs per driver scale factor — 10× per step, matching the testdata ratios
-N_DOCS_BY_SF = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
+#: docs per driver scale factor — 10× per step, matching the testdata
+#: ratios. The deg_* entries are the adversarial corpora from
+#: tools/make_degenerate.py (make_universe(n) emits n lesson docs plus
+#: 2 static docs, so deg_empty still exercises the static-node path).
+N_DOCS_BY_SF = {
+    "sf0.001": 400,
+    "sf0.01": 4000,
+    "sf0.1": 40000,
+    "deg_empty": 0,
+    "deg_one": 1,
+    "deg_nulls": 2,
+}
 #: corpus the DuckDB oracle SQL is generated against (the driver's
 #: correctness gate runs at sf0.01 = 4000 docs). The env override lets
 #: the 10×-scale sweep (`SPARK_GRAFT_ORACLE_NDOCS=40000 check_entry

@@ -168,3 +168,142 @@ def test_embed_media_deterministic(assets):
     # same ref -> identical embedding on re-run (pure function of bytes)
     again = embed_media(fetch_payload(assets)).first()
     assert again["embedding"] == v or again["media_ref"] != row["media_ref"]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(width: int, height: int, filters=None, interlace: int = 0):
+    """A real, spec-conformant RGB8 PNG built with stdlib only, applying
+    a chosen scanline filter per row (default: cycle through all five).
+    Returns (png_bytes, raw_pixel_bytes)."""
+    import struct
+    import zlib
+
+    pixels = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    stride, bpp = width * 3, 3
+    if filters is None:
+        filters = [(y % 5) for y in range(height)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pr) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, interlace)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    return png, pixels
+
+
+def test_png_decode_all_filter_types_pixel_exact():
+    """The self-contained PNG decoder (round-4 VERDICT ask #10) inflates
+    IDAT and reverses every filter type (None/Sub/Up/Average/Paeth),
+    reproducing the original pixel bytes exactly."""
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    png, pixels = _make_png(11, 10)  # 10 rows → each filter twice
+    w, h, decoded = _decode_png(png)
+    assert (w, h) == (11, 10)
+    assert decoded == pixels
+
+    # IDAT split across multiple chunks is legal and must concatenate
+    import struct
+    import zlib
+
+    pixels1 = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(4)
+        for x in range(6)
+        for c in range(3)
+    )
+    raw = b"".join(
+        b"\x00" + pixels1[y * 18 : (y + 1) * 18] for y in range(4)
+    )
+    z = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 0)
+    split_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[: len(z) // 2])
+        + _png_chunk(b"IDAT", z[len(z) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(split_png) == (6, 4, pixels1)
+
+
+def test_png_decode_rejects_interlace_and_garbage():
+    import pytest as _pytest
+
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        _decode_png,
+        _decode_real,
+    )
+
+    png, _ = _make_png(4, 3, interlace=1)
+    with _pytest.raises(ValueError, match="Adam7"):
+        _decode_png(png)
+    with _pytest.raises(ValueError):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with _pytest.raises(NotImplementedError):
+        _decode_real(b"\xff\xd8\xff\xe0 not decodable jpeg")
+
+
+def test_real_decode_png_through_kg40_path(spark):
+    """Real PNG bytes through the Arrow-batched kg40 feature path."""
+    png, _ = _make_png(17, 9)
+    from oak_knowledge_graph_neo4j_auradb_spark.operators.multimodal import (
+        PAYLOAD_SCHEMA,
+    )
+
+    payloads = spark.createDataFrame(
+        [("doc-9", "lesson_asset_id_slidedeck", "asset://c.png", bytearray(png))],
+        PAYLOAD_SCHEMA,
+    )
+    feats = decode_media(payloads, stub=False).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert (r["width"], r["height"]) == (17, 9)
+    assert r["n_bytes"] == len(png)
+    assert r["content_md5"] == hashlib.md5(png).hexdigest()

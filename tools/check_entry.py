@@ -143,7 +143,14 @@ def main() -> int:
     # side and surfaced as baffling values-mismatches (round-4 ADVICE).
     import os
 
-    _sf_docs_by_sf = {"sf0.001": 400, "sf0.01": 4000, "sf0.1": 40000}
+    _sf_docs_by_sf = {
+        "sf0.001": 400,
+        "sf0.01": 4000,
+        "sf0.1": 40000,
+        "deg_empty": 0,
+        "deg_one": 1,
+        "deg_nulls": 2,
+    }
     _sf_docs = _sf_docs_by_sf.get(os.path.basename(os.path.normpath(sf_dir)))
     if _sf_docs is not None:
         prev = os.environ.get("SPARK_GRAFT_ORACLE_NDOCS")
