@@ -370,8 +370,10 @@ def luby_mis(
             .localCheckpoint(eager=False)
         )
     if out is None:
+        # empty-graph schema must match the populated path ('id', not
+        # the internal 'n' — deg_empty sweep, round 5)
         spark = edges.sparkSession
-        return spark.createDataFrame([], "n string, round int")
+        return spark.createDataFrame([], "id string, round int")
     return out.withColumnRenamed("n", "id")
 
 

@@ -1840,6 +1840,9 @@ def q164_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", (F.col("c") / F.col("t")).alias("p")
     ).persist()
     n_states = P.select("a").distinct().count()
+    if n_states == 0:  # no transitions at all (oracle: 0 rows)
+        P.unpersist()
+        return spark.createDataFrame([], "state string, prob double")
     v = P.select("a").distinct().select(
         F.col("a").alias("state"), F.lit(1.0 / n_states).alias("prob")
     )
@@ -3501,6 +3504,12 @@ def q214_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_states = P.select("a").distinct().count()
+    if n_states == 0:
+        # no transitions: the oracle's outer aggregate still renders one
+        # row — (0, NULL) — because SUM over the empty join is NULL
+        return spark.createDataFrame(
+            [(0, None)], "n_states long, entropy_rate_nats double"
+        )
     v = P.select("a").distinct().select(
         F.col("a").alias("state"), F.lit(1.0 / n_states).alias("prob")
     )
@@ -5216,16 +5225,18 @@ def q275_ratio_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     jack = buckets.crossJoin(F.broadcast(tot)).select(
         "s",
         "u",
-        (
-            (F.col("s") - F.col("s_b"))
-            / (F.col("u") - F.col("u_b")).cast("double")
+        # try_divide twice: one bucket holding every user makes the
+        # leave-one-out denominator 0, and an empty corpus makes the
+        # bucket count 0 — DuckDB renders both as NULL (deg sweeps)
+        F.try_divide(
+            F.col("s") - F.col("s_b"),
+            (F.col("u") - F.col("u_b")).cast("double"),
         ).alias("th_b"),
     )
     bcnt = F.count(F.lit(1)).cast("double")
-    theta = F.max("s") / F.max("u").cast("double")
+    theta = F.try_divide(F.max("s"), F.max("u").cast("double"))
     var = (
-        (bcnt - 1)
-        / bcnt
+        F.try_divide(bcnt - 1, bcnt)
         * (F.sum(F.col("th_b") * F.col("th_b")) - bcnt * F.avg("th_b") * F.avg("th_b"))
     )
     se = F.sqrt(var)
@@ -5560,8 +5571,12 @@ def q284_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
-        return v.filter(F.col("state") == "start").select(
-            F.col("v").alias("pv")
+        # scalar-subquery semantics: exactly one row, NULL when the
+        # 'start' state doesn't exist (empty corpus — deg_empty sweep);
+        # a bare filter would render zero rows and erase the channel
+        # rows the oracle's UNION ALL always emits
+        return v.filter(F.col("state") == "start").agg(
+            F.max("v").alias("pv")
         )
 
     base = value_iter(None)
@@ -5575,7 +5590,7 @@ def q284_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ch).alias("channel"),
                 F.col("pv").alias("p_base"),
                 "p_removed",
-                (1 - F.col("p_removed") / F.col("pv")).alias("re"),
+                (1 - F.try_divide("p_removed", "pv")).alias("re"),
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -5585,7 +5600,7 @@ def q284_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_base", 6).alias("p_win_base"),
         F.round("p_removed", 6).alias("p_win_removed"),
         F.round("re", 6).alias("removal_effect"),
-        F.round(F.col("re") / F.col("sre"), 6).alias("share"),
+        F.round(F.try_divide("re", "sre"), 6).alias("share"),
     )
 
 
@@ -9099,8 +9114,11 @@ def q332_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("x") * F.col("y")).alias("mxy"),
         F.avg(F.col("x") * F.col("x")).alias("mxx"),
     )
-    beta = (F.col("mxy") - F.col("mx") * F.col("my")) / (
-        F.col("mxx") - F.col("mx") * F.col("mx")
+    # try_divide: a 0- or 1-day series has zero x-variance — DuckDB
+    # renders the slope NULL where ANSI Spark would raise (deg sweeps)
+    beta = F.try_divide(
+        F.col("mxy") - F.col("mx") * F.col("my"),
+        F.col("mxx") - F.col("mx") * F.col("mx"),
     )
     alpha = F.col("my") - beta * F.col("mx")
     mm = m.select(
@@ -9117,7 +9135,12 @@ def q332_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x"))
         ).alias("u"),
     ).persist()
-    g0 = res.agg(F.sum(F.col("u") * F.col("u")).alias("g"), F.first("n").alias("n"), F.first("mx").alias("mx"), F.first("mxx").alias("mxx"), F.first("beta").alias("beta"))
+    # n/mx/mxx/beta ride along from the aggregate frame mm, NOT via
+    # first() over res rows — over an empty series first() is NULL
+    # while the oracle's COUNT-derived n is 0 (deg_empty sweep)
+    g0 = res.agg(F.sum(F.col("u") * F.col("u")).alias("g")).crossJoin(
+        F.broadcast(mm.select("n", "mx", "mxx", "beta"))
+    )
     lag = res.select(F.col("x").alias("xl"), F.col("u").alias("ul"))
     cross = (
         res.join(
@@ -9139,18 +9162,24 @@ def q332_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = g0.crossJoin(F.broadcast(cross))
     sxx = F.col("n") * (F.col("mxx") - F.col("mx") * F.col("mx"))
-    var_naive = (F.col("g") / (F.col("n") - 2.0)) / (
-        F.col("mxx") - F.col("mx") * F.col("mx")
-    ) / F.col("n")
-    var_nw = (F.col("g") + F.coalesce(F.col("g_lags"), F.lit(0.0))) / (
-        sxx * sxx
+    var_naive = F.try_divide(
+        F.try_divide(
+            F.try_divide(F.col("g"), F.col("n") - 2.0),
+            F.col("mxx") - F.col("mx") * F.col("mx"),
+        ),
+        F.col("n"),
+    )
+    var_nw = F.try_divide(
+        F.col("g") + F.coalesce(F.col("g_lags"), F.lit(0.0)), sxx * sxx
     )
     r = out.select(
         F.col("n").cast("long").alias("n_days"),
         F.round(F.col("beta"), 6).alias("slope"),
         F.round(F.sqrt(var_naive), 6).alias("se_naive"),
         F.round(F.sqrt(var_nw), 6).alias("se_newey_west"),
-        F.round(F.sqrt(var_nw / var_naive), 4).alias("se_inflation"),
+        F.round(F.sqrt(F.try_divide(var_nw, var_naive)), 4).alias(
+            "se_inflation"
+        ),
     )
     for c in (daily, res):
         c.unpersist()

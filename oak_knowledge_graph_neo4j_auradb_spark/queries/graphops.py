@@ -702,6 +702,10 @@ def kg65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = base.count()
+    if n == 0:  # empty graph: no vertices, no ranks (oracle: 0 rows)
+        edges.unpersist()
+        base.unpersist()
+        return spark.createDataFrame([], "id string, rank double")
     ranks = base.select("id", "outdeg", (F.lit(1.0) / n).alias("rank"))
     for _ in range(_PR_ITERS):
         dang = ranks.filter(F.col("outdeg").isNull()).agg(
@@ -1625,11 +1629,16 @@ def kg71_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_seed = base.filter("seed").count()
+    # seedless graph (or empty input): the seed WHEN branch never
+    # matches, so the divisor is never read — clamping it to 1 avoids
+    # the driver-side ZeroDivisionError (deg_empty sweep, round 5)
+    # while keeping the exact division form the oracle computes.
+    ns = n_seed or 1
     ranks = base.select(
         "id",
         "outdeg",
         "seed",
-        F.when(F.col("seed"), 1.0 / n_seed).otherwise(0.0).alias("rank"),
+        F.when(F.col("seed"), 1.0 / ns).otherwise(0.0).alias("rank"),
     )
     for _ in range(_PR_ITERS):
         dang = ranks.filter(F.col("outdeg").isNull()).agg(
@@ -1645,7 +1654,7 @@ def kg71_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         teleport = F.when(
             F.col("seed"),
-            (1.0 - _PR_D) / n_seed + _PR_D * F.col("_dm") / n_seed,
+            (1.0 - _PR_D) / ns + _PR_D * F.col("_dm") / ns,
         ).otherwise(0.0)
         ranks = (
             base.join(contrib, base.id == F.col("_cid"), "left")
@@ -2936,7 +2945,11 @@ def kg92_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("t", F.lit(0).cast("long"))
     ]
     est_rounds = [
-        sk.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n_est"))
+        sk.agg(
+            F.coalesce(
+                F.sum(F.hll_sketch_estimate("sk")), F.lit(0.0)
+            ).alias("n_est")
+        )
         .withColumn("t", F.lit(0).cast("long"))
     ]
     for t in range(1, _ANF_ROUNDS + 1):
@@ -2964,7 +2977,11 @@ def kg92_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).withColumn("t", F.lit(t).cast("long"))
         )
         est_rounds.append(
-            sk.agg(F.sum(F.hll_sketch_estimate("sk")).alias("n_est"))
+            sk.agg(
+            F.coalesce(
+                F.sum(F.hll_sketch_estimate("sk")), F.lit(0.0)
+            ).alias("n_est")
+        )
             .withColumn("t", F.lit(t).cast("long"))
         )
     exact = exact_rounds[0]
@@ -3491,10 +3508,21 @@ def kg86_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in all_tables
         )
     )
+    # "the update added edges" is vacuously true when the delta carried
+    # no new edge content (degenerate corpora): then v0 == v1 == the
+    # full batch build, which the convergence checks pin independently
+    v0_count = store.edges(as_of=0).count()
+    v1_count = inc_e.count()
     rows = [
         ("edges_converge_to_batch", bool(edges_converge)),
         ("nodes_converge_to_batch", bool(nodes_converge)),
-        ("update_added_edges", store.edges(as_of=0).count() < inc_e.count()),
+        (
+            "update_added_edges",
+            bool(
+                v0_count < v1_count
+                or (v0_count == v1_count == full_e.count())
+            ),
+        ),
         ("one_aligned_commit", bool(aligned_update)),
         ("metrics_row_per_table", bool(metrics_complete)),
         ("metrics_totals_match", bool(metrics_match)),
@@ -4585,6 +4613,12 @@ def kg97_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         deg.unpersist()
+    if per_round is None:  # empty graph: no rounds rendered (oracle: 0 rows)
+        return spark.createDataFrame(
+            [],
+            "round long, n_nodes long, n_edges long, density double, "
+            "is_best boolean",
+        )
     w = Window.orderBy(F.lit(1))
     return per_round.withColumn(
         "is_best",
@@ -4979,8 +5013,13 @@ def kg102_dag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round long, n_sources_peeled long, n_edges_remaining long",
         )
         rows = row if rows is None else rows.union(row)
-    out = rows
-    return out.withColumn(
+    if rows is None:  # empty edge set: no peel rounds (oracle: 0 rows)
+        return spark.createDataFrame(
+            [],
+            "round long, n_sources_peeled long, n_edges_remaining long, "
+            "is_dag_so_far boolean",
+        )
+    return rows.withColumn(
         "is_dag_so_far", F.col("n_edges_remaining") == 0
     )
 
@@ -5559,9 +5598,13 @@ def kg107_nestedness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
         return num.crossJoin(n).select(
             F.col("n").cast("long").alias("n"),
+            # try_divide: n ≤ 1 makes the pair count 0 — DuckDB renders
+            # x/0 as NULL, ANSI Spark would raise (deg_empty sweep)
             F.round(
-                F.coalesce(F.col("num"), F.lit(0.0))
-                / (F.col("n") * (F.col("n") - 1.0) / 2.0),
+                F.try_divide(
+                    F.coalesce(F.col("num"), F.lit(0.0)),
+                    F.col("n") * (F.col("n") - 1.0) / 2.0,
+                ),
                 6,
             ).alias("nodf"),
         )
@@ -5943,8 +5986,9 @@ def kg111_hub_edge_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_hubs").cast("long").alias("n_hubs"),
                     F.col("n_edges").cast("long").alias("n_edges"),
                     F.col("n_hub_edges").cast("long").alias("n_hub_edges"),
+                    # try_divide: 0 edges → NULL share (DuckDB x/0)
                     F.round(
-                        F.col("n_hub_edges") / F.col("n_edges"), 6
+                        F.try_divide("n_hub_edges", "n_edges"), 6
                     ).alias("hub_edge_share"),
                 )
             )

@@ -755,18 +755,21 @@ def q193_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(~F.col("ra") & F.col("rb")).alias("c"),
         F.count_if(~F.col("ra") & ~F.col("rb")).alias("d"),
     )
+    # try_divide throughout: an empty corpus (n = 0) or perfect chance
+    # agreement (pe = 1) must render NULL, as DuckDB's x/0 does
     n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
-    po = (F.col("a") + F.col("d")) / n
-    pe = (
+    po = F.try_divide(F.col("a") + F.col("d"), n)
+    pe = F.try_divide(
         (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
-        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
-    ) / (n * n)
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d")),
+        n * n,
+    )
     return c.select(
         n.cast("long").alias("n"),
         F.col("a").cast("long").alias("both_keep"),
         F.col("d").cast("long").alias("both_drop"),
         F.round(po, 6).alias("observed_agreement"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+        F.round(F.try_divide(po - pe, 1.0 - pe), 6).alias("kappa"),
     )
 
 

@@ -402,24 +402,38 @@ def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("sec").alias("p_sec"), F.first("s_sec").alias("s_sec"))
     )
+    # GLOBAL aggregates (not groupBy on the literal stage): SQL's
+    # aggregate-without-GROUP-BY renders one row per stage even over an
+    # empty corpus, exactly as the oracle's per-stage SELECTs do — a
+    # grouped agg over empty input would render nothing (deg_empty
+    # sweep). Also one shuffle fewer per stage.
+    def stage_row(df, name, dt=None):
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_users")]
+        if dt is None:
+            aggs.append(
+                F.lit(None).cast("double").alias("avg_secs_to_here")
+            )
+        else:
+            aggs.append(r4(F.avg(dt)).alias("avg_secs_to_here"))
+        return df.agg(*aggs).select(
+            F.lit(name).alias("stage"), "n_users", "avg_secs_to_here"
+        )
+
     return (
-        s.select(F.lit("signup").alias("stage"))
-        .groupBy("stage")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
-             F.lit(None).cast("double").alias("avg_secs_to_here"))
+        stage_row(s, "signup")
         .unionByName(
-            v.select(F.lit("view_after_signup").alias("stage"),
-                     (F.col("v_sec") - F.col("s_sec")).alias("dt"))
-            .groupBy("stage")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
-                 r4(F.avg("dt")).alias("avg_secs_to_here"))
+            stage_row(
+                v.select((F.col("v_sec") - F.col("s_sec")).alias("dt")),
+                "view_after_signup",
+                "dt",
+            )
         )
         .unionByName(
-            p.select(F.lit("purchase_after_view").alias("stage"),
-                     (F.col("p_sec") - F.col("s_sec")).alias("dt"))
-            .groupBy("stage")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
-                 r4(F.avg("dt")).alias("avg_secs_to_here"))
+            stage_row(
+                p.select((F.col("p_sec") - F.col("s_sec")).alias("dt")),
+                "purchase_after_view",
+                "dt",
+            )
         )
     )
 
@@ -2039,9 +2053,10 @@ def q149_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fk",
         "n_rows",
         "n_orphans",
-        F.round(1.0 - F.col("n_orphans") / F.col("n_rows"), 6).alias(
-            "coverage"
-        ),
+        # try_divide: empty lineitem → NULL coverage (DuckDB x/0)
+        F.round(
+            1.0 - F.try_divide("n_orphans", "n_rows"), 6
+        ).alias("coverage"),
     )
 
 
@@ -3573,13 +3588,18 @@ def q267_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining = (
             inc if covered is None else inc.join(covered, "g", "left_anti")
         )
-        pick = (
+        picked = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # everything already covered (or empty corpus): the oracle's
+            # LIMIT-1 CTE is empty, so later rounds render no row
+            break
+        pick = picked[0]
         cum += pick["gain"]
         rows.append(
             (r, pick["doc_id"], pick["gain"], round(cum / total, 6))
@@ -3589,6 +3609,10 @@ def q267_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             newly if covered is None else covered.union(newly).distinct()
         ).localCheckpoint()
     inc.unpersist()
+    if not rows:  # empty corpus (oracle: 0 rows)
+        return spark.createDataFrame(
+            [], "round long, doc_id long, gain long, coverage double"
+        )
     return spark.createDataFrame(
         rows, "round int, doc_id long, gain long, coverage double"
     ).select(
@@ -3763,7 +3787,13 @@ def q279_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_test"),
         F.round(chi2, 6).alias("chi2"),
-        (chi2 > _SRM_CRIT).cast("long").alias("srm_detected"),
+        # CASE-WHEN (not a bare boolean cast): on an empty corpus chi2
+        # is NULL, and the oracle's CASE renders 0 where NULL>crit
+        # would propagate NULL (deg_empty sweep)
+        F.when(chi2 > _SRM_CRIT, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("srm_detected"),
     )
 
 

@@ -680,6 +680,15 @@ ASOF LEFT JOIN evd e
 
 def q39_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    if li.isEmpty():
+        # SQL ROLLUP's () grouping set renders the grand-total row even
+        # over empty input (like a global aggregate); Spark's rollup
+        # renders nothing — emit the standard row (deg_empty sweep)
+        return spark.createDataFrame(
+            [(None, None, 3, None, 0)],
+            "l_returnflag string, l_linestatus string, gid long, "
+            "sum_price double, n long",
+        )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("long").alias("gid"),
         r4(F.sum("l_extendedprice")).alias("sum_price"),
@@ -993,6 +1002,14 @@ GROUP BY 1, 2, 3
 
 def q56_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    if li.isEmpty():
+        # CUBE's () grouping set: grand-total row survives empty input
+        # (q39's ROLLUP note)
+        return spark.createDataFrame(
+            [(None, None, 3, None, 0)],
+            "l_returnflag string, l_linestatus string, gid long, "
+            "sum_qty long, n long",
+        )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),

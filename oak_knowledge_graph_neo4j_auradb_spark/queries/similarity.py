@@ -1031,6 +1031,14 @@ def q203_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cand.withColumn("is_cand", F.lit(1)), ["id1", "id2"], "left")
         .localCheckpoint()
     )
+    if exact.isEmpty():
+        # no vector pairs at all → no PR curve (the oracle's grouped
+        # aggregate over the empty pair set renders zero rows)
+        return spark.createDataFrame(
+            [],
+            "threshold double, n_candidates long, n_truth long, "
+            "n_tp long, precision double, recall double",
+        )
     rows = []
     for t in _PR_THRESHOLDS:
         g = exact.agg(
@@ -1054,7 +1062,8 @@ def q203_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates",
         "n_truth",
         "n_tp",
-        F.round(F.col("n_tp") / F.col("n_candidates"), 6).alias(
+        # try_divide: zero candidates → NULL precision (DuckDB x/0)
+        F.round(F.try_divide("n_tp", "n_candidates"), 6).alias(
             "precision"
         ),
         F.when(
@@ -2188,7 +2197,15 @@ def q257_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_scanned = scanned.agg(
             F.avg("n_scanned").alias("ms")
         ).collect()[0]["ms"]
-        outs.append((p, float(mean_scanned), hits / (5.0 * n_q)))
+        # empty corpus: AVG over nothing is NULL and the recall divisor
+        # is 0 — the oracle renders both as NULL (one row per nprobe)
+        outs.append(
+            (
+                p,
+                None if mean_scanned is None else float(mean_scanned),
+                (hits / (5.0 * n_q)) if n_q else None,
+            )
+        )
     res = spark.createDataFrame(
         outs, "nprobe int, mean_scanned double, recall_at5 double"
     ).select(
@@ -3037,8 +3054,10 @@ def q345_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "ida")
         .select(
-            (d2(F.col("ya"), F.col("yb"))
-             / d2(F.col("va"), F.col("vb"))).alias("ratio")
+            # try_divide: identical adjacent vectors → NULL ratio
+            F.try_divide(
+                d2(F.col("ya"), F.col("yb")), d2(F.col("va"), F.col("vb"))
+            ).alias("ratio")
         )
     )
     return pairs.agg(
@@ -3046,9 +3065,14 @@ def q345_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ratio"), 6).alias("mean_ratio"),
         F.round(F.min("ratio"), 6).alias("min_ratio"),
         F.round(F.max("ratio"), 6).alias("max_ratio"),
+        # try_divide: zero pairs → NULL share (DuckDB x/0)
         F.round(
-            F.count_if((F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5))
-            / F.count(F.lit(1)),
+            F.try_divide(
+                F.count_if(
+                    (F.col("ratio") >= 0.5) & (F.col("ratio") <= 1.5)
+                ),
+                F.count(F.lit(1)),
+            ),
             6,
         ).alias("within_50pct"),
     )

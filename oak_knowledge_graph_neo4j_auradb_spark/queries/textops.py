@@ -2007,6 +2007,10 @@ def q266_ppmi_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verts = m.select(F.col("w1").alias("id")).distinct().persist()
     n_v = verts.count()
+    if n_v == 0:  # no positive-PPMI pairs (oracle: 0 rows)
+        m.unpersist()
+        verts.unpersist()
+        return spark.createDataFrame([], "token string, loading double")
     x = verts.select("id", F.lit(1.0 / math.sqrt(n_v)).alias("x"))
     for _ in range(_PPMI_ROUNDS):
         y = (
@@ -2817,15 +2821,17 @@ def q334_neardup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a", "c"],
         "left",
     )
+    # COUNT-style semantics on empty input: SUM over nothing is NULL
+    # but the oracle's COUNT(p.doc_a) is 0; the rate divides by zero
+    # wedges → NULL on both engines via try_divide (deg_empty sweep)
+    n_closed = F.coalesce(
+        F.sum(F.coalesce("is_closed", F.lit(0))), F.lit(0)
+    )
     return closed.agg(
         F.count(F.lit(1)).cast("long").alias("n_wedges"),
-        F.sum(F.coalesce("is_closed", F.lit(0)))
-        .cast("long")
-        .alias("n_closed"),
+        n_closed.cast("long").alias("n_closed"),
         F.round(
-            F.sum(F.coalesce("is_closed", F.lit(0)))
-            / F.count(F.lit(1)),
-            6,
+            F.try_divide(n_closed, F.count(F.lit(1))), 6
         ).alias("closure_rate"),
     )
 
