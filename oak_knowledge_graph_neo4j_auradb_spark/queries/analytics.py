@@ -422,9 +422,11 @@ def q105_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "med",
         "mad",
-        (F.abs(F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad"))).alias(
-            "rz"
-        ),
+        # try_divide: a single-sample group has MAD 0 (DuckDB: NULL)
+        F.try_divide(
+            F.abs(F.col("value") - F.col("med")),
+            F.lit(_MAD_K) * F.col("mad"),
+        ).alias("rz"),
     )
     return rz.groupBy("event_type").agg(
         r4(F.first("med")).alias("median"),
@@ -1061,7 +1063,12 @@ def q146_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ssb = F.col("sb") - F.col("s_all") * F.col("s_all") / F.col("n_all")
     ssw = F.col("ss_all") - F.col("sb")
-    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_all") - F.col("k")))
+    # try_divide: one group (k=1) or all-singleton groups (n=k) zero a
+    # denominator — DuckDB renders NULL (deg_one sweep)
+    f_stat = F.try_divide(
+        F.try_divide(ssb, F.col("k") - 1),
+        F.try_divide(ssw, F.col("n_all") - F.col("k")),
+    )
     return tot.select(
         F.col("k").cast("long").alias("k_groups"),
         F.col("n_all").cast("long").alias("n"),
@@ -1506,10 +1513,15 @@ def q132_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
+        # try_divide: a constant column has hi == lo → NULL bin, and
+        # LEAST skips NULLs on both engines → every row lands in the
+        # top bin (deg_one sweep)
         F.least(
             F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / _HIST_BINS)
+                F.try_divide(
+                    F.col("value") - F.col("lo"),
+                    (F.col("hi") - F.col("lo")) / _HIST_BINS,
+                )
             ).cast("long"),
             F.lit(_HIST_BINS - 1).cast("long"),
         ).alias("bin"),
@@ -2351,7 +2363,8 @@ def q180_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "o_orderpriority",
         F.col("n").cast("long").alias("n"),
-        F.round(num / den, 6).alias("spearman_rho"),
+        # try_divide: a single-row group has zero rank variance
+        F.round(F.try_divide(num, den), 6).alias("spearman_rho"),
     )
 
 
@@ -2472,8 +2485,11 @@ def q183_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = c.agg(F.sum("cp").alias("np"), F.sum("cq").alias("nq"))
     j = c.crossJoin(F.broadcast(tot))
-    p = F.col("cp") / F.col("np")
-    q = F.col("cq") / F.col("nq")
+    # try_divide: a corpus whose span is under two weeks can leave one
+    # side empty (np or nq = 0) — DuckDB renders the share NULL and the
+    # NULL propagates through the mixture terms (deg_one sweep)
+    p = F.try_divide("cp", "np")
+    q = F.try_divide("cq", "nq")
     m = (p + q) / 2
     term = (
         F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
@@ -2660,10 +2676,14 @@ def q187_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wk").isNotNull())
         .withColumn(
             "bin",
+            # try_divide + NULL-skipping LEAST: constant x → top bin
+            # on both engines (q132's note; deg_one sweep)
             F.least(
                 F.floor(
-                    (F.col("x") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+                    F.try_divide(
+                        F.col("x") - F.col("lo"),
+                        (F.col("hi") - F.col("lo")) / _PSI_BINS,
+                    )
                 ),
                 F.lit(_PSI_BINS - 1),
             ).cast("long"),
@@ -3913,7 +3933,10 @@ def q248_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     glob = per_user.agg(
-        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        # try_divide: one user (or constant pre-period) → var_pop = 0
+        F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")).alias(
+            "theta"
+        ),
         F.avg("x").alias("mx"),
     )
     adj = per_user.crossJoin(F.broadcast(glob)).select(
@@ -3930,7 +3953,8 @@ def q248_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("y"), 2).alias("var_y"),
         F.round(F.var_pop("ya"), 2).alias("var_y_adj"),
         F.round(
-            F.lit(1.0) - F.var_pop("ya") / F.var_pop("y"), 6
+            F.lit(1.0) - F.try_divide(F.var_pop("ya"), F.var_pop("y")),
+            6,
         ).alias("var_reduction"),
     )
 
@@ -4199,7 +4223,10 @@ def q252_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "m",
         "v",
-        (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("ab"),
+        # try_divide: identical per-user rates → zero prior variance
+        (
+            F.try_divide(F.col("m") * (1 - F.col("m")), F.col("v")) - 1
+        ).alias("ab"),
     )
     out = rates.crossJoin(F.broadcast(prior)).select(
         "user_id",
@@ -4298,9 +4325,12 @@ def q254_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("win_std"),
+        # try_divide: n=1 leaves an empty trim interval (DuckDB: NULL)
         r4(
-            F.sum(F.col("value") * overlap)
-            / F.max(t_hi - t_lo).cast("double")
+            F.try_divide(
+                F.sum(F.col("value") * overlap),
+                F.max(t_hi - t_lo).cast("double"),
+            )
         ).alias("trim_mean"),
     )
     return out
@@ -5324,7 +5354,9 @@ def q276_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / nn.cast("double")
         )
     )
-    z = t_stat / F.sqrt(var)
+    # try_divide: one priority level → zero trend variance (DuckDB:
+    # 0/0 → NULL z)
+    z = F.try_divide(t_stat, F.sqrt(var))
     return cont.agg(
         nn.cast("long").alias("n"),
         rr.cast("long").alias("n_pos"),
@@ -7162,7 +7194,10 @@ def q299_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_days").alias("n_days"),
         F.round(F.max("ph"), 6).alias("max_ph"),
         F.round(F.max("lam"), 6).alias("lambda"),
-        F.sum((F.col("ph") > F.col("lam")).cast("int"))
+        # CASE-WHEN, not a boolean cast: a 1-day series has NULL λ
+        # (stddev of one sample) and the oracle's CASE counts 0 where
+        # NULL would propagate (deg_one sweep)
+        F.sum(F.when(F.col("ph") > F.col("lam"), 1).otherwise(0))
         .cast("long")
         .alias("n_alarm_days"),
         F.min(F.when(F.col("ph") > F.col("lam"), F.col("day"))).alias(
@@ -7368,13 +7403,22 @@ def q301_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("c"),
     )
     phi2 = F.col("chi2") / F.col("n")
-    # Bergsma (2013) bias correction
+    # Bergsma (2013) bias correction; try_divide for the n=1 and
+    # single-category corners (DuckDB renders NULL, and GREATEST/LEAST
+    # skip NULLs identically on both engines — deg_one sweep)
     phi2c = F.greatest(
         F.lit(0.0),
-        phi2 - (F.col("r") - 1) * (F.col("c") - 1) / (F.col("n") - 1),
+        phi2
+        - F.try_divide(
+            (F.col("r") - 1) * (F.col("c") - 1), F.col("n") - 1
+        ),
     )
-    rc = F.col("r") - (F.col("r") - 1) * (F.col("r") - 1) / (F.col("n") - 1)
-    cc = F.col("c") - (F.col("c") - 1) * (F.col("c") - 1) / (F.col("n") - 1)
+    rc = F.col("r") - F.try_divide(
+        (F.col("r") - 1) * (F.col("r") - 1), F.col("n") - 1
+    )
+    cc = F.col("c") - F.try_divide(
+        (F.col("c") - 1) * (F.col("c") - 1), F.col("n") - 1
+    )
     return stat.select(
         F.col("n").cast("long").alias("n"),
         F.col("r").cast("long").alias("n_rows"),
@@ -7382,10 +7426,13 @@ def q301_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         F.round("chi2", 6).alias("chi2"),
         F.round(
-            F.sqrt(phi2 / F.least(F.col("r") - 1, F.col("c") - 1)), 6
+            F.sqrt(
+                F.try_divide(phi2, F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
         ).alias("cramers_v"),
         F.round(
-            F.sqrt(phi2c / F.least(rc - 1, cc - 1)), 6
+            F.sqrt(F.try_divide(phi2c, F.least(rc - 1, cc - 1))), 6
         ).alias("cramers_v_corrected"),
     )
 
@@ -8525,16 +8572,22 @@ def q316_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2 = F.col("n_g"), F.col("n_all") - F.col("n_g")
     u = F.col("r_g") - n1 * (n1 + 1.0) / 2.0
     mu = n1 * n2 / 2.0
+    # try_divide: n=1 (tie correction 0/0) and one-group corpora
+    # (n2 = 0) render NULL on both engines (deg_one sweep)
     var = (n1 * n2 / 12.0) * (
         (F.col("n_all") + 1.0)
-        - F.col("tie_t") / (F.col("n_all") * (F.col("n_all") - 1.0))
+        - F.try_divide(
+            F.col("tie_t"), F.col("n_all") * (F.col("n_all") - 1.0)
+        )
     )
     return j.select(
         "lang",
         F.col("n_g").cast("long").alias("n"),
         F.round(u, 2).alias("u_stat"),
-        F.round((u - mu) / F.sqrt(var), 6).alias("z"),
-        F.round(1.0 - 2.0 * u / (n1 * n2), 6).alias("rank_biserial"),
+        F.round(F.try_divide(u - mu, F.sqrt(var)), 6).alias("z"),
+        F.round(
+            1.0 - F.try_divide(2.0 * u, n1 * n2), 6
+        ).alias("rank_biserial"),
     )
 
 
@@ -8594,12 +8647,13 @@ def q317_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(tot))
     n = F.col("n_all")
     h = 12.0 / (n * (n + 1.0)) * F.col("sr") - 3.0 * (n + 1.0)
-    c = 1.0 - F.col("tie_t") / (n * n * n - n)
+    # try_divide: n=1 → tie term 0/0; all-tied values → C = 0
+    c = 1.0 - F.try_divide(F.col("tie_t"), n * n * n - n)
     return agg.select(
         "k_groups",
         n.cast("long").alias("n"),
         F.round(h, 6).alias("h_stat"),
-        F.round(h / c, 6).alias("h_tie_corrected"),
+        F.round(F.try_divide(h, c), 6).alias("h_tie_corrected"),
     )
 
 

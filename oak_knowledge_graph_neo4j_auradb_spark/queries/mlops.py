@@ -82,8 +82,13 @@ def q151_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_pos",
         "n_neg",
+        # try_divide: a one-class corpus has n_pos·n_neg = 0 (DuckDB:
+        # NULL AUC — deg_one sweep)
         F.round(
-            F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            F.try_divide(
+                F.col("num2"), 2.0 * F.col("n_pos") * F.col("n_neg")
+            ),
+            6,
         ).alias("auc"),
     )
 
@@ -845,9 +850,10 @@ def q207_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("long").alias("decile"),
         F.col("n").cast("long").alias("n"),
         F.col("pos").cast("long").alias("n_positive"),
-        F.round(cum_pos / all_pos, 6).alias("cum_gain"),
+        # try_divide: zero positives anywhere → NULL gain/lift (DuckDB)
+        F.round(F.try_divide(cum_pos, all_pos), 6).alias("cum_gain"),
         F.round(
-            (cum_pos / cum_n) / (all_pos / all_n), 6
+            F.try_divide(cum_pos / cum_n, all_pos / all_n), 6
         ).alias("cum_lift"),
     )
 
@@ -1032,10 +1038,12 @@ def q234_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def u_of(col: str):
         h = c.groupBy(col).agg(F.count(F.lit(1)).alias("nv"))
+        # try_divide: a 1-row table has no pairs (n·(n−1) = 0) — NULL
+        # agreement-by-chance, as DuckDB renders it (deg_one sweep)
         return h.crossJoin(F.broadcast(n)).agg(
-            (
-                F.sum(F.col("nv") * (F.col("nv") - 1))
-                / F.first(F.col("n_tot") * (F.col("n_tot") - 1))
+            F.try_divide(
+                F.sum(F.col("nv") * (F.col("nv") - 1)),
+                F.first(F.col("n_tot") * (F.col("n_tot") - 1)),
             ).alias(f"u_{col}")
         )
 
@@ -1532,17 +1540,23 @@ def q271_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(wgt * F.col("x")).alias("h01"),
             F.sum(wgt * F.col("x") * F.col("x")).alias("h11"),
         )
+        # try_divide: a single observation makes the Hessian singular
+        # (det = 0) — DuckDB renders the step NULL (deg_one sweep)
         det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
         params = s.select(
             (
                 F.col("pb0")
-                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
-                / det
+                + F.try_divide(
+                    F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"),
+                    det,
+                )
             ).alias("b0"),
             (
                 F.col("pb1")
-                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
-                / det
+                + F.try_divide(
+                    F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"),
+                    det,
+                )
             ).alias("b1"),
         )
 
@@ -1632,11 +1646,16 @@ def q286_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("neg").cast("double").alias("bb"),
     )
     j = g.crossJoin(F.broadcast(tot))
+    # try_divide: a one-class corpus has G or B = 0 (DuckDB: NULL WoE)
     woe = F.log(
-        ((F.col("pos") + 0.5) / F.col("gg"))
-        / ((F.col("neg") + 0.5) / F.col("bb"))
+        F.try_divide(
+            F.try_divide(F.col("pos") + 0.5, F.col("gg")),
+            F.try_divide(F.col("neg") + 0.5, F.col("bb")),
+        )
     )
-    iv = (F.col("pos") / F.col("gg") - F.col("neg") / F.col("bb")) * woe
+    iv = (
+        F.try_divide("pos", "gg") - F.try_divide("neg", "bb")
+    ) * woe
     return j.select(
         F.col("decile").cast("long").alias("decile"),
         F.col("n").cast("long").alias("n"),

@@ -575,7 +575,10 @@ def q78_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
     )
-    scaled = (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    # try_divide: a single-row (or constant) group has mx == mn
+    scaled = F.try_divide(
+        F.col("l_extendedprice") - F.col("mn"), F.col("mx") - F.col("mn")
+    )
     return (
         li.join(F.broadcast(stats), on="l_returnflag")
         .groupBy("l_returnflag")
@@ -3865,9 +3868,12 @@ def q280_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     real = st.withColumn(
         "alloc_real",
-        F.lit(_NEYMAN_B)
-        * (F.col("n_h") * F.col("s_h"))
-        / F.sum(F.col("n_h") * F.col("s_h")).over(w_all),
+        # try_divide: all-constant strata have Σ n_h·s_h = 0 (DuckDB:
+        # NULL allocation — deg_one sweep)
+        F.try_divide(
+            F.lit(_NEYMAN_B) * F.col("n_h") * F.col("s_h"),
+            F.sum(F.col("n_h") * F.col("s_h")).over(w_all),
+        ),
     )
     base = real.withColumn("base", F.floor("alloc_real").cast("long"))
     seats = base.withColumn(
@@ -4738,10 +4744,14 @@ def q343_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = a.crossJoin(b)
     g = pair.agg(
         F.countDistinct("sa").cast("long").alias("n_shards"),
-        (F.sum(F.abs(F.col("xa") - F.col("xb")))
-         / (2 * F.countDistinct("sa") * F.sum(
-             F.when(F.col("sb") == 0, F.col("xa")).otherwise(0)
-         ))).alias("gini"),
+        # try_divide: a corpus too small to populate shard 0 zeroes
+        # the normalizer (DuckDB: NULL gini — deg_one sweep)
+        F.try_divide(
+            F.sum(F.abs(F.col("xa") - F.col("xb"))),
+            2 * F.countDistinct("sa") * F.sum(
+                F.when(F.col("sb") == 0, F.col("xa")).otherwise(0)
+            ),
+        ).alias("gini"),
     )
     stats = per.agg(
         F.min("bytes").cast("long").alias("min_bytes"),

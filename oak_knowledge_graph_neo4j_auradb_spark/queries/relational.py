@@ -2026,28 +2026,23 @@ def q243_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("hh_k"),
         )
     )
+    # try_divide throughout: when every distinct key is a heavy hitter
+    # (ndv = hh_k — any table with ≤ TOPH keys) the tail denominator is
+    # 0 and DuckDB renders the estimate NULL (deg_one sweep)
+    est_uni = F.try_divide(F.col("n") * F.col("n"), F.col("ndv"))
+    est_hh = F.col("hh_sq") + F.try_divide(
+        (F.col("n") - F.col("hh_n")) * (F.col("n") - F.col("hh_n")),
+        F.col("ndv") - F.col("hh_k"),
+    )
     return base.crossJoin(F.broadcast(hh)).select(
         F.col("exact").cast("long").alias("exact_pairs"),
-        r4(F.col("n") * F.col("n") / F.col("ndv")).alias("est_uniform"),
+        r4(est_uni).alias("est_uniform"),
+        r4(est_hh).alias("est_hh_tail"),
         r4(
-            F.col("hh_sq")
-            + (F.col("n") - F.col("hh_n"))
-            * (F.col("n") - F.col("hh_n"))
-            / (F.col("ndv") - F.col("hh_k"))
-        ).alias("est_hh_tail"),
-        r4(
-            (F.col("n") * F.col("n") / F.col("ndv") - F.col("exact"))
-            / F.col("exact")
+            F.try_divide(est_uni - F.col("exact"), F.col("exact"))
         ).alias("uniform_rel_err"),
         r4(
-            (
-                F.col("hh_sq")
-                + (F.col("n") - F.col("hh_n"))
-                * (F.col("n") - F.col("hh_n"))
-                / (F.col("ndv") - F.col("hh_k"))
-                - F.col("exact")
-            )
-            / F.col("exact")
+            F.try_divide(est_hh - F.col("exact"), F.col("exact"))
         ).alias("hh_tail_rel_err"),
     )
 

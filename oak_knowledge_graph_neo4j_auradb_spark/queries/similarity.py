@@ -216,7 +216,15 @@ def _seq_dot_np(a, b):
 # decoration time and demand a live SparkSession at module import
 @pandas_udf(DoubleType())
 def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(_seq_dot_np(np.stack(a.to_numpy()), np.stack(b.to_numpy())))
+    # NULL on either side → NULL dot (the oracle's list_sum over NULL),
+    # and np.stack can't ingest None rows (deg_nulls sweep)
+    mask = (a.notna() & b.notna()).to_numpy()
+    out = np.full(len(a), np.nan)  # NaN → Arrow null on the way back
+    if mask.any():
+        out[mask] = _seq_dot_np(
+            np.stack(a[mask].to_numpy()), np.stack(b[mask].to_numpy())
+        )
+    return pd.Series(out)
 
 
 def _band_sigs_pd(n_bands: int, bits: int, dim: int = DIM):
@@ -233,15 +241,24 @@ def _band_sigs_pd(n_bands: int, bits: int, dim: int = DIM):
 
     @pandas_udf(ArrayType(LongType()))
     def f(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (rows, dim)
-        acc = np.zeros((mat.shape[0], planes.shape[0]))
-        for d in range(dim):
-            acc = acc + mat[:, d : d + 1] * planes[None, :, d]
-        pos = acc > 0
-        sigs = np.zeros((mat.shape[0], n_bands), dtype=np.int64)
-        for b in range(n_bands):
-            for j in range(bits):
-                sigs[:, b] += pos[:, b * bits + j].astype(np.int64) << j
+        # NULL embeddings → all-zero signature: the oracle's per-bit
+        # CASE WHEN <plane·v> > 0 folds the NULL dot into ELSE 0, so
+        # null vectors all land in bucket 0 (their NULL cosine then
+        # fails every verify threshold — deg_nulls sweep). np.stack
+        # can't ingest None rows, hence the mask.
+        mask = v.notna().to_numpy()
+        sigs = np.zeros((len(v), n_bands), dtype=np.int64)
+        if mask.any():
+            mat = np.stack(v[mask].to_numpy())  # (rows, dim)
+            acc = np.zeros((mat.shape[0], planes.shape[0]))
+            for d in range(dim):
+                acc = acc + mat[:, d : d + 1] * planes[None, :, d]
+            pos = acc > 0
+            sub = np.zeros((mat.shape[0], n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for j in range(bits):
+                    sub[:, b] += pos[:, b * bits + j].astype(np.int64) << j
+            sigs[mask] = sub
         return pd.Series(list(sigs))
 
     return f
@@ -1156,8 +1173,11 @@ def q204_assignment_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(h_l.withColumnRenamed("h", "hl"))
         .crossJoin(h_al.withColumnRenamed("h", "hal"))
     )
-    nmi = (F.col("ha") + F.col("hl") - F.col("hal")) / (
-        (F.col("ha") + F.col("hl")) / 2
+    # try_divide: a single perfectly-pure cluster has H=0 everywhere —
+    # NMI is 0/0, NULL on both engines (deg_one sweep)
+    nmi = F.try_divide(
+        F.col("ha") + F.col("hl") - F.col("hal"),
+        (F.col("ha") + F.col("hl")) / 2,
     )
     return out.select(
         F.lit(n).cast("long").alias("n"),
@@ -1234,7 +1254,9 @@ def q231_kmeanspp_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = (
             e.join(d2, "vec_id")
             .crossJoin(F.broadcast(phi))
-            .filter(u < _KMPP_L * F.col("d2") / F.col("phi"))
+            # try_divide: all mass already on candidates → φ = 0 →
+            # NULL ratio → the coin comparison is false on both engines
+            .filter(u < _KMPP_L * F.try_divide("d2", "phi"))
             .select(
                 F.col("vec_id").alias("cand"),
                 F.col("v").alias("cv"),
@@ -1592,10 +1614,14 @@ def q238_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lst",
             # cells is sorted by (sub, code) and dense, so cell (m, k)
             # sits at index m*K + k — pack to a [M][K] double grid
+            # keyed by (sub, code), NOT dense position: a corpus with
+            # fewer than K vectors trains a sparse codebook, where the
+            # positional m·K+k arithmetic dereferences the wrong (or a
+            # missing) cell (deg_one sweep) — the map lookup matches
+            # the oracle's join-by-code semantics at any codebook size
             F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), m -> "
-                f"transform(sequence(0, {_PQ_K - 1}), k -> "
-                f"element_at(cells, m * {_PQ_K} + k + 1).ld2))"
+                f"map_from_entries(transform(cells, c -> "
+                f"struct(c.sub * {_PQ_K} + c.code, c.ld2)))"
             ).alias("lut"),
         )
     )
@@ -1608,8 +1634,8 @@ def q238_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, m: acc
             + F.element_at(
-                F.element_at(F.col("lut"), m + 1),
-                F.element_at(F.col("codes"), m + 1) + 1,
+                F.col("lut"),
+                m * _PQ_K + F.element_at(F.col("codes"), m + 1),
             ),
         ).alias("adc"),
     )
@@ -1743,8 +1769,20 @@ def q239_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("cid").reset_index(drop=True)
         qid = int(pdf["qid"].iloc[0])
-        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
-        C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        # NULL vectors → NaN rows (the oracle's NULL rel/sim); dim from
+        # any non-null vector, degenerate 1 if the whole group is null
+        vecs = list(pdf["cv"]) + [pdf["qv"].iloc[0]]
+        dim0 = next((len(x) for x in vecs if x is not None), 1)
+
+        def as_vec(x):
+            return (
+                np.full(dim0, np.nan)
+                if x is None
+                else np.asarray(x, dtype=np.float64)
+            )
+
+        qv = as_vec(pdf["qv"].iloc[0])
+        C = np.stack([as_vec(x) for x in pdf["cv"]])
         ids = pdf["cid"].to_numpy()
         n, dim = C.shape
         # dimension-order left folds (the dot_seq contract) so every
@@ -1769,15 +1807,23 @@ def q239_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = _MMR_LAM * rel - _MMR_ONE_MINUS_LAM * msim
             else:
                 score = _MMR_LAM * rel
+            # NULLS-LAST ordering (score DESC, cid ASC) — NaN scores
+            # sort after every real score, exactly as the oracle's
+            # ROW_NUMBER treats NULL
             best = min(
                 (i for i in range(n) if i not in picked),
-                key=lambda i: (-score[i], ids[i]),
+                key=lambda i: (
+                    bool(np.isnan(score[i])),
+                    -score[i] if not np.isnan(score[i]) else 0.0,
+                    ids[i],
+                ),
             )
             recs.append(
                 (qid, t, int(ids[best]), float(rel[best]), float(score[best]))
             )
             if picked:
-                msim = np.maximum(msim, S[:, best])
+                # fmax (NaN-ignoring) mirrors SQL MAX's NULL skipping
+                msim = np.fmax(msim, S[:, best])
             else:
                 msim = S[:, best].copy()
             picked.append(best)
@@ -2850,7 +2896,8 @@ def q328_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.col("n").cast("long").alias("n_vecs"),
         F.round(F.col("m1"), 6).alias("mean_k_occ"),
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        # try_divide: constant occupancy (1 vector) → zero variance
+        F.round(F.try_divide(m3, F.pow(m2, 1.5)), 6).alias("skewness"),
         "n_antihub",
         F.col("max_occ").cast("long").alias("max_occ"),
         (

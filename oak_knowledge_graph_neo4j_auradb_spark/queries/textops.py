@@ -55,10 +55,16 @@ def shingles(tok: Column) -> Column:
 
     return F.transform(
         F.array(tok),
-        lambda t: F.array_distinct(
-            F.when(F.size(t) >= 3, tri(t)).otherwise(
-                F.array(F.array_join(t, " "))
-            )
+        # the null-filter mirrors DuckDB's list_distinct, which drops
+        # NULL elements as well as duplicates — an all-NULL text column
+        # must shingle to [] on both engines (deg_nulls sweep)
+        lambda t: F.filter(
+            F.array_distinct(
+                F.when(F.size(t) >= 3, tri(t)).otherwise(
+                    F.array(F.array_join(t, " "))
+                )
+            ),
+            lambda s: s.isNotNull(),
         ),
     )[0]
 
@@ -674,8 +680,15 @@ def q25_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        # F.concat (NULL-propagating, like the
+                        # oracle's ||): an all-NULL doc has NULL minima
+                        # and must form NO band key — concat_ws would
+                        # skip the NULLs and bucket every null doc
+                        # together (deg_nulls sweep)
+                        F.concat(
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
                         ).alias("key"),
                     )
                     for b in range(4)
@@ -1348,8 +1361,15 @@ def q144_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        # F.concat (NULL-propagating, like the
+                        # oracle's ||): an all-NULL doc has NULL minima
+                        # and must form NO band key — concat_ws would
+                        # skip the NULLs and bucket every null doc
+                        # together (deg_nulls sweep)
+                        F.concat(
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
                         ).alias("key"),
                     )
                     for b in range(4)
@@ -2889,8 +2909,15 @@ def q340_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        # F.concat (NULL-propagating, like the
+                        # oracle's ||): an all-NULL doc has NULL minima
+                        # and must form NO band key — concat_ws would
+                        # skip the NULLs and bucket every null doc
+                        # together (deg_nulls sweep)
+                        F.concat(
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
                         ).alias("key"),
                     )
                     for b in range(4)
@@ -3069,8 +3096,15 @@ def q346_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        # F.concat (NULL-propagating, like the
+                        # oracle's ||): an all-NULL doc has NULL minima
+                        # and must form NO band key — concat_ws would
+                        # skip the NULLs and bucket every null doc
+                        # together (deg_nulls sweep)
+                        F.concat(
+                            F.col(f"mh{2 * b}").cast("string"),
+                            F.lit("_"),
+                            F.col(f"mh{2 * b + 1}").cast("string"),
                         ).alias("key"),
                     )
                     for b in range(4)
