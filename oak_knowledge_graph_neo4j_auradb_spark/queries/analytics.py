@@ -356,7 +356,12 @@ def q104_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("mx"),
         )
 
-    base = partial(ev.filter(F.col("day") < _SPLIT_DAY))
+    # NULL-timestamp rows route to the base partial: the oracle is one
+    # un-split GROUP BY, and day < SPLIT drops NULL days from BOTH
+    # partials (deg_nulls sweep)
+    base = partial(
+        ev.filter((F.col("day") < _SPLIT_DAY) | F.col("day").isNull())
+    )
     delta = partial(ev.filter(F.col("day") >= _SPLIT_DAY))
     merged = (
         base.unionByName(delta)
@@ -374,7 +379,7 @@ def q104_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("s")).alias("sum_value"),
         r4(F.col("mn")).alias("min_value"),
         r4(F.col("mx")).alias("max_value"),
-        r4(F.col("s") / F.col("n")).alias("avg_value"),
+        r4(F.try_divide("s", "n")).alias("avg_value"),
     )
 
 
@@ -1442,9 +1447,14 @@ FROM per
 def q131_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
+        # CASE-mirror, not a boolean cast: NULL event fields must count
+        # as 0 conversions as the oracle's CASE does (deg_nulls sweep)
         F.max(
-            ((F.col("event_type") == "purchase") & (F.col("value") > 150))
-            .cast("int")
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
         ).alias("conv")
     )
     g = per_user.groupBy((F.col("user_id") % 2).alias("grp")).agg(
@@ -1460,7 +1470,10 @@ def q131_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("k0") / F.col("n0")
     p1 = F.col("k1") / F.col("n1")
     pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
-    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1"))),
+    )
     return j.select(
         F.col("n0").cast("long").alias("n0"),
         F.col("k0").cast("long").alias("k0"),
@@ -2275,7 +2288,8 @@ _WILSON_Z = 1.96
 
 def q177_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
-        "source", (F.col("lang") == "en").cast("long").alias("y")
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     )
     g = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
@@ -4213,7 +4227,9 @@ def q252_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("event_type") == "click").cast("long")).alias("k"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("k"),
     )
     rates = per_user.withColumn(
         "p", F.col("k") / F.col("n").cast("double")
@@ -5333,7 +5349,10 @@ _CA_PRICE_CUT = 150000.0
 def q276_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
-        (F.col("o_totalprice") > _CA_PRICE_CUT).cast("long").alias("y"),
+        F.when(F.col("o_totalprice") > _CA_PRICE_CUT, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
     )
     cont = o.groupBy("x").agg(
         F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("r_i")
@@ -5455,9 +5474,15 @@ def q287_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("event_type"), day.alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
     )
-    return daily.groupBy("event_type").applyInPandas(
-        _burst_viterbi,
-        "event_type string, day long, y long, in_burst long",
+    # the oracle's final JOIN ... USING (event_type) drops a NULL type
+    # group (NULL never equi-joins); mirror before the grouped map
+    return (
+        daily.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .applyInPandas(
+            _burst_viterbi,
+            "event_type string, day long, y long, in_burst long",
+        )
     )
 
 

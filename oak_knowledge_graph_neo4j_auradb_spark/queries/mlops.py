@@ -64,7 +64,7 @@ from .common import TOKENS_SQL, exact_ntile, histogram_rank, load, tokens
 def q151_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         F.element_at(F.col("embedding"), 1).cast("double").alias("s"),
-        (F.col("label") < 5).cast("long").alias("y"),
+        F.when(F.col("label") < 5, 1).otherwise(0).cast("long").alias("y"),
     )
     g = e.groupBy("s").agg(
         F.sum("y").alias("pos"),
@@ -131,7 +131,7 @@ FROM c
 def q152_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("x"),
-        (F.col("lang") == "en").cast("long").alias("y"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     )
     g = d.groupBy("x").agg(
         F.sum("y").alias("p"),
@@ -824,7 +824,7 @@ def q207_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = d.select(
         "doc_id",
-        (F.col("lang") == "en").cast("long").alias("y"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
         _quality_score(F.col("t")).alias("s"),
     )
     # Scale path (VERDICT r2): NTILE via histogram_rank — the only
@@ -1627,10 +1627,19 @@ FROM (SELECT y, b0, b1, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
 
 
 def q286_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL prices rank LAST (coalesce to +inf): histogram_rank's
+    # equi-join drops NULL ranking values by contract, but the oracle's
+    # NTILE ranks them NULLS-LAST (deg_nulls sweep). The CASE-mirror on
+    # y counts NULL priority as 0, as the oracle does.
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.col("o_totalprice").alias("x"),
-        (F.col("o_orderpriority") < "3").cast("long").alias("y"),
+        F.coalesce(
+            F.col("o_totalprice"), F.lit(float("inf"))
+        ).alias("x"),
+        F.when(F.col("o_orderpriority") < "3", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
     )
     ranked = histogram_rank(o, "x", "o_orderkey", out="r", total="n")
     dec = ranked.withColumn(

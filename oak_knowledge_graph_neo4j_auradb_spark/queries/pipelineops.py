@@ -2221,9 +2221,21 @@ def q166_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_cnt").over(Window.partitionBy("source")).alias("n_s"),
     )
     w_tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
-    s = d.join(offs, ["source", "n_chars"]).withColumn(
-        "r", F.col("_off") + F.row_number().over(w_tie)
+    # null-safe histogram join: the oracle ranks via ROW_NUMBER windows
+    # (which treat NULL as an ordinary partition value), so a NULL
+    # (source, n_chars) row must keep its rank instead of falling out
+    # of the equi-join (deg_nulls sweep)
+    offs_r = offs.select(
+        F.col("source").alias("_src"),
+        F.col("n_chars").alias("_nc"),
+        "_off",
+        "n_s",
     )
+    s = d.join(
+        offs_r,
+        F.col("source").eqNullSafe(F.col("_src"))
+        & F.col("n_chars").eqNullSafe(F.col("_nc")),
+    ).withColumn("r", F.col("_off") + F.row_number().over(w_tie))
     # global rank→value map: value v owns global ranks [lo, hi]; join
     # idx into the ranges via fixed-width rank buckets (equi-join key)
     # so the broadcast join stays an equi-join, not a nested loop.
@@ -2315,7 +2327,7 @@ def q167_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") > 0)
     )
     scored = d.select(
-        (F.col("lang") == "en").cast("long").alias("y"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
         _quality_score(F.col("t")).alias("s"),
     )
     b = F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long")

@@ -337,9 +337,14 @@ def q12_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.countDistinct("c_mktsegment").alias("n_segments"),
-            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
-                "segments"
-            ),
+            # DuckDB's array_to_string renders an empty/all-NULL list
+            # as NULL, not '' (deg_nulls sweep)
+            F.when(
+                F.size(F.collect_set("c_mktsegment")) > 0,
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_set("c_mktsegment"))
+                ),
+            ).alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -808,11 +813,21 @@ def q45_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_linestatus",
             r4(F.col("_exact")).alias("p50_exact"),
-            (
-                F.abs(F.col("_approx") - F.col("_exact"))
-                / F.col("_exact")
+            # vacuously true when BOTH sides are NULL (a group with
+            # zero non-null prices — the oracle's literal TRUE);
+            # try_divide guards an exact-zero median
+            F.when(
+                F.col("_exact").isNull(), F.col("_approx").isNull()
+            )
+            .otherwise(
+                F.abs(
+                    F.try_divide(
+                        F.col("_approx") - F.col("_exact"), F.col("_exact")
+                    )
+                )
                 <= 0.01
-            ).alias("within_1pct"),
+            )
+            .alias("within_1pct"),
         )
     )
 
@@ -1116,10 +1131,13 @@ FROM lineitem GROUP BY l_returnflag
 
 def q59_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
+    # string_agg over zero non-null values is NULL, not '' — collect_set
+    # drops NULLs, so guard the empty set (deg_nulls sweep)
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
     return c.groupBy("c_nationkey").agg(
-        F.array_join(
-            F.array_sort(F.collect_set("c_mktsegment")), ","
-        ).alias("segments"),
+        F.when(F.size(segs) > 0, F.array_join(segs, ",")).alias(
+            "segments"
+        ),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )
 
@@ -1168,6 +1186,9 @@ WITH grid AS (
                 AS TIMESTAMP)
          ]) AS window_start
   FROM events
+  -- event-time precondition: rows without a timestamp join no window
+  -- (Spark's window() generator excludes them by construction)
+  WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM grid GROUP BY window_start, event_type
@@ -1208,6 +1229,8 @@ WITH marked AS (
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
   FROM events
+  -- event-time precondition (q60's note)
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts,
@@ -1284,7 +1307,10 @@ def q64_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("segs", ref)).cast("long").alias("n_common"),
             F.size(F.array_except("segs", ref)).cast("long").alias("n_extra"),
             F.array_contains("segs", "HOUSEHOLD").alias("has_household"),
-            F.array_join("segs", ",").alias("segments"),
+            # q12's note: array_to_string([]) is NULL in the oracle
+            F.when(
+                F.size("segs") > 0, F.array_join("segs", ",")
+            ).alias("segments"),
         )
     )
 
@@ -1497,12 +1523,14 @@ def q121_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("l_extendedprice")).alias("sum_price"),
         r4(F.sum("l_discount")).alias("sum_disc"),
     )
+    # DuckDB's UNPIVOT excludes NULL cells by default; Spark's keeps
+    # them — filter to match (deg_nulls sweep; no-op on real data)
     return agg.unpivot(
         ids=["l_returnflag"],
         values=["sum_qty", "sum_price", "sum_disc"],
         variableColumnName="measure",
         valueColumnName="value",
-    )
+    ).filter(F.col("value").isNotNull())
 
 
 Q121_SQL = """
@@ -1726,14 +1754,19 @@ def q128_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
+    # count("day") (not count(*)): the oracle's COUNT(DISTINCT day)
+    # ignores a NULL day; the join is null-safe so a NULL event_type
+    # group survives like the oracle's single GROUP BY (deg_nulls)
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("day").cast("long").alias("n_days"),
     )
-    exact = ev.groupBy("event_type").agg(
+    exact = ev.groupBy(F.col("event_type").alias("_et")).agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    return merged.join(exact, "event_type").select(
+    return merged.join(
+        exact, merged.event_type.eqNullSafe(F.col("_et"))
+    ).select(
         "event_type",
         "n_days",
         "n_exact",
@@ -1771,12 +1804,18 @@ def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import md5long
 
     o = load(spark, sf_dir, "orders")
-    row = F.concat_ws(
-        "|",
+    # F.concat (NULL-propagating, like the oracle's ||), NOT concat_ws:
+    # a row with any NULL field must checksum as NULL on both engines
+    # so BIT_XOR skips it (deg_nulls sweep)
+    row = F.concat(
         F.col("o_orderkey").cast("string"),
+        F.lit("|"),
         F.col("o_custkey").cast("string"),
+        F.lit("|"),
         F.col("o_orderstatus"),
+        F.lit("|"),
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("|"),
         F.col("o_orderdate").cast("timestamp_ltz").cast("long").cast("string"),
     )
     return o.groupBy("o_orderpriority").agg(

@@ -377,10 +377,22 @@ def q31_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
     # centroid table: element-wise mean per label — posexplode + agg is a
     # tiny shuffle (n_labels × dim rows); the result broadcasts
+    # NULL vectors explode to DIM null components (the oracle zips
+    # unnest(v) against unnest(range(DIM)), padding the short side with
+    # NULL) so an all-null label still yields a centroid row — a plain
+    # posexplode would drop those rows and the whole label (deg_nulls
+    # sweep); try_divide for the all-null mean (count(x) = 0)
     cent = (
-        e.select("label", F.posexplode("v").alias("d", "x"))
+        e.select(
+            "label",
+            F.posexplode(
+                F.coalesce(
+                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
+                )
+            ).alias("d", "x"),
+        )
         .groupBy("label", "d")
-        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
         .agg(
             F.array_sort(
@@ -452,10 +464,22 @@ def q33_ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe join against the broadcast query set). At 10⁹ vectors with
     √N cells the probe scans ~√N candidates per query instead of N."""
     e = _vec(load(spark, sf_dir, "embeddings"))
+    # NULL vectors explode to DIM null components (the oracle zips
+    # unnest(v) against unnest(range(DIM)), padding the short side with
+    # NULL) so an all-null label still yields a centroid row — a plain
+    # posexplode would drop those rows and the whole label (deg_nulls
+    # sweep); try_divide for the all-null mean (count(x) = 0)
     cent = (
-        e.select("label", F.posexplode("v").alias("d", "x"))
+        e.select(
+            "label",
+            F.posexplode(
+                F.coalesce(
+                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
+                )
+            ).alias("d", "x"),
+        )
         .groupBy("label", "d")
-        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
         .agg(
             F.array_sort(
@@ -606,7 +630,15 @@ def q84_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KM_ROUNDS):
         a = assign(cent)
         cent = (
-            a.select("c", F.posexplode("v").alias("d", "x"))
+            a.select(
+                "c",
+                F.posexplode(
+                    F.coalesce(
+                        "v",
+                        F.array_repeat(F.lit(None).cast("double"), DIM),
+                    )
+                ).alias("d", "x"),
+            )
             .groupBy("c", "d")
             .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("c")
@@ -861,7 +893,15 @@ def q168_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    x = e.select("vec_id", F.posexplode("v").alias("d", "x"))
+    # NULL vectors explode to DIM null components (the oracle's padded
+    # multi-unnest; q31's note) — the covariance/eigvec chain then
+    # propagates NULL instead of losing every row (deg_nulls sweep)
+    x = e.select(
+        "vec_id",
+        F.posexplode(
+            F.coalesce("v", F.array_repeat(F.lit(None).cast("double"), DIM))
+        ).alias("d", "x"),
+    )
     y = x.select(
         F.col("vec_id").alias("vid2"),
         F.col("d").alias("e"),
@@ -966,7 +1006,10 @@ def q202_label_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") <= 5
     )
     hits = top.groupBy("qid", "qlab").agg(
-        F.max((F.col("clab") == F.col("qlab")).cast("int")).alias("hit")
+        # CASE-mirror: NULL labels count as a miss, not NULL (deg_nulls)
+        F.max(
+            F.when(F.col("clab") == F.col("qlab"), 1).otherwise(0)
+        ).alias("hit")
     )
     return hits.groupBy(F.col("qlab").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
@@ -1394,7 +1437,17 @@ def q237_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = assign(cent)
     cent2 = (
-        a.select("sub", "code", F.posexplode("sv").alias("d", "x"))
+        a.select(
+            "sub",
+            "code",
+            # q31's padded-explode note: NULL slices keep their rows
+            F.posexplode(
+                F.coalesce(
+                    "sv",
+                    F.array_repeat(F.lit(None).cast("double"), _PQ_D),
+                )
+            ).alias("d", "x"),
+        )
         .groupBy("sub", "code", "d")
         .agg(F.round(F.avg("x"), 6).alias("m"))
         .groupBy("sub", "code")
@@ -2163,10 +2216,22 @@ _NPROBES = (1, 2, 4)
 
 def q257_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
+    # NULL vectors explode to DIM null components (the oracle zips
+    # unnest(v) against unnest(range(DIM)), padding the short side with
+    # NULL) so an all-null label still yields a centroid row — a plain
+    # posexplode would drop those rows and the whole label (deg_nulls
+    # sweep); try_divide for the all-null mean (count(x) = 0)
     cent = (
-        e.select("label", F.posexplode("v").alias("d", "x"))
+        e.select(
+            "label",
+            F.posexplode(
+                F.coalesce(
+                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
+                )
+            ).alias("d", "x"),
+        )
         .groupBy("label", "d")
-        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
         .agg(
             F.array_sort(
@@ -2354,10 +2419,22 @@ truth AS MATERIALIZED (
 
 def q259_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
+    # NULL vectors explode to DIM null components (the oracle zips
+    # unnest(v) against unnest(range(DIM)), padding the short side with
+    # NULL) so an all-null label still yields a centroid row — a plain
+    # posexplode would drop those rows and the whole label (deg_nulls
+    # sweep); try_divide for the all-null mean (count(x) = 0)
     cent = (
-        e.select("label", F.posexplode("v").alias("d", "x"))
+        e.select(
+            "label",
+            F.posexplode(
+                F.coalesce(
+                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
+                )
+            ).alias("d", "x"),
+        )
         .groupBy("label", "d")
-        .agg((F.sum("x") / F.count("x")).alias("m"))
+        .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
         .agg(
             F.array_sort(

@@ -89,6 +89,8 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events
+-- event-time precondition: no timestamp, no window (q60's note)
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -127,7 +129,7 @@ def q170_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q170_SQL = """
 WITH ev AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), w AS (
   SELECT (es // 3600) * 3600 + o.off AS window_start, event_type, value
   FROM ev CROSS JOIN (VALUES (0), (-3600)) o(off)
@@ -279,7 +281,9 @@ def q92_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(work, "ckpt")
     in_path = _as_stream_dir(ensure_documents(DOC_CACHE, n_docs_for(sf_dir)))
     stream_merge_nodes(spark, in_path, table, ckpt, label="Unit")
-    if not glob.glob(os.path.join(table, "*.parquet")):
+    if not glob.glob(
+        os.path.join(table, "**", "*.parquet"), recursive=True
+    ):
         # corpus with zero Unit nodes: the merge sink never creates the
         # table — the drained set is empty (oracle: 0 rows)
         return spark.createDataFrame([], "id string")
@@ -608,7 +612,7 @@ def q233_stream_session_windows(
 Q233_SQL = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
-  FROM events WHERE user_id < 50
+  FROM events WHERE user_id < 50 AND ts IS NOT NULL
 ), marked AS (
   SELECT user_id, t, value,
          CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
