@@ -142,6 +142,54 @@ def bench_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1600000"))
 
 
+def _jvm_counters(spark) -> dict:
+    """JVM process CPU ns + cumulative GC ms via JMX (py4j), plus host
+    steal/total jiffies from /proc/stat — the attribution data for a
+    ladder rung (round-4 VERDICT ask #6: the 8→32 efficiency read 0.59
+    on a contended host vs 0.92 idle; the claim needs numbers)."""
+    jvm = spark.sparkContext._jvm
+    mf = jvm.java.lang.management.ManagementFactory
+    # JVM CPU from /proc (py4j can't reflect the com.sun.management
+    # interface that carries getProcessCpuTime)
+    jvm_pid = jvm.java.lang.ProcessHandle.current().pid()
+    tick = os.sysconf("SC_CLK_TCK")
+    try:
+        with open(f"/proc/{jvm_pid}/stat") as f:
+            st = f.read().rsplit(")", 1)[1].split()
+        cpu_ns = int(1e9 * (int(st[11]) + int(st[12])) / tick)
+    except OSError:
+        cpu_ns = 0
+    gc_ms = sum(
+        b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans()
+    )
+    steal = total = 0
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()  # cpu  user nice sys idle ...
+        vals = [int(x) for x in parts[1:]]
+        total = sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+    except OSError:
+        pass
+    return {"cpu_ns": cpu_ns, "gc_ms": gc_ms, "steal": steal, "total": total}
+
+
+def _attribute(pre: dict, post: dict, wall: float, cpus: int) -> dict:
+    """Rung attribution: cpu_util ≈ 1 means the cores were genuinely
+    busy (scaling limited by the work itself); low cpu_util with high
+    host_steal_frac means the host took the cycles (placement-bound);
+    low cpu_util with low steal means waits (shuffle/IO/scheduler)."""
+    dcpu = (post["cpu_ns"] - pre["cpu_ns"]) / 1e9
+    dgc = (post["gc_ms"] - pre["gc_ms"]) / 1e3
+    dtotal = post["total"] - pre["total"]
+    dsteal = post["steal"] - pre["steal"]
+    return {
+        "cpu_util": round(dcpu / (wall * cpus), 3) if wall else None,
+        "gc_frac": round(dgc / wall, 3) if wall else None,
+        "host_steal_frac": round(dsteal / dtotal, 4) if dtotal else None,
+    }
+
+
 def flagship_at(n_docs: int, cpus: int) -> dict:
     """Time the flagship pipeline over an n_docs synthetic corpus.
 
@@ -168,18 +216,24 @@ def flagship_at(n_docs: int, cpus: int) -> dict:
     warm.resolved.write.mode("overwrite").format("noop").save()
     warm.unpersist()
     best = None
+    best_attr = None
     for _ in range(2):
+        pre = _jvm_counters(spark)
         t0 = time.monotonic()
         gb = build_graph(spark, full)
         gb.resolved.write.mode("overwrite").format("noop").save()
         dt = time.monotonic() - t0
+        post = _jvm_counters(spark)
         gb.unpersist()
-        best = dt if best is None or dt < best else best
+        if best is None or dt < best:
+            best = dt
+            best_attr = _attribute(pre, post, dt, cpus)
     out = {
         "n_docs": n_docs,
         "cpus": cpus,
         "sec": round(best, 3),
         "docs_per_sec": round(n_docs / best, 1),
+        **(best_attr or {}),
     }
     spark.stop()
     return out
@@ -229,6 +283,9 @@ def scaling() -> None:
     for c in SCALING_LADDER:
         out[f"t_local{c}_sec"] = results[c]["sec"]
         out[f"docs_per_sec_local{c}"] = results[c]["docs_per_sec"]
+        for k in ("cpu_util", "gc_frac", "host_steal_frac"):
+            if results[c].get(k) is not None:
+                out[f"{k}_local{c}"] = results[c][k]
     for lo, hi in zip(SCALING_LADDER, SCALING_LADDER[1:]):
         speedup = results[lo]["sec"] / results[hi]["sec"]
         out[f"scaling_efficiency_{lo}to{hi}"] = round(

@@ -37,6 +37,7 @@ N_DOCS_BY_SF = {
     "sf0.001": 400,
     "sf0.01": 4000,
     "sf0.1": 40000,
+    "sf1": 400000,
     "deg_empty": 0,
     "deg_one": 1,
     "deg_nulls": 2,

@@ -147,6 +147,7 @@ def main() -> int:
         "sf0.001": 400,
         "sf0.01": 4000,
         "sf0.1": 40000,
+        "sf1": 400000,
         "deg_empty": 0,
         "deg_one": 1,
         "deg_nulls": 2,
