@@ -70,4 +70,6 @@ def release_caches() -> None:
     kg.clear_builds()
     while textops._Q25_FEATS_CACHE:
         textops._Q25_FEATS_CACHE.pop().unpersist()
+    while graphops._KG103_CACHE:
+        graphops._KG103_CACHE.pop().unpersist()
     common.clear_rank_pins()

@@ -280,6 +280,11 @@ def _wide(spark: SparkSession, sf_dir: str):
 
 _BUILDS: dict = {}
 
+#: ad-hoc (non-memoized) GraphBuilds whose persisted dims must outlive
+#: the building function (the result DataFrame is lazy) — drained by
+#: clear_builds(). Round-5 leak audit caught kg118's diff build here.
+_ADHOC_BUILDS: list = []
+
 
 def clear_builds() -> None:
     """Unpersist and drop every memoized GraphBuild — used by bench.py
@@ -290,6 +295,8 @@ def clear_builds() -> None:
         gb.resolved.unpersist()
         gb.unpersist()
     _BUILDS.clear()
+    while _ADHOC_BUILDS:
+        _ADHOC_BUILDS.pop().unpersist()
 
 
 def kg33_unit_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +539,9 @@ def kg85_subset_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for label, df in gb_sub.nodes.items():
         rows.append((label, full_n.get(label, 0), df.count()))
+    # eager counts above already materialized everything this build
+    # caches — release it before returning (round-5 leak audit)
+    gb_sub.unpersist()
     out = spark.createDataFrame(
         rows, "label string, n_full long, n_subset long"
     )
@@ -966,13 +976,14 @@ def kg118_legacy_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.pipeline import build_graph
 
     cur = _wide(spark, sf_dir).resolved.select(*_EDGE5).distinct()
-    unf = (
-        build_graph(
-            spark, docs_df(spark, sf_dir), filters={}, persist_wide=False
-        )
-        .resolved.select(*_EDGE5)
-        .distinct()
+    gb_unf = build_graph(
+        spark, docs_df(spark, sf_dir), filters={}, persist_wide=False
     )
+    # build_graph always persists its dims table; the diff result is
+    # lazy, so the release rides the clear_builds() drain (round-5
+    # sweep-wide leak audit)
+    _ADHOC_BUILDS.append(gb_unf)
+    unf = gb_unf.resolved.select(*_EDGE5).distinct()
     added = (
         unf.subtract(cur)
         .groupBy("subj_label", "pred", "obj_label")
