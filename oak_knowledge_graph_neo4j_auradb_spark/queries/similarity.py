@@ -2216,20 +2216,12 @@ _NPROBES = (1, 2, 4)
 
 def q257_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
-    # NULL vectors explode to DIM null components (the oracle zips
-    # unnest(v) against unnest(range(DIM)), padding the short side with
-    # NULL) so an all-null label still yields a centroid row — a plain
-    # posexplode would drop those rows and the whole label (deg_nulls
-    # sweep); try_divide for the all-null mean (count(x) = 0)
+    # plain posexplode: THIS oracle derives dims from
+    # generate_series(1, len(v)), which is empty for a NULL vector —
+    # null vectors contribute no centroid rows here, unlike q31/q33's
+    # range-zipped (NULL-padded) twins (deg_nulls sweep)
     cent = (
-        e.select(
-            "label",
-            F.posexplode(
-                F.coalesce(
-                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
-                )
-            ).alias("d", "x"),
-        )
+        e.select("label", F.posexplode("v").alias("d", "x"))
         .groupBy("label", "d")
         .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
@@ -2419,20 +2411,12 @@ truth AS MATERIALIZED (
 
 def q259_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vec(load(spark, sf_dir, "embeddings"))
-    # NULL vectors explode to DIM null components (the oracle zips
-    # unnest(v) against unnest(range(DIM)), padding the short side with
-    # NULL) so an all-null label still yields a centroid row — a plain
-    # posexplode would drop those rows and the whole label (deg_nulls
-    # sweep); try_divide for the all-null mean (count(x) = 0)
+    # plain posexplode: THIS oracle derives dims from
+    # generate_series(1, len(v)), which is empty for a NULL vector —
+    # null vectors contribute no centroid rows here, unlike q31/q33's
+    # range-zipped (NULL-padded) twins (deg_nulls sweep)
     cent = (
-        e.select(
-            "label",
-            F.posexplode(
-                F.coalesce(
-                    "v", F.array_repeat(F.lit(None).cast("double"), DIM)
-                )
-            ).alias("d", "x"),
-        )
+        e.select("label", F.posexplode("v").alias("d", "x"))
         .groupBy("label", "d")
         .agg(F.try_divide(F.sum("x"), F.count("x")).alias("m"))
         .groupBy("label")
