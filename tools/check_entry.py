@@ -176,7 +176,12 @@ def main() -> int:
     spark = get_spark("check-entry")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver tables are single files; Spark-written rungs (sf1)
+        # are directories of part files — glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
