@@ -41,6 +41,7 @@ N_DOCS_BY_SF = {
     "deg_empty": 0,
     "deg_one": 1,
     "deg_nulls": 2,
+    "deg_extreme": 3,
 }
 #: corpus the DuckDB oracle SQL is generated against (the driver's
 #: correctness gate runs at sf0.01 = 4000 docs). The env override lets

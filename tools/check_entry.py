@@ -151,6 +151,7 @@ def main() -> int:
         "deg_empty": 0,
         "deg_one": 1,
         "deg_nulls": 2,
+        "deg_extreme": 3,
     }
     _sf_docs = _sf_docs_by_sf.get(os.path.basename(os.path.normpath(sf_dir)))
     if _sf_docs is not None:
